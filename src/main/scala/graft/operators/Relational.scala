@@ -1,0 +1,454 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2 block A — the relational/OLAP core.
+  *
+  * These are the query shapes the reference's workloads execute (TPC-H-style
+  * suites driven by evaluation_tools/dbstress__Current.py, plus the window
+  * dedup / JSON-flatten patterns from tasks/Query History API to
+  * Delta_withmetrics.py:231-239). All pure DataFrame API: Catalyst pushes
+  * filters/projections into the parquet scan and picks broadcast vs shuffle
+  * joins; every aggregate over money columns goes through DECIMAL(18,2) so
+  * results are order-independent (exact) and engine-portable, then is cast
+  * back to DOUBLE for a stable output schema.
+  */
+object Relational {
+
+  /** Exact, order-independent money arithmetic (see scaladoc above). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------- A1
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        asDouble(sum(dec(col("l_extendedprice")) *
+          ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(DecimalType(8, 4))))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- A2
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val reg  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nat  = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup  = Tables.supplier(s, dir)
+    val ord  = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li   = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- A4
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 25)
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6Oracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 25""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "rnk", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rnk")
+  }
+
+  val qTopkOracle: String =
+    """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |  FROM part) t
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** The reference's dedup idiom: `row_number() over (partition by query_id
+    * order by query_start_time_ms) qualify rn = 1` (tasks/Query History API
+    * to Delta_withmetrics.py:231). Latest event per user here.
+    * Event timestamps are ns in parquet (Spark truncates to µs), so outputs
+    * carry epoch millis rather than raw timestamps.
+    */
+  def qDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000000").as("ts_ms"))
+      .orderBy("user_id")
+  }
+
+  val qDedupLatestOracle: String =
+    """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  /** ROLLUP computed as re-aggregation of partials: the finest level is one
+    * shuffle over the data; coarser levels re-aggregate the (tiny) level-2
+    * result instead of rescanning the fact side — cheaper than a native
+    * Expand-based rollup at scale (Expand replicates every input row once
+    * per grouping set). Also sidesteps Spark 4.1's ambiguous-self-join
+    * false positive on rollup-after-join.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val base = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DecimalType(38, 2)).as("bal"))
+    val l1 = base.groupBy("r_name")
+      .agg(sum("n_customers").as("n_customers"),
+        sum("bal").cast(DecimalType(38, 2)).as("bal"))
+      .withColumn("n_name", lit(null).cast("string"))
+    val l0 = base
+      .agg(sum("n_customers").as("n_customers"),
+        sum("bal").cast(DecimalType(38, 2)).as("bal"))
+      .withColumn("r_name", lit(null).cast("string"))
+      .withColumn("n_name", lit(null).cast("string"))
+    base.unionByName(l1).unionByName(l0)
+      .select(col("r_name"), col("n_name"), col("n_customers"),
+        asDouble(col("bal")).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val qRollupOracle: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- A8
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val qCubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- A9/A10
+  private def recentOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(recentOrders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qSemiOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(recentOrders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qAntiOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- A11
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .count()
+      .na.fill(0L, eventTypes)
+      .orderBy("user_id")
+  }
+
+  val qPivotOracle: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A12
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("running_total",
+        asDouble(sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "running_total", "prev_price")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- A13
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val qPercentilesOracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A14
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val qDistinctAggOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A15
+  /** JSON field extraction — the reference flattens API JSON payloads
+    * (tasks/Query History API to Delta_withmetrics.py:214-218). */
+  def qJsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  val qJsonFlattenOracle: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- A16
+  /** As-of join, the union-sort-window formulation: one shuffle on the key,
+    * no per-row range probe — this is the shape that scales (no broadcast of
+    * the time side, no O(n·m) theta join). For each event, the latest order
+    * of the same customer with o_orderdate <= ts. The right side is
+    * pre-aggregated to one row per (key, time) so the pick is deterministic.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("okey_in"),
+        lit(null).cast("timestamp").as("odate_in"))
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("okey"))
+      .select(col("k"), col("o_orderdate").as("t"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        col("okey").as("okey_in"), col("o_orderdate").as("odate_in"))
+    val w = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("o_orderkey", last("okey_in", ignoreNulls = true).over(w))
+      .withColumn("o_orderdate", last("odate_in", ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val qAsofOracle: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_orderkey) AS okey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.okey AS o_orderkey, r.t AS o_orderdate
+      |FROM events e ASOF JOIN r ON e.user_id = r.k AND r.t <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier"    -> (q5LocalSupplier _),
+    "q6_revenue_delta"     -> (q6RevenueDelta _),
+    "q_topk_per_group"     -> (qTopkPerGroup _),
+    "q_dedup_latest"       -> (qDedupLatest _),
+    "q_rollup"             -> (qRollup _),
+    "q_cube"               -> (qCube _),
+    "q_semi_join"          -> (qSemiJoin _),
+    "q_anti_join"          -> (qAntiJoin _),
+    "q_pivot"              -> (qPivot _),
+    "q_window_running"     -> (qWindowRunning _),
+    "q_percentiles"        -> (qPercentiles _),
+    "q_distinct_agg"       -> (qDistinctAgg _),
+    "q_json_flatten"       -> (qJsonFlatten _),
+    "q_asof_join"          -> (qAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary"   -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q5_local_supplier"    -> q5Oracle,
+    "q6_revenue_delta"     -> q6Oracle,
+    "q_topk_per_group"     -> qTopkOracle,
+    "q_dedup_latest"       -> qDedupLatestOracle,
+    "q_rollup"             -> qRollupOracle,
+    "q_cube"               -> qCubeOracle,
+    "q_semi_join"          -> qSemiOracle,
+    "q_anti_join"          -> qAntiOracle,
+    "q_pivot"              -> qPivotOracle,
+    "q_window_running"     -> qWindowRunningOracle,
+    "q_percentiles"        -> qPercentilesOracle,
+    "q_distinct_agg"       -> qDistinctAggOracle,
+    "q_json_flatten"       -> qJsonFlattenOracle,
+    "q_asof_join"          -> qAsofOracle)
+}
