@@ -1,0 +1,84 @@
+package graft.maintenance
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.operators.LakehouseOps
+
+/** The maintenance sweep the reference schedules nightly
+  * (resources/TPC-datagen-notebook.scala:1979-2354): OPTIMIZE (compaction +
+  * ZORDER clustering), VACUUM (retention sweep), DESCRIBE DETAIL (file
+  * inventory) — rebuilt Spark-native over plain parquet directories.
+  *
+  * File *metadata* is inherently small (one row per file, even a 100 TB
+  * table is ~1e5 files at 1 GB each), so inventory/planning DFs are tiny;
+  * the heavy work — the clustered rewrite itself — is fully distributed.
+  */
+object TableMaintenance {
+
+  /** DESCRIBE DETAIL, filesystem half: (file, bytes, mtime_ms) for every
+    * data file under `dir`. Driver-side Hadoop FS listing — metadata only.
+    */
+  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .toSeq
+    import spark.implicits._
+    rows.toDF("file", "bytes", "mtime_ms")
+  }
+
+  /** OPTIMIZE, compaction half: rewrite `inDir` as ~targetBytes files.
+    * Output file count derives from the real on-disk byte total, so the
+    * same call is right at sf0.001 and at 100 TB (where you'd target
+    * ~1 GB files).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val totalBytes = listFiles(spark, inDir)
+      .agg(sum("bytes")).first().getLong(0)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(nFiles).write
+      .mode("overwrite").parquet(outDir)
+  }
+
+  /** OPTIMIZE ZORDER BY, clustering half: compute the interleave key, range-
+    * partition on it (each output file covers a tight key-space rectangle →
+    * effective min/max skipping on later multi-column filters), sort within
+    * partitions, drop the key on write.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
+                  nFiles: Int, bits: Int = 16): Unit = {
+    df.withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** VACUUM planning half: which files fall outside the retention window.
+    * Returns the delete plan as a DF (file, bytes, mtime_ms) — the actual
+    * delete is the caller's (irreversible) decision, mirroring VACUUM's
+    * dry-run.
+    */
+  def retentionPlan(files: DataFrame, keepAfterMtimeMs: Long): DataFrame =
+    files.filter(col("mtime_ms") < keepAfterMtimeMs)
+
+  /** OPTIMIZE planning half — see LakehouseOps.compactionPlan. */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame =
+    LakehouseOps.compactionPlan(files, targetBytes)
+
+  /** ANALYZE TABLE ... FOR ALL COLUMNS — see LakehouseOps.tableStats. */
+  def analyze(df: DataFrame, cols: Seq[String]): DataFrame =
+    LakehouseOps.tableStats(df, cols)
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.Tables
+import graft.functions.ZOrder
+
+/** SURVEY.md §2 block B — the reference's own lakehouse-DBA verbs,
+  * re-expressed as Spark-native operators over parquet (no Delta runtime in
+  * this environment; the semantics are rebuilt, not wrapped).
+  *
+  * Reference map:
+  *  - B1 metrics aggregation       tasks/Query History API to Delta_withmetrics.py:214-258
+  *  - B2 MERGE upsert              same file: whenMatchedUpdateAll/whenNotMatchedInsertAll (~:300)
+  *  - B3 status-snapshot history   tasks/Endpoint_History_Status_ETL.py (snapshot append → SCD2 view)
+  *  - B4 schema-drift alignment    tasks/Endpoint_History_Status_ETL.py (describe+full-join columns)
+  *  - B5 ANALYZE stats             resources/TPC-datagen-notebook.scala:2065-2067
+  *  - B6 DESCRIBE DETAIL           resources/TPC-datagen-notebook.scala:2267
+  *  - B7 ZORDER key                resources/TPC-datagen-notebook.scala:1979-2029
+  *  - B8 OPTIMIZE bin-packing      same lines (compaction planning half of OPTIMIZE)
+  *  - B9 pricing cost attribution  tasks/import_dbsql_pricing.py + metrics join
+  *  - B10 typed CSV import         tasks/import_dbsql_pricing.py (header/schema load)
+  */
+object LakehouseOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------- B2 lib
+  /** SCD1 MERGE: source wins on key match, target rows survive otherwise.
+    * One shuffle on the key (union + per-key window), no driver collect —
+    * at 100 TB this is the same cost shape as Delta's join-based MERGE but
+    * deterministic and pure-Spark. With bucketed tables the shuffle drops
+    * to a co-partitioned merge.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = source.withColumn("__prec", lit(0))
+    val t = target.select(source.columns.map(col).toIndexedSeq: _*).withColumn("__prec", lit(1))
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("__prec"))
+    s.unionByName(t)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prec", "__rn")
+  }
+
+  // ---------------------------------------------------------------- B4 lib
+  /** Schema-drift alignment: project/cast to `dest`, null-filling columns
+    * the source lacks and dropping extras — the reference's describe-both-
+    * sides / full-join-column-lists dance as one declarative projection.
+    */
+  def alignToSchema(df: DataFrame, dest: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(dest.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  // ---------------------------------------------------------------- B5 lib
+  /** ANALYZE ... FOR ALL COLUMNS equivalent: one distributed agg pass →
+    * tiny stats DF. Exact NDV here for oracle parity; at 100 TB swap
+    * `count_distinct` for `approx_count_distinct` (HLL, single pass).
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"))
+    }
+    val stacked = cols
+      .map(c => s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) AS (column_name, min_val, max_val, n_nulls, ndv)"))
+  }
+
+  // ---------------------------------------------------------------- B1
+  /** Query-history analytics: the reference flattens `metrics.*` then
+    * aggregates latency-ish metrics per statement type. Decimal sums keep
+    * the averages exact and order-independent; p95 is the exact percentile
+    * (matches DuckDB quantile_cont).
+    */
+  def dbaQueryMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        count_distinct(col("user_id")).as("n_users"),
+        (asDouble(sum(dec(col("value")))) / count(lit(1))).as("avg_value"),
+        max(col("value")).as("max_value"),
+        expr("percentile(value, 0.95)").as("p95_value"))
+      .orderBy("event_type")
+
+  val dbaQueryMetricsOracle: String =
+    """SELECT event_type, COUNT(*) AS n_queries,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  MAX(value) AS max_value,
+      |  quantile_cont(value, 0.95) AS p95_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- B2
+  /** Upsert the last-two-years order feed into the pre-1997 snapshot:
+    * matched keys take the (repriced) source row, unmatched source keys
+    * insert, untouched target rows survive.
+    */
+  def dbaMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val target = ord.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val source = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
+    mergeUpsert(target, source, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val dbaMergeUpsertOracle: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |source AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT * FROM source
+      |UNION ALL
+      |SELECT t.* FROM target t WHERE NOT EXISTS
+      |  (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- B3
+  /** Status-snapshot stream → SCD2 intervals: collapse consecutive equal
+    * statuses per key, derive [valid_from, valid_to) via lead(). Timestamps
+    * surface as epoch millis (events are ns-precision parquet).
+    */
+  def dbaScd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("__prev", lag("status", 1).over(w))
+      .filter(col("__prev").isNull || col("status") =!= col("__prev"))
+      .select(col("user_id"), col("event_id"), col("status"),
+        expr("ts_ns div 1000000").as("valid_from_ms"))
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_id")
+    changes
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
+  val dbaScd2HistoryOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type AS status, epoch_ms(ts) AS ms,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, status, ms AS valid_from_ms FROM o
+      |  WHERE prev IS NULL OR status <> prev)
+      |SELECT user_id, event_id, status, valid_from_ms,
+      |  LEAD(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) AS valid_to_ms,
+      |  LEAD(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) IS NULL AS is_current
+      |FROM c
+      |ORDER BY user_id, valid_from_ms, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- B4
+  def dbaSchemaAlign(s: SparkSession, dir: String): DataFrame = {
+    val dest = StructType.fromDDL(
+      "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, " +
+        "c_acctbal DOUBLE, loyalty_tier STRING, signup_ts TIMESTAMP")
+    alignToSchema(Tables.customer(s, dir), dest).orderBy("c_custkey")
+  }
+
+  val dbaSchemaAlignOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+      |  CAST(NULL AS VARCHAR) AS loyalty_tier, CAST(NULL AS TIMESTAMP) AS signup_ts
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- B5
+  def dbaTableStats(s: SparkSession, dir: String): DataFrame =
+    tableStats(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column_name")
+
+  val dbaTableStatsOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS min_val,
+         |  CAST(MAX($c) AS DOUBLE) AS max_val,
+         |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS ndv
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------- B6
+  /** DESCRIBE DETAIL equivalent, content half: per-file row counts and key
+    * ranges straight from the scan (`input_file_name`), no extra pass over
+    * the data. The filesystem half (bytes, mtime) is
+    * maintenance.TableMaintenance.listFiles.
+    */
+  def dbaDescribeDetail(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"))
+      .orderBy("file")
+
+  // ---------------------------------------------------------------- B7
+  def dbaZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"),
+        ZOrder.zvalue(Seq(col("p_partkey"), col("p_size")), 16).as("zkey"))
+      .orderBy("p_partkey")
+
+  val dbaZorderKeyOracle: String =
+    s"""SELECT p_partkey, p_size,
+       |  ${ZOrder.zvalueSql(Seq("p_partkey", "p_size"), 16)} AS zkey
+       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- B8
+  /** OPTIMIZE planning half: bin-pack the table's files into target-size
+    * compaction groups. Deterministic streaming formulation — files in name
+    * order, bin = exclusive-prefix-sum(bytes) div target — a window over
+    * file *metadata* (tiny), so the plan itself scales to millions of files.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    val w = Window.orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("bin",
+        ((sum("bytes").over(w) - col("bytes")) / lit(targetBytes)).cast("long"))
+  }
+
+  def dbaCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = graft.maintenance.TableMaintenance.listFiles(s, dir)
+    compactionPlan(files, 4L * 1024 * 1024)
+      .select("file", "bytes", "bin")
+      .orderBy("file")
+  }
+
+  // ---------------------------------------------------------------- B9
+  /** Cost attribution: broadcast the (tiny) pricing dim against the usage
+    * feed — the reference imports a DBSQL pricing CSV and joins it to query
+    * metrics. Decimal arithmetic end-to-end: exact, order-independent.
+    */
+  val pricing: Seq[(String, Double)] = Seq(
+    "click" -> 0.010, "view" -> 0.005, "purchase" -> 0.025,
+    "signup" -> 0.001, "error" -> 0.000)
+
+  def dbaPricingCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = pricing.toDF("event_type", "rate")
+      .withColumn("rate", col("rate").cast(DecimalType(8, 4)))
+    Tables.events(s, dir)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy("user_id")
+      .agg(
+        asDouble(sum(dec(col("value")) * col("rate"))).as("total_cost"),
+        count(lit(1)).as("n_billed"))
+      .orderBy("user_id")
+  }
+
+  val dbaPricingCostOracle: String =
+    """WITH dim AS (SELECT * FROM (VALUES
+      |  ('click', 0.010), ('view', 0.005), ('purchase', 0.025),
+      |  ('signup', 0.001), ('error', 0.000)) AS t(event_type, rate))
+      |SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(rate AS DECIMAL(8,4))) AS DOUBLE) AS total_cost,
+      |  COUNT(*) AS n_billed
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- B10
+  /** Typed CSV import: serialize nation to CSV lines in memory, then parse
+    * back through Spark's real CSV datasource path with an explicit schema
+    * (the reference's header/inferSchema load, made deterministic).
+    */
+  def dbaCsvImport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.nation(s, dir)
+      .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .as[String]
+    s.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("sep", "|")
+      .csv(lines)
+      .orderBy("n_nationkey")
+  }
+
+  val dbaCsvImportOracle: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dba_query_metrics"   -> (dbaQueryMetrics _),
+    "dba_merge_upsert"    -> (dbaMergeUpsert _),
+    "dba_scd2_history"    -> (dbaScd2History _),
+    "dba_schema_align"    -> (dbaSchemaAlign _),
+    "dba_table_stats"     -> (dbaTableStats _),
+    "dba_describe_detail" -> (dbaDescribeDetail _),
+    "dba_zorder_key"      -> (dbaZorderKey _),
+    "dba_compaction_plan" -> (dbaCompactionPlan _),
+    "dba_pricing_cost"    -> (dbaPricingCost _),
+    "dba_csv_import"      -> (dbaCsvImport _))
+
+  val oracles: Map[String, String] = Map(
+    "dba_query_metrics" -> dbaQueryMetricsOracle,
+    "dba_merge_upsert"  -> dbaMergeUpsertOracle,
+    "dba_scd2_history"  -> dbaScd2HistoryOracle,
+    "dba_schema_align"  -> dbaSchemaAlignOracle,
+    "dba_table_stats"   -> dbaTableStatsOracle,
+    "dba_zorder_key"    -> dbaZorderKeyOracle,
+    "dba_pricing_cost"  -> dbaPricingCostOracle,
+    "dba_csv_import"    -> dbaCsvImportOracle)
+}

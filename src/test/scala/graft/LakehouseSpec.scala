@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.ZOrder
+import graft.operators.LakehouseOps
+
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeUpsert: source wins on match, inserts new, keeps untouched") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
+    val source = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "v", "x")
+    val out = LakehouseOps.mergeUpsert(target, source, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("alignToSchema: null-fills missing, drops extra, casts") {
+    val src = Seq((1, "x", "drop-me")).toDF("a", "b", "extra")
+    val dest = StructType.fromDDL("a BIGINT, b STRING, c DOUBLE")
+    val out = LakehouseOps.alignToSchema(src, dest)
+    assert(out.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("a", "long"), ("b", "string"), ("c", "double")))
+    val row = out.first()
+    assert(row.getLong(0) == 1L && row.getString(1) == "x" && row.isNullAt(2))
+  }
+
+  test("zvalue: interleaves bits (known values) and is monotone-safe") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.zvalue(Seq(col("x"), col("y")), 16).as("z"))
+    val zs = df.as[Long].collect().toSeq
+    // x=3(0b11),y=5(0b101): interleave x→even bits, y→odd bits:
+    // bits: x0=1→b0, y0=1→b1, x1=1→b2, y1=0, x2=0, y2=1→b5 => 0b100111 = 39
+    assert(zs == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
+  test("compactionPlan: bins respect target bytes for in-order packing") {
+    val files = Seq(("a", 60L), ("b", 50L), ("c", 10L), ("d", 100L), ("e", 1L))
+      .toDF("file", "bytes")
+    val plan = LakehouseOps.compactionPlan(files, 100L)
+      .select("file", "bin").as[(String, Long)].collect().toMap
+    // prefix sums (exclusive): a=0,b=60,c=110,d=120,e=220 → bins 0,0,1,1,2
+    assert(plan == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 1L, "e" -> 2L))
+  }
+
+  test("scd2 history: intervals chain and end open") {
+    val hist = LakehouseOps.dbaScd2History(spark, sf)
+    val oneUser = hist.filter(col("user_id") === 0)
+      .orderBy("valid_from_ms").collect()
+    assert(oneUser.nonEmpty)
+    // chained: each valid_to == next valid_from; last open
+    oneUser.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("valid_to_ms") == b.getAs[Long]("valid_from_ms"))
+      case _ =>
+    }
+    assert(oneUser.last.isNullAt(oneUser.last.fieldIndex("valid_to_ms")))
+    // no consecutive equal statuses
+    oneUser.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("status") != b.getAs[String]("status"))
+      case _ =>
+    }
+  }
+
+  test("query plans: pricing cost broadcasts the dim, q6 pushes filters") {
+    val costPlan = LakehouseOps.dbaPricingCost(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(costPlan.contains("BroadcastHashJoin"))
+    val q6 = graft.operators.Relational.q6RevenueDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+}

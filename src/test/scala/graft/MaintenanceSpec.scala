@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.maintenance.TableMaintenance
+
+class MaintenanceSpec extends SparkSpec {
+
+  test("listFiles inventories data files, skipping _SUCCESS/hidden") {
+    val files = TableMaintenance.listFiles(spark, sf)
+    val names = files.select("file").collect().map(_.getString(0)).toSet
+    assert(names.exists(_.startsWith("lineitem")))
+    assert(!names.exists(_.startsWith("_")))
+    assert(files.filter(col("bytes") <= 0).count() == 0)
+  }
+
+  test("compact rewrites to the derived file count; data survives") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    TableMaintenance.compact(spark, s"$sf/lineitem.parquet", out,
+      targetBytes = 64L * 1024)
+    val before = spark.read.parquet(s"$sf/lineitem.parquet")
+    val after = spark.read.parquet(out)
+    assert(after.count() == before.count())
+    assert(TableMaintenance.listFiles(spark, out)
+      .filter(col("file").endsWith(".parquet")).count() >= 2)
+  }
+
+  test("zorderWrite clusters: each file covers a tight z-range") {
+    val out = Files.createTempDirectory("graft_zorder").toString
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    TableMaintenance.zorderWrite(part, Seq("p_partkey", "p_size"), out, 4)
+    val reread = spark.read.parquet(out)
+    assert(reread.count() == part.count())
+    assert(reread.columns.toSet == part.columns.toSet) // __zkey dropped
+    // range-partitioned on zkey → per-file zkey ranges are disjoint
+    val zf = reread
+      .withColumn("z", graft.functions.ZOrder.zvalue(
+        Seq(col("p_partkey"), col("p_size")), 16))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo").collect()
+    zf.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
+
+  test("retentionPlan selects only files older than the watermark") {
+    import spark.implicits._
+    val files = Seq(("old", 10L, 1000L), ("new", 10L, 5000L))
+      .toDF("file", "bytes", "mtime_ms")
+    val plan = TableMaintenance.retentionPlan(files, 2000L)
+    assert(plan.select("file").as[String].collect().toSeq == Seq("old"))
+  }
+}
