@@ -13,11 +13,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LakehouseOps.queries
+    Relational.queries ++ LakehouseOps.queries ++
+      graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
+      graft.functions.TextFuncs.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
     * then records a weaker rows-only check; ScalaTest covers those). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LakehouseOps.oracles
+    Relational.oracles ++ LakehouseOps.oracles ++
+      graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
+      graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,108 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 C6–C7 — similarity search over the embedding column.
+  *
+  * C6 is the exact baseline: broadcast the (small) query set, stream the
+  * candidate side through a codegen'd dot product, per-query top-k. Cost is
+  * |Q|·n — linear in the table, no shuffle of the big side, so it scales to
+  * 100 TB as a single scan whenever |Q| is broadcast-able.
+  *
+  * C7 is the sublinear path: random-hyperplane LSH buckets both sides; only
+  * same-bucket pairs are scored. Recall is tunable via bucket bits and
+  * multi-probe; candidates shrink by ~2^bits.
+  */
+object Ann {
+
+  /** Dot product of two float vectors, accumulated in double (each element
+    * cast before multiply — keeps parity with engines that promote to
+    * double, and avoids float rounding drift).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Fixed random hyperplanes: deterministic seeded PRNG (java.util.Random's
+    * algorithm is specified, so these constants are stable forever).
+    */
+  def planes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** LSH bucket id: bit p = sign(planes(p) · v). Pure codegen arithmetic —
+    * the plane weights are literals folded into the plan.
+    */
+  def hyperplaneBucket(v: Column, bits: Int, dim: Int = 64): Column = {
+    val ws = planes(bits, dim)
+    (0 until bits).map { p =>
+      val proj = (0 until dim).map(d => v(d).cast("double") * lit(ws(p)(d)))
+        .reduce(_ + _)
+      shiftleft(when(proj > 0, 1L).otherwise(0L), p)
+    }.reduce(_ + _)
+  }
+
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "score")
+      .orderBy("query_id", "rnk")
+  }
+
+  // --------------------------------------------------------------- C6
+  /** Exact brute-force top-k cosine (vectors are unit-norm → dot). */
+  def annBruteforce(s: SparkSession, dir: String,
+                    nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qe"), col("embedding")))
+    topkPerQuery(scored, k)
+  }
+
+  val annBruteforceOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, rnk, vec_id, score FROM (
+      |  SELECT query_id, vec_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- C7
+  /** LSH-bucketed ANN: score only same-bucket candidates. */
+  def annLsh(s: SparkSession, dir: String,
+             nQueries: Int = 8, k: Int = 5, bits: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qe"), col("embedding")))
+    topkPerQuery(scored, k)
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> ((s: SparkSession, d: String) => annBruteforce(s, d)),
+    "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceOracle)
+}

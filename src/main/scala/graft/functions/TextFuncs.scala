@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2 C8–C11 — text analysis for the training-data pipeline.
+  *
+  * Everything is a composition of built-in codegen'd functions (`split`,
+  * `filter`, `transform`, `aggregate`, `regexp_count`, `xxhash64`) — no
+  * UDFs, so the whole block stays inside whole-stage codegen and scales
+  * linearly with bytes scanned: per-document work, zero shuffles until the
+  * (optional) final aggregation.
+  */
+object TextFuncs {
+
+  // --------------------------------------------------------------- helpers
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Count of tokens that appear in `words` (a tiny constant set → an IN
+    * list inside the lambda, codegen'd to a hash probe).
+    */
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(toks(text), t => t.isin(words.map(lit): _*)))
+
+  // --------------------------------------------------------------- C9
+  /** Quality scoring: length / punctuation / stopword / uppercase ratios +
+    * a blended score, the standard cheap pre-filters before expensive
+    * model-based quality classification.
+    */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nChars = length(col("text"))
+    val nWords = size(toks(col("text")))
+    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val nUpper = length(regexp_replace(col("text"), "[^A-Z]", ""))
+    val nStop = stopwordHits(col("text"), stopwordsEn)
+    d.select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nWords.as("n_words"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (nUpper.cast("double") / nChars).as("upper_ratio"),
+        (nStop.cast("double") / nWords).as("stopword_ratio"),
+        (nChars.cast("double") / nWords).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityOracle: String = {
+    val inList = stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- C10
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (greedy ≤4-letter chunks, digits, and punctuation as single tokens —
+    * the shape of byte-pair vocabularies without shipping one).
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"))
+          .as("n_bpe_est"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val textTokensOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_est,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C8
+  /** Language ID, stopword-profile heuristic: score each language by hits
+    * against its closed-class word list, argmax wins (ties → highest
+    * score first in the fixed list order, 'und' when nothing hits).
+    * Cheap single-pass n-gram heuristic — the standard first-stage filter
+    * before a real classifier.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他"))
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = stopwordProfiles.foldLeft(d) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang", stopwordHits(col("text"), words))
+    }
+    val best = stopwordProfiles.map(_._1).foldLeft(lit(0): Column) {
+      (acc, lang) => greatest(acc, col(s"score_$lang"))
+    }
+    val pred = stopwordProfiles.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, els) => when(col(s"score_$lang") === col("best_score") &&
+        col("best_score") > 0, lit(lang)).otherwise(els)
+    }
+    scored
+      .withColumn("best_score", best)
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("best_score")) ++
+        stopwordProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- C11
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling k-gram hashes → per-window minima → distinct fingerprints.
+    * The classic near-dup/plagiarism sketch; arrays stay per-row so this is
+    * scan-parallel, and the fingerprint explode (for index building) is the
+    * only shuffle producer.
+    */
+  def textFingerprint(s: SparkSession, dir: String,
+                      k: Int = 8, w: Int = 4): DataFrame = {
+    // substring needs the lambda var as its pos argument → SQL lambda form.
+    val df = Tables.documents(s, dir)
+      .withColumn("__hs", expr(
+        s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> xxhash64(substring(text, i, $k)))"))
+      .withColumn("__mins", expr(
+        s"transform(sequence(1, greatest(size(__hs) - ${w - 1}, 1)), j -> array_min(slice(__hs, j, $w)))"))
+      .withColumn("fingerprints", array_distinct(col("__mins")))
+    df.select(
+        col("doc_id"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        aggregate(col("fingerprints"), lit(0L), (a, x) => a.bitwiseXOR(x))
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
+    "text_tokens"      -> ((s: SparkSession, d: String) => textTokens(s, d)),
+    "text_langid"      -> ((s: SparkSession, d: String) => textLangid(s, d)),
+    "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" -> textQualityOracle,
+    "text_tokens"  -> textTokensOracle)
+}

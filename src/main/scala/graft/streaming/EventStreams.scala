@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2 block D — event-stream analytics, twice over:
+  * batch formulations (the DuckDB-checkable oracle surface) and true
+  * Structured Streaming variants (watermark + windowed agg;
+  * flatMapGroupsWithState sessionization) exercised in StreamingSpec via
+  * MemoryStream. In production the same transforms hang off `readStream`;
+  * state scales per-key in the state store, not per-executor-heap.
+  */
+object EventStreams {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+
+  // --------------------------------------------------------------- D1
+  /** Tumbling 1-hour windows per event type. */
+  def streamWindowedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val streamWindowedAggOracle: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming variant: same plan over an unbounded source, 2h watermark
+    * bounds state; late data beyond it is dropped, on-time windows finalize.
+    */
+  def streamingWindowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // --------------------------------------------------------------- D2
+  /** Gap-based sessionization, batch form: session boundary where the gap
+    * to the previous event exceeds 30 min; session index = running count
+    * of boundaries. Two windows over one hash-partition of user_id — a
+    * single shuffle.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, dir)
+      .withColumn("__gap_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+      .withColumn("__new", when(col("__gap_ns").isNull ||
+        col("__gap_ns") > sessionGapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        expr("min(ts_ns) div 1000000").as("start_ms"),
+        expr("max(ts_ns) div 1000000").as("end_ms"),
+        count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val streamSessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) AS ns,
+      |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, value, ns,
+      |    SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, MIN(ns) // 1000000 AS start_ms,
+      |  MAX(ns) // 1000000 AS end_ms, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM m GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------- streaming sessionize
+  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(start_ms: Long, end_ms: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                     n_events: Long, sum_value: Double)
+
+  /** Streaming gap sessionization: per-key state in the state store, closed
+    * sessions emitted on gap or event-time timeout at the watermark. This
+    * is the unbounded-state-safe formulation — memory ∝ open sessions.
+    */
+  def streamingSessionize(events: org.apache.spark.sql.Dataset[Ev],
+                          gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "2 hours")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              Session(userId, st.start_ms, st.end_ms, st.n, st.sum)).iterator
+            state.remove()
+            out
+          } else {
+            val evs = it.toSeq.sortBy(e => (e._2, e._3))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            evs.foreach { case (_, _, value, ts) =>
+              val ms = ts.getTime
+              if (st == null) st = SessionState(ms, ms, 1, value)
+              else if (ms - st.end_ms > gapMs) {
+                closed += Session(userId, st.start_ms, st.end_ms, st.n, st.sum)
+                st = SessionState(ms, ms, 1, value)
+              } else st = SessionState(st.start_ms, math.max(st.end_ms, ms),
+                st.n + 1, st.sum + value)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.end_ms + gapMs)
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_agg" -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
+    "stream_sessionize"   -> ((s: SparkSession, d: String) => streamSessionize(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "stream_windowed_agg" -> streamWindowedAggOracle,
+    "stream_sessionize"   -> streamSessionizeOracle)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A crafted corpus: 0/1 exact dups, 2 a near-dup of 0 (one word
+    * changed), 3/4 unrelated.
+    */
+  lazy val corpusDir: String = {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 37) "CHANGED" else s"word$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcA", base.length.toLong),
+      (2L, near, "en", "srcA", near.length.toLong),
+      (3L, "completely different text about other things entirely unrelated",
+        "en", "srcB", 62L),
+      (4L, "apples bananas cherries dates elderberries figs grapes honeydew",
+        "en", "srcB", 63L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_exact: identical texts collapse to lowest doc_id") {
+    val kept = Dedup.dedupExact(spark, corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L)) // doc 1 deduped into 0
+  }
+
+  test("dedup_minhash: exact and near dups share a cluster; unrelated don't") {
+    val clusters = Dedup.dedupMinhash(spark, corpusDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) == clusters(1L)) // exact dup: all bands collide
+    assert(clusters(2L) == clusters(0L)) // 1-word-in-40 near dup: some band collides
+    assert(clusters(3L) != clusters(0L))
+    assert(clusters(4L) != clusters(0L))
+    assert(clusters(4L) != clusters(3L))
+  }
+
+  test("dedup_simhash: identical docs get identical fingerprints, near dups close") {
+    val sim = Dedup.dedupSimhash(spark, corpusDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(0L) == sim(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sim(0L), sim(2L)) < hamming(sim(0L), sim(3L)))
+  }
+
+  test("dedup_ngram_jaccard: near-dup pair found with high jaccard") {
+    val pairs = Dedup.dedupNgramJaccard(spark, corpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical
+    assert(pairs((0L, 2L)) > 0.8)  // 3 of ~38 shingles differ
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
+    val out = Dedup.dedupEmbedding(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1))) // never self
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+  }
+}

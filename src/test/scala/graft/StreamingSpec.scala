@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Raw(ts: Timestamp, event_type: String, value: Double)
+
+  test("streaming windowed agg over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val hour = 3600L * 1000
+    val rows = Seq(
+      Raw(new Timestamp(0), "click", 1.0),
+      Raw(new Timestamp(10 * 60 * 1000), "click", 2.0),
+      Raw(new Timestamp(hour + 1000), "view", 5.0),
+      Raw(new Timestamp(hour + 2000), "click", 3.0))
+    val q = EventStreams.streamingWindowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map { case (w, t, n, s) => (w.getTime, t, n, s) }.toSet
+      assert(got == Set(
+        (0L, "click", 2L, 3.0),
+        (hour, "view", 1L, 5.0),
+        (hour, "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes sessions on gap; state times out") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.streamingSessionize(mem.toDS(), gapMs = 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session), then a 5-minute gap,
+      // then another event → first session closes on the gap. Timestamps
+      // sit well above epoch 0 so the initial watermark can't drop them.
+      val base = 1_000_000_000_000L
+      mem.addData(
+        EventStreams.Ev(1L, base, 1.0),
+        EventStreams.Ev(1L, base + 10_000L, 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(1L, base + 310_000L, 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[EventStreams.Session].collect().toSet
+      assert(got.contains(EventStreams.Session(1L, base, base + 10_000L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionize: sessions respect the 30-min gap invariant") {
+    val sess = EventStreams.streamSessionize(spark, sf)
+    val byUser = sess.orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "start_ms", "end_ms")
+      .collect().groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts > 30min after previous ends
+          assert(b.getLong(2) - a.getLong(3) > 30L * 60 * 1000)
+        case _ =>
+      }
+    }
+    // session ids are 1..n per user
+    byUser.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+    }
+  }
+}

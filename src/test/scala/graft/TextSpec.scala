@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFuncs
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpusDir: String = {
+    val dir = Files.createTempDirectory("graft_text").toString
+    Seq(
+      (0L, "the cat is in the hat", "en", "s", 21L),
+      (1L, "der Hund ist in der Kiste und das Haus", "de", "s", 38L),
+      (2L, "le chat est dans la boite et les maisons", "fr", "s", 40L),
+      (3L, "xyzzy plugh", "und", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("langid: stopword profiles pick the right language") {
+    val pred = TextFuncs.textLangid(spark, corpusDir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(pred(0L) == "en")
+    assert(pred(1L) == "de")
+    assert(pred(2L) == "fr")
+    assert(pred(3L) == "und") // nothing hits
+  }
+
+  test("quality: hand-checked ratios on a known doc") {
+    val r = TextFuncs.textQuality(spark, corpusDir)
+      .filter(col("doc_id") === 0).first()
+    assert(r.getAs[Int]("n_chars") == 21)
+    assert(r.getAs[Int]("n_words") == 6)
+    // 'the' ×2 + 'is' + 'in' = 4 stopword hits of 6 words
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 4.0 / 6) < 1e-12)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("tokens: whitespace count exact, bpe estimate bounded sanely") {
+    val r = TextFuncs.textTokens(spark, corpusDir)
+      .filter(col("doc_id") === 0).first()
+    assert(r.getAs[Int]("n_ws_tokens") == 6)
+    // "the cat is in the hat": 6 chunks of ≤4 letters
+    assert(r.getAs[Int]("n_bpe_est") == 6)
+  }
+
+  test("fingerprint: deterministic, identical docs identical checksums") {
+    val fp1 = TextFuncs.textFingerprint(spark, corpusDir).collect()
+    val fp2 = TextFuncs.textFingerprint(spark, corpusDir).collect()
+    assert(fp1.map(_.toString).toSeq == fp2.map(_.toString).toSeq)
+    assert(fp1.forall(_.getAs[Int]("n_fingerprints") > 0))
+    // winnowing: fingerprints ≤ windows ≤ chars
+    fp1.foreach(r => assert(r.getAs[Int]("n_fingerprints") <= 40))
+  }
+}
