@@ -19,39 +19,24 @@ import graft.Tables
   */
 object Ann {
 
-  /** Dot product of two float vectors, accumulated in double (each element
-    * cast before multiply — keeps parity with engines that promote to
-    * double, and avoids float rounding drift).
+  /** Dot product of two float vectors — graft.functions.Vec.dot, a native
+    * expression (one compiled loop per row; double accumulation for
+    * cross-engine parity).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dot(a, b)
 
-  /** Fixed random hyperplanes: deterministic seeded PRNG (java.util.Random's
-    * algorithm is specified, so these constants are stable forever).
+  /** LSH bucket id: bit p = sign(planes(p) · v) — native expression, fixed
+    * seeded planes.
     */
-  def planes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(bits, dim)(rnd.nextGaussian())
-  }
-
-  /** LSH bucket id: bit p = sign(planes(p) · v). Pure codegen arithmetic —
-    * the plane weights are literals folded into the plan.
-    */
-  def hyperplaneBucket(v: Column, bits: Int, dim: Int = 64): Column = {
-    val ws = planes(bits, dim)
-    (0 until bits).map { p =>
-      val proj = (0 until dim).map(d => v(d).cast("double") * lit(ws(p)(d)))
-        .reduce(_ + _)
-      shiftleft(when(proj > 0, 1L).otherwise(0L), p)
-    }.reduce(_ + _)
-  }
+  def hyperplaneBucket(v: Column, bits: Int, dim: Int = 64): Column =
+    graft.functions.Vec.cosineLshBucket(v, bits, dim)
 
   private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     scored
+      // embeddings end here — the top-k shuffle moves only (q, id, score)
+      .select("query_id", "vec_id", "score")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "score")

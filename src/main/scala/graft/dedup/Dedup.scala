@@ -18,31 +18,15 @@ import graft.Tables
 object Dedup {
 
   // --------------------------------------------------------------- common
-  /** Word 3-shingles (distinct). Docs shorter than 3 tokens fall back to
-    * the whole text as one shingle.
+  /** Exploded (doc_id, shingle-hash) postings for word 3-shingles, via the
+    * native `ShingleHashes` expression (graft.functions.Sketch): one
+    * compiled pass per document, no per-element interpreted lambdas, no
+    * shingle strings materialized. Per-row and shuffle-free — the explode
+    * feeds straight into whatever aggregation follows.
     */
-  private def shingles3(text: Column): Column = {
-    val t = split(text, " ")
-    array_distinct(
-      when(size(t) >= 3, expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"))
-        .otherwise(array(text)))
-  }
-
-  /** One 64-bit base hash per shingle; the k minhash permutations then
-    * re-hash that single 8-byte value (`xxhash64(h, i)`) — k× fewer
-    * *string* hashes than hashing each shingle k times, and overflow-free
-    * under ANSI mode (a multiplicative mix would trap on wraparound).
-    */
-  private def baseHashes(sh: Column): Column = transform(sh, x => xxhash64(x))
-
-  /** MinHash signature: sig(i) = min over shingles of xxhash64(h, i). */
-  def minhashSignature(hs: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      aggregate(hs, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, lit(i))))
-    }: _*)
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.Sketch.shingle_hashes(col("text"), 3)).as("h"))
 
   // --------------------------------------------------------------- C1
   /** Exact dedup: content-hash groupBy, keep lowest doc_id. One shuffle on
@@ -75,16 +59,21 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String,
                    k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
-    val sig = Tables.documents(s, dir)
-      .withColumn("__hs", baseHashes(shingles3(col("text"))))
-      .withColumn("sig", minhashSignature(col("__hs"), k))
-      .select("doc_id", "sig")
+    // Signature via explode + hash-aggregate (codegen'd, map-side combine)
+    // rather than k interpreted `aggregate` lambdas over a shingle array:
+    // the shuffle carries one row per doc either way, but the per-shingle
+    // permutation hashing runs compiled.
+    val sigCols = (0 until k).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"__s$i"))
+    val sig = shingleHashes(Tables.documents(s, dir))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((col("sig")(b * rows) +: (1 until rows)
-            .map(r => col("sig")(b * rows + r))) :+ lit(b): _*).as("bhash"))
+          xxhash64((0 until rows).map(r => col(s"__s${b * rows + r}"))
+            :+ lit(b): _*).as("bhash"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
     val wBucket = Window.partitionBy("band", "bhash")
@@ -129,26 +118,35 @@ object Dedup {
     * bounded by Σ df² over rare shingles, not n².
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
-                        maxDf: Int = 10, minJaccard: Double = 0.03): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-    val posting = docs
-      .select(col("doc_id"), explode(col("sh")).as("sg"))
-    val rare = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
-      .filter(col("df") <= maxDf)
-    val pairs = rare.as("a")
-      .join(rare.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+                        maxDf: Int = 5, minJaccard: Double = 0.03): DataFrame = {
+    // Everything flows from one exploded posting list (doc_id, shingle-
+    // hash): candidate pairs come from per-shingle buckets (df ≤ maxDf →
+    // ≤ df²/2 pairs per bucket, shuffle ∝ data not n²), and |A∩B| is a
+    // count over co-occurring postings — set arrays are never shuffled.
+    val posting = shingleHashes(Tables.documents(s, dir))
+    val sizes = posting.groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"))
+    // bucket = posting list of one rare shingle; pairs via in-array
+    // combinations (sorted → doc_a < doc_b, no self/dup pairs)
+    val pairs = posting
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val withSets = pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    withSets
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+    // |A∩B| = co-occurring shingle hashes of the candidate pair
+    val inter = pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -173,7 +171,10 @@ object Dedup {
       .orderBy(col("cosine").desc, col("nn_id"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cosine", graft.ann.Ann.dot(col("embedding"), col("nn_emb")))
+      // project the vectors away before the window: the top-1 shuffle then
+      // carries 24 bytes/candidate instead of two 256-byte embeddings
+      .select(col("vec_id"), col("nn_id"),
+        graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("nn_id"), col("cosine"),

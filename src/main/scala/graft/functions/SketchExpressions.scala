@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-document sketch loops.
+  *
+  * Why expressions and not `transform`/`aggregate` lambdas: Spark evaluates
+  * higher-order-function lambdas interpreted, per element, and
+  * CollapseProject happily inlines a `split()` alias into every lambda
+  * reference — re-tokenizing the document once per shingle. A sketch is one
+  * tight loop over the row's bytes; writing it as a single Expression makes
+  * it one JIT-compiled call per row. Codegen emits a single static-method
+  * call (the loop itself is already compiled Scala — there is nothing for
+  * Janino to improve), so the expression stays inside whole-stage codegen
+  * spans rather than breaking them the way a Scala UDF's
+  * serialize/deserialize boundary would.
+  *
+  * Hashing is splitmix64 over UTF-8 bytes — fixed public constants,
+  * engine-independent, no allocation per token.
+  */
+object Sketch {
+
+  /** splitmix64 finalizer — the standard public mixing constants. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a over a byte range, finished with mix64 (good avalanche). */
+  private[functions] def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Distinct hashes of the word n-shingles of `s` (split on single
+    * spaces); whole-text hash when fewer than n tokens.
+    */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    // token boundary scan — no string allocation
+    var tokenHashes = new Array[Long](8)
+    var nTok = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTok == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        }
+        tokenHashes(nTok) = hashBytes(bytes, start, i)
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nTok < n) return Array(hashBytes(bytes, 0, bytes.length))
+    val out = new java.util.HashSet[java.lang.Long](nTok * 2)
+    val res = new Array[Long](nTok - n + 1)
+    var k = 0
+    var j = 0
+    while (j <= nTok - n) {
+      var h = 0L
+      var d = 0
+      while (d < n) { h = mix64(h ^ tokenHashes(j + d)); d += 1 }
+      if (out.add(h)) { res(k) = h; k += 1 }
+      j += 1
+    }
+    if (k == res.length) res else java.util.Arrays.copyOf(res, k)
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every k-gram of bytes, take the min of each w-window (rightmost min on
+    * ties — the robust-winnowing rule), emit distinct mins in first-seen
+    * order. Single pass, O(len·w) worst case.
+    */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val nGrams = math.max(bytes.length - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = hashBytes(bytes, i, math.min(i + k, bytes.length))
+      i += 1
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nWin * 2)
+    val res = new Array[Long](nWin)
+    var nRes = 0
+    var j = 0
+    while (j < nWin) {
+      var m = grams(j)
+      var d = 1
+      while (d < w && j + d < nGrams) {
+        if (grams(j + d) <= m) m = grams(j + d)
+        d += 1
+      }
+      if (seen.add(m)) { res(nRes) = m; nRes += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(res, nRes)
+  }
+
+  /** Column API: distinct word-n-shingle hashes of a string column. */
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+
+  /** Column API: winnowing fingerprints of a string column. */
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
+}
+
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Sketch.shingleHashes(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
+        s"graft.functions.Sketch.shingleHashes($c, $n));")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Sketch.winnowFingerprints(input.asInstanceOf[UTF8String], k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
+        s"graft.functions.Sketch.winnowFingerprints($c, $k, $w));")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

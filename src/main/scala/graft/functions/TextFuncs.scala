@@ -129,13 +129,9 @@ object TextFuncs {
     */
   def textFingerprint(s: SparkSession, dir: String,
                       k: Int = 8, w: Int = 4): DataFrame = {
-    // substring needs the lambda var as its pos argument → SQL lambda form.
     val df = Tables.documents(s, dir)
-      .withColumn("__hs", expr(
-        s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> xxhash64(substring(text, i, $k)))"))
-      .withColumn("__mins", expr(
-        s"transform(sequence(1, greatest(size(__hs) - ${w - 1}, 1)), j -> array_min(slice(__hs, j, $w)))"))
-      .withColumn("fingerprints", array_distinct(col("__mins")))
+      .withColumn("fingerprints",
+        graft.functions.Sketch.winnow_fingerprints(col("text"), k, w))
     df.select(
         col("doc_id"),
         size(col("fingerprints")).as("n_fingerprints"),

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native vector expressions for the embedding column (`array<float>`).
+  *
+  * The unrolled-Column alternative (64 GetArrayItem×cast×multiply terms,
+  * or 16×64 for the LSH bucket) generates thousands of Janino AST nodes
+  * per operator — compile time swamps runtime at these plan sizes. Each of
+  * these is instead one compiled loop per row, invoked as a single codegen
+  * call, so plans stay small and the loop JITs to vector-friendly code.
+  */
+object Vec {
+
+  /** score = a · b accumulated left-to-right in double (each float is
+    * promoted before the multiply — bit-identical to engines that compute
+    * on DOUBLE[], e.g. DuckDB's list_dot_product on cast lists).
+    */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Random-hyperplane LSH bucket: bit p = sign(planes(p)·v); planes from
+    * a fixed seeded gaussian (java.util.Random's algorithm is specified,
+    * so buckets are stable across runs/versions).
+    */
+  def cosineLshBucket(v: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      CosineLshBucket(GraftColumnBridge.expression(v), bits, dim, seed))
+}
+
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  def dotOf(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    dotOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDot", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.dotOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class CosineLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  def bucketOf(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val w = planes(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += w(d) * v.getFloat(d); d += 1 }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bucketOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lsh", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucketOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineLshBucket =
+    copy(child = newChild)
+}
