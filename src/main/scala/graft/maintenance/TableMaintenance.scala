@@ -81,4 +81,30 @@ object TableMaintenance {
   /** ANALYZE TABLE ... FOR ALL COLUMNS — see LakehouseOps.tableStats. */
   def analyze(df: DataFrame, cols: Seq[String]): DataFrame =
     LakehouseOps.tableStats(df, cols)
+
+  // ------------------------------------------------------- DESCRIBE HISTORY
+  /** Operation log, the DESCRIBE HISTORY equivalent (reference:
+    * resources/TPC-datagen-notebook.scala:2168): maintenance verbs append
+    * one JSON line per operation under `_graft_history/`; `history` reads
+    * it back newest-first. The log is metadata-sized and append-only —
+    * concurrent writers each create their own file, so no coordination.
+    */
+  def logOp(spark: SparkSession, dir: String, op: String,
+            details: Map[String, String] = Map.empty): Unit = {
+    val path = new Path(s"$dir/_graft_history")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path)
+    val version = fs.listStatus(path).length
+    val ts = System.currentTimeMillis()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val kv = (Map("op" -> op) ++ details)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val out = fs.create(new Path(path, f"$version%08d.json"), false)
+    out.write(s"""{"version":$version,"ts_ms":$ts,$kv}\n""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def history(spark: SparkSession, dir: String): DataFrame =
+    spark.read.json(s"$dir/_graft_history/*.json")
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
 }

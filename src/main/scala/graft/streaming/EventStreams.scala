@@ -136,6 +136,31 @@ object EventStreams {
       }.toDF()
   }
 
+  // ------------------------------------------------- streaming upsert sink
+  /** The reference's streaming ingest pattern (Query History API feed →
+    * MERGE per batch): `foreachBatch` + the same mergeUpsert used in batch,
+    * rewriting the parquet target per micro-batch. Exactly-once comes from
+    * the sink's idempotent full-key merge + the checkpoint's batch ids.
+    */
+  def streamingUpsert(events: DataFrame, targetDir: String,
+                      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
+        val merged = target match {
+          case Some(t) if t.columns.nonEmpty =>
+            graft.operators.LakehouseOps.mergeUpsert(t, batch, keys)
+          case _ => batch
+        }
+        // two-phase write: the target can't be overwritten while it is
+        // also the read side of the merge plan
+        merged.write.mode("overwrite").parquet(targetDir + "_next")
+        spark.read.parquet(targetDir + "_next")
+          .write.mode("overwrite").parquet(targetDir)
+      }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),

@@ -47,6 +47,17 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("logOp/history: DESCRIBE HISTORY equivalent round-trips, newest first") {
+    val dir = Files.createTempDirectory("graft_hist").toString
+    TableMaintenance.logOp(spark, dir, "WRITE", Map("rows" -> "100"))
+    TableMaintenance.logOp(spark, dir, "OPTIMIZE", Map("files" -> "3"))
+    TableMaintenance.logOp(spark, dir, "VACUUM")
+    val h = TableMaintenance.history(spark, dir).collect()
+    assert(h.length == 3)
+    assert(h.map(_.getAs[String]("op")).toSeq == Seq("VACUUM", "OPTIMIZE", "WRITE"))
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L, 0L))
+  }
+
   test("retentionPlan selects only files older than the watermark") {
     import spark.implicits._
     val files = Seq(("old", 10L, 1000L), ("new", 10L, 5000L))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-posture assertions on the physical plans themselves — the things
+  * that decide whether an operator survives 100 TB: no cartesian products
+  * anywhere, dims broadcast, filters/projections pushed into the parquet
+  * scan, whole-stage codegen covering the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** AQE prints the final plan (broadcasts, codegen spans) only after the
+    * query has run — execute, then inspect.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plan contains a cartesian product or RDD scan") {
+    // mm_binary_pipeline is the deliberate mapPartitions stub and
+    // dba_csv_import parses an in-memory line dataset — both scan a
+    // local collection by design; everything else must stay declarative.
+    val exempt = Set("mm_binary_pipeline", "dba_csv_import")
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (!exempt(name))
+        assert(!p.contains("ExistingRDD"), s"$name drops to an RDD scan")
+    }
+  }
+
+  test("tight filters reach the parquet scan (pushdown)") {
+    assert(plan("q6_revenue_delta").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plan("q1_pricing_summary").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    val semi = plan("q_semi_join")
+    assert(semi.contains("PushedFilters: [IsNotNull(o_orderdate)"))
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan("q6_revenue_delta")
+    // lineitem is 16 columns; q6 needs exactly these four
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_shipdate") && read.contains("l_discount") &&
+      read.contains("l_quantity") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
+  }
+
+  test("dimension joins broadcast; fact-fact joins shuffle on keys") {
+    assert(executedPlan("q3_shipping_priority").contains("BroadcastHashJoin"))
+    assert(executedPlan("q5_local_supplier").contains("BroadcastHashJoin"))
+    assert(executedPlan("dba_pricing_cost").contains("BroadcastHashJoin"))
+    // non-equi ("everything but self") join against 8 broadcast query rows
+    assert(executedPlan("ann_bruteforce").contains("BroadcastNestedLoopJoin"))
+    // the merge-upsert key shuffle must be a single hash partitioning
+    assert(plan("dba_merge_upsert").contains("hashpartitioning(o_orderkey"))
+  }
+
+  test("whole-stage codegen covers the aggregation hot paths") {
+    // AQE's final-plan rendering marks codegen'd stages with a "*(n)" prefix
+    Seq("q1_pricing_summary", "dedup_minhash", "text_quality").foreach { n =>
+      assert(executedPlan(n).contains("*("), s"$n fell out of codegen")
+    }
+  }
+}

@@ -61,6 +61,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert: foreachBatch merge keeps latest row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingUpsert(
+        mem.toDF().toDF("k", "v"), dir, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", dir + "_ckpt")
+    mem.addData((1L, "a"), (2L, "b"))
+    q.start().awaitTermination()
+    mem.addData((2L, "B2"), (3L, "c"))
+    q.start().awaitTermination()
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("batch sessionize: sessions respect the 30-min gap invariant") {
     val sess = EventStreams.streamSessionize(spark, sf)
     val byUser = sess.orderBy("user_id", "session_id")
