@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineLshBucket, ShingleHashes, VecDot, WinnowFingerprints}
+
+/** SQL surface for the native expressions: register with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) and the sketch/vector
+  * primitives become plain SQL functions —
+  *
+  * {{{
+  *   SELECT graft_vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT explode(graft_shingle_hashes(text, 3)) FROM documents
+  *   SELECT graft_winnow_fingerprints(text, 8, 4) FROM documents
+  *   SELECT graft_cosine_lsh_bucket(embedding, 8) FROM embeddings
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleHashes(text, 3)
+        case Seq(text, n) => ShingleHashes(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hashes(text[, n])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WinnowFingerprints(text, 8, 4)
+        case Seq(text, k, w) =>
+          WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "graft_winnow_fingerprints(text[, k, w])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException("graft_vec_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine_lsh_bucket"),
+      new ExpressionInfo(classOf[CosineLshBucket].getName, "graft_cosine_lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, bits) => CosineLshBucket(v, intArg(bits, "bits"), 64, 42L)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine_lsh_bucket(vec, bits)")
+      }))
+  }
+}

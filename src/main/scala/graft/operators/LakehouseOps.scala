@@ -80,6 +80,56 @@ object LakehouseOps {
       .select(expr(s"stack(${cols.size}, $stacked) AS (column_name, min_val, max_val, n_nulls, ndv)"))
   }
 
+  // ---------------------------------------------------------------- B11 lib
+  /** Recursive nested-struct flattening — the reference's first move on
+    * every API payload (`channel_used.*`, `metrics.*` → `channel_used_name`,
+    * `metrics_total_time_ms`, …). Pure projection: zero shuffles, stays in
+    * whole-stage codegen, and column pruning still reaches the scan because
+    * each output column is a direct `GetStructField` chain.
+    */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    def fields(prefix: String, path: Column, t: StructType): Seq[Column] =
+      t.fields.toIndexedSeq.flatMap { f =>
+        val child = path.getField(f.name)
+        f.dataType match {
+          case st: StructType => fields(s"$prefix${f.name}$sep", child, st)
+          case _ => Seq(child.as(s"$prefix${f.name}"))
+        }
+      }
+    val cols = df.schema.fields.toIndexedSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => fields(s"${f.name}$sep", col(f.name), st)
+        case _ => Seq(col(f.name))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  // ---------------------------------------------------------------- B11
+  /** The reference's JSON ingestion shape end-to-end: parse the raw API
+    * payload with an explicit schema (`from_json`), flatten the nested
+    * struct, then aggregate the extracted metric.
+    */
+  def dbaJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Tables.events(s, dir)
+      .withColumn("payload",
+        from_json(col("props"), StructType.fromDDL("k INT")))
+    flattenStructs(parsed.select(col("event_type"), col("value"), col("payload")))
+      .groupBy("event_type")
+      .agg(
+        count(col("payload_k")).as("n_payloads"),
+        sum(col("payload_k")).as("sum_k"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val dbaJsonIngestOracle: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_payloads,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- B1
   /** Query-history analytics: the reference flattens `metrics.*` then
     * aggregates latency-ish metrics per statement type. Decimal sums keep
@@ -308,7 +358,8 @@ object LakehouseOps {
     "dba_zorder_key"      -> (dbaZorderKey _),
     "dba_compaction_plan" -> (dbaCompactionPlan _),
     "dba_pricing_cost"    -> (dbaPricingCost _),
-    "dba_csv_import"      -> (dbaCsvImport _))
+    "dba_csv_import"      -> (dbaCsvImport _),
+    "dba_json_ingest"     -> (dbaJsonIngest _))
 
   val oracles: Map[String, String] = Map(
     "dba_query_metrics" -> dbaQueryMetricsOracle,
@@ -318,5 +369,6 @@ object LakehouseOps {
     "dba_table_stats"   -> dbaTableStatsOracle,
     "dba_zorder_key"    -> dbaZorderKeyOracle,
     "dba_pricing_cost"  -> dbaPricingCostOracle,
-    "dba_csv_import"    -> dbaCsvImportOracle)
+    "dba_csv_import"    -> dbaCsvImportOracle,
+    "dba_json_ingest"   -> dbaJsonIngestOracle)
 }

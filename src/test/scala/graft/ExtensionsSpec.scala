@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  /** A second session over the same SparkContext, with GraftExtensions
+    * injected (builder extensions apply at session construction, so the
+    * shared test session can't be reused here).
+    */
+  lazy val extSpark: SparkSession = {
+    TestSpark.spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    s
+  }
+
+  test("native expressions are callable from SQL") {
+    val dot = extSpark.sql(
+      "SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .first().getDouble(0)
+    assert(dot == 11.0)
+
+    val sh = extSpark.sql(
+      "SELECT size(graft_shingle_hashes('a b c d', 3)) AS n").first().getInt(0)
+    assert(sh == 2) // "a b c", "b c d"
+
+    val fp = extSpark.sql(
+      "SELECT size(graft_winnow_fingerprints('hello world hello', 4, 2)) AS n")
+      .first().getInt(0)
+    assert(fp > 0)
+
+    val b = extSpark.sql(
+      "SELECT graft_cosine_lsh_bucket(array_repeat(CAST(0.5 AS FLOAT), 64), 8) AS b")
+      .first().getLong(0)
+    assert(b >= 0 && b < 256)
+  }
+
+  test("SQL and Column APIs agree") {
+    import extSpark.implicits._
+    val viaSql = extSpark.sql(
+      "SELECT graft_shingle_hashes('x y z w', 3) AS h").as[Seq[Long]].first()
+    val viaScala = graft.functions.Sketch.shingleHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x y z w"), 3).toSeq
+    assert(viaSql == viaScala)
+  }
+}
