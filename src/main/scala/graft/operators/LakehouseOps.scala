@@ -248,6 +248,35 @@ object LakehouseOps {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** The 100 TB variant of [[tableStats]]: HyperLogLog NDV and sketched
+    * quantiles — still one pass, but constant memory per column regardless
+    * of cardinality (exact count_distinct needs a shuffle per distinct
+    * value set; HLL is a fixed 2^p-byte sketch merged map-side).
+    */
+  def tableStatsApprox(df: DataFrame, cols: Seq[String],
+                       rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__ndv_$c"),
+        percentile_approx(col(c), lit(0.5), lit(10000)).cast("double")
+          .as(s"__p50_$c"))
+    }
+    val stacked = cols
+      .map(c => s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c, __p50_$c")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, min_val, max_val, n_nulls, approx_ndv, approx_p50)"))
+  }
+
+  def dbaTableStatsApprox(s: SparkSession, dir: String): DataFrame =
+    tableStatsApprox(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column_name")
+
   // ---------------------------------------------------------------- B6
   /** DESCRIBE DETAIL equivalent, content half: per-file row counts and key
     * ranges straight from the scan (`input_file_name`), no extra pass over
@@ -354,6 +383,7 @@ object LakehouseOps {
     "dba_scd2_history"    -> (dbaScd2History _),
     "dba_schema_align"    -> (dbaSchemaAlign _),
     "dba_table_stats"     -> (dbaTableStats _),
+    "dba_table_stats_approx" -> (dbaTableStatsApprox _),
     "dba_describe_detail" -> (dbaDescribeDetail _),
     "dba_zorder_key"      -> (dbaZorderKey _),
     "dba_compaction_plan" -> (dbaCompactionPlan _),

@@ -66,6 +66,22 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("approx stats track exact stats within sketch tolerance") {
+    val exact = LakehouseOps.dbaTableStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = LakehouseOps.dbaTableStatsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getDouble(1) == e.getDouble(1)) // min exact
+      assert(a.getDouble(2) == e.getDouble(2)) // max exact
+      assert(a.getLong(3) == e.getLong(3))     // null count exact
+      val ndvErr = math.abs(a.getLong(4).toDouble / e.getLong(4) - 1.0)
+      assert(ndvErr < 0.1, s"$c approx ndv off by $ndvErr")
+    }
+  }
+
   test("query plans: pricing cost broadcasts the dim, q6 pushes filters") {
     val costPlan = LakehouseOps.dbaPricingCost(spark, sf)
       .queryExecution.executedPlan.toString
