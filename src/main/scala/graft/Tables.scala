@@ -33,6 +33,13 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
+  /** Note: the test parquet is single-row-group (unsplittable), so scans
+    * here are single-task. Rebalancing the small tables to more partitions
+    * was measured and REJECTED: after the native-expression rewrite the
+    * per-row sketch work is cheap enough that the extra shuffle round-trip
+    * costs more than the parallelism gains at these sizes; at real scale
+    * the file count provides the splits.
+    */
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
