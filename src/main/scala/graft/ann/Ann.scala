@@ -83,10 +83,72 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  // --------------------------------------------------------------- C7b
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
+    * learned with a few Lloyd iterations, candidates fetched from the
+    * `nProbe` nearest cells per query. The other classic sublinear path
+    * next to hyperplane LSH — better recall/candidate ratio when the data
+    * is clustered (as embedding corpora are).
+    *
+    * Deterministic: centroids init from a fixed hash-sample of the data;
+    * every step is a DataFrame plan (broadcast the ≤nCells centroids,
+    * stream the table) — at 100 TB the train sample is bounded and
+    * assignment stays a single scan per iteration.
+    */
+  def annIvf(s: SparkSession, dir: String,
+             nQueries: Int = 8, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4,
+             iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // deterministic init: first nCells vectors by hashed id (a fixed
+    // pseudo-random sample, not the first rows of one file)
+    var centroids = e
+      .withColumn("__r", xxhash64(col("vec_id")))
+      .orderBy("__r").limit(nCells)
+      .select(monotonically_increasing_id().as("cell"),
+        col("embedding").as("centroid"))
+    for (_ <- 0 until iterations) {
+      // assign: nearest centroid per vector (broadcast ≤nCells rows)
+      val assigned = e.join(broadcast(centroids))
+        .withColumn("sim", dot(col("embedding"), col("centroid")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("__rn") === 1)
+      // update: mean of members, dimension-wise (posexplode + re-collect)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    }
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("sim", dot(col("embedding"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // queries probe their nProbe nearest cells
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .withColumn("sim", dot(col("qe"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qe"), col("embedding")))
+    topkPerQuery(scored, k)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> ((s: SparkSession, d: String) => annBruteforce(s, d)),
-    "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)))
+    "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceOracle)

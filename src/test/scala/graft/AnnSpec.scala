@@ -33,6 +33,19 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.1, s"recall=$recall") // hyperplane LSH beats chance
   }
 
+  test("ivf: k results per query, recall beats chance, deterministic") {
+    val exact = Ann.annBruteforce(spark, sf, nQueries = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Ann.annIvf(spark, sf, nQueries = 8, k = 5)
+    val got = ivf1.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+    val got2 = Ann.annIvf(spark, sf, nQueries = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == got2)
+  }
+
   test("hyperplaneBucket: deterministic and within [0, 2^bits)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val b1 = e.select(Ann.hyperplaneBucket(col("embedding"), 4).as("b"))

@@ -82,6 +82,34 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin/saltedAgg match their unsalted equivalents") {
+    val fact = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = fact.join(dim, Seq("user_id"))
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val salted = graft.operators.Salting
+      .saltedJoin(fact, dim, "user_id", Seq(col("event_id")), nSalts = 8)
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(salted == plain)
+
+    val plainAgg = fact.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    val saltedAgg = graft.operators.Salting.saltedAgg(
+        fact, "user_id", Seq(col("event_id")), nSalts = 8,
+        partial = Seq(count(lit(1)).as("pn"), sum("value").as("ps")),
+        finalAgg = Seq(sum("pn").as("n"), sum("ps").as("s")))
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(saltedAgg.map(t => (t._1, t._2)) == plainAgg.map(t => (t._1, t._2)))
+    saltedAgg.zip(plainAgg).foreach { case (a, b) =>
+      assert(math.abs(a._3 - b._3) < 1e-6)
+    }
+  }
+
   test("query plans: pricing cost broadcasts the dim, q6 pushes filters") {
     val costPlan = LakehouseOps.dbaPricingCost(spark, sf)
       .queryExecution.executedPlan.toString
