@@ -82,6 +82,14 @@ object TableMaintenance {
   def analyze(df: DataFrame, cols: Seq[String]): DataFrame =
     LakehouseOps.tableStats(df, cols)
 
+  /** Hive-style partitioned write — the reference's partitioned TPC tables
+    * (resources/TPC-datagen-notebook.scala, partitioned/clustered writes).
+    * Reads that filter on `partCols` then prune at the *directory* level
+    * (PartitionFilters in the scan), before any file is opened.
+    */
+  def partitionedWrite(df: DataFrame, partCols: Seq[String], outDir: String): Unit =
+    df.write.partitionBy(partCols: _*).mode("overwrite").parquet(outDir)
+
   // ------------------------------------------------------- DESCRIBE HISTORY
   /** Operation log, the DESCRIBE HISTORY equivalent (reference:
     * resources/TPC-datagen-notebook.scala:2168): maintenance verbs append

@@ -285,7 +285,7 @@ object LakehouseOps {
     */
   def dbaDescribeDetail(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min("l_orderkey").as("min_orderkey"),
         max("l_orderkey").as("max_orderkey"))

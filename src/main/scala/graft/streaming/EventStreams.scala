@@ -136,6 +136,16 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` — the
+    * at-least-once source → exactly-once pipeline building block. State
+    * holds only ids younger than the watermark, so memory is bounded by
+    * (arrival rate × watermark), not stream length.
+    */
+  def streamingDedup(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(idCol, "ts")
+
   // ------------------------------------------------- streaming upsert sink
   /** The reference's streaming ingest pattern (Query History API feed →
     * MERGE per batch): `foreachBatch` + the same mergeUpsert used in batch,

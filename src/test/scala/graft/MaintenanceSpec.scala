@@ -58,6 +58,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(h.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L, 0L))
   }
 
+  test("partitionedWrite: filters prune at the partition-directory level") {
+    val out = Files.createTempDirectory("graft_part").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    TableMaintenance.partitionedWrite(ev, Seq("event_type"), out)
+    val df = spark.read.parquet(out).filter(col("event_type") === "click")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_type"))
+    // only the matching partition's rows come back
+    assert(df.count() ==
+      ev.filter(col("event_type") === "click").count())
+    // and the scan reports exactly one partition directory worth of files
+    val files = df.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
+  }
+
   test("retentionPlan selects only files older than the watermark") {
     import spark.implicits._
     val files = Seq(("old", 10L, 1000L), ("new", 10L, 5000L))

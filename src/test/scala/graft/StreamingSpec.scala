@@ -77,6 +77,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("streaming dedup: duplicate ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.streamingDedup(
+        mem.toDF().toDF("event_id", "ts", "value"), "event_id")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      val base = 1_000_000_000_000L
+      mem.addData(
+        (1L, new Timestamp(base), 1.0),
+        (1L, new Timestamp(base), 1.0), // in-batch dup
+        (2L, new Timestamp(base + 1000), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, new Timestamp(base), 9.0)) // cross-batch dup id
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch sessionize: sessions respect the 30-min gap invariant") {
     val sess = EventStreams.streamSessionize(spark, sf)
     val byUser = sess.orderBy("user_id", "session_id")
