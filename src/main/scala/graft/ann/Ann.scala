@@ -99,40 +99,47 @@ object Ann {
              nQueries: Int = 8, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4,
              iterations: Int = 2): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, dir)
-    // deterministic init: first nCells vectors by hashed id (a fixed
+    // The centroid model (≤nCells × dim floats) lives on the driver
+    // between iterations — materializing it is what makes each Lloyd
+    // iteration exactly one scan; leaving it lazy would re-execute the
+    // whole training lineage for every downstream reference.
+    def centroidDF(cs: Seq[(Long, Array[Float])]) =
+      broadcast(cs.toDF("cell", "centroid"))
+    // deterministic init: nCells vectors by hashed id (a fixed
     // pseudo-random sample, not the first rows of one file)
-    var centroids = e
+    var centroids: Seq[(Long, Array[Float])] = e
       .withColumn("__r", xxhash64(col("vec_id")))
       .orderBy("__r").limit(nCells)
-      .select(monotonically_increasing_id().as("cell"),
-        col("embedding").as("centroid"))
-    for (_ <- 0 until iterations) {
-      // assign: nearest centroid per vector (broadcast ≤nCells rows)
-      val assigned = e.join(broadcast(centroids))
+      .select("embedding").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }
+      .toSeq
+    def assign(cs: Seq[(Long, Array[Float])]) =
+      e.join(centroidDF(cs))
         .withColumn("sim", dot(col("embedding"), col("centroid")))
         .withColumn("__rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
         .filter(col("__rn") === 1)
-      // update: mean of members, dimension-wise (posexplode + re-collect)
-      centroids = assigned
+    for (_ <- 0 until iterations) {
+      // update: per-cell dimension-wise mean, collected back to the driver
+      centroids = assign(centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cell", "d").agg(avg(col("x")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
         .select(col("cell"),
           expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     }
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("sim", dot(col("embedding"), col("centroid")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-      .filter(col("__rn") === 1)
+    val assigned = assign(centroids)
       .select(col("vec_id"), col("embedding"), col("cell"))
     // queries probe their nProbe nearest cells
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(broadcast(centroids))
+      .join(centroidDF(centroids))
       .withColumn("sim", dot(col("qe"), col("centroid")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))

@@ -1,10 +1,18 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+private[functions] object SketchTypeCheck {
+  def check(what: String, t: DataType): TypeCheckResult =
+    if (t == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$what requires STRING input, got ${t.sql}")
+}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-document sketch loops.
@@ -121,6 +129,8 @@ object Sketch {
 case class ShingleHashes(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_shingle_hashes", child.dataType)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Sketch.shingleHashes(input.asInstanceOf[UTF8String], n))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,6 +144,8 @@ case class ShingleHashes(child: Expression, n: Int)
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_winnow_fingerprints", child.dataType)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Sketch.winnowFingerprints(input.asInstanceOf[UTF8String], k, w))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

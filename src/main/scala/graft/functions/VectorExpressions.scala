@@ -1,10 +1,23 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+private[functions] object VecTypeCheck {
+  /** array<float> in, everything else is an analysis-time error — without
+    * this, `getFloat` on an array<double> input would silently read half
+    * of each 8-byte value and return garbage scores.
+    */
+  def check(what: String, types: DataType*): TypeCheckResult =
+    if (types.forall { case ArrayType(FloatType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$what requires ARRAY<FLOAT> input, got ${types.map(_.sql).mkString(", ")}")
+}
 
 /** Native vector expressions for the embedding column (`array<float>`).
   *
@@ -36,6 +49,8 @@ object Vec {
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.check("graft_vec_dot", left.dataType, right.dataType)
 
   def dotOf(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -63,6 +78,8 @@ case class VecDot(left: Expression, right: Expression)
 case class CosineLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
   extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.check("graft_cosine_lsh_bucket", child.dataType)
 
   @transient private lazy val planes: Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

@@ -45,8 +45,9 @@ object TableMaintenance {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val totalBytes = listFiles(spark, inDir)
-      .agg(sum("bytes")).first().getLong(0)
+    val totalRow = listFiles(spark, inDir).agg(sum("bytes")).first()
+    if (totalRow.isNullAt(0)) return // nothing to compact
+    val totalBytes = totalRow.getLong(0)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(nFiles).write
       .mode("overwrite").parquet(outDir)
@@ -102,14 +103,29 @@ object TableMaintenance {
     val path = new Path(s"$dir/_graft_history")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(path)
-    val version = fs.listStatus(path).length
     val ts = System.currentTimeMillis()
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val kv = (Map("op" -> op) ++ details)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-    val out = fs.create(new Path(path, f"$version%08d.json"), false)
-    out.write(s"""{"version":$version,"ts_ms":$ts,$kv}\n""".getBytes("UTF-8"))
-    out.close()
+    // optimistic version claim: create(overwrite=false) is atomic on
+    // HDFS/local, so a concurrent writer that claimed the same version
+    // makes this create throw — re-list and retry with the next slot
+    // (Delta's log-commit protocol in miniature)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val version = fs.listStatus(path).length
+      try {
+        val out = fs.create(new Path(path, f"$version%08d.json"), false)
+        out.write(s"""{"version":$version,"ts_ms":$ts,$kv}\n""".getBytes("UTF-8"))
+        out.close()
+        done = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 100) throw e
+      }
+    }
   }
 
   def history(spark: SparkSession, dir: String): DataFrame =

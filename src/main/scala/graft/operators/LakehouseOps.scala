@@ -31,20 +31,36 @@ object LakehouseOps {
 
   // ---------------------------------------------------------------- B2 lib
   /** SCD1 MERGE: source wins on key match, target rows survive otherwise.
-    * One shuffle on the key (union + per-key window), no driver collect —
-    * at 100 TB this is the same cost shape as Delta's join-based MERGE but
-    * deterministic and pure-Spark. With bucketed tables the shuffle drops
-    * to a co-partitioned merge.
+    * Shuffles only on the key (source window + anti join), no driver
+    * collect — at 100 TB the same cost shape as Delta's join-based MERGE
+    * but deterministic and pure-Spark; with bucketed tables the shuffles
+    * drop to co-partitioned passes.
+    *
+    * Duplicate handling (where Delta's MERGE errors or multiplies):
+    *  - duplicate *source* rows per key pick one winner deterministically —
+    *    highest `tiebreak` (e.g. an event-time column), remaining columns
+    *    descending as the final tiebreak so equal rows can't flip between
+    *    retries;
+    *  - duplicate *target* rows for unmatched keys all survive (they are
+    *    only replaced, 1:n, when the key matches).
     */
-  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = source.withColumn("__prec", lit(0))
-    val t = target.select(source.columns.map(col).toIndexedSeq: _*).withColumn("__prec", lit(1))
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    val rest = source.columns.filterNot(keys.contains)
+      .map(c => col(c).desc).toIndexedSeq
+    val order: Seq[Column] = {
+      val o = tiebreak.map(_.desc) ++ rest
+      if (o.nonEmpty) o else keys.map(col(_).asc)
+    }
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-      .orderBy(col("__prec"))
-    s.unionByName(t)
+      .orderBy(order: _*)
+    val srcLatest = source
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__prec", "__rn")
+      .drop("__rn")
+    target.select(source.columns.map(col).toIndexedSeq: _*)
+      .join(srcLatest, keys, "left_anti")
+      .unionByName(srcLatest)
   }
 
   // ---------------------------------------------------------------- B4 lib

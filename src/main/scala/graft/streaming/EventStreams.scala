@@ -123,11 +123,18 @@ object EventStreams {
             evs.foreach { case (_, _, value, ts) =>
               val ms = ts.getTime
               if (st == null) st = SessionState(ms, ms, 1, value)
-              else if (ms - st.end_ms > gapMs) {
+              else if (ms > st.end_ms + gapMs) {
+                // gap after the session: close it, start fresh
                 closed += Session(userId, st.start_ms, st.end_ms, st.n, st.sum)
                 st = SessionState(ms, ms, 1, value)
-              } else st = SessionState(st.start_ms, math.max(st.end_ms, ms),
-                st.n + 1, st.sum + value)
+              } else if (ms < st.start_ms - gapMs) {
+                // late arrival more than a gap BEFORE the open session:
+                // it can only belong to an earlier, already-complete
+                // session — emit it as its own closed session (best
+                // effort: peers from even earlier batches are gone)
+                closed += Session(userId, ms, ms, 1, value)
+              } else st = SessionState(math.min(st.start_ms, ms),
+                math.max(st.end_ms, ms), st.n + 1, st.sum + value)
             }
             state.update(st)
             state.setTimeoutTimestamp(st.end_ms + gapMs)
@@ -136,21 +143,28 @@ object EventStreams {
       }.toDF()
   }
 
-  /** Streaming exact dedup: watermark-bounded `dropDuplicates` — the
-    * at-least-once source → exactly-once pipeline building block. State
-    * holds only ids younger than the watermark, so memory is bounded by
-    * (arrival rate × watermark), not stream length.
+  /** Streaming exact dedup: watermark-bounded dedup on the id ALONE — a
+    * replayed event re-stamped with a different ts still drops (plain
+    * `dropDuplicates(id, ts)` would let it through). State holds only ids
+    * younger than the watermark, so memory is bounded by (arrival rate ×
+    * watermark), not stream length.
     */
   def streamingDedup(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   // ------------------------------------------------- streaming upsert sink
   /** The reference's streaming ingest pattern (Query History API feed →
-    * MERGE per batch): `foreachBatch` + the same mergeUpsert used in batch,
-    * rewriting the parquet target per micro-batch. Exactly-once comes from
-    * the sink's idempotent full-key merge + the checkpoint's batch ids.
+    * MERGE per batch): `foreachBatch` + the same mergeUpsert used in batch.
+    *
+    * Crash safety via versioned snapshots (a minimal transaction log):
+    * batch N merges the latest *complete* snapshot with version < N and
+    * writes `targetDir/v=N` (complete = has the committer's _SUCCESS
+    * marker). A crash mid-write leaves an incomplete v=N that readers
+    * skip; the checkpoint replays batch N, which rebuilds v=N from the
+    * same v<N base — idempotent. Read the table with [[latestSnapshot]].
+    * Old versions are retention-swept like any other files.
     */
   def streamingUpsert(events: DataFrame, targetDir: String,
                       keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -158,18 +172,35 @@ object EventStreams {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
-        val merged = target match {
-          case Some(t) if t.columns.nonEmpty =>
-            graft.operators.LakehouseOps.mergeUpsert(t, batch, keys)
-          case _ => batch
+        val merged = snapshotVersions(spark, targetDir)
+          .filter(_ < batchId).sorted.lastOption match {
+          case Some(v) =>
+            graft.operators.LakehouseOps.mergeUpsert(
+              spark.read.parquet(s"$targetDir/v=$v"), batch, keys)
+          case None => batch
         }
-        // two-phase write: the target can't be overwritten while it is
-        // also the read side of the merge plan
-        merged.write.mode("overwrite").parquet(targetDir + "_next")
-        spark.read.parquet(targetDir + "_next")
-          .write.mode("overwrite").parquet(targetDir)
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
       }
+
+  /** Complete (committed) snapshot versions under a streamingUpsert target. */
+  def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The current table state produced by [[streamingUpsert]]. */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String): DataFrame = {
+    val vs = snapshotVersions(spark, targetDir)
+    require(vs.nonEmpty, s"no committed snapshot under $targetDir")
+    spark.read.parquet(s"$targetDir/v=${vs.max}")
+  }
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

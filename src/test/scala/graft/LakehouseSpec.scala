@@ -17,6 +17,21 @@ class LakehouseSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
   }
 
+  test("mergeUpsert: duplicate keys — source picks tiebreak winner, " +
+    "unmatched target duplicates survive") {
+    // target has key 1 twice (untouched) and key 2 once (matched)
+    val target = Seq((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L))
+      .toDF("k", "v", "ver")
+    // source has key 2 twice — ver=5 must win deterministically
+    val source = Seq((2L, "old", 3L), (2L, "new", 5L), (3L, "c", 1L))
+      .toDF("k", "v", "ver")
+    val out = LakehouseOps.mergeUpsert(target, source, Seq("k"),
+        tiebreak = Seq(col("ver")))
+      .orderBy("k", "ver").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L), (1L, "a2", 2L),
+      (2L, "new", 5L), (3L, "c", 1L)))
+  }
+
   test("alignToSchema: null-fills missing, drops extra, casts") {
     val src = Seq((1, "x", "drop-me")).toDF("a", "b", "extra")
     val dest = StructType.fromDDL("a BIGINT, b STRING, c DOUBLE")

@@ -73,8 +73,11 @@ class StreamingSpec extends SparkSpec {
     q.start().awaitTermination()
     mem.addData((2L, "B2"), (3L, "c"))
     q.start().awaitTermination()
-    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val got = EventStreams.latestSnapshot(spark, dir)
+      .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // each micro-batch committed its own snapshot version
+    assert(EventStreams.snapshotVersions(spark, dir).size == 2)
   }
 
   test("streaming dedup: duplicate ids within the watermark are dropped") {
@@ -91,7 +94,9 @@ class StreamingSpec extends SparkSpec {
         (1L, new Timestamp(base), 1.0), // in-batch dup
         (2L, new Timestamp(base + 1000), 2.0))
       q.processAllAvailable()
-      mem.addData((1L, new Timestamp(base), 9.0)) // cross-batch dup id
+      // cross-batch dup id, re-stamped ts — must still drop (dedup is on
+      // the id alone, within the watermark)
+      mem.addData((1L, new Timestamp(base + 5000), 9.0))
       q.processAllAvailable()
       val ids = spark.table("deduped").select("event_id")
         .as[Long].collect().toSeq.sorted
