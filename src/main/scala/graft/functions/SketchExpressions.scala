@@ -117,6 +117,37 @@ object Sketch {
     java.util.Arrays.copyOf(res, nRes)
   }
 
+  /** Word n-grams as strings (split on single spaces), one pass over the
+    * bytes: each n-gram is a byte-range slice, no per-token allocation.
+    */
+  def wordNgrams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    // token start offsets
+    var starts = new Array[Int](8)
+    var nTok = 0
+    var i = 0
+    var tokStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTok == starts.length) starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        starts(nTok) = tokStart
+        nTok += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    if (nTok < n) return Array.empty
+    val out = new Array[UTF8String](nTok - n + 1)
+    var j = 0
+    while (j <= nTok - n) {
+      val from = starts(j)
+      val until = if (j + n < nTok) starts(j + n) - 1 else bytes.length
+      out(j) = UTF8String.fromBytes(bytes, from, until - from)
+      j += 1
+    }
+    out
+  }
+
   /** Column API: distinct word-n-shingle hashes of a string column. */
   def shingle_hashes(text: Column, n: Int = 3): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
@@ -124,6 +155,10 @@ object Sketch {
   /** Column API: winnowing fingerprints of a string column. */
   def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
+
+  /** Column API: word n-grams of a string column (as strings). */
+  def word_ngrams(text: Column, n: Int = 2): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(text), n))
 }
 
 case class ShingleHashes(child: Expression, n: Int)
@@ -138,6 +173,22 @@ case class ShingleHashes(child: Expression, n: Int)
       s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
         s"graft.functions.Sketch.shingleHashes($c, $n));")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_word_ngrams", child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Sketch.wordNgrams(input.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
+        s"(Object[]) graft.functions.Sketch.wordNgrams($c, $n));")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 

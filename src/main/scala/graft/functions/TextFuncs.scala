@@ -139,14 +139,39 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- C13
+  /** Corpus bigram frequencies, top-k by count: explode token bigrams →
+    * one hash-aggregate (map-side combined) → global top-k. The corpus-
+    * statistics primitive behind vocabulary building and contamination
+    * checks; shuffle carries (bigram, partial count), never documents.
+    */
+  def textNgramFreq(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.Sketch.word_ngrams(col("text"), 2))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  val textNgramFreqOracle: String =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents) d
+      |  WHERE len(t) >= 2)
+      |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
     "text_tokens"      -> ((s: SparkSession, d: String) => textTokens(s, d)),
     "text_langid"      -> ((s: SparkSession, d: String) => textLangid(s, d)),
-    "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)))
+    "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)),
+    "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "text_quality" -> textQualityOracle,
-    "text_tokens"  -> textTokensOracle)
+    "text_quality"    -> textQualityOracle,
+    "text_tokens"     -> textTokensOracle,
+    "text_ngram_freq" -> textNgramFreqOracle)
 }

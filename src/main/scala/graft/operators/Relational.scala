@@ -415,6 +415,66 @@ object Relational {
       |FROM events e ASOF JOIN r ON e.user_id = r.k AND r.t <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- A17
+  /** Correlated-subquery shape: orders above their customer's average
+    * order value. Re-expressed as a window (one shuffle on the correlation
+    * key) rather than a correlated scalar subquery — same result, and the
+    * window formulation is what survives at scale (no per-row re-agg).
+    */
+  def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir)
+      // sum/count, not avg(): Spark's decimal avg rounds to scale+4 while
+      // the oracle divides exact sums in double — keep both sides identical
+      .withColumn("cust_avg",
+        asDouble(sum(dec(col("o_totalprice"))).over(w)) /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+      .orderBy("o_orderkey")
+  }
+
+  val qAboveAvgOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders) t
+      |WHERE o_totalprice > cust_avg
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- A18
+  /** Set operations over key sets: customers active in 1995 INTERSECT/
+    * EXCEPT customers active in 1996, tagged and unioned. Spark plans
+    * these as aggregates/semi-joins on the key — no materialized sets.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def active(year: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val y95 = active(1995)
+    val y96 = active(1996)
+    y95.intersect(y96).withColumn("tag", lit("both"))
+      .unionByName(y95.except(y96).withColumn("tag", lit("only_1995")))
+      .unionByName(y96.except(y95).withColumn("tag", lit("only_1996")))
+      .orderBy("o_custkey", "tag")
+  }
+
+  val qSetOpsOracle: String =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) a
+      |UNION ALL
+      |SELECT o_custkey, 'only_1995' AS tag FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95) c
+      |ORDER BY o_custkey, tag""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
@@ -432,7 +492,9 @@ object Relational {
     "q_percentiles"        -> (qPercentiles _),
     "q_distinct_agg"       -> (qDistinctAgg _),
     "q_json_flatten"       -> (qJsonFlatten _),
-    "q_asof_join"          -> (qAsofJoin _))
+    "q_asof_join"          -> (qAsofJoin _),
+    "q_above_avg"          -> (qAboveAvg _),
+    "q_setops"             -> (qSetOps _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Oracle,
@@ -450,5 +512,7 @@ object Relational {
     "q_percentiles"        -> qPercentilesOracle,
     "q_distinct_agg"       -> qDistinctAggOracle,
     "q_json_flatten"       -> qJsonFlattenOracle,
-    "q_asof_join"          -> qAsofOracle)
+    "q_asof_join"          -> qAsofOracle,
+    "q_above_avg"          -> qAboveAvgOracle,
+    "q_setops"             -> qSetOpsOracle)
 }
