@@ -99,16 +99,12 @@ object Ann {
              nQueries: Int = 8, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4,
              iterations: Int = 2): DataFrame = {
-    import s.implicits._
     val e = Tables.embeddings(s, dir)
     // The centroid model (≤nCells × dim floats) lives on the driver
-    // between iterations — materializing it is what makes each Lloyd
-    // iteration exactly one scan; leaving it lazy would re-execute the
-    // whole training lineage for every downstream reference.
-    def centroidDF(cs: Seq[(Long, Array[Float])]) =
-      broadcast(cs.toDF("cell", "centroid"))
-    // deterministic init: nCells vectors by hashed id (a fixed
-    // pseudo-random sample, not the first rows of one file)
+    // between iterations; it enters each plan as literal arrays, so
+    // assignment is a pure per-row projection — nCells dot products and an
+    // argmax, no join, no window, no shuffle. Each Lloyd iteration is
+    // exactly one scan + one tiny (nCells × dim rows) aggregation.
     var centroids: Seq[(Long, Array[Float])] = e
       .withColumn("__r", xxhash64(col("vec_id")))
       .orderBy("__r").limit(nCells)
@@ -116,16 +112,19 @@ object Ann {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }
       .toSeq
-    def assign(cs: Seq[(Long, Array[Float])]) =
-      e.join(centroidDF(cs))
-        .withColumn("sim", dot(col("embedding"), col("centroid")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-        .filter(col("__rn") === 1)
+    // (sim, cell) structs per centroid; struct max/sort = lexicographic,
+    // so argmax-by-sim falls out of array_max
+    def cellScores(v: Column, cs: Seq[(Long, Array[Float])]): Column =
+      array(cs.map { case (cell, arr) =>
+        struct(dot(v, typedLit(arr.toSeq)).as("sim"), lit(cell).as("cell"))
+      }: _*)
+    def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
+      array_max(cellScores(v, cs)).getField("cell")
     for (_ <- 0 until iterations) {
       // update: per-cell dimension-wise mean, collected back to the driver
-      centroids = assign(centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      centroids = e
+        .select(assignCell(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cell", "d").agg(avg(col("x")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
@@ -134,17 +133,15 @@ object Ann {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     }
-    val assigned = assign(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    // queries probe their nProbe nearest cells
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      assignCell(col("embedding"), centroids).as("cell"))
+    // queries probe their nProbe nearest cells: per-row sort of the
+    // (sim, cell) array, top slice, explode
     val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(centroidDF(centroids))
-      .withColumn("sim", dot(col("qe"), col("centroid")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(
+          cellScores(col("embedding"), centroids))), 1, nProbe)
+          .getField("cell")).as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
