@@ -69,15 +69,27 @@ object Ann {
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   // --------------------------------------------------------------- C7
-  /** LSH-bucketed ANN: score only same-bucket candidates. */
+  /** LSH-bucketed ANN: score only same-bucket candidates. `probeBits` > 0
+    * turns on multi-probe — each query also searches the buckets at
+    * hamming distance ≤ probeBits from its own (here: all 1-bit flips),
+    * the standard recall/cost knob: candidates ×(bits+1), recall way up,
+    * no duplicate pairs possible because every vector lives in exactly one
+    * bucket.
+    */
   def annLsh(s: SparkSession, dir: String,
-             nQueries: Int = 8, k: Int = 5, bits: Int = 4): DataFrame = {
+             nQueries: Int = 8, k: Int = 5, bits: Int = 4,
+             probeBits: Int = 1): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
-    val q = e.filter(col("vec_id") < nQueries)
+    val probed = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
+      .withColumn("bucket",
+        if (probeBits >= 1)
+          explode(array(col("bucket") +:
+            (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+        else col("bucket"))
+    val scored = e.join(broadcast(probed), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
     topkPerQuery(scored, k)

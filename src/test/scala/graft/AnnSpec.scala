@@ -23,14 +23,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("lsh: same-bucket-only candidates, positive recall vs bruteforce") {
+  test("lsh: same-bucket-only candidates, positive recall vs bruteforce; " +
+    "multi-probe only improves it") {
     val exact = Ann.annBruteforce(spark, sf, nQueries = 8, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val approx = Ann.annLsh(spark, sf, nQueries = 8, k = 5, bits = 4)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    assert(approx.nonEmpty)
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.1, s"recall=$recall") // hyperplane LSH beats chance
+    def recallOf(probeBits: Int) = {
+      val approx = Ann.annLsh(spark, sf, nQueries = 8, k = 5, bits = 4,
+          probeBits = probeBits)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(approx.nonEmpty)
+      (exact & approx).size.toDouble / exact.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(1)
+    assert(single > 0.1, s"recall=$single") // hyperplane LSH beats chance
+    assert(multi >= single, s"multi=$multi < single=$single")
   }
 
   test("ivf: k results per query, recall beats chance, deterministic") {
