@@ -90,6 +90,51 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM m GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --------------------------------------------------------------- D3
+  /** Interval join — attribution: every click by the same user in the 30
+    * minutes before a purchase. Batch form: equi-join on the user plus a
+    * range predicate; the shuffle is on user_id only, the range filter
+    * rides along (never a cartesian).
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns").as("click_ns"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("purchase_ns"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ns") > col("purchase_ns") - lit(sessionGapNs) &&
+        col("click_ns") <= col("purchase_ns"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        expr("(purchase_ns - click_ns) div 1000000").as("gap_ms"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val streamIntervalJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id, (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000 AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_ns(c.ts) > epoch_ns(p.ts) - 1800000000000
+      | AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Streaming form: two watermarked streams, interval condition. State on
+    * each side is bounded by watermark + interval — Spark evicts buffered
+    * rows once they can no longer match.
+    */
+  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").withWatermark("ts", "1 hour")
+      .join(
+        purchases.alias("p").withWatermark("ts", "1 hour"),
+        expr("c.user_id = p.user_id AND " +
+          "c.ts > p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("c.user_id"))
+
   // ------------------------------------------------- streaming sessionize
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(start_ms: Long, end_ms: Long, n: Long, sum: Double)
@@ -204,10 +249,12 @@ object EventStreams {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_windowed_agg" -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
-    "stream_sessionize"   -> ((s: SparkSession, d: String) => streamSessionize(s, d)))
+    "stream_windowed_agg"  -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
+    "stream_sessionize"    -> ((s: SparkSession, d: String) => streamSessionize(s, d)),
+    "stream_interval_join" -> ((s: SparkSession, d: String) => streamIntervalJoin(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "stream_windowed_agg" -> streamWindowedAggOracle,
-    "stream_sessionize"   -> streamSessionizeOracle)
+    "stream_windowed_agg"  -> streamWindowedAggOracle,
+    "stream_sessionize"    -> streamSessionizeOracle,
+    "stream_interval_join" -> streamIntervalJoinOracle)
 }

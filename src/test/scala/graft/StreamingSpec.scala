@@ -104,6 +104,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution window") {
+    implicit val sqlCtx = spark.sqlContext
+    case class E(event_id: Long, user_id: Long, ts: Timestamp)
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val base = 1_000_000_000_000L
+    val q = EventStreams.streamingIntervalJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (100L, 1L, new Timestamp(base)),            // 10 min before purchase
+        (101L, 1L, new Timestamp(base - 3_600_000)), // 1h before: outside
+        (102L, 2L, new Timestamp(base)))             // other user
+      purchases.addData((200L, 1L, new Timestamp(base + 600_000)))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((200L, 100L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize: sessions respect the 30-min gap invariant") {
     val sess = EventStreams.streamSessionize(spark, sf)
     val byUser = sess.orderBy("user_id", "session_id")
