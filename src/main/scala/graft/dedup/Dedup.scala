@@ -51,13 +51,18 @@ object Dedup {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- C2
-  /** MinHash + LSH: k=64 permutations, 16 bands × 4 rows. A doc's cluster
-    * id is the smallest doc_id it shares any band bucket with (single-hop
-    * union — the standard one-pass approximation; iterate to a fixpoint
-    * for full connected components).
+  /** MinHash + LSH: k=64 permutations, 16 bands × 4 rows, then label
+    * propagation over the band-bucket graph to a (near-)fixpoint — cluster
+    * ids are transitive (A~B, B~C ⇒ one cluster), which single-hop
+    * bucket-min is not. Each iteration is two key shuffles over the
+    * (doc, band) edges; diameter of near-dup clusters is tiny in practice,
+    * so `ccIterations`=3 reaches the fixpoint except on pathological
+    * chains (at 100 TB: iterate until a count of changed labels hits 0,
+    * checkpointing every few rounds to cut lineage).
     */
   def dedupMinhash(s: SparkSession, dir: String,
-                   k: Int = 64, bands: Int = 16): DataFrame = {
+                   k: Int = 64, bands: Int = 16,
+                   ccIterations: Int = 3): DataFrame = {
     val rows = k / bands
     // Signature via explode + hash-aggregate (codegen'd, map-side combine)
     // rather than k interpreted `aggregate` lambdas over a shingle array:
@@ -76,11 +81,17 @@ object Dedup {
             :+ lit(b): _*).as("bhash"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
-    val wBucket = Window.partitionBy("band", "bhash")
-    banded
-      .withColumn("bucket_min", min("doc_id").over(wBucket))
-      .groupBy("doc_id")
-      .agg(min("bucket_min").as("cluster_id"))
+      // the edge list is reused every propagation round — materialize once
+      .persist()
+    var labels = banded.select("doc_id").distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 0 until ccIterations) {
+      val bucketMin = banded.join(labels, "doc_id")
+        .groupBy("band", "bhash").agg(min("label").as("bmin"))
+      labels = banded.join(bucketMin, Seq("band", "bhash"))
+        .groupBy("doc_id").agg(min("bmin").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
 

@@ -475,6 +475,25 @@ object Relational {
       |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95) c
       |ORDER BY o_custkey, tag""".stripMargin
 
+  // ---------------------------------------------------------------- A19
+  /** Fixed-width histogram of order values — numeric distribution
+    * profiling as one hash-aggregate (bin id is pure arithmetic, so the
+    * shuffle carries ≤ nBins rows per partition).
+    */
+  def qHistogram(s: SparkSession, dir: String, binWidth: Int = 20000): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy((floor(col("o_totalprice") / binWidth) * binWidth)
+        .cast("long").as("bin_lo"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("bin_lo")
+
+  val qHistogramOracle: String =
+    """SELECT CAST(FLOOR(o_totalprice / 20000) * 20000 AS BIGINT) AS bin_lo,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
@@ -494,7 +513,8 @@ object Relational {
     "q_json_flatten"       -> (qJsonFlatten _),
     "q_asof_join"          -> (qAsofJoin _),
     "q_above_avg"          -> (qAboveAvg _),
-    "q_setops"             -> (qSetOps _))
+    "q_setops"             -> (qSetOps _),
+    "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Oracle,
@@ -514,5 +534,6 @@ object Relational {
     "q_json_flatten"       -> qJsonFlattenOracle,
     "q_asof_join"          -> qAsofOracle,
     "q_above_avg"          -> qAboveAvgOracle,
-    "q_setops"             -> qSetOpsOracle)
+    "q_setops"             -> qSetOpsOracle,
+    "q_histogram"          -> qHistogramOracle)
 }

@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) != clusters(3L))
   }
 
+  test("dedup_minhash: mutation chain collapses to one transitive cluster") {
+    val dir = Files.createTempDirectory("graft_chain").toString
+    val base = (1 to 40).map(i => s"tok$i").toArray
+    // doc i mutates word (i*7) of doc i-1 — adjacent pairs are near-dups
+    val docs = (0 to 4).map { i =>
+      val words = base.clone()
+      (1 to i).foreach(j => words(j * 7) = s"MUT$j")
+      (i.toLong, words.mkString(" "), "en", "s", 200L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet.size == 1, s"clusters=$clusters")
+    assert(clusters(0L) == 0L) // smallest doc_id wins as the label
+  }
+
   test("dedup_simhash: identical docs get identical fingerprints, near dups close") {
     val sim = Dedup.dedupSimhash(spark, corpusDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
