@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, ShingleHashes, VecDot, WinnowFingerprints}
+import graft.functions.{CosineLshBucket, ShingleHashes, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
         case _ => throw new IllegalArgumentException(
           "graft_winnow_fingerprints(text[, k, w])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WordNgrams(text, 2)
+        case Seq(text, n) => WordNgrams(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "graft_word_ngrams(text[, n])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_vec_dot"),

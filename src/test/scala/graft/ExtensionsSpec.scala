@@ -42,6 +42,15 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_cosine_lsh_bucket(array_repeat(CAST(0.5 AS FLOAT), 64), 8) AS b")
       .first().getLong(0)
     assert(b >= 0 && b < 256)
+
+    val ng = extSpark.sql(
+      "SELECT graft_word_ngrams('a b c', 2) AS g").first().getSeq[String](0)
+    assert(ng == Seq("a b", "b c"))
+
+    // wrong input type is an analysis error, not silent garbage
+    intercept[Exception] {
+      extSpark.sql("SELECT graft_vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
   }
 
   test("SQL and Column APIs agree") {

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Sketch
+
+/** Pure-JVM property tests of the sketch primitives (no Spark session) —
+  * the algebraic guarantees the distributed operators rely on. Seeded
+  * generators, 200 cases per property, fully deterministic.
+  */
+class SketchPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def word(): String =
+    (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
+  private def doc(): String =
+    (0 until (1 + rnd.nextInt(60))).map(_ => word()).mkString(" ")
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  private def forAllDocs(n: Int = 200)(check: String => Unit): Unit =
+    (0 until n).foreach(_ => check(doc()))
+
+  test("shingleHashes: deterministic, distinct, count = max(tokens-n+1, 1) pre-dedup") {
+    forAllDocs() { s =>
+      val a = Sketch.shingleHashes(u(s), 3)
+      val b = Sketch.shingleHashes(u(s), 3)
+      assert(a.toSeq == b.toSeq)
+      assert(a.length == a.distinct.length) // deduped
+      val nTok = s.split(" ", -1).length
+      if (nTok >= 3) assert(a.length <= nTok - 2 && a.nonEmpty)
+      else assert(a.length == 1)
+    }
+  }
+
+  test("shingleHashes: appending a word only adds (old shingles survive)") {
+    forAllDocs() { s =>
+      val nTok = s.split(" ", -1).length
+      if (nTok >= 3) {
+        val base = Sketch.shingleHashes(u(s), 3).toSet
+        val ext = Sketch.shingleHashes(u(s + " " + word()), 3).toSet
+        assert(base.subsetOf(ext))
+        assert(ext.size <= base.size + 1)
+      }
+    }
+  }
+
+  test("wordNgrams: reconstructs the original token sequence") {
+    forAllDocs() { s =>
+      val grams = Sketch.wordNgrams(u(s), 2).map(_.toString)
+      val toks = s.split(" ", -1)
+      if (toks.length >= 2) {
+        assert(grams.length == toks.length - 1)
+        grams.zipWithIndex.foreach { case (g, i) =>
+          assert(g == s"${toks(i)} ${toks(i + 1)}")
+        }
+      } else assert(grams.isEmpty)
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    val k = 8
+    val w = 4
+    // any common substring of length >= k + w - 1 guarantees at least one
+    // shared window minimum (Schleimer/Wilkerson/Aiken, theorem: winnowing
+    // fingerprints every match of length >= w + k - 1)
+    (0 until 200).foreach { _ =>
+      val common = (0 until (k + w - 1 + 10))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val s1 = doc() + common + "x"
+      val s2 = doc() + common + "y"
+      val f1 = Sketch.winnowFingerprints(u(s1), k, w).toSet
+      val f2 = Sketch.winnowFingerprints(u(s2), k, w).toSet
+      assert((f1 & f2).nonEmpty, s"no shared fingerprint:\n$s1\n$s2")
+    }
+  }
+
+  test("winnowing: deterministic, non-empty, count bounded by window count") {
+    forAllDocs() { s =>
+      val fps = Sketch.winnowFingerprints(u(s), 8, 4)
+      assert(fps.nonEmpty)
+      assert(fps.length <= math.max(s.length - 8 + 1 - 4 + 1, 1))
+      assert(fps.toSeq == Sketch.winnowFingerprints(u(s), 8, 4).toSeq)
+    }
+  }
+}
