@@ -79,16 +79,17 @@ object Ann {
   def annLsh(s: SparkSession, dir: String,
              nQueries: Int = 8, k: Int = 5, bits: Int = 4,
              probeBits: Int = 1): DataFrame = {
+    require(bits <= 20, "mask enumeration is 2^bits — keep bits <= 20")
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    // all XOR masks within hamming distance probeBits of the home bucket
+    val masks: Seq[Long] = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
     val probed = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket"))
       .withColumn("bucket",
-        if (probeBits >= 1)
-          explode(array(col("bucket") +:
-            (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-        else col("bucket"))
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val scored = e.join(broadcast(probed), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))

@@ -91,7 +91,12 @@ object Dedup {
       labels = banded.join(bucketMin, Seq("band", "bhash"))
         .groupBy("doc_id").agg(min("bmin").as("label"))
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // materialize the (small) label table, then release the cached edge
+    // list — without this the InMemoryRelation pins executor storage for
+    // the rest of the session
+    val out = labels.localCheckpoint(true)
+    banded.unpersist()
+    out.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
 

@@ -8,10 +8,18 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 private[functions] object SketchTypeCheck {
-  def check(what: String, t: DataType): TypeCheckResult =
-    if (t == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$what requires STRING input, got ${t.sql}")
+  /** String input + positive size parameters, rejected at analysis time —
+    * these are reachable straight from SQL via GraftExtensions, so a bad
+    * `n`/`k`/`w` must fail the query, not corrupt byte-range arithmetic.
+    */
+  def check(what: String, t: DataType, params: (String, Int)*): TypeCheckResult =
+    if (t != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$what requires STRING input, got ${t.sql}")
+    else params.find(_._2 < 1) match {
+      case Some((name, v)) => TypeCheckResult.TypeCheckFailure(
+        s"$what requires $name >= 1, got $v")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
 }
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -165,7 +173,7 @@ case class ShingleHashes(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    SketchTypeCheck.check("graft_shingle_hashes", child.dataType)
+    SketchTypeCheck.check("graft_shingle_hashes", child.dataType, "n" -> n)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Sketch.shingleHashes(input.asInstanceOf[UTF8String], n))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -180,7 +188,7 @@ case class WordNgrams(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    SketchTypeCheck.check("graft_word_ngrams", child.dataType)
+    SketchTypeCheck.check("graft_word_ngrams", child.dataType, "n" -> n)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       Sketch.wordNgrams(input.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
@@ -196,7 +204,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    SketchTypeCheck.check("graft_winnow_fingerprints", child.dataType)
+    SketchTypeCheck.check("graft_winnow_fingerprints", child.dataType,
+      "k" -> k, "w" -> w)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Sketch.winnowFingerprints(input.asInstanceOf[UTF8String], k, w))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

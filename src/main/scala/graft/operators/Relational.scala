@@ -445,19 +445,24 @@ object Relational {
 
   // ---------------------------------------------------------------- A18
   /** Set operations over key sets: customers active in 1995 INTERSECT/
-    * EXCEPT customers active in 1996, tagged and unioned. Spark plans
-    * these as aggregates/semi-joins on the key — no materialized sets.
+    * EXCEPT customers active in 1996, tagged. Re-expressed as ONE scan +
+    * one groupBy with boolean flags — the naive intersect/except/except
+    * chain references each distinct set three times and Spark re-executes
+    * the subplan per reference (6 scans + 6 shuffles). The oracle keeps
+    * the literal INTERSECT/EXCEPT SQL, proving the rewrite equivalent.
     */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
-    def active(year: Int) = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
-      .select("o_custkey").distinct()
-    val y95 = active(1995)
-    val y96 = active(1996)
-    y95.intersect(y96).withColumn("tag", lit("both"))
-      .unionByName(y95.except(y96).withColumn("tag", lit("only_1995")))
-      .unionByName(y96.except(y95).withColumn("tag", lit("only_1996")))
+    def inYear(year: Int): Column =
+      col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp")
+    Tables.orders(s, dir)
+      .filter(inYear(1995) || inYear(1996))
+      .groupBy("o_custkey")
+      .agg(max(inYear(1995)).as("in95"), max(inYear(1996)).as("in96"))
+      .select(col("o_custkey"),
+        when(col("in95") && col("in96"), "both")
+          .when(col("in95"), "only_1995")
+          .otherwise("only_1996").as("tag"))
       .orderBy("o_custkey", "tag")
   }
 

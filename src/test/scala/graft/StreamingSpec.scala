@@ -106,7 +106,6 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join matches the batch attribution window") {
     implicit val sqlCtx = spark.sqlContext
-    case class E(event_id: Long, user_id: Long, ts: Timestamp)
     val clicks = MemoryStream[(Long, Long, Timestamp)]
     val purchases = MemoryStream[(Long, Long, Timestamp)]
     val base = 1_000_000_000_000L
