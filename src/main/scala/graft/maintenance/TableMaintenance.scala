@@ -75,6 +75,31 @@ object TableMaintenance {
   def retentionPlan(files: DataFrame, keepAfterMtimeMs: Long): DataFrame =
     files.filter(col("mtime_ms") < keepAfterMtimeMs)
 
+  /** VACUUM, execute half: delete the planned files under `dir`. Deliberate
+    * two-step API — callers hold the plan (and can log/inspect it) before
+    * the irreversible delete; the op lands in the history log.
+    */
+  def applyRetention(spark: SparkSession, dir: String,
+                     keepAfterMtimeMs: Long): Long = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = retentionPlan(listFiles(spark, dir), keepAfterMtimeMs)
+      .select("file").collect().map(_.getString(0)).toSet
+    var deleted = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (doomed(st.getPath.getName)) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    logOp(spark, dir, "VACUUM", Map(
+      "deleted_files" -> deleted.toString,
+      "keep_after_mtime_ms" -> keepAfterMtimeMs.toString))
+    deleted
+  }
+
   /** OPTIMIZE planning half — see LakehouseOps.compactionPlan. */
   def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame =
     LakehouseOps.compactionPlan(files, targetBytes)

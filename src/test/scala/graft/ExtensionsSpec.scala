@@ -51,6 +51,13 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       extSpark.sql("SELECT graft_vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
     }
+    // invalid size parameters fail analysis too (never corrupt byte math)
+    intercept[Exception] {
+      extSpark.sql("SELECT graft_word_ngrams('a b', 0)").collect()
+    }
+    intercept[Exception] {
+      extSpark.sql("SELECT graft_winnow_fingerprints('abc', -1, 4)").collect()
+    }
   }
 
   test("SQL and Column APIs agree") {

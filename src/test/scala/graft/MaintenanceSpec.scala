@@ -83,4 +83,18 @@ class MaintenanceSpec extends SparkSpec {
     val plan = TableMaintenance.retentionPlan(files, 2000L)
     assert(plan.select("file").as[String].collect().toSeq == Seq("old"))
   }
+
+  test("applyRetention deletes expired files, keeps the rest, logs the op") {
+    val dir = Files.createTempDirectory("graft_vacuum").toString
+    val oldF = new java.io.File(dir, "part-old.parquet")
+    val newF = new java.io.File(dir, "part-new.parquet")
+    Files.write(oldF.toPath, Array[Byte](1)); oldF.setLastModified(1000L)
+    Files.write(newF.toPath, Array[Byte](2)); newF.setLastModified(System.currentTimeMillis())
+    val deleted = TableMaintenance.applyRetention(spark, dir,
+      keepAfterMtimeMs = System.currentTimeMillis() - 60_000)
+    assert(deleted == 1)
+    assert(!oldF.exists() && newF.exists())
+    val hist = TableMaintenance.history(spark, dir).collect()
+    assert(hist.head.getAs[String]("op") == "VACUUM")
+  }
 }
