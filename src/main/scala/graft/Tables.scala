@@ -19,7 +19,25 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def lineitem(s: SparkSession, d: String): DataFrame  =
+    fanOut(s, load(s, d, "lineitem"))
+
+  /** Fan an under-split scan out to the session's parallelism.
+    *
+    * Parquet splits only at row-group boundaries, so a single-row-group
+    * file (the shape of the driver-generated testdata) scans as ONE task —
+    * and every per-row sketch/aggregation stage fused above it runs
+    * single-threaded no matter how many cores the session has. When the
+    * scan already has enough splits (the 100 TB case: thousands of files),
+    * this is the identity — no shuffle is ever added at scale; the
+    * round-robin repartition only fires for degenerate low-split inputs,
+    * and filters/projections still push through it into the scan.
+    */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(4, target)) df
+    else df.repartition(target)
+  }
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * so it arrives as a nanos-since-epoch LONG. We keep the exact nanos in
@@ -33,13 +51,19 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
-  /** Note: the test parquet is single-row-group (unsplittable), so scans
-    * here are single-task. Rebalancing the small tables to more partitions
-    * was measured and REJECTED: after the native-expression rewrite the
-    * per-row sketch work is cheap enough that the extra shuffle round-trip
-    * costs more than the parallelism gains at these sizes; at real scale
-    * the file count provides the splits.
+  /** History of the fan-out decision: round 1 measured a blanket
+    * repartition of these tables as SLOWER for the cheap projection-only
+    * queries (shuffle round-trip > parallelism gain). That held until the
+    * heavy aggregation stages landed: minhash signatures (64 hash-min aggs
+    * over ~10² shingles/doc) and decimal pricing aggs run *inside the scan
+    * stage*, so a 1-split scan serializes them on one core — re-measured in
+    * round 2 at sf0.1, fanning out cut dedup_minhash from ~8 s to ~2 s and
+    * q1 from ~8.7 s to ~2 s. `fanOut` is the compromise: identity whenever
+    * the scan has real splits (any production layout), round-robin only for
+    * degenerate single-split inputs.
     */
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "embeddings"))
 }

@@ -111,20 +111,52 @@ object Ann {
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 8, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4,
-             iterations: Int = 2): DataFrame = {
+             iterations: Int = 2, maxTrain: Int = 4096,
+             dim: Int = 64): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    // The centroid model (≤nCells × dim floats) lives on the driver
-    // between iterations; it enters each plan as literal arrays, so
-    // assignment is a pure per-row projection — nCells dot products and an
-    // argmax, no join, no window, no shuffle. Each Lloyd iteration is
-    // exactly one scan + one tiny (nCells × dim rows) aggregation.
-    var centroids: Seq[(Long, Array[Float])] = e
-      .withColumn("__r", xxhash64(col("vec_id")))
-      .orderBy("__r").limit(nCells)
+    // Lloyd trains on a bounded deterministic hash-sample: top `maxTrain`
+    // by vec_id hash is a TakeOrdered (per-partition partial top-k, never a
+    // full shuffle) — ONE collect job, then the whole Lloyd loop runs on
+    // the driver over ≤ maxTrain × dim floats (≈1 MB). Iterating on the
+    // driver instead of the cluster removes 2 Spark jobs per iteration for
+    // a model that is microseconds of arithmetic; training cost stays FIXED
+    // no matter how big the table is. Only assignment touches the full
+    // table, and assignment is a pure projection.
+    val train: Array[Array[Float]] = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
       .select("embedding").collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }
-      .toSeq
+      .map(_.getSeq[Float](0).toArray)
+    var centroids: Seq[(Long, Array[Float])] =
+      train.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 0 until iterations) {
+      // driver-side Lloyd step: assign each sample to its max-dot cell
+      // (vectors are unit-norm → dot = cosine), recompute cell means
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      train.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        centroids.foreach { case (c, cv) =>
+          var d0 = 0.0; var j = 0
+          while (j < dim) { d0 += v(j).toDouble * cv(j).toDouble; j += 1 }
+          // ties break toward the higher cell id, matching the previous
+          // in-plan struct-max (lexicographic on (sim, cell)) semantics
+          if (d0 > bestDot || (d0 == bestDot && c > best)) {
+            bestDot = d0; best = c.toInt
+          }
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.map { case (c, cv) =>
+        val i = c.toInt
+        if (counts(i) == 0) (c, cv)   // empty cell keeps its centroid
+        else (c, Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat))
+      }
+    }
+    // The trained centroid model (≤nCells × dim floats) enters the plan as
+    // literal arrays, so assignment is a pure per-row projection — nCells
+    // dot products and an argmax, no join, no window, no shuffle.
     // (sim, cell) structs per centroid; struct max/sort = lexicographic,
     // so argmax-by-sim falls out of array_max
     def cellScores(v: Column, cs: Seq[(Long, Array[Float])]): Column =
@@ -133,19 +165,6 @@ object Ann {
       }: _*)
     def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
       array_max(cellScores(v, cs)).getField("cell")
-    for (_ <- 0 until iterations) {
-      // update: per-cell dimension-wise mean, collected back to the driver
-      centroids = e
-        .select(assignCell(col("embedding"), centroids).as("cell"),
-          posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cell"),
-          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("centroid"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    }
     val assigned = e.select(col("vec_id"), col("embedding"),
       assignCell(col("embedding"), centroids).as("cell"))
     // queries probe their nProbe nearest cells: per-row sort of the

@@ -81,22 +81,47 @@ object Dedup {
             :+ lit(b): _*).as("bhash"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
-      // the edge list is reused every propagation round — materialize once
-      .persist()
-    var labels = banded.select("doc_id").distinct()
+    // Prune to non-singleton buckets before propagating: a bucket with one
+    // doc generates no edge, and in a real corpus the overwhelming majority
+    // of docs sit only in singleton buckets. Propagation then runs over the
+    // near-dup subset (tiny), not all n docs — the difference between a
+    // fixed small iterative job and one whose cost scales with the corpus.
+    // The bucket-size count is a window over the banding shuffle (ONE pass,
+    // no second aggregate + join back), and the eager checkpoint both
+    // materializes the pruned edges in a single job and flattens lineage so
+    // each propagation round is a fresh short plan instead of one deeply
+    // nested AQE compile at the end.
+    val wBucket = Window.partitionBy("band", "bhash")
+    val edges = banded
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") >= 2)
+      .select("doc_id", "band", "bhash")
+      .localCheckpoint(true)
+    var labels = edges.select("doc_id").distinct()
       .withColumn("label", col("doc_id"))
-    for (_ <- 0 until ccIterations) {
-      val bucketMin = banded.join(labels, "doc_id")
+    var converged = false
+    var i = 0
+    while (i < ccIterations && !converged) {
+      val bucketMin = edges.join(labels, "doc_id")
         .groupBy("band", "bhash").agg(min("label").as("bmin"))
-      labels = banded.join(bucketMin, Seq("band", "bhash"))
+      // carry the previous label through the aggregation so the fixpoint
+      // check below is a plain filter over the (already materialized)
+      // checkpoint — no extra join job per round
+      val next = edges.join(bucketMin, Seq("band", "bhash"))
         .groupBy("doc_id").agg(min("bmin").as("label"))
+        .join(labels.withColumnRenamed("label", "__old"), "doc_id")
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select("doc_id", "label")
+      i += 1
     }
-    // materialize the (small) label table, then release the cached edge
-    // list — without this the InMemoryRelation pins executor storage for
-    // the rest of the session
-    val out = labels.localCheckpoint(true)
-    banded.unpersist()
-    out.select(col("doc_id"), col("label").as("cluster_id"))
+    // singleton docs (pruned away above) are their own cluster; the doc
+    // inventory re-reads just the id column from the table scan — cheaper
+    // than keeping the full banded relation alive for it
+    Tables.documents(s, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 
@@ -139,14 +164,24 @@ object Dedup {
     // hash): candidate pairs come from per-shingle buckets (df ≤ maxDf →
     // ≤ df²/2 pairs per bucket, shuffle ∝ data not n²), and |A∩B| is a
     // count over co-occurring postings — set arrays are never shuffled.
-    val posting = shingleHashes(Tables.documents(s, dir))
+    // The list is read four times downstream (sizes, pairs, both sides of
+    // the intersection join); one eager checkpoint beats four scan+shingle
+    // recomputations.
+    val posting = shingleHashes(Tables.documents(s, dir)).localCheckpoint(true)
     val sizes = posting.groupBy("doc_id")
       .agg(count(lit(1)).as("sz"))
     // bucket = posting list of one rare shingle; pairs via in-array
-    // combinations (sorted → doc_a < doc_b, no self/dup pairs)
+    // combinations (sorted → doc_a < doc_b, no self/dup pairs). The
+    // document frequency comes from a count-over-window BEFORE the
+    // collect_list, so ubiquitous shingles never materialize their (large,
+    // immediately-discarded) posting arrays — and the groupBy reuses the
+    // window's hash partitioning on `h`, so the prune costs no extra
+    // shuffle.
+    val wH = Window.partitionBy("h")
     val pairs = posting
+      .withColumn("__df", count(lit(1)).over(wH))
+      .filter(col("__df").between(2, maxDf))
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
         .as("p"))

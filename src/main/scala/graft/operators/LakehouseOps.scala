@@ -142,7 +142,7 @@ object LakehouseOps {
   val dbaJsonIngestOracle: String =
     """SELECT event_type,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_payloads,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -81,9 +81,9 @@ object EventStreams {
       |  FROM events),
       |m AS (
       |  SELECT user_id, value, ns,
-      |    SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END)
+    |    CAST(SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ns, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, MIN(ns) // 1000000 AS start_ms,
       |  MAX(ns) // 1000000 AS end_ms, COUNT(*) AS n_events,

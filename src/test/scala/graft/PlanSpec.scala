@@ -23,11 +23,12 @@ class PlanSpec extends SparkSpec {
 
   test("no query plan contains a cartesian product or RDD scan") {
     // mm_binary_pipeline is the deliberate mapPartitions stub,
-    // dba_csv_import parses an in-memory line dataset, and dedup_minhash
-    // localCheckpoints its iterative label table (so the cached edge list
-    // can be released) — each scans a local collection by design;
-    // everything else must stay declarative.
-    val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash")
+    // dba_csv_import parses an in-memory line dataset, and dedup_minhash /
+    // dedup_ngram_jaccard eagerly checkpoint a reused intermediate (the
+    // iterative label table / the 4×-read posting list) — each scans a
+    // local collection by design; everything else must stay declarative.
+    val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
+      "dedup_ngram_jaccard")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
