@@ -96,6 +96,31 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  /** Oracle with the seeded hyperplane constants emitted as SQL and the
+    * same 1-bit-flip multi-probe masks; every vector lives in exactly one
+    * home bucket, so the probe join generates the identical candidate set.
+    */
+  val annLshOracle: String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
+    val masks = (0L until (1L << 4))
+      .filter(m => java.lang.Long.bitCount(m) <= 1).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
+       |probed AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, xor(bucket, m.mask) AS bucket
+       |  FROM b, (SELECT unnest($masks) AS mask) m
+       |  WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id,
+       |    list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+       |  FROM b e JOIN probed p USING (bucket) WHERE e.vec_id <> p.query_id)
+       |SELECT query_id, rnk, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      .replace("BUCKET_EXPR", bucket)
+  }
+
   // --------------------------------------------------------------- C7b
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * learned with a few Lloyd iterations, candidates fetched from the
@@ -187,5 +212,6 @@ object Ann {
     "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceOracle)
+    "ann_bruteforce" -> annBruteforceOracle,
+    "ann_lsh"        -> annLshOracle)
 }

@@ -233,6 +233,60 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Oracle over shingle STRINGS where the engine uses shingle hashes: the
+    * spaces-join of tokens is injective (tokens cannot contain the
+    * delimiter), so string-distinctness ≡ hash-distinctness and every
+    * df / size / intersection count matches exactly (modulo 64-bit hash
+    * collisions, ~n²/2⁶⁴). Mirrors dedupNgramJaccard's defaults
+    * (n=3, maxDf=5, minJaccard=0.03) and its <3-token whole-text fallback.
+    */
+  val dedupNgramJaccardOracle: String =
+    """WITH posting AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(t) < 3 THEN [text]
+      |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+      |        END) AS shingle
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d) u),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id),
+      |rare AS (SELECT shingle FROM posting GROUP BY shingle
+      |         HAVING COUNT(*) BETWEEN 2 AND 5),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM posting a JOIN posting b USING (shingle) JOIN rare USING (shingle)
+      |  WHERE a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      |  FROM pairs p
+      |  JOIN posting a ON a.doc_id = p.doc_a
+      |  JOIN posting b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b) t
+      |WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle with the same seeded hyperplane constants emitted as SQL
+    * (Vec.cosineLshBucketSql), so DuckDB blocks identically and the
+    * best-neighbor choice matches exactly.
+    */
+  val dedupEmbeddingOracle: String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
+    """WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
+      |s AS (
+      |  SELECT a.vec_id, bb.vec_id AS nn_id,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS cosine
+      |  FROM b a JOIN b bb USING (bucket) WHERE a.vec_id <> bb.vec_id)
+      |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup FROM (
+      |  SELECT vec_id, nn_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+      |  FROM s) t WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      .replace("BUCKET_EXPR", bucket)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
@@ -242,5 +296,7 @@ object Dedup {
     "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "dedup_exact" -> dedupExactOracle)
+    "dedup_exact"         -> dedupExactOracle,
+    "dedup_embedding"     -> dedupEmbeddingOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle)
 }

@@ -119,6 +119,31 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  /** Generated from `stopwordProfiles` so the oracle can never drift from
+    * the Spark-side word lists or the tie-break order.
+    */
+  val textLangidOracle: String = {
+    val langs = stopwordProfiles.map(_._1)
+    val scoreExprs = stopwordProfiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS score_$l"
+    }.mkString(",\n  ")
+    val best = langs.map(l => s"score_$l").mkString("greatest(0, ", ", ", ")")
+    // first-match-wins CASE in profile order = Spark's foldRight tie-break
+    val pred = langs.map(l =>
+      s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, lang, $pred AS pred_lang, best_score,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM (
+       |  SELECT doc_id, lang, $best AS best_score,
+       |    ${langs.map(l => s"score_$l").mkString(", ")}
+       |  FROM (SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM documents) raw) scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- C11
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling k-gram hashes → per-window minima → distinct fingerprints.
@@ -173,5 +198,6 @@ object TextFuncs {
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
     "text_tokens"     -> textTokensOracle,
+    "text_langid"     -> textLangidOracle,
     "text_ngram_freq" -> textNgramFreqOracle)
 }

@@ -44,6 +44,22 @@ object Vec {
   def cosineLshBucket(v: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       CosineLshBucket(GraftColumnBridge.expression(v), bits, dim, seed))
+
+  /** The same bucket computation as ANSI SQL over a FLOAT[] column (for
+    * oracle parity checks, like ZOrder.zvalueSql): the seeded plane
+    * constants are emitted as DOUBLE[] literals via Double.toString, which
+    * round-trips exactly, and `list_dot_product(DOUBLE[], DOUBLE[])`
+    * accumulates in the same sequential order as `CosineLshBucket.bucketOf`
+    * — proven bit-identical by the ann_bruteforce oracle.
+    */
+  def cosineLshBucketSql(v: String, bits: Int, dim: Int = 64, seed: Long = 42L): String = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    planes.zipWithIndex.map { case (w, p) =>
+      val lst = w.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($lst, CAST($v AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
 }
 
 case class VecDot(left: Expression, right: Expression)
