@@ -24,7 +24,10 @@ object BenchHarness {
                        seconds: Double, rows: Long)
 
   /** Execute `suite` repeats×parallelism times; every (query, conn, repeat)
-    * triple runs to completion (count() forces the full plan).
+    * triple runs to completion against the noop sink — count() would let
+    * Catalyst prune computed columns and under-measure (same rationale as
+    * graft.Bench). Row counts are taken once per query, untimed, so the
+    * stress timings measure only full-plan executions.
     */
   def run(spark: SparkSession,
           suite: Map[String, () => DataFrame],
@@ -33,14 +36,17 @@ object BenchHarness {
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      val rowCounts: Map[String, Long] =
+        suite.map { case (name, mk) => name -> mk().count() }
       val futures = for {
         conn <- 0 until parallelism
         rep <- 0 until repeats
         (name, mk) <- suite.toSeq.sortBy(_._1)
       } yield Future {
         val t0 = System.nanoTime()
-        val rows = mk().count()
-        RunTiming(name, conn, rep, (System.nanoTime() - t0) / 1e9, rows)
+        mk().write.format("noop").mode("overwrite").save()
+        RunTiming(name, conn, rep, (System.nanoTime() - t0) / 1e9,
+          rowCounts(name))
       }
       val timings = Await.result(Future.sequence(futures), Duration.Inf)
       import spark.implicits._

@@ -322,15 +322,38 @@ object LakehouseOps {
   // ---------------------------------------------------------------- B8
   /** OPTIMIZE planning half: bin-pack the table's files into target-size
     * compaction groups. Deterministic streaming formulation — files in name
-    * order, bin = exclusive-prefix-sum(bytes) div target — a window over
-    * file *metadata* (tiny), so the plan itself scales to millions of files.
+    * order, bin = exclusive-prefix-sum(bytes) div target.
+    *
+    * The prefix sum is two-level so no stage ever serializes the file list:
+    * range-partition by name, local prefix sums per partition (parallel),
+    * then add each partition's exclusive offset — the offsets are ONE row
+    * per partition, computed with a driver-side scan over that bounded
+    * list and broadcast back. At tens of millions of files every per-file
+    * step stays partition-parallel; the old single global window (and its
+    * WindowExec all-to-one-partition warning) is gone. The bin assignment
+    * is the exact global prefix sum, independent of where the range
+    * boundaries land.
     */
   def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
-    val w = Window.orderBy("file")
+    val s = files.sparkSession
+    val parted = files.repartitionByRange(col("file"))
+      .withColumn("__part", spark_partition_id())
+    val wLocal = Window.partitionBy("__part").orderBy("file")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    files
+    val local = parted
+      .withColumn("__local", sum("bytes").over(wLocal) - col("bytes"))
+    val totals = local.groupBy("__part").agg(sum("bytes").as("__t"))
+      .orderBy("__part").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // exclusive scan over the per-partition totals (bounded: one per task)
+    val exclusive = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    import s.implicits._
+    val offDf = exclusive.toSeq.toDF("__part", "__off")
+    local.join(broadcast(offDf), Seq("__part"))
       .withColumn("bin",
-        ((sum("bytes").over(w) - col("bytes")) / lit(targetBytes)).cast("long"))
+        ((col("__local") + col("__off")) / lit(targetBytes)).cast("long"))
+      .drop("__part", "__local", "__off")
   }
 
   def dbaCompactionPlan(s: SparkSession, dir: String): DataFrame = {
