@@ -29,8 +29,12 @@ object TableMaintenance {
       .takeWhile(_.hasNext)
       .map(_.next())
       .filter { st =>
+        // hidden files AND files inside hidden dirs (e.g. the
+        // _graft_history log) are metadata, not table data
         val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        val parent = st.getPath.getParent.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !parent.startsWith("_") && !parent.startsWith(".")
       }
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .toSeq
@@ -51,6 +55,10 @@ object TableMaintenance {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(nFiles).write
       .mode("overwrite").parquet(outDir)
+    logOp(spark, outDir, "OPTIMIZE", Map(
+      "source" -> inDir,
+      "target_bytes" -> targetBytes.toString,
+      "n_files" -> nFiles.toString))
   }
 
   /** OPTIMIZE ZORDER BY, clustering half: compute the interleave key, range-
@@ -65,6 +73,10 @@ object TableMaintenance {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(outDir)
+    logOp(df.sparkSession, outDir, "OPTIMIZE ZORDER", Map(
+      "zorder_by" -> cols.mkString(","),
+      "n_files" -> nFiles.toString,
+      "bits" -> bits.toString))
   }
 
   /** VACUUM planning half: which files fall outside the retention window.
@@ -107,6 +119,25 @@ object TableMaintenance {
   /** ANALYZE TABLE ... FOR ALL COLUMNS — see LakehouseOps.tableStats. */
   def analyze(df: DataFrame, cols: Seq[String]): DataFrame =
     LakehouseOps.tableStats(df, cols)
+
+  /** ANALYZE with PERSISTED stats (the reference's post-load
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`, resources/
+    * TPC-datagen-notebook.scala:2065-2067): registers `dir` as a catalog
+    * table and runs the real ANALYZE, so row counts / column NDVs /
+    * min-max land in the catalog where Catalyst's cost-based optimizer
+    * (join reorder, broadcast decisions) reads them. `tableStats` answers
+    * "show me the stats"; this one makes the *optimizer* see them.
+    * Re-runnable: re-analyzing refreshes the stats in place.
+    */
+  def analyzePersist(spark: SparkSession, table: String, dir: String,
+                     cols: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$dir'")
+    val forCols =
+      if (cols.isEmpty) "FOR ALL COLUMNS"
+      else s"FOR COLUMNS ${cols.mkString(", ")}"
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS $forCols")
+  }
 
   /** Hive-style partitioned write — the reference's partitioned TPC tables
     * (resources/TPC-datagen-notebook.scala, partitioned/clustered writes).

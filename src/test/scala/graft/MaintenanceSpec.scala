@@ -76,6 +76,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
   }
 
+  test("compact and zorderWrite land in the history log; listFiles skips it") {
+    val out = Files.createTempDirectory("graft_compact_hist").toString
+    TableMaintenance.compact(spark, s"$sf/part.parquet", out,
+      targetBytes = 64L * 1024)
+    val h = TableMaintenance.history(spark, out).collect()
+    assert(h.head.getAs[String]("op") == "OPTIMIZE")
+    // the history JSONs must not show up as data files (or a re-compaction
+    // would count them toward the table's bytes)
+    assert(TableMaintenance.listFiles(spark, out)
+      .filter(col("file").endsWith(".json")).count() == 0)
+    val out2 = Files.createTempDirectory("graft_zorder_hist").toString
+    TableMaintenance.zorderWrite(spark.read.parquet(s"$sf/part.parquet"),
+      Seq("p_partkey", "p_size"), out2, 2)
+    val h2 = TableMaintenance.history(spark, out2).collect()
+    assert(h2.head.getAs[String]("op") == "OPTIMIZE ZORDER")
+    assert(h2.head.getAs[String]("zorder_by") == "p_partkey,p_size")
+  }
+
+  test("analyzePersist: the optimizer sees persisted catalog stats") {
+    val rows = spark.read.parquet(s"$sf/part.parquet").count()
+    TableMaintenance.analyzePersist(spark, "graft_part_stats",
+      s"$sf/part.parquet", Seq("p_partkey", "p_size"))
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val stats = spark.table("graft_part_stats")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(rows)),
+        s"catalog rowCount not visible to the optimizer: $stats")
+      assert(stats.attributeStats.nonEmpty, "column stats missing")
+    }
+  }
+
   test("retentionPlan selects only files older than the watermark") {
     import spark.implicits._
     val files = Seq(("old", 10L, 1000L), ("new", 10L, 5000L))
