@@ -136,8 +136,7 @@ object Ann {
   def annIvf(s: SparkSession, dir: String,
              nQueries: Int = 8, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4,
-             iterations: Int = 2, maxTrain: Int = 4096,
-             dim: Int = 64): DataFrame = {
+             iterations: Int = 2, maxTrain: Int = 4096): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // Lloyd trains on a bounded deterministic hash-sample: top `maxTrain`
     // by vec_id hash is a TakeOrdered (per-partition partial top-k, never a
@@ -151,6 +150,9 @@ object Ann {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "annIvf: embeddings table is empty")
+    // dimensionality comes from the data, not a parameter
+    val dim = train(0).length
     var centroids: Seq[(Long, Array[Float])] =
       train.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     for (_ <- 0 until iterations) {

@@ -87,10 +87,13 @@ object Dedup {
     // near-dup subset (tiny), not all n docs — the difference between a
     // fixed small iterative job and one whose cost scales with the corpus.
     // The bucket-size count is a window over the banding shuffle (ONE pass,
-    // no second aggregate + join back), and the eager checkpoint both
-    // materializes the pruned edges in a single job and flattens lineage so
-    // each propagation round is a fresh short plan instead of one deeply
-    // nested AQE compile at the end.
+    // no second aggregate + join back). Each round is eagerly
+    // localCheckpoint'ed — measured faster than evictable `persist` here
+    // (checkpoint scan beats InMemoryRelation's columnar round-trip, and
+    // each round plans against a flat LogicalRDD instead of re-optimizing
+    // the chain) — and every superseded checkpoint is RELEASED via
+    // GraftColumnBridge.releaseCheckpoint, so only the final tiny label
+    // table stays pinned after the query.
     val wBucket = Window.partitionBy("band", "bhash")
     val edges = banded
       .withColumn("__n", count(lit(1)).over(wBucket))
@@ -99,27 +102,36 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select("doc_id").distinct()
       .withColumn("label", col("doc_id"))
+    var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (i < ccIterations && !converged) {
       val bucketMin = edges.join(labels, "doc_id")
         .groupBy("band", "bhash").agg(min("label").as("bmin"))
       // carry the previous label through the aggregation so the fixpoint
-      // check below is a plain filter over the (already materialized)
-      // checkpoint — no extra join job per round
+      // check below is a plain filter over the materialized checkpoint —
+      // no extra join job per round
       val next = edges.join(bucketMin, Seq("band", "bhash"))
         .groupBy("doc_id").agg(min("bmin").as("label"))
         .join(labels.withColumnRenamed("label", "__old"), "doc_id")
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("__old")).isEmpty
+      prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
+      prev = Some(next)
       labels = next.select("doc_id", "label")
       i += 1
     }
+    // cut lineage at the (small) final label table, then release the
+    // data-sized intermediates — without this the edge list pins executor
+    // storage for the rest of the session
+    val finalLabels = labels.localCheckpoint(true)
+    prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
+    org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
     // singleton docs (pruned away above) are their own cluster; the doc
     // inventory re-reads just the id column from the table scan — cheaper
     // than keeping the full banded relation alive for it
     Tables.documents(s, dir).select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
+      .join(finalLabels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
@@ -165,9 +177,11 @@ object Dedup {
     // ≤ df²/2 pairs per bucket, shuffle ∝ data not n²), and |A∩B| is a
     // count over co-occurring postings — set arrays are never shuffled.
     // The list is read four times downstream (sizes, pairs, both sides of
-    // the intersection join); one eager checkpoint beats four scan+shingle
-    // recomputations.
-    val posting = shingleHashes(Tables.documents(s, dir)).localCheckpoint(true)
+    // the intersection join); one cached pass beats four scan+shingle
+    // recomputations. `persist` (not checkpoint): the cache is evictable
+    // under memory pressure and recomputable from lineage, so a long
+    // session never has this pinned irrecoverably.
+    val posting = shingleHashes(Tables.documents(s, dir)).persist()
     val sizes = posting.groupBy("doc_id")
       .agg(count(lit(1)).as("sz"))
     // bucket = posting list of one rare shingle; pairs via in-array

@@ -24,17 +24,18 @@ object TableMaintenance {
   def listFiles(spark: SparkSession, dir: String): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(path).toUri
     val it = fs.listFiles(path, true)
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext)
       .map(_.next())
       .filter { st =>
-        // hidden files AND files inside hidden dirs (e.g. the
-        // _graft_history log) are metadata, not table data
-        val n = st.getPath.getName
-        val parent = st.getPath.getParent.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          !parent.startsWith("_") && !parent.startsWith(".")
+        // hidden files AND files inside hidden subdirectories (e.g. the
+        // _graft_history log) are metadata, not table data. Only path
+        // components BELOW the table root count — a table that itself
+        // lives in "_staging/" must still list its files.
+        val rel = root.relativize(st.getPath.toUri).getPath
+        rel.split("/").forall(c => !c.startsWith("_") && !c.startsWith("."))
       }
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .toSeq
@@ -53,12 +54,44 @@ object TableMaintenance {
     if (totalRow.isNullAt(0)) return // nothing to compact
     val totalBytes = totalRow.getLong(0)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir).repartition(nFiles).write
-      .mode("overwrite").parquet(outDir)
+    withPreservedHistory(spark, outDir) {
+      spark.read.parquet(inDir).repartition(nFiles).write
+        .mode("overwrite").parquet(outDir)
+    }
     logOp(spark, outDir, "OPTIMIZE", Map(
       "source" -> inDir,
       "target_bytes" -> targetBytes.toString,
       "n_files" -> nFiles.toString))
+  }
+
+  /** `mode("overwrite")` deletes the whole target directory — including
+    * `_graft_history`. Maintenance rewrites snapshot the (metadata-sized)
+    * log to the driver first and restore it after, so DESCRIBE HISTORY
+    * keeps accumulating across OPTIMIZE/ZORDER rewrites of the same table.
+    */
+  private def withPreservedHistory(spark: SparkSession, dir: String)
+                                  (write: => Unit): Unit = {
+    val hist = new Path(s"$dir/_graft_history")
+    val fs = hist.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val saved: Seq[(String, Array[Byte])] =
+      if (fs.exists(hist))
+        fs.listStatus(hist).toSeq.filter(_.isFile).map { st =>
+          val in = fs.open(st.getPath)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            st.getPath.getName -> buf.toByteArray
+          } finally in.close()
+        }
+      else Seq.empty
+    write
+    if (saved.nonEmpty) {
+      fs.mkdirs(hist)
+      saved.foreach { case (name, bytes) =>
+        val out = fs.create(new Path(hist, name), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
   }
 
   /** OPTIMIZE ZORDER BY, clustering half: compute the interleave key, range-
@@ -68,11 +101,13 @@ object TableMaintenance {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
                   nFiles: Int, bits: Int = 16): Unit = {
-    df.withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(outDir)
+    withPreservedHistory(df.sparkSession, outDir) {
+      df.withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite").parquet(outDir)
+    }
     logOp(df.sparkSession, outDir, "OPTIMIZE ZORDER", Map(
       "zorder_by" -> cols.mkString(","),
       "n_files" -> nFiles.toString,
@@ -131,6 +166,18 @@ object TableMaintenance {
     */
   def analyzePersist(spark: SparkSession, table: String, dir: String,
                      cols: Seq[String]): Unit = {
+    // re-register if the name is bound to a DIFFERENT location — silently
+    // analyzing the old location would hand the CBO another table's stats.
+    // (location-based tables are external: DROP leaves the data alone)
+    if (spark.catalog.tableExists(table)) {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Location")
+        .select("data_type").collect().headOption.map(_.getString(0))
+      val want = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new Path(dir)).toString
+      if (!loc.contains(want)) spark.sql(s"DROP TABLE $table")
+    }
     if (!spark.catalog.tableExists(table))
       spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$dir'")
     val forCols =

@@ -300,7 +300,10 @@ object LakehouseOps {
     * maintenance.TableMaintenance.listFiles.
     */
   def dbaDescribeDetail(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // raw load, NOT Tables.lineitem: input_file_name() only resolves inside
+    // the scan stage, and the fan-out repartition above the scan would
+    // evaluate it post-shuffle as "" for every row
+    Tables.load(s, dir, "lineitem")
       .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min("l_orderkey").as("min_orderkey"),
@@ -340,8 +343,15 @@ object LakehouseOps {
       .withColumn("__part", spark_partition_id())
     val wLocal = Window.partitionBy("__part").orderBy("file")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Materialize ONE execution of the range partitioning: the offsets
+    // below are per-partition, and repartitionByRange's sampled boundaries
+    // are not guaranteed identical across executions — collecting totals
+    // from one run and joining offsets onto a re-run could mis-assign every
+    // file after a boundary that moved. The checkpoint pins partition ids
+    // to the data they were computed from (file metadata — small).
     val local = parted
       .withColumn("__local", sum("bytes").over(wLocal) - col("bytes"))
+      .localCheckpoint(true)
     val totals = local.groupBy("__part").agg(sum("bytes").as("__t"))
       .orderBy("__part").collect()
       .map(r => (r.getInt(0), r.getLong(1)))

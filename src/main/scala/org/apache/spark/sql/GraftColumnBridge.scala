@@ -9,4 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed Dataset.
+    *
+    * `localCheckpoint(true)` pins its materialized RDD blocks until the
+    * driver GCs the RDD reference — there is no public unpersist for it.
+    * Iterative operators (label propagation) checkpoint every round and
+    * must release round i-1 once round i is materialized; this walks the
+    * plan to the underlying checkpointed RDD and unpersists it. The Dataset
+    * is UNUSABLE afterwards (lineage was truncated at the checkpoint) —
+    * only call on superseded intermediates.
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

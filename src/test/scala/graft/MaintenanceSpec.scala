@@ -107,6 +107,35 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("history survives a second rewrite of the same target directory") {
+    val out = Files.createTempDirectory("graft_hist_keep").toString
+    TableMaintenance.compact(spark, s"$sf/part.parquet", out,
+      targetBytes = 64L * 1024)
+    TableMaintenance.zorderWrite(spark.read.parquet(s"$sf/part.parquet"),
+      Seq("p_partkey", "p_size"), out, 2)
+    val ops = TableMaintenance.history(spark, out).collect()
+      .map(_.getAs[String]("op")).toSeq
+    // overwrite deletes the directory — the log must be carried across
+    assert(ops == Seq("OPTIMIZE ZORDER", "OPTIMIZE"))
+  }
+
+  test("listFiles works for a table living in an underscore directory") {
+    val root = Files.createTempDirectory("graft_root").toString
+    val hidden = new java.io.File(root, "_staging")
+    hidden.mkdirs()
+    Files.write(new java.io.File(hidden, "data.parquet").toPath, Array[Byte](1, 2))
+    val files = TableMaintenance.listFiles(spark, hidden.toString)
+    // only components BELOW the listed root are hidden-filtered
+    assert(files.count() == 1)
+  }
+
+  test("dbaDescribeDetail inventories real file names (not post-shuffle blanks)") {
+    val det = graft.operators.LakehouseOps.dbaDescribeDetail(spark, sf).collect()
+    assert(det.nonEmpty)
+    assert(det.forall(_.getAs[String]("file").endsWith(".parquet")))
+    assert(det.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
   test("retentionPlan selects only files older than the watermark") {
     import spark.implicits._
     val files = Seq(("old", 10L, 1000L), ("new", 10L, 5000L))

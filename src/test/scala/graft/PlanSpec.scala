@@ -23,12 +23,14 @@ class PlanSpec extends SparkSpec {
 
   test("no query plan contains a cartesian product or RDD scan") {
     // mm_binary_pipeline is the deliberate mapPartitions stub,
-    // dba_csv_import parses an in-memory line dataset, and dedup_minhash /
-    // dedup_ngram_jaccard eagerly checkpoint a reused intermediate (the
-    // iterative label table / the 4×-read posting list) — each scans a
-    // local collection by design; everything else must stay declarative.
+    // dba_csv_import parses an in-memory line dataset, dedup_minhash
+    // checkpoints its final label table (lineage cut so the iteration
+    // caches can be released), and dba_compaction_plan checkpoints its
+    // range partitioning so per-partition offsets can't drift between
+    // executions — each scans a local collection by design; everything
+    // else must stay declarative.
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
-      "dedup_ngram_jaccard")
+      "dba_compaction_plan")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
