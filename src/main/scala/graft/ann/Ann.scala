@@ -207,13 +207,43 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  // --------------------------------------------------------------- C16
+  /** Per-label embedding norm statistics — the standard sanity pass before
+    * any ANN build (unnormalized vectors silently break cosine = dot, and
+    * a label whose norms collapse toward 0 is a degenerate embedding run).
+    * Pure scan-stage projection + one tiny aggregation; norms come from the
+    * native VecDot (double accumulation, bit-identical to the oracle's
+    * list_dot_product).
+    */
+  def embNormStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"),
+        avg("norm").as("avg_norm"))
+      .orderBy("label")
+  }
+
+  val embNormStatsOracle: String =
+    """SELECT label, COUNT(*) AS n_vectors,
+      |  MIN(norm) AS min_norm, MAX(norm) AS max_norm, AVG(norm) AS avg_norm
+      |FROM (SELECT label,
+      |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))) AS norm
+      |      FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> ((s: SparkSession, d: String) => annBruteforce(s, d)),
     "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)))
+    "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "emb_norm_stats" -> (embNormStats _))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceOracle,
-    "ann_lsh"        -> annLshOracle)
+    "ann_lsh"        -> annLshOracle,
+    "emb_norm_stats" -> embNormStatsOracle)
 }

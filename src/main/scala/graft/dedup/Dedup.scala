@@ -143,8 +143,11 @@ object Dedup {
     * keeps the shuffle at one row per (doc × 64 longs). `bucket` is the
     * top-16-bit prefix — the blocking key for hamming-distance search.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+  /** (doc_id, simhash) for a document DataFrame — shared by the
+    * fingerprint query (C3) and the hamming-NN search (C3b).
+    */
+  private[dedup] def simhashTable(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>
@@ -157,10 +160,58 @@ object Dedup {
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", sim)
+      .select("doc_id", "simhash")
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashTable(Tables.documents(s, dir))
       .select(col("doc_id"), col("simhash"),
         shiftrightunsigned(col("simhash"), 48).as("bucket"))
       .orderBy("doc_id")
+
+  // --------------------------------------------------------------- C3b
+  /** SimHash hamming nearest neighbor, Manku/Jain/Das Sarma (WWW'07)
+    * blocking: split the 64-bit fingerprint into 4 × 16-bit blocks — two
+    * fingerprints within hamming distance 3 must agree on at least one
+    * whole block (pigeonhole), so candidate pairs come from equi-joins on
+    * (block_id, block_value), never an all-pairs scan. Shuffle is 4 rows
+    * of 16 bytes per doc; candidates ∝ Σ bucket² over 2¹⁶-value blocks.
+    * Every doc emits a row: its best candidate (min hamming, then lowest
+    * id) or nulls when no block collides.
+    */
+  def simhashNn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // both sides of the block join read the fingerprint table — cache one
+    // evictable copy (8 bytes/doc) instead of running the 64-agg signature
+    // pass twice
+    val sim = simhashTable(docs).persist()
+    def blocks(d: DataFrame, idAs: String, simAs: String): DataFrame =
+      d.select(col("doc_id").as(idAs), col("simhash").as(simAs),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("block"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bv"))
+        }: _*)).as("bk"))
+        .select(col(idAs), col(simAs), col("bk.block"), col("bk.bv"))
+    val cand = blocks(sim, "doc_id", "sh_a")
+      .join(blocks(sim, "nn_id", "sh_b"), Seq("block", "bv"))
+      .filter(col("doc_id") =!= col("nn_id"))
+      .select(col("doc_id"), col("nn_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      // a pair agreeing on k blocks appears k times — cheap distinct on
+      // the (already tiny) candidate set
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("nn_id"))
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("nn_id"), col("hamming"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nn_id"), col("hamming"),
+        (col("hamming") <= maxHamming).as("is_dup"))
+      .orderBy("doc_id")
   }
+
+  def dedupSimhashNn(s: SparkSession, dir: String): DataFrame =
+    simhashNn(Tables.documents(s, dir))
 
   // --------------------------------------------------------------- C4
   /** N-gram Jaccard over candidate pairs from a shingle inverted index:
@@ -306,6 +357,7 @@ object Dedup {
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "dedup_simhash_nn"    -> ((s: SparkSession, d: String) => dedupSimhashNn(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
 

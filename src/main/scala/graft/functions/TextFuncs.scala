@@ -164,6 +164,62 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- C14
+  /** PII scrubbing: redact emails, phone numbers, and IPv4 addresses — the
+    * standard pre-release pass over web-crawl training text. Pure per-row
+    * regexp projection (codegen'd, zero shuffles). Patterns are
+    * deliberately RE2-compatible (no backrefs/lookaround) so the same
+    * strings run on Spark (java.util.regex) and DuckDB (RE2) identically.
+    * Replacement order matters: emails first (their local part can contain
+    * digit runs), then phones, then IPs (dots keep them out of the phone
+    * pattern's character class).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9-]{7,}[0-9]", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }
+    piiPatterns.foldLeft(counted) { case (d, (_, pat, repl)) =>
+      d.withColumn(textCol, regexp_replace(col(textCol), pat, repl))
+    }
+  }
+
+  /** The synthetic corpus contains no PII, so the query plants a
+    * deterministic email/phone/IP per document (same construction in the
+    * oracle) — the scrub regexes are genuinely exercised on every row.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val augmented = Tables.documents(s, dir)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), col("doc_id") % 256, lit(".0.1")))
+    piiScrub(augmented, "text")
+      .select(col("doc_id"), col("text").as("scrubbed"),
+        col("n_email"), col("n_phone"), col("n_ip"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubOracle: String = {
+    val Seq((_, email, er), (_, phone, pr), (_, ip, ir)) = piiPatterns
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '$er', 'g'), '$phone', '$pr', 'g'), '$ip', '$ir', 'g') AS scrubbed,
+       |  len(regexp_extract_all(aug, '$email')) AS n_email,
+       |  len(regexp_extract_all(aug, '$phone')) AS n_phone,
+       |  len(regexp_extract_all(aug, '$ip')) AS n_ip
+       |FROM (SELECT doc_id,
+       |        text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |        ' from 10.' || (doc_id % 256) || '.0.1' AS aug
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- C13
   /** Corpus bigram frequencies, top-k by count: explode token bigrams →
     * one hash-aggregate (map-side combined) → global top-k. The corpus-
@@ -193,11 +249,13 @@ object TextFuncs {
     "text_tokens"      -> ((s: SparkSession, d: String) => textTokens(s, d)),
     "text_langid"      -> ((s: SparkSession, d: String) => textLangid(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)),
+    "text_pii_scrub"   -> ((s: SparkSession, d: String) => textPiiScrub(s, d)),
     "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
     "text_tokens"     -> textTokensOracle,
     "text_langid"     -> textLangidOracle,
+    "text_pii_scrub"  -> textPiiScrubOracle,
     "text_ngram_freq" -> textNgramFreqOracle)
 }

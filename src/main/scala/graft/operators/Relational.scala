@@ -245,6 +245,29 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- A20
+  /** Explicit GROUPING SETS — the third member of the grouping family next
+    * to rollup/cube: two independent one-dimension summaries in ONE pass
+    * over the fact (Spark expands the grouping sets map-side; a naive
+    * union-of-groupBys would scan twice).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  val qGroupingSetsOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- A9/A10
   private def recentOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -519,7 +542,8 @@ object Relational {
     "q_asof_join"          -> (qAsofJoin _),
     "q_above_avg"          -> (qAboveAvg _),
     "q_setops"             -> (qSetOps _),
-    "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)))
+    "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)),
+    "q_grouping_sets"      -> (qGroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Oracle,
@@ -540,5 +564,6 @@ object Relational {
     "q_asof_join"          -> qAsofOracle,
     "q_above_avg"          -> qAboveAvgOracle,
     "q_setops"             -> qSetOpsOracle,
-    "q_histogram"          -> qHistogramOracle)
+    "q_histogram"          -> qHistogramOracle,
+    "q_grouping_sets"      -> qGroupingSetsOracle)
 }

@@ -70,6 +70,38 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sim(0L), sim(2L)) < hamming(sim(0L), sim(3L)))
   }
 
+  test("dedup_simhash_nn: near dups pair up, unrelated docs don't flag") {
+    // simhash needs document-scale token counts: with n tokens the bit
+    // margins are ~√n, so a 1-word edit flips ~P(|margin|≤2)·64 bits —
+    // at 40 words that's ~7 flips (no block survives), at 800 it's ~1
+    val dir = Files.createTempDirectory("graft_simnn").toString
+    val base = (1 to 800).map(i => s"word$i").mkString(" ")
+    val near = (1 to 800).map(i => if (i == 400) "CHANGED" else s"word$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base, "en", "s", 1L),
+      (2L, near, "en", "s", 1L),
+      (3L, "completely different text about other things entirely unrelated",
+        "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nn = Dedup.dedupSimhashNn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2), r.getBoolean(3)))))
+      .toMap
+    assert(nn.size == 4)                       // every doc emits a row
+    assert(nn(0L).contains((1L, 0, true)))     // exact dup: hamming 0
+    assert(nn(1L).contains((0L, 0, true)))
+    // the near-dup's best candidate is one of the identical pair, flagged
+    nn(2L) match {
+      case Some((id, ham, dup)) =>
+        assert(Set(0L, 1L)(id) && dup, s"near dup got ($id, $ham, $dup)")
+      case None => fail("near dup found no block-sharing candidate")
+    }
+    // the unrelated doc must never be flagged
+    nn(3L).foreach { case (_, _, dup) => assert(!dup, "doc 3 flagged") }
+  }
+
   test("dedup_ngram_jaccard: near-dup pair found with high jaccard") {
     val pairs = Dedup.dedupNgramJaccard(spark, corpusDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -48,6 +48,23 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_est") == 6)
   }
 
+  test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
+      (2L, "call +1-800-555-0199 or 020-7946-0958 now"),
+      (3L, "server at 192.168.001.1 responded"),
+      (4L, "no sensitive content here at all"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextFuncs.piiScrub(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> thanks", 1, 0, 0)))
+    assert(out(2L) == (("call <PHONE> or <PHONE> now", 0, 2, 0)))
+    assert(out(3L) == (("server at <IP> responded", 0, 0, 1)))
+    assert(out(4L) == (("no sensitive content here at all", 0, 0, 0)))
+  }
+
   test("fingerprint: deterministic, identical docs identical checksums") {
     val fp1 = TextFuncs.textFingerprint(spark, corpusDir).collect()
     val fp2 = TextFuncs.textFingerprint(spark, corpusDir).collect()
