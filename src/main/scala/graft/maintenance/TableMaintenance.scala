@@ -186,6 +186,34 @@ object TableMaintenance {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS $forCols")
   }
 
+  /** Bucketed write — the co-location story behind every repeated
+    * fact-fact join at 100 TB: both sides hash-bucketed (and sorted) on
+    * the join key at write time, so later joins and MERGEs read
+    * co-partitioned buckets with NO exchange on either side (and no sort
+    * for sort-merge). One shuffle paid once at load time replaces one per
+    * downstream join. Bucket metadata lives in the session catalog, so
+    * this writes a managed table (`saveAsTable`) rather than a bare path.
+    */
+  def bucketedWrite(df: DataFrame, keys: Seq[String], nBuckets: Int,
+                    table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // After the drop, a directory still sitting at the managed location is
+    // an orphan from a previous session (an in-memory catalog forgets its
+    // tables but not their files) — clear it or saveAsTable refuses with
+    // LOCATION_ALREADY_EXISTS.
+    val loc = new Path(
+      new Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Hive-style partitioned write — the reference's partitioned TPC tables
     * (resources/TPC-datagen-notebook.scala, partitioned/clustered writes).
     * Reads that filter on `partCols` then prune at the *directory* level
