@@ -135,6 +135,42 @@ object EventStreams {
       .select(col("p.event_id").as("purchase_id"),
         col("c.event_id").as("click_id"), col("c.user_id"))
 
+  // --------------------------------------------------------------- D4
+  /** Sliding-window distinct users per event type (1 h window every 30 min)
+    * — the audience-reach shape of event telemetry. Batch form is exact
+    * (each event lands in 2 windows via Spark's window expansion; one
+    * shuffle on (window, type)).
+    */
+  def streamDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_users"))
+      .orderBy("window_start", "event_type")
+
+  val streamDistinctUsersOracle: String =
+    """SELECT window_start, event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, event_type,
+      |        unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+      |          AS window_start
+      |      FROM events) t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming variant: exact distinct needs the full id set per open
+    * window; the unbounded-state-safe form is HyperLogLog
+    * (`approx_count_distinct`) — a fixed-size sketch per (window, type)
+    * merged map-side, state bounded by open windows × sketch bytes.
+    */
+  def streamingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_users_approx"))
+
   // ------------------------------------------------- streaming sessionize
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(start_ms: Long, end_ms: Long, n: Long, sum: Double)
@@ -249,12 +285,14 @@ object EventStreams {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_windowed_agg"  -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
-    "stream_sessionize"    -> ((s: SparkSession, d: String) => streamSessionize(s, d)),
-    "stream_interval_join" -> ((s: SparkSession, d: String) => streamIntervalJoin(s, d)))
+    "stream_windowed_agg"   -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
+    "stream_sessionize"     -> ((s: SparkSession, d: String) => streamSessionize(s, d)),
+    "stream_interval_join"  -> ((s: SparkSession, d: String) => streamIntervalJoin(s, d)),
+    "stream_distinct_users" -> ((s: SparkSession, d: String) => streamDistinctUsers(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "stream_windowed_agg"  -> streamWindowedAggOracle,
-    "stream_sessionize"    -> streamSessionizeOracle,
-    "stream_interval_join" -> streamIntervalJoinOracle)
+    "stream_windowed_agg"   -> streamWindowedAggOracle,
+    "stream_sessionize"     -> streamSessionizeOracle,
+    "stream_interval_join"  -> streamIntervalJoinOracle,
+    "stream_distinct_users" -> streamDistinctUsersOracle)
 }

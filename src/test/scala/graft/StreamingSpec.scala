@@ -127,6 +127,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct users: HLL sketch counts per sliding window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = EventStreams.streamingDistinctUsers(
+        mem.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.format("memory").queryName("reach")
+      .outputMode("update").start()
+    try {
+      val base = 1_000_000_000_000L  // well above epoch for the watermark
+      mem.addData(
+        (new Timestamp(base), "click", 1L),
+        (new Timestamp(base + 60_000), "click", 1L),   // same user again
+        (new Timestamp(base + 120_000), "click", 2L),
+        (new Timestamp(base + 180_000), "view", 3L))
+      q.processAllAvailable()
+      val got = spark.table("reach")
+        .select("window_start", "event_type", "n_users_approx")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.getTime, t, n) }.toSet
+      // each event falls in 2 sliding windows; 3 distinct users is far
+      // below HLL error onset so approx == exact here
+      val w0 = (base / 1_800_000) * 1_800_000        // 30-min aligned
+      assert(got.contains((w0, "click", 2L)))
+      assert(got.contains((w0 - 1_800_000, "click", 2L)))
+      assert(got.contains((w0, "view", 1L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize: sessions respect the 30-min gap invariant") {
     val sess = EventStreams.streamSessionize(spark, sf)
     val byUser = sess.orderBy("user_id", "session_id")
