@@ -197,9 +197,8 @@ object Dedup {
       .filter(col("doc_id") =!= col("nn_id"))
       .select(col("doc_id"), col("nn_id"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      // a pair agreeing on k blocks appears k times — cheap distinct on
-      // the (already tiny) candidate set
-      .distinct()
+    // a pair agreeing on k blocks appears k times with identical sort
+    // keys — rn=1 picks the same winner, so no dedup pass is needed
     val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("nn_id"))
     val best = cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -84,8 +84,9 @@ object TableMaintenance {
           } finally in.close()
         }
       else Seq.empty
-    write
-    if (saved.nonEmpty) {
+    // restore in finally: a write that throws AFTER overwrite deleted the
+    // directory must not take the (already snapshotted) log with it
+    try write finally if (saved.nonEmpty) {
       fs.mkdirs(hist)
       saved.foreach { case (name, bytes) =>
         val out = fs.create(new Path(hist, name), true)
@@ -201,9 +202,11 @@ object TableMaintenance {
     // After the drop, a directory still sitting at the managed location is
     // an orphan from a previous session (an in-memory catalog forgets its
     // tables but not their files) — clear it or saveAsTable refuses with
-    // LOCATION_ALREADY_EXISTS.
+    // LOCATION_ALREADY_EXISTS. The location comes from the catalog's own
+    // resolution (current database, qualified names, case normalization),
+    // not a hand-built <warehouse>/<name> guess.
     val loc = new Path(
-      new Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+      org.apache.spark.sql.GraftColumnBridge.managedTableLocation(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

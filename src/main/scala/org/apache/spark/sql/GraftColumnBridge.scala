@@ -25,4 +25,16 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ =>
     }
+
+  /** Where the session catalog would place a managed table of this name —
+    * resolving the current database, db-qualified names, and the
+    * catalog's case normalization, exactly as `saveAsTable` will. Needed
+    * to clean orphaned locations (an in-memory catalog forgets its tables
+    * across sessions but leaves their directories).
+    */
+  def managedTableLocation(spark: SparkSession, table: String): java.net.URI = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val ident = ss.sessionState.sqlParser.parseTableIdentifier(table)
+    ss.sessionState.catalog.defaultTablePath(ident)
+  }
 }

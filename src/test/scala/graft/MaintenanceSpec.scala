@@ -144,18 +144,28 @@ class MaintenanceSpec extends SparkSpec {
     TableMaintenance.bucketedWrite(
       spark.read.parquet(s"$sf/lineitem.parquet"), Seq("l_orderkey"), 4,
       "graft_lineitem_b")
-    val joined = spark.table("graft_lineitem_b")
-      .join(spark.table("graft_orders_b"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-    joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString
-    // co-located: the join itself introduces no shuffle on either side
-    // (the only exchange is the tiny post-join groupBy)
-    val joinPart = plan.split("HashAggregate").last
-    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
-      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
-      s"bucketed join still shuffles:\n$plan")
+    // disable broadcast: at this test scale AQE would broadcast either
+    // way, and a broadcast join has no key exchange regardless of
+    // bucketing — only a SortMergeJoin makes the assertion meaningful
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // co-located: the join itself introduces no shuffle on either side
+      // (the only exchange is the tiny post-join groupBy)
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles:\n$plan")
+      // (partition-local Sorts remain: Spark only trusts write-time sort
+      // order with exactly one file per bucket — the exchange elimination
+      // above is the scale win, a local sort is cheap)
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    }
     // and the same co-location carries the MERGE: upserting bucketed
     // source into bucketed target shuffles neither input
     val merged = LakehouseOps.mergeUpsert(
