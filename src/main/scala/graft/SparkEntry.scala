@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
       graft.functions.TextFuncs.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.EventStreams.queries
+      graft.streaming.EventStreams.queries ++ graft.pipeline.Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -24,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
-      graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles
+      graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles ++
+      graft.pipeline.Curate.oracles
 }

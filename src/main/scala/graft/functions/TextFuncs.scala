@@ -21,8 +21,20 @@ object TextFuncs {
   /** Count of tokens that appear in `words` (a tiny constant set → an IN
     * list inside the lambda, codegen'd to a hash probe).
     */
-  private def stopwordHits(text: Column, words: Seq[String]): Column =
+  def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(toks(text), t => t.isin(words.map(lit): _*)))
+
+  /** Language prediction as a single Column (argmax over the stopword
+    * profiles, first-profile tie-break, 'und' when nothing hits) — the
+    * reusable core of [[textLangid]] for pipeline composition.
+    */
+  def predLang(text: Column): Column = {
+    val scores = stopwordProfiles.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).foldLeft(lit(0): Column)(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), els) =>
+      when(sc === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
 
   // --------------------------------------------------------------- C9
   /** Quality scoring: length / punctuation / stopword / uppercase ratios +

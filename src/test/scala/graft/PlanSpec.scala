@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("dba_merge_upsert").contains("hashpartitioning(o_orderkey"))
   }
 
+  test("grouping sets expand in one scan; projection ops prune the scan") {
+    val gs = plan("q_grouping_sets")
+    assert(gs.contains("Expand"), "grouping sets should expand map-side")
+    assert(gs.split("FileScan").length == 2,
+      "grouping sets must read the fact exactly once")
+    // pii scrub is a pure projection: the scan reads only the two columns
+    val pii = plan("text_pii_scrub")
+    val read = pii.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars") && !read.contains("source"))
+  }
+
   test("whole-stage codegen covers the aggregation hot paths") {
     // AQE's final-plan rendering marks codegen'd stages with a "*(n)" prefix
     Seq("q1_pricing_summary", "dedup_minhash", "text_quality").foreach { n =>
