@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -255,6 +256,48 @@ object TextFuncs {
       |  WHERE len(t) >= 2)
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  // --------------------------------------------------------------- C15
+  /** Corpus TF-IDF, top-k terms per document — the classic relevance /
+    * keyword-extraction primitive. Shuffle shape: one explode → tf
+    * aggregation on (doc, term), df reuses the SAME hash partitioning for
+    * its term-level rollup, then a per-doc top-k window; document text is
+    * never shuffled, only (doc, term, counts).
+    */
+  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // corpus size: one cheap metadata-ish count
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val textTfidfOracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+      |SELECT doc_id, rnk, term, tf, df, tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
@@ -262,6 +305,7 @@ object TextFuncs {
     "text_langid"      -> ((s: SparkSession, d: String) => textLangid(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)),
     "text_pii_scrub"   -> ((s: SparkSession, d: String) => textPiiScrub(s, d)),
+    "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +313,6 @@ object TextFuncs {
     "text_tokens"     -> textTokensOracle,
     "text_langid"     -> textLangidOracle,
     "text_pii_scrub"  -> textPiiScrubOracle,
+    "text_tfidf"      -> textTfidfOracle,
     "text_ngram_freq" -> textNgramFreqOracle)
 }
