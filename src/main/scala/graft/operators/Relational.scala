@@ -245,6 +245,75 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- A21
+  /** TPC-H Q4 shape — correlated EXISTS with a non-key predicate: orders
+    * in a window having at least one lineitem shipped more than 60 days
+    * after the order date. The semi join carries the extra condition into
+    * the join itself (one key shuffle, no row multiplication, no distinct).
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- A22
+  /** TPC-H Q14 shape — conditional-aggregate ratio: promo parts' share of
+    * revenue in one ship month. The part dim broadcasts; both sums come
+    * from ONE pass (CASE inside the aggregate), decimals end-to-end so the
+    * ratio is exact until the final double division.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    val disc = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("__promo"),
+        sum(disc).as("__all"))
+      .select(
+        (lit(100.0) * col("__promo").cast("double") / col("__all").cast("double"))
+          .as("promo_share_pct"),
+        col("__promo").cast("double").as("promo_revenue"),
+        col("__all").cast("double").as("total_revenue"))
+  }
+
+  val q14Oracle: String =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS promo_share_pct,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
   // ---------------------------------------------------------------- A20
   /** Explicit GROUPING SETS — the third member of the grouping family next
     * to rollup/cube: two independent one-dimension summaries in ONE pass
@@ -543,7 +612,9 @@ object Relational {
     "q_above_avg"          -> (qAboveAvg _),
     "q_setops"             -> (qSetOps _),
     "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)),
-    "q_grouping_sets"      -> (qGroupingSets _))
+    "q_grouping_sets"      -> (qGroupingSets _),
+    "q4_priority_exists"   -> (q4PriorityExists _),
+    "q14_promo_share"      -> (q14PromoShare _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Oracle,
@@ -565,5 +636,7 @@ object Relational {
     "q_above_avg"          -> qAboveAvgOracle,
     "q_setops"             -> qSetOpsOracle,
     "q_histogram"          -> qHistogramOracle,
-    "q_grouping_sets"      -> qGroupingSetsOracle)
+    "q_grouping_sets"      -> qGroupingSetsOracle,
+    "q4_priority_exists"   -> q4Oracle,
+    "q14_promo_share"      -> q14Oracle)
 }
