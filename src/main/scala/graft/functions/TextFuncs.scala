@@ -37,6 +37,39 @@ object TextFuncs {
     }
   }
 
+  /** Hit count of the WINNING profile (= the greatest per-language score):
+    * the language-agnostic quality signal — a doc is "stopwordy" relative
+    * to its own predicted language, not to English.
+    */
+  def bestLangScore(text: Column): Column =
+    stopwordProfiles.map { case (_, ws) => stopwordHits(text, ws) }
+      .foldLeft(lit(0): Column)(greatest(_, _))
+
+  // ---- shared oracle-SQL generators (used by textLangidOracle and the
+  // curate pipeline's oracle, so the argmax/tie-break/'und' logic lives in
+  // exactly one place per engine) ----
+  /** One `len(list_filter(...)) AS score_<lang>` expression per profile,
+    * over a token-list SQL variable `t`.
+    */
+  def langScoreSqlExprs(tokensVar: String): Seq[String] =
+    stopwordProfiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($tokensVar, x -> x IN ($inList))) AS score_$l"
+    }
+
+  /** `greatest(0, score_...)` over the per-language score columns. */
+  def langBestSql: String =
+    stopwordProfiles.map(l => s"score_${l._1}")
+      .mkString("greatest(0, ", ", ", ")")
+
+  /** First-match-wins CASE in profile order = predLang's foldRight
+    * tie-break; expects `best` to be in scope.
+    */
+  def langPredSql: String =
+    stopwordProfiles.map(_._1)
+      .map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+
   // --------------------------------------------------------------- C9
   /** Quality scoring: length / punctuation / stopword / uppercase ratios +
     * a blended score, the standard cheap pre-filters before expensive
@@ -132,28 +165,20 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
-  /** Generated from `stopwordProfiles` so the oracle can never drift from
-    * the Spark-side word lists or the tie-break order.
+  /** Generated from `stopwordProfiles` via the shared SQL generators so
+    * the oracle can never drift from the Spark-side word lists or the
+    * tie-break order.
     */
   val textLangidOracle: String = {
-    val langs = stopwordProfiles.map(_._1)
-    val scoreExprs = stopwordProfiles.map { case (l, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS score_$l"
-    }.mkString(",\n  ")
-    val best = langs.map(l => s"score_$l").mkString("greatest(0, ", ", ", ")")
-    // first-match-wins CASE in profile order = Spark's foldRight tie-break
-    val pred = langs.map(l =>
-      s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'")
-      .mkString("CASE ", " ", " ELSE 'und' END")
-    s"""SELECT doc_id, lang, $pred AS pred_lang, best_score,
-       |  ${langs.map(l => s"score_$l").mkString(", ")}
+    val scoreCols = stopwordProfiles.map(l => s"score_${l._1}").mkString(", ")
+    s"""SELECT doc_id, lang, $langPredSql AS pred_lang,
+       |  best AS best_score, $scoreCols
        |FROM (
-       |  SELECT doc_id, lang, $best AS best_score,
-       |    ${langs.map(l => s"score_$l").mkString(", ")}
+       |  SELECT doc_id, lang, $langBestSql AS best, $scoreCols
        |  FROM (SELECT doc_id, lang,
-       |    $scoreExprs
-       |  FROM documents) raw) scored
+       |    ${langScoreSqlExprs("t").mkString(",\n    ")}
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+       |        FROM documents) raw) s) g
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -264,14 +289,19 @@ object TextFuncs {
     * never shuffled, only (doc, term, counts).
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count() // corpus size: one cheap metadata-ish count
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
+    // raw load for the corpus count: no reason to pay fanOut's shuffle for
+    // a row count that never leaves the driver
+    val nDocs = Tables.load(s, dir, "documents").count()
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the RANK key is tfidf rounded to 6 decimals: JVM Math.log and libm
+    // ln may differ in the last ulp, and two mathematically-equal scores
+    // from different (tf, df) pairs must not rank differently across
+    // engines at the top-k boundary; the raw double is still emitted
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term"))
+      .orderBy(round(col("tfidf"), 6).desc, col("term"))
     tf.join(df, "term")
       .withColumn("tfidf",
         col("tf") * log(lit(nDocs.toDouble) / col("df")))
@@ -294,7 +324,7 @@ object TextFuncs {
       |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
       |SELECT doc_id, rnk, term, tf, df, tfidf FROM (
       |  SELECT *, ROW_NUMBER() OVER (
-      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |    PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term) AS rnk
       |  FROM scored) t
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 

@@ -10,21 +10,27 @@ import graft.functions.TextFuncs
 /** The end-to-end curation job a training-data pipeline actually runs:
   * exact-dedup, length gate, language gate, quality gate — composed into
   * ONE pass with a reason code per document. Everything is a projection
-  * except the dedup window (one hash shuffle on the content hash), so the
-  * whole pipeline scales exactly like its weakest member: one shuffle over
-  * the corpus, everything else scan-stage.
+  * except the dedup window (one hash shuffle on the content hash) and the
+  * presentation-only output sort (a range exchange a caller that doesn't
+  * need global order would drop), so the pipeline's data cost is one
+  * corpus shuffle; everything else is scan-stage.
   *
   * Gate precedence (first failure wins): dup > short > lang_mismatch >
   * low_quality > kept. Thresholds are parameters; the defaults split the
   * synthetic corpus into a realistic keep/drop mix.
+  *
+  * The quality gate is language-agnostic: it scores stopword density
+  * against the PREDICTED language's own profile (= the argmax score), so
+  * a genuine German document is judged by German stopwords — an
+  * English-only ratio would silently drop every non-English doc.
   */
 object Curate {
 
   def curate(docs: DataFrame, minWords: Int = 25,
              minStopwordRatio: Double = 0.02): DataFrame = {
     val nWords = size(split(col("text"), " "))
-    val swRatio = TextFuncs.stopwordHits(col("text"), TextFuncs.stopwordsEn)
-      .cast("double") / nWords
+    val swRatio =
+      TextFuncs.bestLangScore(col("text")).cast("double") / nWords
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
     docs
@@ -45,28 +51,20 @@ object Curate {
   def pipelineCurate(s: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(s, dir))
 
-  /** Generated from the same stopword profiles/lists as the Spark side so
-    * gates can never drift.
+  /** Generated via the shared langid SQL generators (TextFuncs.lang*Sql)
+    * so the gates can never drift from the Spark side OR from
+    * textLangidOracle.
     */
   val pipelineCurateOracle: String = {
-    val langs = TextFuncs.stopwordProfiles.map(_._1)
-    val scoreExprs = TextFuncs.stopwordProfiles.map { case (l, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(t, x -> x IN ($inList))) AS score_$l"
-    }.mkString(",\n    ")
-    val best = langs.map(l => s"score_$l").mkString("greatest(0, ", ", ", ")")
-    val pred = langs.map(l =>
-      s"WHEN score_$l = best AND best > 0 THEN '$l'")
-      .mkString("CASE ", " ", " ELSE 'und' END")
-    val enList = TextFuncs.stopwordsEn.map(w => s"'$w'").mkString(", ")
     s"""WITH f AS (
        |  SELECT doc_id, lang, len(t) AS n_words,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
-       |    CAST(len(list_filter(t, x -> x IN ($enList))) AS DOUBLE) / len(t) AS swr,
-       |    $scoreExprs
+       |    ${TextFuncs.langScoreSqlExprs("t").mkString(",\n    ")}
        |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents) raw),
-       |g AS (SELECT *, $best AS best FROM f),
-       |p AS (SELECT *, $pred AS pred_lang FROM g),
+       |g AS (SELECT *, ${TextFuncs.langBestSql} AS best,
+       |        CAST(${TextFuncs.langBestSql} AS DOUBLE) / n_words AS swr
+       |      FROM f),
+       |p AS (SELECT *, ${TextFuncs.langPredSql} AS pred_lang FROM g),
        |r AS (
        |  SELECT doc_id, n_words, pred_lang,
        |    CASE WHEN rn <> 1 THEN 'dup'

@@ -52,17 +52,23 @@ class TextSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
     val good = (("the quick brown fox jumps over a lazy dog and " * 4) +
-      "it is done").trim                       // 49 words, stopwordy, en
-    // 61 words with exactly one stopword: pred_lang=en (score 1) but
-    // ratio 1/61 ≈ 0.016 < 0.02 → fails the quality gate, not the lang one
+      "it is done").trim                       // 43 words, stopwordy, en
+    // 61 words with exactly one profile stopword: pred_lang=en (score 1)
+    // but best-score ratio 1/61 ≈ 0.016 < 0.02 → fails the quality gate,
+    // not the lang one
     val noStop = "the " + (1 to 60).map(i => s"w$i").mkString(" ")
     Seq(
       (0L, good, "en", "s", 1L),
       (1L, good, "en", "s", 1L),               // exact dup of 0 → "dup"
       (2L, "the a of to and in is it", "en", "s", 1L), // 8 words → "short"
-      (3L, good, "fr", "s", 1L),               // hmm: dup of 0 too — see below
-      (4L, noStop, "en", "s", 1L),             // no stopwords → low_quality
-      (5L, good + " voila", "fr", "s", 1L))    // en-looking text labeled fr
+      (3L, good, "fr", "s", 1L),               // dup of 0 (dup outranks lang)
+      (4L, noStop, "en", "s", 1L),             // stopword-starved → low_quality
+      (5L, good + " voila", "fr", "s", 1L),    // en-looking text labeled fr
+      // correctly-labeled German, 33 words, stopwordy IN GERMAN — must be
+      // kept (the quality gate scores the predicted language's profile,
+      // not English)
+      (6L, ("der hund und die katze ist ein tier zu den zeiten " * 3).trim,
+        "de", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.pipeline.Curate.pipelineCurate(spark, dir)
@@ -73,6 +79,7 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == (("dup", false)))        // dup fires before lang gate
     assert(out(4L) == (("low_quality", false)))
     assert(out(5L) == (("lang_mismatch", false)))
+    assert(out(6L) == (("kept", true)))        // non-English content survives
   }
 
   test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
