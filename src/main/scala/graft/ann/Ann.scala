@@ -121,6 +121,119 @@ object Ann {
       .replace("BUCKET_EXPR", bucket)
   }
 
+  // ----------------------------------------------- driver-side training
+  /** Bounded deterministic hash-sample of the embedding table: top
+    * `maxTrain` by vec_id hash is a TakeOrdered (per-partition partial
+    * top-k, never a full shuffle) — ONE collect job; training cost is
+    * FIXED no matter how big the table is.
+    */
+  private def sampleTrain(e: DataFrame, maxTrain: Int,
+                          who: String): Array[Array[Float]] = {
+    val train: Array[Array[Float]] = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, s"$who: embeddings table is empty")
+    train
+  }
+
+  /** Index of the max-dot centroid; ties break toward the higher cell id,
+    * matching the in-plan struct-max (lexicographic (sim, cell)) of
+    * `assignCell`.
+    */
+  private def nearestByDot(v: Array[Float],
+                           cs: Seq[(Long, Array[Float])]): Int = {
+    val dim = v.length
+    var best = 0; var bestDot = Double.MinValue
+    cs.foreach { case (c, cv) =>
+      var d0 = 0.0; var j = 0
+      while (j < dim) { d0 += v(j).toDouble * cv(j).toDouble; j += 1 }
+      if (d0 > bestDot || (d0 == bestDot && c > best)) {
+        bestDot = d0; best = c.toInt
+      }
+    }
+    best
+  }
+
+  /** Driver-side Lloyd over a bounded sample, max-dot assignment (vectors
+    * are unit-norm → dot = cosine); empty cells keep their centroid.
+    * Microseconds of arithmetic — iterating on the driver removes 2 Spark
+    * jobs per iteration.
+    */
+  private def lloydDot(train: Array[Array[Float]], nCells: Int,
+                       iterations: Int): Seq[(Long, Array[Float])] = {
+    val dim = train(0).length
+    var centroids: Seq[(Long, Array[Float])] =
+      train.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      train.foreach { v =>
+        val best = nearestByDot(v, centroids)
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.map { case (c, cv) =>
+        val i = c.toInt
+        if (counts(i) == 0) (c, cv)
+        else (c, Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat))
+      }
+    }
+    centroids
+  }
+
+  /** Driver-side Lloyd with L2 assignment (ties → lower code) — the
+    * subspace-codebook trainer for PQ, where residuals are not unit-norm
+    * and dot ordering would be wrong.
+    */
+  private def lloydL2(train: Array[Array[Float]], k: Int,
+                      iterations: Int): Array[Array[Float]] = {
+    val dim = train(0).length
+    var centers: Array[Array[Float]] = train.take(k).map(_.clone())
+    def nearest(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < centers.length) {
+        var d2 = 0.0; var d = 0
+        while (d < dim) {
+          val r = v(d).toDouble - centers(j)(d); d2 += r * r; d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      best
+    }
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      train.foreach { v =>
+        val b = nearest(v)
+        counts(b) += 1
+        var d = 0
+        while (d < dim) { sums(b)(d) += v(d); d += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (cv, i) =>
+        if (counts(i) == 0) cv
+        else Array.tabulate(dim)(d => (sums(i)(d) / counts(i)).toFloat)
+      }
+    }
+    centers
+  }
+
+  /** The trained centroid model (≤nCells × dim floats) enters the plan as
+    * literal arrays, so assignment is a pure per-row projection — nCells
+    * dot products and an argmax, no join, no window, no shuffle. The
+    * (sim, cell) structs sort/max lexicographically, so argmax-by-sim
+    * falls out of array_max.
+    */
+  private def cellScores(v: Column, cs: Seq[(Long, Array[Float])]): Column =
+    array(cs.map { case (cell, arr) =>
+      struct(dot(v, typedLit(arr.toSeq)).as("sim"), lit(cell).as("cell"))
+    }: _*)
+  private def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
+    array_max(cellScores(v, cs)).getField("cell")
+
   // --------------------------------------------------------------- C7b
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * learned with a few Lloyd iterations, candidates fetched from the
@@ -138,60 +251,10 @@ object Ann {
              nCells: Int = 16, nProbe: Int = 4,
              iterations: Int = 2, maxTrain: Int = 4096): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    // Lloyd trains on a bounded deterministic hash-sample: top `maxTrain`
-    // by vec_id hash is a TakeOrdered (per-partition partial top-k, never a
-    // full shuffle) — ONE collect job, then the whole Lloyd loop runs on
-    // the driver over ≤ maxTrain × dim floats (≈1 MB). Iterating on the
-    // driver instead of the cluster removes 2 Spark jobs per iteration for
-    // a model that is microseconds of arithmetic; training cost stays FIXED
-    // no matter how big the table is. Only assignment touches the full
-    // table, and assignment is a pure projection.
-    val train: Array[Array[Float]] = e
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(train.nonEmpty, "annIvf: embeddings table is empty")
-    // dimensionality comes from the data, not a parameter
-    val dim = train(0).length
-    var centroids: Seq[(Long, Array[Float])] =
-      train.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    for (_ <- 0 until iterations) {
-      // driver-side Lloyd step: assign each sample to its max-dot cell
-      // (vectors are unit-norm → dot = cosine), recompute cell means
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
-      train.foreach { v =>
-        var best = 0; var bestDot = Double.MinValue
-        centroids.foreach { case (c, cv) =>
-          var d0 = 0.0; var j = 0
-          while (j < dim) { d0 += v(j).toDouble * cv(j).toDouble; j += 1 }
-          // ties break toward the higher cell id, matching the previous
-          // in-plan struct-max (lexicographic on (sim, cell)) semantics
-          if (d0 > bestDot || (d0 == bestDot && c > best)) {
-            bestDot = d0; best = c.toInt
-          }
-        }
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-      }
-      centroids = centroids.map { case (c, cv) =>
-        val i = c.toInt
-        if (counts(i) == 0) (c, cv)   // empty cell keeps its centroid
-        else (c, Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat))
-      }
-    }
-    // The trained centroid model (≤nCells × dim floats) enters the plan as
-    // literal arrays, so assignment is a pure per-row projection — nCells
-    // dot products and an argmax, no join, no window, no shuffle.
-    // (sim, cell) structs per centroid; struct max/sort = lexicographic,
-    // so argmax-by-sim falls out of array_max
-    def cellScores(v: Column, cs: Seq[(Long, Array[Float])]): Column =
-      array(cs.map { case (cell, arr) =>
-        struct(dot(v, typedLit(arr.toSeq)).as("sim"), lit(cell).as("cell"))
-      }: _*)
-    def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
-      array_max(cellScores(v, cs)).getField("cell")
+    // Only training (one bounded collect) runs on the driver; assignment
+    // over the full table is a pure projection — see the helpers above.
+    val train = sampleTrain(e, maxTrain, "annIvf")
+    val centroids = lloydDot(train, nCells, iterations)
     val assigned = e.select(col("vec_id"), col("embedding"),
       assignCell(col("embedding"), centroids).as("cell"))
     // queries probe their nProbe nearest cells: per-row sort of the
@@ -203,6 +266,79 @@ object Ann {
           .getField("cell")).as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qe"), col("embedding")))
+    topkPerQuery(scored, k)
+  }
+
+  // --------------------------------------------------------------- C7c
+  /** IVF-PQ: the coarse quantizer of [[annIvf]] plus product-quantized
+    * residuals — each vector stored as `m` small codebook ids (8 ints
+    * here) instead of `dim` floats, the representation that makes
+    * billion-vector ANN fit a cluster's memory. Search is two-stage:
+    * ADC scoring `dot(q, decode(codes))` over the probed cells' COMPRESSED
+    * rows (the full float table is never shuffled), then an exact re-rank
+    * of the top `rerankFactor × k` candidates that fetches only those few
+    * vectors by key.
+    *
+    * Deterministic end-to-end: coarse centroids and subspace codebooks
+    * train driver-side on the same bounded hash-sample as [[annIvf]];
+    * encode/decode are native expressions carrying the model (see
+    * graft.functions.Pq).
+    */
+  def annIvfPq(s: SparkSession, dir: String,
+               nQueries: Int = 8, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4,
+               iterations: Int = 2, maxTrain: Int = 4096,
+               m: Int = 8, codebookSize: Int = 16,
+               rerankFactor: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val train = sampleTrain(e, maxTrain, "annIvfPq")
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val centroids = lloydDot(train, nCells, iterations)
+    val centArr: Array[Array[Float]] =
+      centroids.sortBy(_._1).map(_._2).toArray
+    // residuals of the training sample against their coarse cell, then
+    // one L2 Lloyd per subspace — all driver-side, all bounded
+    val residuals = train.map { v =>
+      val cent = centArr(nearestByDot(v, centroids))
+      Array.tabulate(dim)(d => v(d) - cent(d))
+    }
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { mi =>
+      val subs = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, mi * subDim, (mi + 1) * subDim))
+      lloydL2(subs, codebookSize, iterations)
+    }
+    // the compressed index: (vec_id, cell, m codes) — floats dropped
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      assignCell(col("embedding"), centroids).as("cell"))
+    val index = assigned.select(col("vec_id"), col("cell"),
+      graft.functions.Pq.encode(col("embedding"), col("cell"),
+        centArr, codebooks).as("codes"))
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(
+          cellScores(col("embedding"), centroids))), 1, nProbe)
+          .getField("cell")).as("cell"))
+    // stage 1: ADC over compressed rows only
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val candidates = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", dot(col("qe"),
+        graft.functions.Pq.decode(col("codes"), col("cell"),
+          centArr, codebooks)))
+      .select("query_id", "vec_id", "adc")
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+    // stage 2: exact re-rank — fetch ONLY the candidate vectors by key
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = candidates
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
     topkPerQuery(scored, k)
   }
@@ -240,6 +376,7 @@ object Ann {
     "ann_bruteforce" -> ((s: SparkSession, d: String) => annBruteforce(s, d)),
     "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "ann_ivf_pq"     -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "emb_norm_stats" -> (embNormStats _))
 
   val oracles: Map[String, String] = Map(

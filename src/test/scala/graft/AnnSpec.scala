@@ -53,6 +53,61 @@ class AnnSpec extends SparkSpec {
     assert(got == got2)
   }
 
+  test("ivf-pq: ADC + re-rank recovers most of plain IVF's recall, deterministic") {
+    val exact = Ann.annBruteforce(spark, sf, nQueries = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Ann.annIvfPq(spark, sf, nQueries = 8, k = 5)
+    val got = pq.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val recall = (exact & got).size.toDouble / exact.size
+    // compression costs some recall vs uncompressed IVF (same probes), but
+    // must comfortably beat chance — and the exact re-rank means every
+    // returned score is a TRUE cosine, so scores are sorted + exact
+    assert(recall > 0.2, s"recall=$recall")
+    pq.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+    val got2 = Ann.annIvfPq(spark, sf, nQueries = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == got2)
+  }
+
+  test("pq codec: codes bounded by the codebook; decode approximates the vector") {
+    import graft.functions.Pq
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // train a tiny model through the public operator path pieces: just
+    // verify shape/range invariants via a direct encode/decode round trip
+    val v = e.select("embedding").limit(64).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents = Array(Array.fill(v(0).length)(0.0f)) // single zero centroid
+    val cbs = Array.tabulate(8) { mi =>
+      Array.tabulate(4)(j => Array.tabulate(8)(d => v(j)(mi * 8 + d)))
+    }
+    import spark.implicits._
+    val df = v.toSeq.map(_.toSeq).toDF("embedding")
+      .withColumn("cell", lit(0L))
+      .withColumn("codes", Pq.encode(col("embedding")
+        .cast("array<float>"), col("cell"), cents, cbs))
+      .withColumn("dec", Pq.decode(col("codes"), col("cell"), cents, cbs))
+    val rows = df.select("codes", "dec").collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 4))
+      assert(r.getSeq[Float](1).length == 64)
+    }
+    // a vector that IS a codebook entry reconstructs exactly
+    val probe = df.limit(4).select(
+      Ann.dot(col("embedding").cast("array<float>"), col("dec")).as("d"),
+      Ann.dot(col("embedding").cast("array<float>"),
+        col("embedding").cast("array<float>")).as("s"))
+      .collect()
+    probe.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5,
+        "codebook-member vectors must round-trip through the codec")
+    }
+  }
+
   test("hyperplaneBucket: deterministic and within [0, 2^bits)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val b1 = e.select(Ann.hyperplaneBucket(col("embedding"), 4).as("b"))
