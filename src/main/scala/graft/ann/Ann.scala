@@ -234,6 +234,24 @@ object Ann {
   private def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
     array_max(cellScores(v, cs)).getField("cell")
 
+  /** The IVF query skeleton shared by [[annIvf]] and [[annIvfPq]]:
+    * cell-assigned table plus each query's `nProbe` nearest cells (per-row
+    * sort of the (sim, cell) array, top slice, explode).
+    */
+  private def assignAndProbe(e: DataFrame,
+                             centroids: Seq[(Long, Array[Float])],
+                             nQueries: Int, nProbe: Int)
+      : (DataFrame, DataFrame) = {
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      assignCell(col("embedding"), centroids).as("cell"))
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(
+          cellScores(col("embedding"), centroids))), 1, nProbe)
+          .getField("cell")).as("cell"))
+    (assigned, probes)
+  }
+
   // --------------------------------------------------------------- C7b
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * learned with a few Lloyd iterations, candidates fetched from the
@@ -255,15 +273,7 @@ object Ann {
     // over the full table is a pure projection — see the helpers above.
     val train = sampleTrain(e, maxTrain, "annIvf")
     val centroids = lloydDot(train, nCells, iterations)
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      assignCell(col("embedding"), centroids).as("cell"))
-    // queries probe their nProbe nearest cells: per-row sort of the
-    // (sim, cell) array, top slice, explode
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(
-          cellScores(col("embedding"), centroids))), 1, nProbe)
-          .getField("cell")).as("cell"))
+    val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
@@ -311,16 +321,10 @@ object Ann {
       lloydL2(subs, codebookSize, iterations)
     }
     // the compressed index: (vec_id, cell, m codes) — floats dropped
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      assignCell(col("embedding"), centroids).as("cell"))
+    val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
     val index = assigned.select(col("vec_id"), col("cell"),
       graft.functions.Pq.encode(col("embedding"), col("cell"),
         centArr, codebooks).as("codes"))
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(
-          cellScores(col("embedding"), centroids))), 1, nProbe)
-          .getField("cell")).as("cell"))
     // stage 1: ADC over compressed rows only
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
@@ -333,11 +337,15 @@ object Ann {
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= k * rerankFactor)
       .select("query_id", "vec_id")
-    // stage 2: exact re-rank — fetch ONLY the candidate vectors by key
+    // stage 2: exact re-rank — the candidate list (nQueries × k ×
+    // rerankFactor rows) broadcasts; the float table is probed in place,
+    // never shuffled (without the hint, the window upstream hides the
+    // candidate cardinality and static planning would sort-merge the
+    // whole table)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = candidates
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
     topkPerQuery(scored, k)

@@ -51,10 +51,19 @@ case class PqEncode(left: Expression, right: Expression,
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), LongType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_pq_encode requires (ARRAY<FLOAT>, BIGINT), got ${l.sql}, ${r.sql}")
+        s"Pq.encode requires (ARRAY<FLOAT>, BIGINT), got ${l.sql}, ${r.sql}")
     }
 
   def encodeOf(v: ArrayData, cell: Long): ArrayData = {
+    // loud failure beats silent garbage: UnsafeArrayData does no bounds
+    // checks, so a wrong-dimension vector or out-of-model cell id would
+    // otherwise read arbitrary bytes into the index
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"Pq.encode: vector has ${v.numElements()} dims, model expects ${m * subDim}")
+    if (cell < 0 || cell >= centroids.length)
+      throw new IllegalArgumentException(
+        s"Pq.encode: cell $cell outside [0, ${centroids.length})")
     val cent = centroids(cell.toInt)
     val out = new Array[Int](m)
     var mi = 0
@@ -106,15 +115,25 @@ case class PqDecode(left: Expression, right: Expression,
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), LongType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_pq_decode requires (ARRAY<INT>, BIGINT), got ${l.sql}, ${r.sql}")
+        s"Pq.decode requires (ARRAY<INT>, BIGINT), got ${l.sql}, ${r.sql}")
     }
 
   def decodeOf(codes: ArrayData, cell: Long): ArrayData = {
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"Pq.decode: ${codes.numElements()} codes, model expects $m")
+    if (cell < 0 || cell >= centroids.length)
+      throw new IllegalArgumentException(
+        s"Pq.decode: cell $cell outside [0, ${centroids.length})")
     val cent = centroids(cell.toInt)
     val out = new Array[Float](m * subDim)
     var mi = 0
     while (mi < m) {
-      val cb = codebooks(mi)(codes.getInt(mi))
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= codebooks(mi).length)
+        throw new IllegalArgumentException(
+          s"Pq.decode: code $code outside [0, ${codebooks(mi).length})")
+      val cb = codebooks(mi)(code)
       val off = mi * subDim
       var d = 0
       while (d < subDim) { out(off + d) = cent(off + d) + cb(d); d += 1 }
