@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Each query is executed `SPARK_GRAFT_RUNS` times (default 3) and the
+  * reported per-query number is the MEDIAN of those runs (per-query minima
+  * are emitted alongside under "queries_min"). Single-shot timings on a
+  * shared 32-core box swing ±3× on host noise — round 2's driver run
+  * recorded 197 s for a suite that re-ran at 69 s. Medians make the bench
+  * self-adjudicating: an outlier run cannot dominate the headline number.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ > 0).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,9 +42,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Interleave whole-suite passes (run 1 of everything, then run 2, ...)
+    // rather than back-to-back repeats of one query: a transient host stall
+    // then lands in at most one sample of each query instead of all three
+    // samples of whichever query was running.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop sink: every operator/projection actually executes (count()
       // would let Catalyst prune the computed columns away).
@@ -32,12 +57,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Nil) :+ dt
+    }
+    val med = names.map { case (n, _) => n -> median(samples.getOrElse(n, Nil)) }
+    val mins = names.map { case (n, _) =>
+      n -> samples.getOrElse(n, List(0.0)).min }
+    def toJson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -147,9 +147,18 @@ object Dedup {
     * fingerprint query (C3) and the hamming-NN search (C3b).
     */
   private[dedup] def simhashTable(docs: DataFrame): DataFrame = {
+    // Token hash = first 64 bits of md5(token). md5 is the one hash BOTH
+    // engines (Spark and the DuckDB oracle) compute identically, which
+    // makes the whole simhash pipeline exactly oracle-checkable —
+    // xxhash64 exists only in Spark. Assembled from two 32-bit halves via
+    // conv(hex, 16, 10), so no step overflows ANSI long arithmetic
+    // (shifts and bitwise-or are unchecked bit ops).
+    val hex = md5(col("tok").cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", shiftleft(hi, 32).bitwiseOR(lo))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$j")
@@ -351,6 +360,67 @@ object Dedup {
       .replace("BUCKET_EXPR", bucket)
   }
 
+  /** Shared DuckDB CTE list computing (doc_id, simhash) exactly as
+    * [[simhashTable]] does: token hash = first 64 bits of md5(token)
+    * (nibble j/4 of the hex string, bit j%4 within it), per-bit ±1 sums,
+    * sign recombination. Bit 63's weight is emitted as the signed
+    * two's-complement value so the whole sum stays in BIGINT — identical
+    * to Spark's wrapping `shiftleft(1L, 63)`.
+    */
+  private def simhashSqlCtes: String = {
+    val weights = (0 until 64).map { j =>
+      val w = 1L << j // j=63 wraps to Long.MinValue — intended
+      if (w < 0) s"($j, -9223372036854775807 - 1)" else s"($j, ${w}::BIGINT)"
+    }.mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, md5(tok) AS hx
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+       |        substr(hx, CAST(16 - j // 4 AS INTEGER), 1)) - 1)
+       |        >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM tok CROSS JOIN range(64) js(j)
+       |  GROUP BY doc_id, j),
+       |pw(j, w) AS (VALUES $weights),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN w ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits JOIN pw USING (j)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  val dedupSimhashOracle: String =
+    s"""WITH $simhashSqlCtes
+       |SELECT doc_id, simhash, (simhash >> 48) & 65535 AS bucket
+       |FROM sim ORDER BY doc_id""".stripMargin
+
+  /** Manku block self-join + best-neighbor window, mirroring [[simhashNn]]
+    * defaults (4 blocks × 16 bits, maxHamming=3). Arithmetic-shift-then-
+    * mask equals Spark's unsigned-shift-then-mask for every kept bit.
+    */
+  val dedupSimhashNnOracle: String =
+    s"""WITH $simhashSqlCtes,
+       |blocks AS (
+       |  SELECT doc_id, simhash, bk.block,
+       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
+       |  FROM sim CROSS JOIN range(4) bk(block)),
+       |cand AS (
+       |  SELECT a.doc_id, b.doc_id AS nn_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM blocks a JOIN blocks b USING (block, bv)
+       |  WHERE a.doc_id <> b.doc_id),
+       |best AS (
+       |  SELECT doc_id, nn_id, hamming FROM (
+       |    SELECT doc_id, nn_id, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY hamming, nn_id) AS rn
+       |    FROM cand) t WHERE rn = 1)
+       |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN best b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
@@ -363,5 +433,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
     "dedup_embedding"     -> dedupEmbeddingOracle,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_simhash"       -> dedupSimhashOracle,
+    "dedup_simhash_nn"    -> dedupSimhashNnOracle)
 }
