@@ -26,4 +26,12 @@ object SparkEntry {
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles ++
       graft.pipeline.Curate.oracles
+
+  /** Data-dependent oracles that inline a deterministically-trained model
+    * (IVF centroids, PQ codebooks) as SQL literals — they need the live
+    * session + sf dir, so Verify merges them into oracle_sql.json at dump
+    * time rather than this map being static.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    graft.ann.Ann.dynamicOracles(spark, sfDir)
 }

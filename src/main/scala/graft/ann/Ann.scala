@@ -19,6 +19,21 @@ import graft.Tables
   */
 object Ann {
 
+  // Shared defaults — the query functions AND the oracle generators read
+  // these same values, so a tuning change can never silently desynchronize
+  // an oracle from its query.
+  private[ann] val NQueries = 8
+  private[ann] val TopK = 5
+  private[ann] val LshBits = 4
+  private[ann] val LshProbeBits = 1
+  private[ann] val IvfCells = 16
+  private[ann] val IvfProbe = 4
+  private[ann] val LloydIters = 2
+  private[ann] val MaxTrain = 4096
+  private[ann] val PqM = 8
+  private[ann] val PqCodebook = 16
+  private[ann] val RerankFactor = 4
+
   /** Dot product of two float vectors — graft.functions.Vec.dot, a native
     * expression (one compiled loop per row; double accumulation for
     * cross-engine parity).
@@ -46,7 +61,7 @@ object Ann {
   // --------------------------------------------------------------- C6
   /** Exact brute-force top-k cosine (vectors are unit-norm → dot). */
   def annBruteforce(s: SparkSession, dir: String,
-                    nQueries: Int = 8, k: Int = 5): DataFrame = {
+                    nQueries: Int = NQueries, k: Int = TopK): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -55,18 +70,24 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  /** The shared final-ranking SQL: per-query top-k of `scored`(query_id,
+    * vec_id, score), identical to [[topkPerQuery]].
+    */
+  private def topkSql(k: Int): String =
+    s"""SELECT query_id, rnk, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   val annBruteforceOracle: String =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-      |           FROM embeddings WHERE vec_id < 8),
-      |scored AS (
-      |  SELECT q.query_id, e.vec_id,
-      |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
-      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
-      |SELECT query_id, rnk, vec_id, score FROM (
-      |  SELECT query_id, vec_id, score,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-      |  FROM scored) t
-      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |${topkSql(TopK)}""".stripMargin
 
   // --------------------------------------------------------------- C7
   /** LSH-bucketed ANN: score only same-bucket candidates. `probeBits` > 0
@@ -77,8 +98,8 @@ object Ann {
     * bucket.
     */
   def annLsh(s: SparkSession, dir: String,
-             nQueries: Int = 8, k: Int = 5, bits: Int = 4,
-             probeBits: Int = 1): DataFrame = {
+             nQueries: Int = NQueries, k: Int = TopK, bits: Int = LshBits,
+             probeBits: Int = LshProbeBits): DataFrame = {
     require(bits <= 20, "mask enumeration is 2^bits — keep bits <= 20")
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
@@ -97,27 +118,27 @@ object Ann {
   }
 
   /** Oracle with the seeded hyperplane constants emitted as SQL and the
-    * same 1-bit-flip multi-probe masks; every vector lives in exactly one
+    * same multi-probe masks. Generated from the SAME named constants the
+    * query's defaults read (nQueries/k/bits/probeBits), so retuning either
+    * side cannot desynchronize them; every vector lives in exactly one
     * home bucket, so the probe join generates the identical candidate set.
     */
-  val annLshOracle: String = {
-    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
-    val masks = (0L until (1L << 4))
-      .filter(m => java.lang.Long.bitCount(m) <= 1).mkString("[", ", ", "]")
+  def annLshOracle(nQueries: Int = NQueries, k: Int = TopK,
+                   bits: Int = LshBits, probeBits: Int = LshProbeBits): String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", bits)
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+      .mkString("[", ", ", "]")
     s"""WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
        |probed AS (
        |  SELECT vec_id AS query_id, embedding AS qe, xor(bucket, m.mask) AS bucket
        |  FROM b, (SELECT unnest($masks) AS mask) m
-       |  WHERE vec_id < 8),
+       |  WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT p.query_id, e.vec_id,
        |    list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
        |  FROM b e JOIN probed p USING (bucket) WHERE e.vec_id <> p.query_id)
-       |SELECT query_id, rnk, vec_id, score FROM (
-       |  SELECT query_id, vec_id, score,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-       |  FROM scored) t
-       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+       |${topkSql(k)}""".stripMargin
       .replace("BUCKET_EXPR", bucket)
   }
 
@@ -264,15 +285,26 @@ object Ann {
     * stream the table) — at 100 TB the train sample is bounded and
     * assignment stays a single scan per iteration.
     */
+  /** Deterministic IVF coarse-quantizer training — ONE bounded collect;
+    * shared by the query and its literal-model oracle generator so both
+    * always see the identical centroids.
+    */
+  private[ann] def trainIvf(s: SparkSession, dir: String,
+                            nCells: Int = IvfCells,
+                            iterations: Int = LloydIters,
+                            maxTrain: Int = MaxTrain): Seq[(Long, Array[Float])] = {
+    val train = sampleTrain(Tables.embeddings(s, dir), maxTrain, "annIvf")
+    lloydDot(train, nCells, iterations)
+  }
+
   def annIvf(s: SparkSession, dir: String,
-             nQueries: Int = 8, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4,
-             iterations: Int = 2, maxTrain: Int = 4096): DataFrame = {
+             nQueries: Int = NQueries, k: Int = TopK,
+             nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+             iterations: Int = LloydIters, maxTrain: Int = MaxTrain): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // Only training (one bounded collect) runs on the driver; assignment
     // over the full table is a pure projection — see the helpers above.
-    val train = sampleTrain(e, maxTrain, "annIvf")
-    val centroids = lloydDot(train, nCells, iterations)
+    val centroids = trainIvf(s, dir, nCells, iterations, maxTrain)
     val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -295,14 +327,19 @@ object Ann {
     * encode/decode are native expressions carrying the model (see
     * graft.functions.Pq).
     */
-  def annIvfPq(s: SparkSession, dir: String,
-               nQueries: Int = 8, k: Int = 5,
-               nCells: Int = 16, nProbe: Int = 4,
-               iterations: Int = 2, maxTrain: Int = 4096,
-               m: Int = 8, codebookSize: Int = 16,
-               rerankFactor: Int = 4): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val train = sampleTrain(e, maxTrain, "annIvfPq")
+  /** The trained PQ model: coarse centroids + per-subspace codebooks. */
+  private[ann] case class PqModel(centroids: Seq[(Long, Array[Float])],
+                                  centArr: Array[Array[Float]],
+                                  codebooks: Array[Array[Array[Float]]])
+
+  /** Deterministic PQ training (coarse Lloyd + per-subspace residual
+    * Lloyd) — shared by the query and its literal-model oracle generator.
+    */
+  private[ann] def trainPq(s: SparkSession, dir: String,
+                           nCells: Int = IvfCells, iterations: Int = LloydIters,
+                           maxTrain: Int = MaxTrain, m: Int = PqM,
+                           codebookSize: Int = PqCodebook): PqModel = {
+    val train = sampleTrain(Tables.embeddings(s, dir), maxTrain, "annIvfPq")
     val dim = train(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
@@ -320,6 +357,18 @@ object Ann {
         java.util.Arrays.copyOfRange(r, mi * subDim, (mi + 1) * subDim))
       lloydL2(subs, codebookSize, iterations)
     }
+    PqModel(centroids, centArr, codebooks)
+  }
+
+  def annIvfPq(s: SparkSession, dir: String,
+               nQueries: Int = NQueries, k: Int = TopK,
+               nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+               iterations: Int = LloydIters, maxTrain: Int = MaxTrain,
+               m: Int = PqM, codebookSize: Int = PqCodebook,
+               rerankFactor: Int = RerankFactor): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val PqModel(centroids, centArr, codebooks) =
+      trainPq(s, dir, nCells, iterations, maxTrain, m, codebookSize)
     // the compressed index: (vec_id, cell, m codes) — floats dropped
     val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
     val index = assigned.select(col("vec_id"), col("cell"),
@@ -350,6 +399,115 @@ object Ann {
       .withColumn("score", dot(col("qe"), col("embedding")))
     topkPerQuery(scored, k)
   }
+
+  // ---------------------------------------- literal-model oracle generation
+  private def dlist(a: Array[Float]): String =
+    a.map(_.toDouble.toString).mkString("[", ", ", "]")
+
+  /** CTEs shared by the IVF and IVF-PQ oracles: the trained centroids as
+    * literal DOUBLE[] rows (Double.toString round-trips, float→double is
+    * exact), per-(vec, cell) sims, argmax cell assignment (ties → higher
+    * cell, like assignCell's struct-max), and each query's nProbe best
+    * cells. Training is deterministic, so emitting the model as SQL
+    * literals makes the whole query DuckDB-checkable — the same trick
+    * cosineLshBucketSql uses for its hyperplanes.
+    */
+  private def ivfSqlCtes(centroids: Seq[(Long, Array[Float])],
+                         nQueries: Int, nProbe: Int): String = {
+    val rows = centroids.sortBy(_._1)
+      .map { case (c, v) => s"($c, CAST(${dlist(v)} AS DOUBLE[]))" }
+      .mkString(",\n    ")
+    s"""cent AS (SELECT * FROM (VALUES
+       |    $rows) t(cell, cv)),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |    FROM sc WHERE vec_id < $nQueries) t WHERE rn <= $nProbe)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[annIvf]] with the trained centroids inlined. */
+  def annIvfOracleSql(s: SparkSession, dir: String): String = {
+    val centroids = trainIvf(s, dir)
+    s"""WITH ${ivfSqlCtes(centroids, NQueries, IvfProbe)},
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS score
+       |  FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id)
+       |${topkSql(TopK)}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[annIvfPq]]: centroids AND codebooks inlined;
+    * encode = per-subspace argmin of the double-exact residual distance
+    * (list_dot_product(diff, diff) accumulates like PqEncode's loop),
+    * decode rounds each reconstructed value through FLOAT exactly as
+    * PqDecode's float storage does, then ADC → top-k·rerank → exact
+    * re-rank, mirroring the DataFrame plan stage for stage.
+    */
+  def annIvfPqOracleSql(s: SparkSession, dir: String): String = {
+    val model = trainPq(s, dir)
+    val subDim = model.centArr(0).length / PqM
+    val cbRows = (for {
+      mi <- 0 until PqM
+      code <- 0 until PqCodebook
+    } yield s"($mi, $code, CAST(${dlist(model.codebooks(mi)(code))} AS DOUBLE[]))")
+      .mkString(",\n    ")
+    val diff =
+      s"[CAST(a.embedding[c.mi * $subDim + i] AS DOUBLE) - ct.cv[c.mi * $subDim + i] - c.cbv[i] for i in range(1, ${subDim + 1})]"
+    s"""WITH ${ivfSqlCtes(model.centroids, NQueries, IvfProbe)},
+       |cb AS (SELECT * FROM (VALUES
+       |    $cbRows) t(mi, code, cbv)),
+       |encd AS (
+       |  SELECT vec_id, cell, mi, code FROM (
+       |    SELECT a.vec_id, a.cell, c.mi, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, c.mi
+       |        ORDER BY list_dot_product($diff, $diff), c.code) AS rn
+       |    FROM assigned a JOIN cent ct USING (cell) CROSS JOIN cb c) t
+       |  WHERE rn = 1),
+       |dec AS (
+       |  SELECT e.vec_id, e.cell, e.mi,
+       |    [CAST(CAST(ct.cv[e.mi * $subDim + i] + c.cbv[i] AS FLOAT) AS DOUBLE) for i in range(1, ${subDim + 1})] AS seg
+       |  FROM encd e JOIN cent ct USING (cell)
+       |  JOIN cb c ON c.mi = e.mi AND c.code = e.code),
+       |decoded AS (
+       |  SELECT vec_id, cell, flatten(list(seg ORDER BY mi)) AS dv
+       |  FROM dec GROUP BY vec_id, cell),
+       |adcs AS (
+       |  SELECT p.query_id, d.vec_id,
+       |    list_dot_product(CAST(p.qe AS DOUBLE[]), d.dv) AS adc
+       |  FROM decoded d JOIN probes p USING (cell)
+       |  WHERE d.vec_id <> p.query_id),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+       |    FROM adcs) t WHERE rn <= ${TopK * RerankFactor}),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+       |  FROM cands cd
+       |  JOIN embeddings e ON e.vec_id = cd.vec_id
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qe
+       |        FROM embeddings WHERE vec_id < $NQueries) q
+       |    ON q.query_id = cd.query_id)
+       |${topkSql(TopK)}""".stripMargin
+  }
+
+  /** Data-dependent oracles (trained-model literals), generated at Verify
+    * dump time with the same (session, sfDir) the queries run against.
+    */
+  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = Map(
+    "ann_ivf"    -> annIvfOracleSql(s, dir),
+    "ann_ivf_pq" -> annIvfPqOracleSql(s, dir))
 
   // --------------------------------------------------------------- C16
   /** Per-label embedding norm statistics — the standard sanity pass before
@@ -389,6 +547,6 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceOracle,
-    "ann_lsh"        -> annLshOracle,
+    "ann_lsh"        -> annLshOracle(),
     "emb_norm_stats" -> embNormStatsOracle)
 }

@@ -77,7 +77,12 @@ case class PqEncode(left: Expression, right: Expression,
         var d2 = 0.0
         var d = 0
         while (d < subDim) {
-          val r = (v.getFloat(off + d) - cent(off + d)) - cb(j)(d)
+          // promote every operand to double BEFORE the subtractions (same
+          // rule as VecDot): float→double is exact, so a SQL oracle doing
+          // the identical DOUBLE arithmetic reproduces d2 bit-for-bit —
+          // float-rounded intermediate subtractions would not be portable
+          val r = (v.getFloat(off + d).toDouble - cent(off + d).toDouble) -
+            cb(j)(d).toDouble
           d2 += r * r
           d += 1
         }
