@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, ShingleHashes, VecDot, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineLshBucket, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, n) => WordNgrams(text, intArg(n, "n"))
         case _ => throw new IllegalArgumentException(
           "graft_word_ngrams(text[, n])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lang_scores"),
+      new ExpressionInfo(classOf[TokenProfileCounts].getName, "graft_lang_scores"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenProfileCounts(text,
+          graft.functions.TextFuncs.stopwordProfiles.map(_._2))
+        case _ => throw new IllegalArgumentException("graft_lang_scores(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_vec_dot"),

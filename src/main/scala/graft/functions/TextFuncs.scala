@@ -19,31 +19,51 @@ object TextFuncs {
   // --------------------------------------------------------------- helpers
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Count of tokens that appear in `words` (a tiny constant set → an IN
-    * list inside the lambda, codegen'd to a hash probe).
+  /** Count of tokens that appear in `words` — one compiled pass via the
+    * native [[TokenProfileCounts]] (index 0 is the token count, index 1
+    * the single profile's hits).
     */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(toks(text), t => t.isin(words.map(lit): _*)))
+    Text.tokenProfileCounts(text, Seq(words)).getItem(1)
 
-  /** Language prediction as a single Column (argmax over the stopword
-    * profiles, first-profile tie-break, 'und' when nothing hits) — the
-    * reusable core of [[textLangid]] for pipeline composition.
+  /** `[n_tokens, score(profile 0), …]` for the langid stopword profiles —
+    * ONE compiled tokenize+score pass per row. Materialize this with
+    * `withColumn` and derive best/pred/ratio from the array: the alias is
+    * non-cheap so CollapseProject keeps it, and every derivation below is
+    * a per-row array index.
     */
-  def predLang(text: Column): Column = {
-    val scores = stopwordProfiles.map { case (l, ws) => l -> stopwordHits(text, ws) }
-    val best = scores.map(_._2).foldLeft(lit(0): Column)(greatest(_, _))
-    scores.foldRight(lit("und"): Column) { case ((l, sc), els) =>
-      when(sc === best && best > 0, lit(l)).otherwise(els)
+  def langScores(text: Column): Column =
+    Text.tokenProfileCounts(text, stopwordProfiles.map(_._2))
+
+  /** Winning score from a [[langScores]] array (0 when nothing hits). */
+  def langBest(scores: Column): Column =
+    stopwordProfiles.indices.map(i => scores.getItem(i + 1))
+      .foldLeft(lit(0): Column)(greatest(_, _))
+
+  /** Predicted language from a [[langScores]] array: argmax, first-profile
+    * tie-break, 'und' when nothing hits.
+    */
+  def langPred(scores: Column): Column = {
+    val best = langBest(scores)
+    stopwordProfiles.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((l, _), i), els) =>
+        when(scores.getItem(i + 1) === best && best > 0, lit(l)).otherwise(els)
     }
   }
+
+  /** Language prediction as a single Column — the reusable core of
+    * [[textLangid]] for pipeline composition. (The repeated langScores
+    * subtrees are identical, so whole-stage codegen's subexpression
+    * elimination evaluates the scan once per row; callers that also need
+    * the scores should materialize [[langScores]] and use [[langPred]].)
+    */
+  def predLang(text: Column): Column = langPred(langScores(text))
 
   /** Hit count of the WINNING profile (= the greatest per-language score):
     * the language-agnostic quality signal — a doc is "stopwordy" relative
     * to its own predicted language, not to English.
     */
-  def bestLangScore(text: Column): Column =
-    stopwordProfiles.map { case (_, ws) => stopwordHits(text, ws) }
-      .foldLeft(lit(0): Column)(greatest(_, _))
+  def bestLangScore(text: Column): Column = langBest(langScores(text))
 
   // ---- shared oracle-SQL generators (used by textLangidOracle and the
   // curate pipeline's oracle, so the argmax/tie-break/'und' logic lives in
@@ -79,12 +99,14 @@ object TextFuncs {
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
+    // one tokenize pass serves word count AND stopword hits ([n, hits])
     val d = Tables.documents(s, dir)
+      .withColumn("__c", Text.tokenProfileCounts(col("text"), Seq(stopwordsEn)))
     val nChars = length(col("text"))
-    val nWords = size(toks(col("text")))
+    val nWords = col("__c").getItem(0)
     val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
     val nUpper = length(regexp_replace(col("text"), "[^A-Z]", ""))
-    val nStop = stopwordHits(col("text"), stopwordsEn)
+    val nStop = col("__c").getItem(1)
     d.select(
         col("doc_id"),
         nChars.as("n_chars"),
@@ -146,20 +168,17 @@ object TextFuncs {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他"))
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
+    // the materialized __sc array is scored ONCE per row; every score
+    // column, the argmax, and the prediction are plain array indexes
     val d = Tables.documents(s, dir)
-    val scored = stopwordProfiles.foldLeft(d) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang", stopwordHits(col("text"), words))
-    }
-    val best = stopwordProfiles.map(_._1).foldLeft(lit(0): Column) {
-      (acc, lang) => greatest(acc, col(s"score_$lang"))
-    }
-    val pred = stopwordProfiles.map(_._1).foldRight(lit("und"): Column) {
-      case (lang, els) => when(col(s"score_$lang") === col("best_score") &&
-        col("best_score") > 0, lit(lang)).otherwise(els)
+      .withColumn("__sc", langScores(col("text")))
+    val scored = stopwordProfiles.zipWithIndex.foldLeft(d) {
+      case (df, ((lang, _), i)) =>
+        df.withColumn(s"score_$lang", col("__sc").getItem(i + 1))
     }
     scored
-      .withColumn("best_score", best)
-      .withColumn("pred_lang", pred)
+      .withColumn("best_score", langBest(col("__sc")))
+      .withColumn("pred_lang", langPred(col("__sc")))
       .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("best_score")) ++
         stopwordProfiles.map { case (l, _) => col(s"score_$l") }: _*)
       .orderBy("doc_id")

@@ -28,15 +28,21 @@ object Curate {
 
   def curate(docs: DataFrame, minWords: Int = 25,
              minStopwordRatio: Double = 0.02): DataFrame = {
-    val nWords = size(split(col("text"), " "))
-    val swRatio =
-      TextFuncs.bestLangScore(col("text")).cast("double") / nWords
+    // ONE native tokenize+score pass per row ([n_tokens, score_en, …],
+    // materialized as __sc — non-cheap, so CollapseProject keeps the
+    // alias); word count, language gate, and quality gate are all plain
+    // array indexes over it. The previous HOF formulation re-split and
+    // re-scored the text ≥3× per row, interpreted — on the single
+    // most-run pipeline in the workload.
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
+    val swRatio =
+      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
     docs
+      .withColumn("__sc", TextFuncs.langScores(col("text")))
       .withColumn("__rn", row_number().over(wDup))
-      .withColumn("n_words", nWords)
-      .withColumn("pred_lang", TextFuncs.predLang(col("text")))
+      .withColumn("n_words", col("__sc").getItem(0))
+      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
       .withColumn("reason",
         when(col("__rn") =!= 1, "dup")
           .when(col("n_words") < minWords, "short")

@@ -77,6 +77,22 @@ class PlanSpec extends SparkSpec {
       !read.contains("n_chars") && !read.contains("source"))
   }
 
+  test("curate scores each document exactly once (no interpreted re-splits)") {
+    val p = plan("pipeline_curate")
+    // the language gate must ride ONE materialized tokenprofilecounts
+    // array — no split()/filter() HOF pipeline, no per-gate re-scoring
+    assert(!p.contains("split("), "curate plan re-tokenizes text")
+    assert(!p.contains("lambdafunction"), "curate plan evaluates interpreted HOF lambdas")
+    val scores = "tokenprofilecounts".r.findAllIn(p.toLowerCase).size
+    assert(scores == 1, s"curate plan evaluates the score pass $scores times, want 1")
+    // same property for the standalone langid query
+    val l = plan("text_langid")
+    assert(!l.contains("split(") && !l.contains("lambdafunction"),
+      "langid plan re-tokenizes text")
+    assert("tokenprofilecounts".r.findAllIn(l.toLowerCase).size == 1,
+      "langid must score each document exactly once")
+  }
+
   test("whole-stage codegen covers the aggregation hot paths") {
     // AQE's final-plan rendering marks codegen'd stages with a "*(n)" prefix
     Seq("q1_pricing_summary", "dedup_minhash", "text_quality").foreach { n =>
