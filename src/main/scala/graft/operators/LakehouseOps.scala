@@ -44,8 +44,11 @@ object LakehouseOps {
     *  - duplicate *target* rows for unmatched keys all survive (they are
     *    only replaced, 1:n, when the key matches).
     */
-  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
-                  tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+  /** One deterministic winner per key (highest tiebreak, then remaining
+    * columns descending) — shared by plain and schema-evolving merge.
+    */
+  private def latestPerKey(source: DataFrame, keys: Seq[String],
+                           tiebreak: Seq[Column]): DataFrame = {
     val rest = source.columns.filterNot(keys.contains)
       .map(c => col(c).desc).toIndexedSeq
     val order: Seq[Column] = {
@@ -54,13 +57,60 @@ object LakehouseOps {
     }
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
       .orderBy(order: _*)
-    val srcLatest = source
+    source
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  tiebreak: Seq[Column] = Seq.empty,
+                  autoAlign: Boolean = false): DataFrame = {
+    if (autoAlign) return mergeUpsertEvolve(target, source, keys, tiebreak)
+    val srcLatest = latestPerKey(source, keys, tiebreak)
     target.select(source.columns.map(col).toIndexedSeq: _*)
       .join(srcLatest, keys, "left_anti")
       .unionByName(srcLatest)
+  }
+
+  /** Schema-evolving MERGE — the reference's
+    * `schema.autoMerge.enabled=true` behavior ("Query History API to
+    * Delta_withmetrics.py":37): source and target may drift in BOTH
+    * directions. Output schema = target columns ++ source-only columns.
+    * Matched keys take source values for every source column (UPDATE SET *)
+    * but PRESERVE the target's values for target-only columns — exactly
+    * what Delta's whenMatchedUpdateAll does under autoMerge; surviving
+    * target rows null-fill source-only columns, inserts null-fill
+    * target-only columns. Same shuffle shape as the plain merge plus one
+    * key-join against the (already key-deduped) matched slice.
+    */
+  private def mergeUpsertEvolve(target: DataFrame, source: DataFrame,
+                                keys: Seq[String],
+                                tiebreak: Seq[Column]): DataFrame = {
+    require(keys.forall(target.columns.contains) &&
+      keys.forall(source.columns.contains),
+      s"merge keys ${keys.mkString(",")} must exist on both sides")
+    val dest = StructType(target.schema.fields ++
+      source.schema.fields.filterNot(f => target.columns.contains(f.name)))
+    val srcLatest = latestPerKey(source, keys, tiebreak)
+    val alignedT = alignToSchema(target, dest)
+    val alignedS = alignToSchema(srcLatest, dest)
+    val tOnly = target.columns.filterNot(source.columns.contains).toIndexedSeq
+    val merged =
+      if (tOnly.isEmpty) alignedS
+      else {
+        // deterministic representative target row per key (same
+        // rest-columns-descending rule as the source dedup) donates the
+        // preserved target-only values; unmatched (insert) keys get nulls
+        // from the left join
+        val tRep = latestPerKey(target, keys, Seq.empty)
+          .select((keys ++ tOnly).map(col): _*)
+        alignedS.drop(tOnly: _*)
+          .join(tRep, keys, "left")
+          .select(dest.fieldNames.toIndexedSeq.map(col): _*)
+      }
+    alignedT.join(srcLatest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(merged)
   }
 
   // ---------------------------------------------------------------- B4 lib

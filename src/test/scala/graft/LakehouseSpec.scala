@@ -32,6 +32,35 @@ class LakehouseSpec extends SparkSpec {
       (2L, "new", 5L), (3L, "c", 1L)))
   }
 
+  test("mergeUpsert autoAlign: drift in both directions — source-added " +
+    "column lands, target-only column preserved on match") {
+    // target has t_only (absent from source); source adds s_new (absent
+    // from target) — the reference's autoMerge tolerates both at once
+    val target = Seq((1L, "a", "keep1"), (2L, "b", "keep2"))
+      .toDF("k", "v", "t_only")
+    val source = Seq((2L, "B", 9.9), (3L, "c", 3.3)).toDF("k", "v", "s_new")
+    val out = LakehouseOps.mergeUpsert(target, source, Seq("k"),
+      autoAlign = true)
+    assert(out.columns.toSeq == Seq("k", "v", "t_only", "s_new"))
+    val rows = out.orderBy("k")
+      .as[(Long, String, Option[String], Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, "a", Some("keep1"), None),        // untouched target row
+      (2L, "B", Some("keep2"), Some(9.9)),   // source wins, t_only kept
+      (3L, "c", None, Some(3.3))))           // insert: t_only null-filled
+  }
+
+  test("mergeUpsert autoAlign: without drift behaves exactly like merge") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
+    val source = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "v", "x")
+    val plain = LakehouseOps.mergeUpsert(target, source, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val auto = LakehouseOps.mergeUpsert(target, source, Seq("k"),
+        autoAlign = true)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(auto == plain)
+  }
+
   test("alignToSchema: null-fills missing, drops extra, casts") {
     val src = Seq((1, "x", "drop-me")).toDF("a", "b", "extra")
     val dest = StructType.fromDDL("a BIGINT, b STRING, c DOUBLE")
