@@ -115,6 +115,128 @@ object TableMaintenance {
       "bits" -> bits.toString))
   }
 
+  // ------------------------------------------------- versioned maintenance
+  /** Batch rewrites share streamingUpsert's snapshot protocol (v=N subdir +
+    * the committer's _SUCCESS marker): OPTIMIZE writes the NEXT version
+    * instead of overwriting in place, so
+    *  - a crash mid-rewrite leaves an uncommitted v=N that readers skip —
+    *    the previous version stays readable (OPTIMIZE is crash-safe);
+    *  - the pre-OPTIMIZE table remains addressable ([[readVersion]]) until
+    *    [[vacuumVersions]] sweeps it — Delta's time travel, which the
+    *    reference leans on (TPC-datagen-notebook.scala:2168's history
+    *    browsing);
+    *  - `_graft_history` survives trivially because the table root is
+    *    never overwritten.
+    */
+
+  /** Every v=N subdir, committed or not — claiming max+1 ensures a new
+    * rewrite never lands inside a half-written crash leftover.
+    */
+  private def allVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** Committed versions only (delegates to the streaming protocol). */
+  def committedVersions(spark: SparkSession, dir: String): Seq[Long] =
+    graft.streaming.EventStreams.snapshotVersions(spark, dir)
+
+  /** The directory holding the table's CURRENT data: the latest committed
+    * v=N, or the bare table dir for a never-versioned table. Loud failure
+    * when only incomplete versions exist — falling back to the bare dir
+    * would let a partition-discovery read pick up half-written files.
+    */
+  def currentSnapshotDir(spark: SparkSession, dir: String): String = {
+    val committed = committedVersions(spark, dir)
+    if (committed.nonEmpty) s"$dir/v=${committed.max}"
+    else {
+      require(allVersions(spark, dir).isEmpty,
+        s"only uncommitted versions under $dir — nothing safe to read")
+      dir
+    }
+  }
+
+  /** Current table state (latest committed version or bare dir). */
+  def readTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(currentSnapshotDir(spark, dir))
+
+  /** Time travel: read an older committed version explicitly. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    require(committedVersions(spark, dir).contains(version),
+      s"version $version is not a committed snapshot under $dir")
+    spark.read.parquet(s"$dir/v=$version")
+  }
+
+  /** OPTIMIZE, versioned: compact the current snapshot into ~targetBytes
+    * files written as the next version. Returns the new version id.
+    */
+  def compactVersioned(spark: SparkSession, dir: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val src = currentSnapshotDir(spark, dir)
+    val totalRow = listFiles(spark, src).agg(sum("bytes")).first()
+    require(!totalRow.isNullAt(0), s"no data files under $src")
+    val nFiles = math.max(1,
+      math.ceil(totalRow.getLong(0).toDouble / targetBytes).toInt)
+    val v = allVersions(spark, dir).maxOption.map(_ + 1).getOrElse(0L)
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$dir/v=$v")
+    logOp(spark, dir, "OPTIMIZE", Map(
+      "snapshot_version" -> v.toString,
+      "source" -> src,
+      "target_bytes" -> targetBytes.toString,
+      "n_files" -> nFiles.toString))
+    v
+  }
+
+  /** OPTIMIZE ZORDER BY, versioned: cluster the current snapshot on the
+    * interleave key and write it as the next version. Returns the id.
+    */
+  def zorderVersioned(spark: SparkSession, dir: String, cols: Seq[String],
+                      nFiles: Int, bits: Int = 16): Long = {
+    val src = currentSnapshotDir(spark, dir)
+    val v = allVersions(spark, dir).maxOption.map(_ + 1).getOrElse(0L)
+    spark.read.parquet(src)
+      .withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(s"$dir/v=$v")
+    logOp(spark, dir, "OPTIMIZE ZORDER", Map(
+      "snapshot_version" -> v.toString,
+      "source" -> src,
+      "zorder_by" -> cols.mkString(","),
+      "n_files" -> nFiles.toString,
+      "bits" -> bits.toString))
+    v
+  }
+
+  /** VACUUM for versions: drop committed versions beyond the newest
+    * `keepLast`, plus crash-leftover uncommitted versions older than the
+    * newest committed one. Returns the number of version dirs removed.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String,
+                     keepLast: Int = 1): Long = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val committed = committedVersions(spark, dir).sorted
+    if (committed.isEmpty) return 0L
+    val latest = committed.max
+    val doomedCommitted = committed.dropRight(keepLast)
+    val doomedLeftovers = allVersions(spark, dir)
+      .filterNot(committed.contains).filter(_ < latest)
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = (doomedCommitted ++ doomedLeftovers).distinct
+    doomed.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    logOp(spark, dir, "VACUUM VERSIONS", Map(
+      "deleted_versions" -> doomed.sorted.mkString(","),
+      "keep_last" -> keepLast.toString))
+    doomed.length.toLong
+  }
+
   /** VACUUM planning half: which files fall outside the retention window.
     * Returns the delete plan as a DF (file, bytes, mtime_ms) — the actual
     * delete is the caller's (irreversible) decision, mirroring VACUUM's
@@ -169,15 +291,24 @@ object TableMaintenance {
                      cols: Seq[String]): Unit = {
     // re-register if the name is bound to a DIFFERENT location — silently
     // analyzing the old location would hand the CBO another table's stats.
-    // (location-based tables are external: DROP leaves the data alone)
+    // Only an EXTERNAL table is safe to drop (DROP leaves its data alone);
+    // a MANAGED table owning the name means DROP would delete real data —
+    // fail loudly and let the caller pick another name.
     if (spark.catalog.tableExists(table)) {
-      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-        .filter(col("col_name") === "Location")
-        .select("data_type").collect().headOption.map(_.getString(0))
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name").isin("Location", "Type"))
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
       val want = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
         .makeQualified(new Path(dir)).toString
-      if (!loc.contains(want)) spark.sql(s"DROP TABLE $table")
+      if (!desc.get("Location").contains(want)) {
+        require(desc.get("Type").exists(_.equalsIgnoreCase("EXTERNAL")),
+          s"table $table is ${desc.getOrElse("Type", "?")} and bound to " +
+            s"${desc.getOrElse("Location", "?")} — dropping it would delete " +
+            "its data; refusing to re-register the name")
+        spark.sql(s"DROP TABLE $table")
+      }
     }
     if (!spark.catalog.tableExists(table))
       spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$dir'")
@@ -208,7 +339,26 @@ object TableMaintenance {
     val loc = new Path(
       org.apache.spark.sql.GraftColumnBridge.managedTableLocation(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // only delete a verifiable orphan: if any OTHER catalog table still
+      // resolves to this directory (e.g. an external table registered at
+      // the default path), deleting it would destroy live data
+      val locStr = fs.makeQualified(loc).toString
+      val owner = spark.catalog.listTables().collect()
+        .map(t => if (t.database != null && t.database.nonEmpty)
+          s"${t.database}.${t.name}" else t.name)
+        .find { name =>
+          try spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+            .filter(col("col_name") === "Location")
+            .select("data_type").collect()
+            .headOption.exists(_.getString(0) == locStr)
+          catch { case _: Exception => false }
+        }
+      require(owner.isEmpty,
+        s"refusing to delete $locStr — catalog table ${owner.get} still " +
+          "resolves to it")
+      fs.delete(loc, true)
+    }
     df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -47,6 +47,42 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("versioned OPTIMIZE: crash-safe, time-travelable, history per version") {
+    val dir = Files.createTempDirectory("graft_ver").toString
+    // seed a bare (never-versioned) table
+    val seed = spark.range(1000).selectExpr("id", "id * 2 AS x")
+    seed.write.mode("overwrite").parquet(dir)
+    // v0: compaction of the bare dir — pre-OPTIMIZE data must stay put
+    val v0 = TableMaintenance.compactVersioned(spark, dir, targetBytes = 8L * 1024)
+    assert(v0 == 0L)
+    assert(TableMaintenance.readTable(spark, dir).count() == 1000)
+    // kill-mid-rewrite simulation: a version dir WITHOUT _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    seed.limit(10).write.mode("overwrite").parquet(s"$dir/v=1")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=1/_SUCCESS"), false)
+    // readers skip the uncommitted version: previous snapshot still serves
+    assert(TableMaintenance.currentSnapshotDir(spark, dir).endsWith("v=0"))
+    assert(TableMaintenance.readTable(spark, dir).count() == 1000)
+    // the retried rewrite claims the NEXT slot, never the crashed one
+    val v2 = TableMaintenance.zorderVersioned(spark, dir, Seq("id", "x"), 2)
+    assert(v2 == 2L)
+    assert(TableMaintenance.readTable(spark, dir).count() == 1000)
+    // time travel: v0 still readable; history carries both rewrites
+    assert(TableMaintenance.readVersion(spark, dir, 0L).count() == 1000)
+    val hist = TableMaintenance.history(spark, dir).collect()
+    assert(hist.map(_.getAs[String]("op")).toSeq ==
+      Seq("OPTIMIZE ZORDER", "OPTIMIZE"))
+    // vacuum: keeps the newest committed version, sweeps v0 + the leftover
+    val swept = TableMaintenance.vacuumVersions(spark, dir)
+    assert(swept == 2L)
+    assert(TableMaintenance.committedVersions(spark, dir) == Seq(2L))
+    assert(TableMaintenance.readTable(spark, dir).count() == 1000)
+    intercept[IllegalArgumentException] {
+      TableMaintenance.readVersion(spark, dir, 0L)
+    }
+  }
+
   test("logOp/history: DESCRIBE HISTORY equivalent round-trips, newest first") {
     val dir = Files.createTempDirectory("graft_hist").toString
     TableMaintenance.logOp(spark, dir, "WRITE", Map("rows" -> "100"))
