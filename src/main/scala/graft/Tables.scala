@@ -32,10 +32,22 @@ object Tables {
     * this is the identity — no shuffle is ever added at scale; the
     * round-robin repartition only fires for degenerate low-split inputs,
     * and filters/projections still push through it into the scan.
+    *
+    * HAZARD: scan-stage metadata functions do not survive the fan-out
+    * shuffle — `input_file_name()` evaluates to "" above a repartition.
+    * Any file-inventory consumer must read via [[load]] raw, never
+    * through a fanned-out table (see dbaDescribeDetail).
+    *
+    * The split decision reads the scan's file listing (`inputFiles`, a
+    * FileIndex lookup) rather than `df.rdd.getNumPartitions`, which would
+    * build the full physical plan + RDD lineage per table load just to
+    * count splits. File count under-estimates splits for multi-row-group
+    * files — the only consequence is a redundant (cheap) repartition on a
+    * single-file multi-row-group input, a degenerate layout at scale.
     */
   private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(4, target)) df
+    if (df.inputFiles.length >= math.min(4, target)) df
     else df.repartition(target)
   }
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized

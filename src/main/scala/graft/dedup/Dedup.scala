@@ -188,11 +188,26 @@ object Dedup {
     * Every doc emits a row: its best candidate (min hamming, then lowest
     * id) or nulls when no block collides.
     */
-  def simhashNn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Hot-block cap shared by [[simhashNn]] and its oracle SQL. */
+  private[dedup] val SimhashMaxBucket = 1000
+
+  def simhashNn(docs: DataFrame, maxHamming: Int = 3,
+                maxBucket: Int = SimhashMaxBucket): DataFrame = {
     // both sides of the block join read the fingerprint table — cache one
     // evictable copy (8 bytes/doc) instead of running the 64-agg signature
     // pass twice
     val sim = simhashTable(docs).persist()
+    // Hot-block guard: a degenerate block value shared by many docs
+    // (classically the all-zeros block from short/templated text) turns
+    // one join key into Σ bucket² candidates — the op's skew point at web
+    // scale. Buckets larger than `maxBucket` are dropped BEFORE the join
+    // (count-over-window, same idiom as minhash's singleton prune), which
+    // bounds any key's contribution at maxBucket². Recall tradeoff,
+    // deliberate: members of an over-full bucket only lose candidates
+    // that agree on that one block — a true near-dup pair still meets in
+    // any of its other ≤3 agreeing blocks, and a doc whose every block is
+    // hot is template boilerplate, not a near-dup signal.
+    val wBlock = Window.partitionBy("block", "bv")
     def blocks(d: DataFrame, idAs: String, simAs: String): DataFrame =
       d.select(col("doc_id").as(idAs), col("simhash").as(simAs),
         explode(array((0 until 4).map { b =>
@@ -201,6 +216,9 @@ object Dedup {
               .bitwiseAND(lit(0xFFFFL)).as("bv"))
         }: _*)).as("bk"))
         .select(col(idAs), col(simAs), col("bk.block"), col("bk.bv"))
+        .withColumn("__n", count(lit(1)).over(wBlock))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
     val cand = blocks(sim, "doc_id", "sh_a")
       .join(blocks(sim, "nn_id", "sh_b"), Seq("block", "bv"))
       .filter(col("doc_id") =!= col("nn_id"))
@@ -406,10 +424,14 @@ object Dedup {
        |  SELECT doc_id, simhash, bk.block,
        |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
        |  FROM sim CROSS JOIN range(4) bk(block)),
+       |pruned AS (
+       |  SELECT doc_id, simhash, block, bv FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
+       |    FROM blocks) t WHERE n <= $SimhashMaxBucket),
        |cand AS (
        |  SELECT a.doc_id, b.doc_id AS nn_id,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM blocks a JOIN blocks b USING (block, bv)
+       |  FROM pruned a JOIN pruned b USING (block, bv)
        |  WHERE a.doc_id <> b.doc_id),
        |best AS (
        |  SELECT doc_id, nn_id, hamming FROM (

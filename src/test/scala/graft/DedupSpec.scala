@@ -102,6 +102,33 @@ class DedupSpec extends SparkSpec {
     nn(3L).foreach { case (_, _, dup) => assert(!dup, "doc 3 flagged") }
   }
 
+  test("dedup_simhash_nn: hot-block guard bounds a skewed corpus") {
+    // 2000 identical short docs — every block value identical, so without
+    // the bucket cap one join key generates 2000² candidate pairs. With
+    // maxBucket below the bucket size, the hot block is pruned: the
+    // templated docs emit null-NN rows, the candidate set stays bounded,
+    // and a genuine near-dup pair elsewhere in the corpus is still found.
+    val dir = Files.createTempDirectory("graft_simskew").toString
+    val template = "identical short boilerplate row"
+    val base = (1 to 800).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 800).map(i => if (i == 400) "EDITED" else s"tok$i").mkString(" ")
+    val hot = (0 until 2000).map(i => (i.toLong, template, "en", "s", 1L))
+    val pair = Seq((9000L, base, "en", "s", 1L), (9001L, near, "en", "s", 1L))
+    (hot ++ pair).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nn = Dedup.simhashNn(
+        spark.read.parquet(s"$dir/documents.parquet"), maxBucket = 100)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getBoolean(3)))))
+      .toMap
+    assert(nn.size == 2002)                  // every doc still emits a row
+    assert(nn(0L).isEmpty && nn(1999L).isEmpty,
+      "hot-bucket docs must be pruned, not joined quadratically")
+    assert(nn(9000L).exists { case (id, dup) => id == 9001L && dup })
+    assert(nn(9001L).exists { case (id, dup) => id == 9000L && dup })
+  }
+
   test("dedup_ngram_jaccard: near-dup pair found with high jaccard") {
     val pairs = Dedup.dedupNgramJaccard(spark, corpusDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
