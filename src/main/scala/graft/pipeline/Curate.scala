@@ -83,9 +83,76 @@ object Curate {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination — the standard pre-training pass: flag
+    * corpus documents whose word n-grams overlap an evaluation set too
+    * heavily (the GPT-3/PaLM-style n-gram collision check). Here the
+    * "benchmark" is a deterministic held-out slice (doc_id % benchMod == 0)
+    * so the check is self-contained on the documents table.
+    *
+    * Scale shape: n-grams come from the native WordNgrams expression
+    * (per-row, scan-stage); the benchmark's DISTINCT n-gram set is tiny
+    * relative to a 100 TB corpus (eval sets are fixed-size), so it
+    * BROADCASTS and the corpus side is never shuffled for the membership
+    * probe — the only corpus-wide shuffle is the per-doc groupBy that
+    * counts hits, which carries (doc_id, counts) not text.
+    */
+  def contamCheck(s: SparkSession, dir: String, n: Int = 3,
+                  threshold: Double = 0.5, benchMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.Sketch.word_ngrams(col("text"), n))).as("g"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select("g").distinct()
+    val corp = grams.filter(col("doc_id") % benchMod =!= 0)
+    val agg = corp
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+    // docs shorter than n words have no n-grams — they still report, clean
+    val overlap = when(coalesce(col("n_grams"), lit(0L)) > 0,
+      col("n_hits").cast("double") / col("n_grams")).otherwise(lit(0.0))
+    docs.select("doc_id").filter(col("doc_id") % benchMod =!= 0)
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        overlap.as("overlap"),
+        (overlap >= threshold).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val contamCheckOracle: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |              for i in range(1, len(t) - 1)]) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+      |    WHERE len(t) >= 3) u),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+      |corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+      |agg AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hits
+      |  FROM corp c LEFT JOIN bench b USING (g)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_hits, 0) AS n_hits,
+      |  CASE WHEN COALESCE(n_grams, 0) > 0
+      |       THEN CAST(n_hits AS DOUBLE) / n_grams ELSE 0.0 END AS overlap,
+      |  CASE WHEN COALESCE(n_grams, 0) > 0
+      |       THEN CAST(n_hits AS DOUBLE) / n_grams ELSE 0.0 END >= 0.5
+      |    AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      |LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (pipelineCurate _))
+    "pipeline_curate" -> (pipelineCurate _),
+    "contam_check"    -> ((s: SparkSession, d: String) => contamCheck(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curate" -> pipelineCurateOracle)
+    "pipeline_curate" -> pipelineCurateOracle,
+    "contam_check"    -> contamCheckOracle)
 }

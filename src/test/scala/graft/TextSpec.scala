@@ -82,6 +82,25 @@ class TextSpec extends SparkSpec {
     assert(out(6L) == (("kept", true)))        // non-English content survives
   }
 
+  test("contam check: benchmark copy flags, disjoint doc stays clean") {
+    val dir = Files.createTempDirectory("graft_contam").toString
+    val benchText = (1 to 30).map(i => s"eval$i").mkString(" ")
+    Seq(
+      (0L, benchText, "en", "s", 1L),            // benchmark slice (id%10==0)
+      (11L, benchText, "en", "s", 1L),           // verbatim benchmark copy
+      (12L, (1 to 30).map(i => s"fresh$i").mkString(" "), "en", "s", 1L),
+      (13L, "too short", "en", "s", 1L))          // < n tokens: no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.pipeline.Curate.contamCheck(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(11L, 12L, 13L))     // benchmark rows excluded
+    assert(out(11L)._4 && out(11L)._3 == 1.0)    // full-overlap copy flagged
+    assert(!out(12L)._4 && out(12L)._2 == 0L)    // disjoint text clean
+    assert(out(13L) == (0L, 0L, 0.0, false))     // gram-less doc reports clean
+  }
+
   test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(
