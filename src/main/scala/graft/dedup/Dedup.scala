@@ -191,8 +191,13 @@ object Dedup {
   /** Hot-block cap shared by [[simhashNn]] and its oracle SQL. */
   private[dedup] val SimhashMaxBucket = 1000
 
-  def simhashNn(docs: DataFrame, maxHamming: Int = 3,
-                maxBucket: Int = SimhashMaxBucket): DataFrame = {
+  /** Candidate near-dup pairs (doc_id, nn_id, hamming) from the pruned
+    * Manku block join — shared by [[simhashNn]] (best-per-doc) and
+    * [[simhashNearDupIds]] (exists-an-earlier-dup). A pair agreeing on k
+    * blocks appears k times; consumers dedup as fits their aggregation.
+    */
+  private def simhashCandidates(docs: DataFrame,
+                                maxBucket: Int): DataFrame = {
     // both sides of the block join read the fingerprint table — cache one
     // evictable copy (8 bytes/doc) instead of running the 64-agg signature
     // pass twice
@@ -219,11 +224,16 @@ object Dedup {
         .withColumn("__n", count(lit(1)).over(wBlock))
         .filter(col("__n") <= maxBucket)
         .drop("__n")
-    val cand = blocks(sim, "doc_id", "sh_a")
+    blocks(sim, "doc_id", "sh_a")
       .join(blocks(sim, "nn_id", "sh_b"), Seq("block", "bv"))
       .filter(col("doc_id") =!= col("nn_id"))
       .select(col("doc_id"), col("nn_id"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
+  def simhashNn(docs: DataFrame, maxHamming: Int = 3,
+                maxBucket: Int = SimhashMaxBucket): DataFrame = {
+    val cand = simhashCandidates(docs, maxBucket)
     // a pair agreeing on k blocks appears k times with identical sort
     // keys — rn=1 picks the same winner, so no dedup pass is needed
     val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("nn_id"))
@@ -235,6 +245,16 @@ object Dedup {
         (col("hamming") <= maxHamming).as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** doc_ids with at least one EARLIER (lower-id) document within
+    * `maxHamming` simhash bits — the keep-first near-dup gate for
+    * curation: flagged docs drop, their earlier counterpart survives.
+    */
+  def simhashNearDupIds(docs: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = SimhashMaxBucket): DataFrame =
+    simhashCandidates(docs, maxBucket)
+      .filter(col("hamming") <= maxHamming && col("nn_id") < col("doc_id"))
+      .select("doc_id").distinct()
 
   def dedupSimhashNn(s: SparkSession, dir: String): DataFrame =
     simhashNn(Tables.documents(s, dir))
@@ -414,12 +434,11 @@ object Dedup {
        |SELECT doc_id, simhash, (simhash >> 48) & 65535 AS bucket
        |FROM sim ORDER BY doc_id""".stripMargin
 
-  /** Manku block self-join + best-neighbor window, mirroring [[simhashNn]]
-    * defaults (4 blocks × 16 bits, maxHamming=3). Arithmetic-shift-then-
-    * mask equals Spark's unsigned-shift-then-mask for every kept bit.
+  /** Manku blocks + hot-block prune over `sim` — shared by the NN oracle
+    * and the curation near-dup gate's SQL.
     */
-  val dedupSimhashNnOracle: String =
-    s"""WITH $simhashSqlCtes,
+  private def simhashBlocksSqlCtes: String =
+    s"""$simhashSqlCtes,
        |blocks AS (
        |  SELECT doc_id, simhash, bk.block,
        |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
@@ -427,7 +446,25 @@ object Dedup {
        |pruned AS (
        |  SELECT doc_id, simhash, block, bv FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
-       |    FROM blocks) t WHERE n <= $SimhashMaxBucket),
+       |    FROM blocks) t WHERE n <= $SimhashMaxBucket)""".stripMargin
+
+  /** CTE chain ending in nd(doc_id): docs with an earlier near-dup —
+    * SQL mirror of [[simhashNearDupIds]].
+    */
+  private[graft] def simhashNearDupSqlCtes(maxHamming: Int = 3): String =
+    s"""$simhashBlocksSqlCtes,
+       |nd AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM pruned a JOIN pruned b USING (block, bv)
+       |  WHERE b.doc_id < a.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
+
+  /** Manku block self-join + best-neighbor window, mirroring [[simhashNn]]
+    * defaults (4 blocks × 16 bits, maxHamming=3). Arithmetic-shift-then-
+    * mask equals Spark's unsigned-shift-then-mask for every kept bit.
+    */
+  val dedupSimhashNnOracle: String =
+    s"""WITH $simhashBlocksSqlCtes,
        |cand AS (
        |  SELECT a.doc_id, b.doc_id AS nn_id,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -83,6 +83,74 @@ object Curate {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** [[curate]] plus a NEAR-dup gate: after exact dedup, a document whose
+    * simhash sits within `maxHamming` bits of an EARLIER document drops
+    * with reason `near_dup` (keep-first, matching the exact gate's
+    * lowest-id-wins). Precedence: dup > near_dup > short > lang_mismatch >
+    * low_quality > kept. Adds the Manku block join's cost (4 shuffled
+    * rows/doc, hot-block-capped) on top of curate's one content-hash
+    * shuffle — the full production shape: exact + near dedup + quality in
+    * one composed pass.
+    */
+  def curateNearDup(docs: DataFrame, minWords: Int = 25,
+                    minStopwordRatio: Double = 0.02,
+                    maxHamming: Int = 3): DataFrame = {
+    val wDup = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy("doc_id")
+    val swRatio =
+      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
+    val nd = graft.dedup.Dedup.simhashNearDupIds(docs, maxHamming)
+      .withColumn("__nd", lit(true))
+    docs
+      .withColumn("__sc", TextFuncs.langScores(col("text")))
+      .withColumn("__rn", row_number().over(wDup))
+      .withColumn("n_words", col("__sc").getItem(0))
+      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("__rn") =!= 1, "dup")
+          .when(coalesce(col("__nd"), lit(false)), "near_dup")
+          .when(col("n_words") < minWords, "short")
+          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+          .when(swRatio < minStopwordRatio, "low_quality")
+          .otherwise("kept"))
+      .withColumn("kept", col("reason") === "kept")
+      .select("doc_id", "n_words", "pred_lang", "reason", "kept")
+      .orderBy("doc_id")
+  }
+
+  def pipelineCurateNearDup(s: SparkSession, dir: String): DataFrame =
+    curateNearDup(Tables.documents(s, dir))
+
+  /** Curate oracle + the simhash near-dup CTE chain (shared with the
+    * dedup_simhash_nn oracle via Dedup.simhashNearDupSqlCtes).
+    */
+  val pipelineCurateNearDupOracle: String = {
+    s"""WITH ${graft.dedup.Dedup.simhashNearDupSqlCtes()},
+       |f AS (
+       |  SELECT doc_id, lang, len(t) AS n_words,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+       |    ${TextFuncs.langScoreSqlExprs("t").mkString(",\n    ")}
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents) raw),
+       |g AS (SELECT *, ${TextFuncs.langBestSql} AS best,
+       |        CAST(${TextFuncs.langBestSql} AS DOUBLE) / n_words AS swr
+       |      FROM f),
+       |p AS (SELECT g.*, ${TextFuncs.langPredSql} AS pred_lang,
+       |        nd.doc_id IS NOT NULL AS is_nd
+       |      FROM g LEFT JOIN nd USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, n_words, pred_lang,
+       |    CASE WHEN rn <> 1 THEN 'dup'
+       |         WHEN is_nd THEN 'near_dup'
+       |         WHEN n_words < 25 THEN 'short'
+       |         WHEN pred_lang <> lang THEN 'lang_mismatch'
+       |         WHEN swr < 0.02 THEN 'low_quality'
+       |         ELSE 'kept' END AS reason
+       |  FROM p)
+       |SELECT doc_id, n_words, pred_lang, reason, reason = 'kept' AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination — the standard pre-training pass: flag
     * corpus documents whose word n-grams overlap an evaluation set too
     * heavily (the GPT-3/PaLM-style n-gram collision check). Here the
@@ -149,10 +217,12 @@ object Curate {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (pipelineCurate _),
-    "contam_check"    -> ((s: SparkSession, d: String) => contamCheck(s, d)))
+    "pipeline_curate"         -> (pipelineCurate _),
+    "pipeline_curate_neardup" -> (pipelineCurateNearDup _),
+    "contam_check"            -> ((s: SparkSession, d: String) => contamCheck(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curate" -> pipelineCurateOracle,
-    "contam_check"    -> contamCheckOracle)
+    "pipeline_curate"         -> pipelineCurateOracle,
+    "pipeline_curate_neardup" -> pipelineCurateNearDupOracle,
+    "contam_check"            -> contamCheckOracle)
 }

@@ -82,6 +82,27 @@ class TextSpec extends SparkSpec {
     assert(out(6L) == (("kept", true)))        // non-English content survives
   }
 
+  test("curate near-dup gate: exact dup beats near_dup, keep-first wins") {
+    val dir = Files.createTempDirectory("graft_curnd").toString
+    // 800-word docs: a 1-word edit flips ~1 simhash bit (margins ~√n),
+    // so the near-dup is reliably within the hamming-3 gate
+    val base = (1 to 800).map(i => s"the of and to in is it was w$i").take(800)
+      .mkString(" ")
+    val near = base.replace("w400", "EDITED")
+    Seq(
+      (0L, base, "en", "s", 1L),   // survives everything
+      (1L, base, "en", "s", 1L),   // exact copy → dup (not near_dup)
+      (2L, near, "en", "s", 1L))   // 1-word edit → near_dup
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.pipeline.Curate
+      .pipelineCurateNearDup(spark, dir)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(out(0L) == "kept", s"doc 0: ${out(0L)}")
+    assert(out(1L) == "dup")       // exact gate takes precedence
+    assert(out(2L) == "near_dup")  // keep-first: earlier doc 0 survives
+  }
+
   test("contam check: benchmark copy flags, disjoint doc stays clean") {
     val dir = Files.createTempDirectory("graft_contam").toString
     val benchText = (1 to 30).map(i => s"eval$i").mkString(" ")
