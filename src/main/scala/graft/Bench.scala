@@ -37,11 +37,8 @@ object Bench {
     // measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    // Optional comma-separated subset for local iteration; unset (or set
-    // but empty — a stray exported var) = full suite.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
+    // Optional subset for local iteration (SparkEntry owns the contract).
+    val only = SparkEntry.querySubset
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Interleave whole-suite passes (run 1 of everything, then run 2, ...)

@@ -30,8 +30,19 @@ object SparkEntry {
   /** Data-dependent oracles that inline a deterministically-trained model
     * (IVF centroids, PQ codebooks) as SQL literals — they need the live
     * session + sf dir, so Verify merges them into oracle_sql.json at dump
-    * time rather than this map being static.
+    * time rather than this map being static. `wanted` gates generation so
+    * a subset run trains no model it doesn't need.
     */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    graft.ann.Ann.dynamicOracles(spark, sfDir)
+  def dynamicOracleSql(spark: SparkSession, sfDir: String,
+                       wanted: String => Boolean = _ => true): Map[String, String] =
+    graft.ann.Ann.dynamicOracles(spark, sfDir, wanted)
+
+  /** The SPARK_GRAFT_QUERIES subset contract shared by Bench and Verify:
+    * comma-separated names; unset or empty (a stray exported var) = full
+    * suite (None).
+    */
+  def querySubset: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
 }

@@ -16,11 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated subset for local iteration (same contract as
-    // Bench); unset or empty = full suite, which is what the driver runs.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
+    // Optional subset for local iteration (SparkEntry owns the contract);
+    // unset or empty = full suite, which is what the driver runs.
+    val only = SparkEntry.querySubset
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -45,9 +43,12 @@ object Verify {
       case c => c.toString
     } + "\""
     // static oracles + the trained-model ones generated against this
-    // session/sfDir; a training failure must not zero the whole dump
+    // session/sfDir (gated on the subset, so a subset dump trains
+    // nothing it doesn't need); a training failure must not zero the
+    // whole dump
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      try SparkEntry.dynamicOracleSql(spark, sfDir,
+        name => only.forall(_.contains(name)))
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
         Map.empty[String, String]

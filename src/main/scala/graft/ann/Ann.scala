@@ -436,8 +436,10 @@ object Ann {
   }
 
   /** DuckDB oracle for [[annIvf]] with the trained centroids inlined. */
-  def annIvfOracleSql(s: SparkSession, dir: String): String = {
-    val centroids = trainIvf(s, dir)
+  def annIvfOracleSql(s: SparkSession, dir: String): String =
+    ivfOracleFromCentroids(trainIvf(s, dir))
+
+  private def ivfOracleFromCentroids(centroids: Seq[(Long, Array[Float])]): String = {
     s"""WITH ${ivfSqlCtes(centroids, NQueries, IvfProbe)},
        |scored AS (
        |  SELECT p.query_id, a.vec_id,
@@ -453,8 +455,10 @@ object Ann {
     * PqDecode's float storage does, then ADC → top-k·rerank → exact
     * re-rank, mirroring the DataFrame plan stage for stage.
     */
-  def annIvfPqOracleSql(s: SparkSession, dir: String): String = {
-    val model = trainPq(s, dir)
+  def annIvfPqOracleSql(s: SparkSession, dir: String): String =
+    pqOracleFromModel(trainPq(s, dir))
+
+  private def pqOracleFromModel(model: PqModel): String = {
     val subDim = model.centArr(0).length / PqM
     val cbRows = (for {
       mi <- 0 until PqM
@@ -504,10 +508,22 @@ object Ann {
 
   /** Data-dependent oracles (trained-model literals), generated at Verify
     * dump time with the same (session, sfDir) the queries run against.
+    * `wanted` gates per entry so a subset dump trains nothing it doesn't
+    * need; both oracles share ONE training run — the PQ model's coarse
+    * centroids ARE the IVF model (same sample, same Lloyd).
     */
-  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = Map(
-    "ann_ivf"    -> annIvfOracleSql(s, dir),
-    "ann_ivf_pq" -> annIvfPqOracleSql(s, dir))
+  def dynamicOracles(s: SparkSession, dir: String,
+                     wanted: String => Boolean = _ => true): Map[String, String] = {
+    val names = Seq("ann_ivf", "ann_ivf_pq").filter(wanted)
+    if (names.isEmpty) Map.empty
+    else {
+      lazy val model = trainPq(s, dir)
+      names.map {
+        case n @ "ann_ivf"    => n -> ivfOracleFromCentroids(model.centroids)
+        case n @ "ann_ivf_pq" => n -> pqOracleFromModel(model)
+      }.toMap
+    }
+  }
 
   // --------------------------------------------------------------- C16
   /** Per-label embedding norm statistics — the standard sanity pass before

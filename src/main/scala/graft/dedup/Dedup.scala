@@ -198,10 +198,6 @@ object Dedup {
     */
   private def simhashCandidates(docs: DataFrame,
                                 maxBucket: Int): DataFrame = {
-    // both sides of the block join read the fingerprint table — cache one
-    // evictable copy (8 bytes/doc) instead of running the 64-agg signature
-    // pass twice
-    val sim = simhashTable(docs).persist()
     // Hot-block guard: a degenerate block value shared by many docs
     // (classically the all-zeros block from short/templated text) turns
     // one join key into Σ bucket² candidates — the op's skew point at web
@@ -212,20 +208,29 @@ object Dedup {
     // that agree on that one block — a true near-dup pair still meets in
     // any of its other ≤3 agreeing blocks, and a doc whose every block is
     // hot is template boilerplate, not a near-dup signal.
+    //
+    // The PRUNED block table is computed once and persisted (evictable,
+    // 20 bytes/doc·block); both join sides read the cache, so the
+    // signature aggregation AND the bucket-count window each run exactly
+    // once per execution instead of once per side.
     val wBlock = Window.partitionBy("block", "bv")
-    def blocks(d: DataFrame, idAs: String, simAs: String): DataFrame =
-      d.select(col("doc_id").as(idAs), col("simhash").as(simAs),
+    val blocks = simhashTable(docs)
+      .select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("block"),
             shiftrightunsigned(col("simhash"), b * 16)
               .bitwiseAND(lit(0xFFFFL)).as("bv"))
         }: _*)).as("bk"))
-        .select(col(idAs), col(simAs), col("bk.block"), col("bk.bv"))
-        .withColumn("__n", count(lit(1)).over(wBlock))
-        .filter(col("__n") <= maxBucket)
-        .drop("__n")
-    blocks(sim, "doc_id", "sh_a")
-      .join(blocks(sim, "nn_id", "sh_b"), Seq("block", "bv"))
+      .select(col("doc_id"), col("simhash"), col("bk.block"), col("bk.bv"))
+      .withColumn("__n", count(lit(1)).over(wBlock))
+      .filter(col("__n") <= maxBucket)
+      .select("doc_id", "simhash", "block", "bv")
+      .persist()
+    blocks.select(col("doc_id"), col("simhash").as("sh_a"),
+        col("block"), col("bv"))
+      .join(blocks.select(col("doc_id").as("nn_id"),
+        col("simhash").as("sh_b"), col("block"), col("bv")),
+        Seq("block", "bv"))
       .filter(col("doc_id") =!= col("nn_id"))
       .select(col("doc_id"), col("nn_id"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

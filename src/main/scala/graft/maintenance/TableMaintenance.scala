@@ -138,7 +138,10 @@ object TableMaintenance {
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      // non-numeric v= dirs (operator copies like v=1.bak) are not protocol
+      // snapshots — ignore them rather than bricking every versioned op on
+      // the table with a NumberFormatException
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
   }
 
   /** Committed versions only (delegates to the streaming protocol). */
@@ -231,8 +234,22 @@ object TableMaintenance {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doomed = (doomedCommitted ++ doomedLeftovers).distinct
     doomed.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    // The pre-versioning bare-root files are the oldest snapshot of all:
+    // once a committed version exists they are unreachable (readers always
+    // resolve v=N), so a vacuum that keeps only versioned snapshots must
+    // reclaim them too or the table leaks its original bytes forever.
+    // Protocol dirs (v=*) and metadata (_*/.*, e.g. _graft_history) stay.
+    var bareSwept = 0L
+    fs.listStatus(path).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("v=") && !n.startsWith("_") && !n.startsWith(".")) {
+        fs.delete(st.getPath, true)
+        bareSwept += 1
+      }
+    }
     logOp(spark, dir, "VACUUM VERSIONS", Map(
       "deleted_versions" -> doomed.sorted.mkString(","),
+      "deleted_bare_entries" -> bareSwept.toString,
       "keep_last" -> keepLast.toString))
     doomed.length.toLong
   }

@@ -26,87 +26,34 @@ import graft.functions.TextFuncs
   */
 object Curate {
 
-  def curate(docs: DataFrame, minWords: Int = 25,
-             minStopwordRatio: Double = 0.02): DataFrame = {
-    // ONE native tokenize+score pass per row ([n_tokens, score_en, …],
-    // materialized as __sc — non-cheap, so CollapseProject keeps the
-    // alias); word count, language gate, and quality gate are all plain
-    // array indexes over it. The previous HOF formulation re-split and
-    // re-scored the text ≥3× per row, interpreted — on the single
-    // most-run pipeline in the workload.
+  /** The one curation builder both variants share — a gate change here is
+    * a gate change everywhere. `nearDupIds`: docs to drop as `near_dup`
+    * (precedence right after the exact gate); None = gate off.
+    *
+    * ONE native tokenize+score pass per row ([n_tokens, score_en, …],
+    * materialized as __sc — non-cheap, so CollapseProject keeps the
+    * alias); word count, language gate, and quality gate are all plain
+    * array indexes over it. The previous HOF formulation re-split and
+    * re-scored the text ≥3× per row, interpreted — on the single
+    * most-run pipeline in the workload.
+    */
+  private def curateWith(docs: DataFrame, nearDupIds: Option[DataFrame],
+                         minWords: Int, minStopwordRatio: Double): DataFrame = {
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
     val swRatio =
       TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
-    docs
+    val base = docs
       .withColumn("__sc", TextFuncs.langScores(col("text")))
       .withColumn("__rn", row_number().over(wDup))
       .withColumn("n_words", col("__sc").getItem(0))
       .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
-      .withColumn("reason",
-        when(col("__rn") =!= 1, "dup")
-          .when(col("n_words") < minWords, "short")
-          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
-          .when(swRatio < minStopwordRatio, "low_quality")
-          .otherwise("kept"))
-      .withColumn("kept", col("reason") === "kept")
-      .select("doc_id", "n_words", "pred_lang", "reason", "kept")
-      .orderBy("doc_id")
-  }
-
-  def pipelineCurate(s: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(s, dir))
-
-  /** Generated via the shared langid SQL generators (TextFuncs.lang*Sql)
-    * so the gates can never drift from the Spark side OR from
-    * textLangidOracle.
-    */
-  val pipelineCurateOracle: String = {
-    s"""WITH f AS (
-       |  SELECT doc_id, lang, len(t) AS n_words,
-       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
-       |    ${TextFuncs.langScoreSqlExprs("t").mkString(",\n    ")}
-       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents) raw),
-       |g AS (SELECT *, ${TextFuncs.langBestSql} AS best,
-       |        CAST(${TextFuncs.langBestSql} AS DOUBLE) / n_words AS swr
-       |      FROM f),
-       |p AS (SELECT *, ${TextFuncs.langPredSql} AS pred_lang FROM g),
-       |r AS (
-       |  SELECT doc_id, n_words, pred_lang,
-       |    CASE WHEN rn <> 1 THEN 'dup'
-       |         WHEN n_words < 25 THEN 'short'
-       |         WHEN pred_lang <> lang THEN 'lang_mismatch'
-       |         WHEN swr < 0.02 THEN 'low_quality'
-       |         ELSE 'kept' END AS reason
-       |  FROM p)
-       |SELECT doc_id, n_words, pred_lang, reason, reason = 'kept' AS kept
-       |FROM r ORDER BY doc_id""".stripMargin
-  }
-
-  /** [[curate]] plus a NEAR-dup gate: after exact dedup, a document whose
-    * simhash sits within `maxHamming` bits of an EARLIER document drops
-    * with reason `near_dup` (keep-first, matching the exact gate's
-    * lowest-id-wins). Precedence: dup > near_dup > short > lang_mismatch >
-    * low_quality > kept. Adds the Manku block join's cost (4 shuffled
-    * rows/doc, hot-block-capped) on top of curate's one content-hash
-    * shuffle — the full production shape: exact + near dedup + quality in
-    * one composed pass.
-    */
-  def curateNearDup(docs: DataFrame, minWords: Int = 25,
-                    minStopwordRatio: Double = 0.02,
-                    maxHamming: Int = 3): DataFrame = {
-    val wDup = Window.partitionBy(md5(col("text").cast("binary")))
-      .orderBy("doc_id")
-    val swRatio =
-      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
-    val nd = graft.dedup.Dedup.simhashNearDupIds(docs, maxHamming)
-      .withColumn("__nd", lit(true))
-    docs
-      .withColumn("__sc", TextFuncs.langScores(col("text")))
-      .withColumn("__rn", row_number().over(wDup))
-      .withColumn("n_words", col("__sc").getItem(0))
-      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
-      .join(nd, Seq("doc_id"), "left")
+    val gated = nearDupIds match {
+      case Some(nd) =>
+        base.join(nd.withColumn("__nd", lit(true)), Seq("doc_id"), "left")
+      case None => base.withColumn("__nd", lit(false)) // folds away below
+    }
+    gated
       .withColumn("reason",
         when(col("__rn") =!= 1, "dup")
           .when(coalesce(col("__nd"), lit(false)), "near_dup")
@@ -119,14 +66,24 @@ object Curate {
       .orderBy("doc_id")
   }
 
-  def pipelineCurateNearDup(s: SparkSession, dir: String): DataFrame =
-    curateNearDup(Tables.documents(s, dir))
+  def curate(docs: DataFrame, minWords: Int = 25,
+             minStopwordRatio: Double = 0.02): DataFrame =
+    curateWith(docs, None, minWords, minStopwordRatio)
 
-  /** Curate oracle + the simhash near-dup CTE chain (shared with the
-    * dedup_simhash_nn oracle via Dedup.simhashNearDupSqlCtes).
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(s, dir))
+
+  /** Shared oracle generator, built from the langid SQL generators
+    * (TextFuncs.lang*Sql) so the gates can never drift from the Spark
+    * side OR from textLangidOracle — and the two curate variants differ
+    * only by the nd CTE chain and one CASE arm, mirroring [[curateWith]].
     */
-  val pipelineCurateNearDupOracle: String = {
-    s"""WITH ${graft.dedup.Dedup.simhashNearDupSqlCtes()},
+  private def curateOracleSql(ndCtes: Option[String]): String = {
+    val withClause = ndCtes.map(c => s"WITH $c,").getOrElse("WITH")
+    val isNd = if (ndCtes.isDefined) "nd.doc_id IS NOT NULL" else "FALSE"
+    val pFrom =
+      if (ndCtes.isDefined) "FROM g LEFT JOIN nd USING (doc_id)" else "FROM g"
+    s"""$withClause
        |f AS (
        |  SELECT doc_id, lang, len(t) AS n_words,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
@@ -135,9 +92,8 @@ object Curate {
        |g AS (SELECT *, ${TextFuncs.langBestSql} AS best,
        |        CAST(${TextFuncs.langBestSql} AS DOUBLE) / n_words AS swr
        |      FROM f),
-       |p AS (SELECT g.*, ${TextFuncs.langPredSql} AS pred_lang,
-       |        nd.doc_id IS NOT NULL AS is_nd
-       |      FROM g LEFT JOIN nd USING (doc_id)),
+       |p AS (SELECT g.*, ${TextFuncs.langPredSql} AS pred_lang, $isNd AS is_nd
+       |      $pFrom),
        |r AS (
        |  SELECT doc_id, n_words, pred_lang,
        |    CASE WHEN rn <> 1 THEN 'dup'
@@ -150,6 +106,33 @@ object Curate {
        |SELECT doc_id, n_words, pred_lang, reason, reason = 'kept' AS kept
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  val pipelineCurateOracle: String = curateOracleSql(None)
+
+  /** [[curate]] plus a NEAR-dup gate: after exact dedup, a document whose
+    * simhash sits within `maxHamming` bits of an EARLIER document drops
+    * with reason `near_dup` (keep-first, matching the exact gate's
+    * lowest-id-wins). Precedence: dup > near_dup > short > lang_mismatch >
+    * low_quality > kept. Adds the Manku block join's cost (4 shuffled
+    * rows/doc, hot-block-capped) on top of curate's one content-hash
+    * shuffle — the full production shape: exact + near dedup + quality in
+    * one composed pass.
+    */
+  def curateNearDup(docs: DataFrame, minWords: Int = 25,
+                    minStopwordRatio: Double = 0.02,
+                    maxHamming: Int = 3): DataFrame =
+    curateWith(docs,
+      Some(graft.dedup.Dedup.simhashNearDupIds(docs, maxHamming)),
+      minWords, minStopwordRatio)
+
+  def pipelineCurateNearDup(s: SparkSession, dir: String): DataFrame =
+    curateNearDup(Tables.documents(s, dir))
+
+  /** Curate oracle + the simhash near-dup CTE chain (shared with the
+    * dedup_simhash_nn oracle via Dedup.simhashNearDupSqlCtes).
+    */
+  val pipelineCurateNearDupOracle: String =
+    curateOracleSql(Some(graft.dedup.Dedup.simhashNearDupSqlCtes()))
 
   /** Benchmark decontamination — the standard pre-training pass: flag
     * corpus documents whose word n-grams overlap an evaluation set too

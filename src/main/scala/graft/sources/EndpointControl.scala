@@ -56,7 +56,10 @@ object EndpointControl {
     if (target(first)) (first, 1)
     else {
       command()
-      awaitState(getState, target, pollEveryMs, timeoutMs, sleep, now)
+      val (state, polls) =
+        awaitState(getState, target, pollEveryMs, timeoutMs, sleep, now)
+      // + the probe above, so the count means "state reads" in both branches
+      (state, polls + 1)
     }
   }
 

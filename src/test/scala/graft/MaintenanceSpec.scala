@@ -78,6 +78,12 @@ class MaintenanceSpec extends SparkSpec {
     assert(swept == 2L)
     assert(TableMaintenance.committedVersions(spark, dir) == Seq(2L))
     assert(TableMaintenance.readTable(spark, dir).count() == 1000)
+    // the unreachable pre-versioning bare-root files are reclaimed too —
+    // only protocol dirs (v=*) and metadata (_graft_history) survive
+    val rootLeft = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("v=") || n.startsWith("_") || n.startsWith("."))
+    assert(rootLeft.isEmpty, s"bare files leaked: ${rootLeft.mkString(",")}")
     intercept[IllegalArgumentException] {
       TableMaintenance.readVersion(spark, dir, 0L)
     }

@@ -61,6 +61,9 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("dba_pricing_cost").contains("BroadcastHashJoin"))
     // non-equi ("everything but self") join against 8 broadcast query rows
     assert(executedPlan("ann_bruteforce").contains("BroadcastNestedLoopJoin"))
+    // the benchmark n-gram set must broadcast — shuffling the corpus side
+    // for the membership probe is the 100 TB failure mode
+    assert(executedPlan("contam_check").contains("BroadcastHashJoin"))
     // the merge-upsert key shuffle must be a single hash partitioning
     assert(plan("dba_merge_upsert").contains("hashpartitioning(o_orderkey"))
   }
