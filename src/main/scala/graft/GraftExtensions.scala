@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineLshBucket, Md5MinhashPerms, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, n) => WordNgrams(text, intArg(n, "n"))
         case _ => throw new IllegalArgumentException(
           "graft_word_ngrams(text[, n])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_perms"),
+      new ExpressionInfo(classOf[Md5MinhashPerms].getName, "graft_minhash_perms"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => Md5MinhashPerms(text, 64)
+        case Seq(text, k) => Md5MinhashPerms(text, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_perms(text[, k])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lang_scores"),

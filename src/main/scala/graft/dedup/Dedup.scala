@@ -64,23 +64,33 @@ object Dedup {
                    k: Int = 64, bands: Int = 16,
                    ccIterations: Int = 3): DataFrame = {
     val rows = k / bands
-    // Signature via explode + hash-aggregate (codegen'd, map-side combine)
-    // rather than k interpreted `aggregate` lambdas over a shingle array:
-    // the shuffle carries one row per doc either way, but the per-shingle
-    // permutation hashing runs compiled.
-    val sigCols = (0 until k).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"__s$i"))
-    val sig = shingleHashes(Tables.documents(s, dir))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    // Portable signature: word 3-shingle STRINGS (whole text below 3
+    // tokens), hashed by the md5 Kirsch–Mitzenmacher family — ONE digest
+    // per shingle serves all k permutations, and the whole pipeline
+    // (signatures → banding → label propagation) is reproduced exactly by
+    // the DuckDB oracle. Same agg shape as an engine-local hash would use:
+    // explode + one codegen'd hash-aggregate with k map-side-combined mins.
+    val ng = graft.functions.Sketch.word_ngrams(col("text"), 3)
+    val posting = Tables.documents(s, dir)
+      .withColumn("__ng", ng)
+      .select(col("doc_id"),
+        explode(when(size(col("__ng")) === 0, array(col("text")))
+          .otherwise(col("__ng"))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5_minhash_perms(col("sh"), k).as("p"))
+    val sigCols = (0 until k).map(i => min(col("p").getItem(i)).as(s"__s$i"))
+    val sig = posting.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Band key "<band>,<s_0>,…,<s_r-1>": decimal renderings concatenated —
+    // both engines produce the identical string, so no engine-local hash
+    // sits in the grouping key. ~90 bytes/row instead of 12 on the banded
+    // table's shuffle; the banded table is k/rows rows per doc either way.
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rows).map(r => col(s"__s${b * rows + r}"))
-            :+ lit(b): _*).as("bhash"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+        concat_ws(",",
+          (lit(b) +: (0 until rows).map(r => col(s"__s${b * rows + r}")))
+            .map(_.cast("string")): _*)
+      }: _*)).as("bkey"))
     // Prune to non-singleton buckets before propagating: a bucket with one
     // doc generates no edge, and in a real corpus the overwhelming majority
     // of docs sit only in singleton buckets. Propagation then runs over the
@@ -94,11 +104,11 @@ object Dedup {
     // the chain) — and every superseded checkpoint is RELEASED via
     // GraftColumnBridge.releaseCheckpoint, so only the final tiny label
     // table stays pinned after the query.
-    val wBucket = Window.partitionBy("band", "bhash")
+    val wBucket = Window.partitionBy("bkey")
     val edges = banded
       .withColumn("__n", count(lit(1)).over(wBucket))
       .filter(col("__n") >= 2)
-      .select("doc_id", "band", "bhash")
+      .select("doc_id", "bkey")
       .localCheckpoint(true)
     var labels = edges.select("doc_id").distinct()
       .withColumn("label", col("doc_id"))
@@ -107,11 +117,11 @@ object Dedup {
     var i = 0
     while (i < ccIterations && !converged) {
       val bucketMin = edges.join(labels, "doc_id")
-        .groupBy("band", "bhash").agg(min("label").as("bmin"))
+        .groupBy("bkey").agg(min("label").as("bmin"))
       // carry the previous label through the aggregation so the fixpoint
       // check below is a plain filter over the materialized checkpoint —
       // no extra join job per round
-      val next = edges.join(bucketMin, Seq("band", "bhash"))
+      val next = edges.join(bucketMin, Seq("bkey"))
         .groupBy("doc_id").agg(min("bmin").as("label"))
         .join(labels.withColumnRenamed("label", "__old"), "doc_id")
         .localCheckpoint(true)
@@ -403,6 +413,58 @@ object Dedup {
       .replace("BUCKET_EXPR", bucket)
   }
 
+  /** Full-pipeline minhash oracle. Signatures: md5-KM permutations in
+    * 32-bit-word arithmetic — the exact mod-2^64 value of Spark's wrapping
+    * `a + i·b`, with the two's-complement CASE keeping every intermediate
+    * inside BIGINT. Band keys: identical decimal concatenation. Label
+    * propagation: the same ≤`ccIterations` rounds, unrolled — a converged
+    * fixpoint is idempotent, so "exactly 3" ≡ "at most 3 with early exit".
+    */
+  val dedupMinhashOracle: String = {
+    val k = 64
+    val rows = 4 // k / bands, matching dedupMinhash's defaults
+    s"""WITH posting AS (
+       |  SELECT doc_id, md5(sh) AS h FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [text]
+       |      ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+       |      END) AS sh
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d) u),
+       |words AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(h, 1, 8))::BIGINT AS ahi,
+       |    ('0x' || substr(h, 9, 8))::BIGINT AS alo,
+       |    ('0x' || substr(h, 17, 8))::BIGINT AS bhi,
+       |    ('0x' || substr(h, 25, 8))::BIGINT AS blo
+       |  FROM posting),
+       |perm AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN hi >= 2147483648
+       |      THEN (hi - 4294967296)*4294967296 + (lo % 4294967296)
+       |      ELSE hi*4294967296 + (lo % 4294967296) END AS g
+       |  FROM (SELECT doc_id, i, alo + i*blo AS lo,
+       |          (ahi + i*bhi + (alo + i*blo) // 4294967296) % 4294967296 AS hi
+       |        FROM words CROSS JOIN range($k) ii(i)) t),
+       |sig AS (SELECT doc_id, i, MIN(g) AS s FROM perm GROUP BY doc_id, i),
+       |banded AS (
+       |  SELECT doc_id, (i // $rows) || ',' ||
+       |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // $rows),
+       |edges AS (
+       |  SELECT doc_id, bkey FROM (
+       |    SELECT doc_id, bkey, COUNT(*) OVER (PARTITION BY bkey) AS n
+       |    FROM banded) t WHERE n >= 2),
+       |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
+       |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
+       |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
+       |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
+       |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
+       |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
+       |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN l3 l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared DuckDB CTE list computing (doc_id, simhash) exactly as
     * [[simhashTable]] does: token hash = first 64 bits of md5(token)
     * (nibble j/4 of the hex string, bit j%4 within it), per-bit ±1 sums,
@@ -496,6 +558,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
+    "dedup_minhash"       -> dedupMinhashOracle,
     "dedup_embedding"     -> dedupEmbeddingOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash"       -> dedupSimhashOracle,

@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine-portable hashing for sketches that need an exact DuckDB oracle.
+  *
+  * The FNV/splitmix hashes in [[Sketch]] are JVM-local — fine for an
+  * engine-internal sketch, unverifiable by an independent engine. Every
+  * hash here derives from MD5, the one digest both Spark and DuckDB
+  * compute identically, so a sketch pipeline built on it (minhash
+  * signatures, winnowing fingerprints) can be re-expressed in the oracle's
+  * SQL and hash-compared end to end. [[sqlInt64]] emits the matching
+  * DuckDB arithmetic so both sides are generated from one definition.
+  */
+object PortableHash {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def digest(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(bytes, from, until - from)
+    md.digest()
+  }
+
+  /** First 8 md5-digest bytes of `bytes[from, until)`, big-endian, as a
+    * signed long — exactly the value [[sqlInt64]] reconstructs from
+    * DuckDB's md5 hex string.
+    */
+  def md5Long(bytes: Array[Byte], from: Int, until: Int): Long =
+    ByteBuffer.wrap(digest(bytes, from, until)).getLong(0)
+
+  /** Kirsch–Mitzenmacher double-hashing family over the two 64-bit halves
+    * (a, b) of md5(s): perm_i = a + i·b (mod 2^64). Wrapping long
+    * arithmetic here; the oracle reproduces the same mod-2^64 value with
+    * 32-bit-word arithmetic that never overflows a BIGINT (verified
+    * bit-identical). One digest per input serves all k permutations.
+    */
+  def md5Perms(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val d = ByteBuffer.wrap(digest(bytes, 0, bytes.length))
+    val a = d.getLong(0)
+    val b = d.getLong(8)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = a + i * b; i += 1 }
+    out
+  }
+
+  /** Column API: the k md5-KM permutation hashes of a string column. */
+  def md5_minhash_perms(text: Column, k: Int): Column =
+    GraftColumnBridge.column(Md5MinhashPerms(GraftColumnBridge.expression(text), k))
+
+  // ------------------------------------------------- DuckDB-side generator
+
+  /** DuckDB SQL reconstructing the signed 64-bit value of 16 hex digits of
+    * `hexVar` starting at 1-based `at`: two 32-bit words combined in two's
+    * complement — every intermediate stays inside BIGINT range.
+    */
+  def sqlInt64(hexVar: String, at: Int = 1): String = {
+    val hi = s"('0x' || substr($hexVar, $at, 8))::BIGINT"
+    val lo = s"('0x' || substr($hexVar, ${at + 8}, 8))::BIGINT"
+    s"(CASE WHEN $hi >= 2147483648 THEN ($hi - 4294967296)*4294967296 + $lo" +
+      s" ELSE $hi*4294967296 + $lo END)"
+  }
+}
+
+/** `array<long>` of the k Kirsch–Mitzenmacher md5 permutation hashes of a
+  * string — the portable minhash signature primitive (one digest, k
+  * derived values, engine-reproducible).
+  */
+case class Md5MinhashPerms(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_minhash_perms", child.dataType, "k" -> k)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PortableHash.md5Perms(input.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
+        s"graft.functions.PortableHash.md5Perms($c, $k));")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashPerms =
+    copy(child = newChild)
+}

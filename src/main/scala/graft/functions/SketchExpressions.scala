@@ -94,18 +94,33 @@ object Sketch {
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
-    * every k-gram of bytes, take the min of each w-window (rightmost min on
-    * ties — the robust-winnowing rule), emit distinct mins in first-seen
-    * order. Single pass, O(len·w) worst case.
+    * every character k-gram, take the min of each w-window (rightmost min
+    * on ties — the robust-winnowing rule), emit distinct mins in
+    * first-seen order. Single pass, O(len·w) worst case.
+    *
+    * Gram i hashes the UTF-8 bytes of code points [i, i+k) with
+    * [[PortableHash.md5Long]] — exactly DuckDB's `md5(substr(text, i+1,
+    * k))`, which makes the whole fingerprint pipeline oracle-checkable
+    * (query `text_fingerprint`).
     */
   def winnowFingerprints(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val bytes = s.getBytes
-    val nGrams = math.max(bytes.length - k + 1, 1)
-    val grams = new Array[Long](nGrams)
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx),
+    // with an end sentinel so gram slicing never branches
+    val starts = new Array[Int](bytes.length + 1)
+    var n = 0
     var i = 0
-    while (i < nGrams) {
-      grams(i) = hashBytes(bytes, i, math.min(i + k, bytes.length))
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(n) = i; n += 1 }
       i += 1
+    }
+    starts(n) = bytes.length
+    val nGrams = math.max(n - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      grams(g) = PortableHash.md5Long(bytes, starts(g), starts(math.min(g + k, n)))
+      g += 1
     }
     val nWin = math.max(nGrams - w + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long](nWin * 2)

@@ -221,6 +221,33 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  /** Oracle for the winnowing fingerprint — possible because
+    * [[graft.functions.Sketch.winnowFingerprints]] hashes char k-grams
+    * with the portable md5 scheme: gram i is `md5(substr(text, i+1, k))`,
+    * window minima via list slicing (slices clamp at the end exactly like
+    * the Scala window loop). The query's outputs (count + XOR) are over
+    * the DISTINCT mins and both are order-insensitive, so the first-seen
+    * emission order needn't be reproduced in SQL.
+    */
+  val textFingerprintOracle: String = {
+    val k = 8
+    val w = 4
+    val h64 = graft.functions.PortableHash.sqlInt64("h")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    [md5(substr(text, i + 1, $k)) for i in range(greatest(len(text) - ${k - 1}, 1))] AS hx
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, [$h64 for h in hx] AS grams FROM hs),
+       |wins AS (
+       |  SELECT doc_id, unnest(
+       |    [list_min(grams[j + 1 : j + $w]) for j in range(greatest(len(grams) - ${w - 1}, 1))]) AS fp
+       |  FROM gr)
+       |SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints,
+       |  bit_xor(DISTINCT fp) AS fp_checksum
+       |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- C14
   /** PII scrubbing: redact emails, phone numbers, and IPv4 addresses — the
     * standard pre-release pass over web-crawl training text. Pure per-row
@@ -359,6 +386,7 @@ object TextFuncs {
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
+    "text_fingerprint" -> textFingerprintOracle,
     "text_tokens"     -> textTokensOracle,
     "text_langid"     -> textLangidOracle,
     "text_pii_scrub"  -> textPiiScrubOracle,
