@@ -46,29 +46,37 @@ object Bench {
     // then lands in at most one sample of each query instead of all three
     // samples of whichever query was running.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failures = scala.collection.mutable.Map.empty[String, Int]
     for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop sink: every operator/projection actually executes (count()
       // would let Catalyst prune the computed columns away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failures(name) = failures.getOrElse(name, 0) + 1
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Nil) :+ dt
-      // release operator-owned persists (simhash fingerprints, jaccard
-      // posting lists) between queries: keeps repeated runs measuring the
-      // cold path instead of a cache hit, and stops evictable
-      // InMemoryRelations accumulating across the 58-query suite
+      // A failed run's fast-abort elapsed is NOT a sample — recording it
+      // would let a broken query masquerade as a fast one in the medians.
+      if (ok) samples(name) = samples.getOrElse(name, Nil) :+ dt
+      // release operator-owned persists (e.g. the jaccard posting list)
+      // between queries: keeps repeated runs measuring the cold path
+      // instead of a cache hit, and stops evictable InMemoryRelations
+      // accumulating across the suite
       spark.catalog.clearCache()
     }
-    val med = names.map { case (n, _) => n -> median(samples.getOrElse(n, Nil)) }
-    val mins = names.map { case (n, _) =>
-      n -> samples.getOrElse(n, List(0.0)).min }
+    val measured = names.filter { case (n, _) => samples.contains(n) }
+    val med = measured.map { case (n, _) => n -> median(samples(n)) }
+    val mins = measured.map { case (n, _) => n -> samples(n).min }
     def toJson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -219,10 +219,15 @@ object Dedup {
     // any of its other ≤3 agreeing blocks, and a doc whose every block is
     // hot is template boilerplate, not a near-dup signal.
     //
-    // The PRUNED block table is computed once and persisted (evictable,
-    // 20 bytes/doc·block); both join sides read the cache, so the
-    // signature aggregation AND the bucket-count window each run exactly
-    // once per execution instead of once per side.
+    // The PRUNED block table is computed once — eagerly localCheckpoint'd
+    // (20 bytes/doc·block) so both join sides scan the materialized RDD
+    // and the signature aggregation AND the bucket-count window run
+    // exactly once, not once per side. Checkpoint, not persist: a
+    // persist()'d relation is pinned by the CacheManager until someone
+    // calls unpersist/clearCache, which a library entry point can't do
+    // before its caller has run the returned plan — whereas checkpoint
+    // blocks are released by the ContextCleaner as soon as the result
+    // goes unreachable, so long-lived sessions don't accumulate caches.
     val wBlock = Window.partitionBy("block", "bv")
     val blocks = simhashTable(docs)
       .select(col("doc_id"), col("simhash"),
@@ -235,7 +240,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(wBlock))
       .filter(col("__n") <= maxBucket)
       .select("doc_id", "simhash", "block", "bv")
-      .persist()
+      .localCheckpoint(true)
     blocks.select(col("doc_id"), col("simhash").as("sh_a"),
         col("block"), col("bv"))
       .join(blocks.select(col("doc_id").as("nn_id"),
@@ -281,6 +286,12 @@ object Dedup {
     * signal — the standard prefix-filter trick), pair within posting
     * lists, then exact Jaccard on the full shingle sets. Shuffle is
     * bounded by Σ df² over rare shingles, not n².
+    */
+  /** API contract: the shingle posting list is `persist()`ed (evictable,
+    * recomputable) and deliberately left registered so the four downstream
+    * reads share one pass; in a long-lived session call
+    * `spark.catalog.clearCache()` (or unpersist via the plan) after
+    * consuming the result if the storage pool matters to you.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         maxDf: Int = 5, minJaccard: Double = 0.03): DataFrame = {

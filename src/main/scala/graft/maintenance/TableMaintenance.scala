@@ -21,7 +21,15 @@ object TableMaintenance {
   /** DESCRIBE DETAIL, filesystem half: (file, bytes, mtime_ms) for every
     * data file under `dir`. Driver-side Hadoop FS listing — metadata only.
     */
-  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+  def listFiles(spark: SparkSession, dir: String): DataFrame =
+    listFiles(spark, dir, _ => false)
+
+  /** As above, additionally pruning files whose top-level path component
+    * (relative to `dir`) matches `dropTopLevel` — e.g. `v=` snapshot dirs
+    * when sizing a bare-root rewrite.
+    */
+  def listFiles(spark: SparkSession, dir: String,
+                dropTopLevel: String => Boolean): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(path).toUri
@@ -35,7 +43,9 @@ object TableMaintenance {
         // components BELOW the table root count — a table that itself
         // lives in "_staging/" must still list its files.
         val rel = root.relativize(st.getPath.toUri).getPath
-        rel.split("/").forall(c => !c.startsWith("_") && !c.startsWith("."))
+        val comps = rel.split("/")
+        comps.forall(c => !c.startsWith("_") && !c.startsWith(".")) &&
+          !dropTopLevel(comps.head)
       }
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .toSeq
@@ -180,7 +190,11 @@ object TableMaintenance {
   def compactVersioned(spark: SparkSession, dir: String,
                        targetBytes: Long = 128L * 1024 * 1024): Long = {
     val src = currentSnapshotDir(spark, dir)
-    val totalRow = listFiles(spark, src).agg(sum("bytes")).first()
+    // When src is the bare table root, crash-leftover v=* dirs must not
+    // inflate the byte total the rewrite is sized from — listFiles already
+    // drops _*/.* metadata.
+    val totalRow = listFiles(spark, src, _.startsWith("v="))
+      .agg(sum("bytes")).first()
     require(!totalRow.isNullAt(0), s"no data files under $src")
     val nFiles = math.max(1,
       math.ceil(totalRow.getLong(0).toDouble / targetBytes).toInt)
@@ -238,11 +252,16 @@ object TableMaintenance {
     // once a committed version exists they are unreachable (readers always
     // resolve v=N), so a vacuum that keeps only versioned snapshots must
     // reclaim them too or the table leaks its original bytes forever.
-    // Protocol dirs (v=*) and metadata (_*/.*, e.g. _graft_history) stay.
+    // Only entries that look like that superseded parquet snapshot are
+    // swept (part-* files and key=value partition dirs); anything else a
+    // caller parked in the table root is not ours to delete.
     var bareSwept = 0L
     fs.listStatus(path).foreach { st =>
       val n = st.getPath.getName
-      if (!n.startsWith("v=") && !n.startsWith("_") && !n.startsWith(".")) {
+      val isSnapshotData =
+        (st.isFile && (n.startsWith("part-") || n.endsWith(".parquet"))) ||
+          (st.isDirectory && !n.startsWith("v=") && n.contains("="))
+      if (isSnapshotData && !n.startsWith("_") && !n.startsWith(".")) {
         fs.delete(st.getPath, true)
         bareSwept += 1
       }

@@ -272,7 +272,9 @@ object EventStreams {
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      // tolerate stray v= names (v=1.bak etc.) like TableMaintenance
+      // .allVersions — a non-numeric dir must not brick every read
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
   }
 
   /** The current table state produced by [[streamingUpsert]]. */

@@ -22,15 +22,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no query plan contains a cartesian product or RDD scan") {
-    // mm_binary_pipeline is the deliberate mapPartitions stub,
+    // mm_binary_pipeline runs its codec through mapPartitions,
     // dba_csv_import parses an in-memory line dataset, dedup_minhash
     // checkpoints its final label table (lineage cut so the iteration
-    // caches can be released), and dba_compaction_plan checkpoints its
+    // caches can be released), dba_compaction_plan checkpoints its
     // range partitioning so per-partition offsets can't drift between
-    // executions — each scans a local collection by design; everything
-    // else must stay declarative.
+    // executions, and the simhash near-dup family checkpoints its pruned
+    // block table (released by the ContextCleaner instead of pinning an
+    // InMemoryRelation) — each scans a local collection by design;
+    // everything else must stay declarative.
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
-      "dba_compaction_plan")
+      "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
