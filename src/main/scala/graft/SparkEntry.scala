@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles ++
-      graft.pipeline.Curate.oracles
+      graft.pipeline.Curate.oracles ++ graft.multimodal.Multimodal.oracles
 
   /** Data-dependent oracles that inline a deterministically-trained model
     * (IVF centroids, PQ codebooks) as SQL literals — they need the live

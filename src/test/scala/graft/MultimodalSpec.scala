@@ -1,35 +1,82 @@
 package graft
 
 import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Codecs, MMRecord}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("binary pipeline: deterministic features, real batching") {
-    val out1 = Multimodal.mmBinaryPipeline(spark, sf).collect()
-    val out2 = Multimodal.mmBinaryPipeline(spark, sf).collect()
-    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
-    assert(out1.nonEmpty)
-    out1.foreach { r =>
-      assert(r.getAs[String]("mime") == "text/plain")
-      assert(r.getAs[Int]("n_bytes") > 0)
-      val bs = r.getAs[Int]("batch_size")
-      assert(bs >= 1 && bs <= 64)
+  test("PNG round trip: real encode -> real decode recovers formula pixels") {
+    val id = 42L
+    val (w, h) = Codecs.imageDims(id)
+    val (dw, dh, sr, sg, sb) = Codecs.decodeImageStats(Codecs.encodePng(id))
+    assert((dw, dh) == (w.toLong, h.toLong))
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Codecs.pixel(id, x, y)
+      er += r; eg += g; eb += b
+    }
+    assert((sr, sg, sb) == (er, eg, eb))
+  }
+
+  test("WAV round trip: javax.sound encode -> decode recovers PCM exactly") {
+    val id = 7L
+    val n = Codecs.nSamples(id)
+    val (dn, sum, maxAbs) = Codecs.decodeWavStats(Codecs.encodeWav(id))
+    assert(dn == n.toLong)
+    val samples = (0 until n).map(i => Codecs.sample(id, i).toLong)
+    assert(sum == samples.sum)
+    assert(maxAbs == samples.map(math.abs).max)
+  }
+
+  test("nearest-neighbor resize: exact target dims and source pixels") {
+    val id = 5L
+    val resized = Codecs.resizePng(Codecs.encodePng(id), 8, 6)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    val (sw, sh) = Codecs.imageDims(id)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val (r, g, b) = Codecs.pixel(id, x * sw / 8, y * sh / 6)
+      assert(img.getRGB(x, y) == (0xFF << 24 | r << 16 | g << 8 | b))
     }
   }
 
-  test("extractFeatures: checksum is a pure function of payload bytes") {
+  test("corrupt payloads surface decode_ok=false instead of failing tasks") {
     val recs = Seq(
-      Multimodal.MMRecord(1L, "image/fake", Array[Byte](1, 2, 3)),
-      Multimodal.MMRecord(2L, "image/fake", Array[Byte](1, 2, 3)),
-      Multimodal.MMRecord(3L, "image/fake", Array[Byte](9, 9)))
-    val ds = spark.createDataset(recs)
-    val out = Multimodal.extractFeatures(ds, batchSize = 2)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
-    assert(out(1L) == out(2L)) // same bytes → same checksum
-    assert(out(1L) != out(3L))
-    // CRC32 of [1,2,3] is a known public constant
-    val crc = new java.util.zip.CRC32(); crc.update(Array[Byte](1, 2, 3))
-    assert(out(1L) == crc.getValue)
+      MMRecord(1L, "image/png", Array[Byte](1, 2, 3)), // not a PNG
+      MMRecord(2L, "image/png", Codecs.encodePng(2L)),
+      MMRecord(3L, "mime/unknown", Array[Byte](9)))
+    val out = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(!out(1L).decode_ok && out(1L).width.isEmpty)
+    assert(out(2L).decode_ok && out(2L).width.contains(18L))
+    assert(!out(3L).decode_ok)
+  }
+
+  test("pipeline dispatches all three modalities with real decodes") {
+    val rows = Multimodal.mmBinaryPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("decode_ok")))
+    val byMime = rows.groupBy(_.getAs[String]("mime"))
+    assert(byMime.keySet == Set("image/png", "audio/wav", "text/plain"))
+    byMime("image/png").foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") == 16 + id % 17)
+      assert(r.isNullAt(r.fieldIndex("n_samples")))
+    }
+    byMime("audio/wav").foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_samples") == 256 + id % 64)
+    }
+  }
+
+  test("batch size bounds memory, not results") {
+    val feed = Multimodal.mmFeed(spark, sf)
+    val small = Multimodal.extractFeatures(feed, batchSize = 3)
+      .collect().sortBy(_.doc_id)
+    val big = Multimodal.extractFeatures(feed, batchSize = 512)
+      .collect().sortBy(_.doc_id)
+    assert(small.toSeq == big.toSeq)
   }
 }
