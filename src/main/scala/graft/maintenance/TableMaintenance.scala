@@ -53,76 +53,58 @@ object TableMaintenance {
     rows.toDF("file", "bytes", "mtime_ms")
   }
 
-  /** OPTIMIZE, compaction half: rewrite `inDir` as ~targetBytes files.
-    * Output file count derives from the real on-disk byte total, so the
-    * same call is right at sf0.001 and at 100 TB (where you'd target
-    * ~1 GB files).
+  /** OPTIMIZE, compaction half: rewrite `inDir`'s data as ~targetBytes
+    * files, committed as the NEXT snapshot version of `outDir` (v=N +
+    * `_SUCCESS`). There is deliberately no in-place variant: a rewrite
+    * that overwrites its own input can't be crash-safe, and overwrite
+    * would delete the `_graft_history` log with the directory — versioned
+    * commits make both problems structurally impossible. Output file
+    * count derives from the real on-disk byte total, so the same call is
+    * right at sf0.001 and at 100 TB (where you'd target ~1 GB files).
+    * Returns the committed version id; read via [[readTable]].
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val totalRow = listFiles(spark, inDir).agg(sum("bytes")).first()
-    if (totalRow.isNullAt(0)) return // nothing to compact
-    val totalBytes = totalRow.getLong(0)
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    withPreservedHistory(spark, outDir) {
-      spark.read.parquet(inDir).repartition(nFiles).write
-        .mode("overwrite").parquet(outDir)
-    }
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    // Crash-leftover v=* dirs under a bare-root source must not inflate
+    // the byte total the rewrite is sized from (listFiles already drops
+    // _*/.* metadata such as the history log).
+    val totalRow = listFiles(spark, inDir, _.startsWith("v="))
+      .agg(sum("bytes")).first()
+    require(!totalRow.isNullAt(0), s"no data files under $inDir")
+    val nFiles = math.max(1,
+      math.ceil(totalRow.getLong(0).toDouble / targetBytes).toInt)
+    val v = allVersions(spark, outDir).maxOption.map(_ + 1).getOrElse(0L)
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$outDir/v=$v")
     logOp(spark, outDir, "OPTIMIZE", Map(
+      "snapshot_version" -> v.toString,
       "source" -> inDir,
       "target_bytes" -> targetBytes.toString,
       "n_files" -> nFiles.toString))
+    v
   }
 
-  /** `mode("overwrite")` deletes the whole target directory — including
-    * `_graft_history`. Maintenance rewrites snapshot the (metadata-sized)
-    * log to the driver first and restore it after, so DESCRIBE HISTORY
-    * keeps accumulating across OPTIMIZE/ZORDER rewrites of the same table.
-    */
-  private def withPreservedHistory(spark: SparkSession, dir: String)
-                                  (write: => Unit): Unit = {
-    val hist = new Path(s"$dir/_graft_history")
-    val fs = hist.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val saved: Seq[(String, Array[Byte])] =
-      if (fs.exists(hist))
-        fs.listStatus(hist).toSeq.filter(_.isFile).map { st =>
-          val in = fs.open(st.getPath)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-            st.getPath.getName -> buf.toByteArray
-          } finally in.close()
-        }
-      else Seq.empty
-    // restore in finally: a write that throws AFTER overwrite deleted the
-    // directory must not take the (already snapshotted) log with it
-    try write finally if (saved.nonEmpty) {
-      fs.mkdirs(hist)
-      saved.foreach { case (name, bytes) =>
-        val out = fs.create(new Path(hist, name), true)
-        try out.write(bytes) finally out.close()
-      }
-    }
-  }
-
-  /** OPTIMIZE ZORDER BY, clustering half: compute the interleave key, range-
-    * partition on it (each output file covers a tight key-space rectangle →
-    * effective min/max skipping on later multi-column filters), sort within
-    * partitions, drop the key on write.
+  /** OPTIMIZE ZORDER BY, clustering half: compute the interleave key,
+    * range-partition on it (each output file covers a tight key-space
+    * rectangle → effective min/max skipping on later multi-column
+    * filters), sort within partitions, drop the key, commit as the NEXT
+    * snapshot version of `outDir`. Returns the committed version id.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
-                  nFiles: Int, bits: Int = 16): Unit = {
-    withPreservedHistory(df.sparkSession, outDir) {
-      df.withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
-        .repartitionByRange(nFiles, col("__zkey"))
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite").parquet(outDir)
-    }
-    logOp(df.sparkSession, outDir, "OPTIMIZE ZORDER", Map(
+                  nFiles: Int, bits: Int = 16): Long = {
+    val spark = df.sparkSession
+    val v = allVersions(spark, outDir).maxOption.map(_ + 1).getOrElse(0L)
+    df.withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(s"$outDir/v=$v")
+    logOp(spark, outDir, "OPTIMIZE ZORDER", Map(
+      "snapshot_version" -> v.toString,
       "zorder_by" -> cols.mkString(","),
       "n_files" -> nFiles.toString,
       "bits" -> bits.toString))
+    v
   }
 
   // ------------------------------------------------- versioned maintenance
@@ -188,48 +170,16 @@ object TableMaintenance {
     * files written as the next version. Returns the new version id.
     */
   def compactVersioned(spark: SparkSession, dir: String,
-                       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val src = currentSnapshotDir(spark, dir)
-    // When src is the bare table root, crash-leftover v=* dirs must not
-    // inflate the byte total the rewrite is sized from — listFiles already
-    // drops _*/.* metadata.
-    val totalRow = listFiles(spark, src, _.startsWith("v="))
-      .agg(sum("bytes")).first()
-    require(!totalRow.isNullAt(0), s"no data files under $src")
-    val nFiles = math.max(1,
-      math.ceil(totalRow.getLong(0).toDouble / targetBytes).toInt)
-    val v = allVersions(spark, dir).maxOption.map(_ + 1).getOrElse(0L)
-    spark.read.parquet(src).repartition(nFiles)
-      .write.mode("overwrite").parquet(s"$dir/v=$v")
-    logOp(spark, dir, "OPTIMIZE", Map(
-      "snapshot_version" -> v.toString,
-      "source" -> src,
-      "target_bytes" -> targetBytes.toString,
-      "n_files" -> nFiles.toString))
-    v
-  }
+                       targetBytes: Long = 128L * 1024 * 1024): Long =
+    compact(spark, currentSnapshotDir(spark, dir), dir, targetBytes)
 
   /** OPTIMIZE ZORDER BY, versioned: cluster the current snapshot on the
     * interleave key and write it as the next version. Returns the id.
     */
   def zorderVersioned(spark: SparkSession, dir: String, cols: Seq[String],
-                      nFiles: Int, bits: Int = 16): Long = {
-    val src = currentSnapshotDir(spark, dir)
-    val v = allVersions(spark, dir).maxOption.map(_ + 1).getOrElse(0L)
-    spark.read.parquet(src)
-      .withColumn("__zkey", ZOrder.zvalue(cols.map(col), bits))
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(s"$dir/v=$v")
-    logOp(spark, dir, "OPTIMIZE ZORDER", Map(
-      "snapshot_version" -> v.toString,
-      "source" -> src,
-      "zorder_by" -> cols.mkString(","),
-      "n_files" -> nFiles.toString,
-      "bits" -> bits.toString))
-    v
-  }
+                      nFiles: Int, bits: Int = 16): Long =
+    zorderWrite(spark.read.parquet(currentSnapshotDir(spark, dir)),
+      cols, dir, nFiles, bits)
 
   /** VACUUM for versions: drop committed versions beyond the newest
     * `keepLast`, plus crash-leftover uncommitted versions older than the
