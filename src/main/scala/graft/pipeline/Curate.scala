@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,10 +135,10 @@ object Curate {
     curateOracleSql(Some(graft.dedup.Dedup.simhashNearDupSqlCtes()))
 
   /** Benchmark decontamination — the standard pre-training pass: flag
-    * corpus documents whose word n-grams overlap an evaluation set too
-    * heavily (the GPT-3/PaLM-style n-gram collision check). Here the
-    * "benchmark" is a deterministic held-out slice (doc_id % benchMod == 0)
-    * so the check is self-contained on the documents table.
+    * `corpus` documents (doc_id, text) whose word n-grams overlap the
+    * n-gram set of `bench` (any DataFrame with a `text` column — the
+    * held-out evaluation set) too heavily: the GPT-3/PaLM-style n-gram
+    * collision check.
     *
     * Scale shape: n-grams come from the native WordNgrams expression
     * (per-row, scan-stage); the benchmark's DISTINCT n-gram set is tiny
@@ -147,23 +147,20 @@ object Curate {
     * probe — the only corpus-wide shuffle is the per-doc groupBy that
     * counts hits, which carries (doc_id, counts) not text.
     */
-  def contamCheck(s: SparkSession, dir: String, n: Int = 3,
-                  threshold: Double = 0.5, benchMod: Int = 10): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(
-        graft.functions.Sketch.word_ngrams(col("text"), n))).as("g"))
-    val bench = grams.filter(col("doc_id") % benchMod === 0)
-      .select("g").distinct()
-    val corp = grams.filter(col("doc_id") % benchMod =!= 0)
-    val agg = corp
-      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("g"), "left")
+  def contamCheck(corpus: DataFrame, bench: DataFrame, n: Int,
+                  threshold: Double): DataFrame = {
+    val ngrams = (c: Column) =>
+      explode(array_distinct(graft.functions.Sketch.word_ngrams(c, n)))
+    val corpGrams = corpus.select(col("doc_id"), ngrams(col("text")).as("g"))
+    val benchGrams = bench.select(ngrams(col("text")).as("g")).distinct()
+    val agg = corpGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
     // docs shorter than n words have no n-grams — they still report, clean
     val overlap = when(coalesce(col("n_grams"), lit(0L)) > 0,
       col("n_hits").cast("double") / col("n_grams")).otherwise(lit(0.0))
-    docs.select("doc_id").filter(col("doc_id") % benchMod =!= 0)
+    corpus.select("doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -171,6 +168,20 @@ object Curate {
         overlap.as("overlap"),
         (overlap >= threshold).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** Query entry: self-contained on the documents table — the "benchmark"
+    * is a deterministic held-out slice (doc_id % benchMod == 0), the
+    * corpus is everything else. Real callers pass their own eval set to
+    * [[contamCheck]].
+    */
+  def contamCheck(s: SparkSession, dir: String, n: Int = 3,
+                  threshold: Double = 0.5, benchMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contamCheck(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0),
+      n, threshold)
   }
 
   val contamCheckOracle: String =

@@ -122,6 +122,27 @@ class TextSpec extends SparkSpec {
     assert(out(13L) == (0L, 0L, 0.0, false))     // gram-less doc reports clean
   }
 
+  test("contam check core API: external benchmark DataFrame, any threshold") {
+    import spark.implicits._
+    val half = ((1 to 15).map(i => s"eval$i") ++
+      (1 to 15).map(i => s"mine$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, (1 to 30).map(i => s"eval$i").mkString(" ")),   // full overlap
+      (2L, half),                                          // ~half overlap
+      (3L, (1 to 30).map(i => s"own$i").mkString(" ")))    // none
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      Tuple1((1 to 30).map(i => s"eval$i").mkString(" ")),
+      Tuple1("an unrelated eval prompt about something else"))
+      .toDF("text")
+    val out = graft.pipeline.Curate.contamCheck(corpus, bench, 3, 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == (1.0, true))
+    assert(out(2L)._1 > 0.0 && out(2L)._1 < 0.6 && !out(2L)._2)
+    assert(out(3L) == (0.0, false))
+  }
+
   test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(
