@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
       graft.functions.TextFuncs.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.EventStreams.queries ++ graft.pipeline.Curate.queries
+      graft.streaming.EventStreams.queries ++ graft.pipeline.Curate.queries ++
+      graft.pipeline.Mix.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -25,7 +26,8 @@ object SparkEntry {
     Relational.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles ++
-      graft.pipeline.Curate.oracles ++ graft.multimodal.Multimodal.oracles
+      graft.pipeline.Curate.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.pipeline.Mix.oracles
 
   /** Data-dependent oracles that inline a deterministically-trained model
     * (IVF centroids, PQ codebooks) as SQL literals — they need the live

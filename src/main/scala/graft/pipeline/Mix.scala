@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data mixing for training-corpus assembly: stratified sampling by
+  * source weight, and concat-and-chunk sequence packing — the two
+  * pure-plumbing steps between a curated corpus and a training run.
+  *
+  * Both are scan-shaped: sampling is a per-row filter on a deterministic
+  * hash (no shuffle at all); packing is one window shuffle on the
+  * concatenation key. Nothing here collects, and nothing depends on
+  * partition count or execution order — rerunning on 1000 executors
+  * yields byte-identical output, which is what makes a 100 TB corpus
+  * rebuild reproducible.
+  */
+object Mix {
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic per-row uniform in [0, 1): the top 52 bits of
+    * md5("salt:doc_id") over 2^52. Engine-portable (the oracle
+    * reconstructs the same 13 hex nibbles) and exactly representable in a
+    * double, so keep decisions are bit-stable across engines and reruns —
+    * no RNG, no seed plumbing, no sampling drift between pipeline runs.
+    */
+  def uniformOf(docId: Column, salt: String): Column =
+    shiftrightunsigned(
+      element_at(graft.functions.PortableHash.md5_minhash_perms(
+        concat(lit(salt + ":"), docId.cast("string")), 1), 1), 12)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Matching DuckDB arithmetic for [[uniformOf]]. */
+  def uniformSql(docIdExpr: String, salt: String): String =
+    s"(('0x' || substr(md5('$salt:' || $docIdExpr), 1, 13))::BIGINT" +
+      " / 4503599627370496.0)"
+
+  /** Stratified corpus sampling: keep each document with its source's
+    * target rate. `rates` maps source → keep probability (missing sources
+    * use `defaultRate`). The keep decision is [[uniformOf]] < rate — a
+    * per-row projection+filter with NO shuffle: at 100 TB this is a
+    * scan-stage gate that composes under whatever else the pipeline does.
+    */
+  def corpusMix(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double = 1.0,
+                salt: String = "mix"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("u", uniformOf(col("doc_id"), salt))
+      .withColumn("rate", rate)
+      .filter(col("u") < col("rate"))
+  }
+
+  /** C20 query: rates derived from the source id (src0..src19 →
+    * 0.25/0.5/0.75/1.0 by N mod 4) so the query is self-contained; real
+    * callers pass their measured mixture weights to [[corpusMix]].
+    */
+  def corpusMixQuery(s: SparkSession, dir: String): DataFrame = {
+    val rates = (0 until 20)
+      .map(n => s"src$n" -> (0.25 + 0.75 * (n % 4) / 3.0)).toMap
+    corpusMix(Tables.documents(s, dir), rates)
+      .select("doc_id", "source", "u", "rate")
+      .orderBy("doc_id")
+  }
+
+  val corpusMixOracle: String = {
+    val u = uniformSql("doc_id", "mix")
+    s"""SELECT doc_id, source, $u AS u,
+       |  0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0 AS rate
+       |FROM documents
+       |WHERE $u < 0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- packing
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    * documents of one `streamCol` group are concatenated in `orderCol`
+    * order and chunked into fixed `capacity`-token training sequences;
+    * each document reports the sequence its first token lands in and its
+    * offset there. Pure window arithmetic — a running token sum per
+    * stream, then integer div/mod — so the packing is deterministic and
+    * the only data movement is the window's hash shuffle on the stream
+    * key. At 100 TB you shard each source into many streams (e.g.
+    * hash(doc_id) % nShards) so no single window serializes a whole
+    * source; the per-stream running sum is the one inherent sequential
+    * dependency of concat packing.
+    */
+  def seqPack(docs: DataFrame, capacity: Int,
+              tokens: Column, streamCol: Column,
+              orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+    docs
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__start",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("seq_id", floor(col("__start") / capacity))
+      .withColumn("offset_in_seq", col("__start") % capacity)
+      .drop("__start")
+  }
+
+  /** C21 query: whitespace token counts, one stream per source. */
+  def seqPackQuery(s: SparkSession, dir: String,
+                   capacity: Int = 512): DataFrame =
+    seqPack(Tables.documents(s, dir), capacity,
+      tokens = size(split(col("text"), " ")),
+      streamCol = col("source"), orderCol = col("doc_id"))
+      .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy("doc_id")
+
+  val seqPackOracle: String =
+    """SELECT doc_id, source, n_tokens,
+      |  (cum - n_tokens) // 512 AS seq_id,
+      |  (cum - n_tokens) % 512 AS offset_in_seq
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
+    "seq_pack"   -> ((s: SparkSession, d: String) => seqPackQuery(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_mix" -> corpusMixOracle,
+    "seq_pack"   -> seqPackOracle)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Mix
+
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpusMix keeps ~rate per source, deterministically, with no shuffle") {
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 2}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Map("src0" -> 0.25, "src1" -> 0.75)
+    val out = Mix.corpusMix(docs, rates)
+    // per-source keep fraction converges on the target rate
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("src0") / 2000.0 - 0.25) < 0.05, s"src0: $kept")
+    assert(math.abs(kept("src1") / 2000.0 - 0.75) < 0.05, s"src1: $kept")
+    // same inputs → byte-identical keep set (no RNG anywhere)
+    val again = Mix.corpusMix(docs, rates).select("doc_id").as[Long].collect()
+    assert(out.select("doc_id").as[Long].collect().toSeq == again.toSeq)
+    // scan-stage gate: the filter plans without any exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sampling must not shuffle")
+  }
+
+  test("corpusMix salt decorrelates: different salts, different keep sets") {
+    val docs = (0L until 2000L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
+    val a = Mix.corpusMix(docs, Map("s" -> 0.5), salt = "mix")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Mix.corpusMix(docs, Map("s" -> 0.5), salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / math.max(a.size, 1)
+    // independent 0.5-samples overlap on ~50% of members, not ~100%
+    assert(overlap > 0.3 && overlap < 0.7, s"overlap $overlap")
+  }
+
+  test("seqPack: offsets stay in [0, capacity); chunks tile the stream") {
+    val docs = (0L until 300L)
+      .map(i => (i, s"src${i % 3}", Seq.fill(1 + (i % 7).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Mix.seqPack(docs, capacity = 16,
+        tokens = size(split(col("text"), " ")),
+        streamCol = col("source"), orderCol = col("doc_id"))
+      .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.length == 300)
+    out.foreach { case (id, _, n, seq, off) =>
+      assert(off >= 0 && off < 16, s"doc $id offset $off")
+      assert(seq >= 0)
+      assert(n >= 1)
+    }
+    // within a stream: start offsets are the running sum — doc k starts
+    // exactly where doc k-1 ended (concat semantics, no gaps, no overlap)
+    out.groupBy(_._2).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._1)
+      sorted.zip(sorted.tail).foreach { case ((_, _, n1, s1, o1), (_, _, _, s2, o2)) =>
+        val endAbs = s1 * 16 + o1 + n1
+        assert(s2 * 16 + o2 == endAbs, "gap or overlap in packed stream")
+      }
+    }
+  }
+
+  test("seqPack shards: hashed streams parallelize a single big source") {
+    val docs = (0L until 1000L).map(i => (i, "web", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val sharded = Mix.seqPack(docs, capacity = 64,
+      tokens = size(split(col("text"), " ")),
+      streamCol = concat(col("source"), lit(":"), pmod(col("doc_id"), lit(8))),
+      orderCol = col("doc_id"))
+    // every shard packs independently: 8 streams, each with its own seq 0
+    val zeroSeqs = sharded.filter(col("seq_id") === 0 && col("offset_in_seq") === 0)
+    assert(zeroSeqs.count() == 8)
+  }
+}
