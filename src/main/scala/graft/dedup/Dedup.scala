@@ -219,15 +219,17 @@ object Dedup {
     // any of its other ≤3 agreeing blocks, and a doc whose every block is
     // hot is template boilerplate, not a near-dup signal.
     //
-    // The PRUNED block table is computed once — eagerly localCheckpoint'd
-    // (20 bytes/doc·block) so both join sides scan the materialized RDD
-    // and the signature aggregation AND the bucket-count window run
-    // exactly once, not once per side. Checkpoint, not persist: a
-    // persist()'d relation is pinned by the CacheManager until someone
-    // calls unpersist/clearCache, which a library entry point can't do
-    // before its caller has run the returned plan — whereas checkpoint
-    // blocks are released by the ContextCleaner as soon as the result
-    // goes unreachable, so long-lived sessions don't accumulate caches.
+    // The PRUNED block table is computed once — lazily localCheckpoint'd
+    // (20 bytes/doc·block) so both join sides share the materialized
+    // blocks and the signature aggregation AND the bucket-count window
+    // run once, not once per side. Lazy keeps DataFrame CONSTRUCTION
+    // plan-only (eager would run a Spark job just to build the query).
+    // Checkpoint, not persist: a persist()'d relation is pinned by the
+    // CacheManager until someone session-wide unpersists it, which a
+    // library entry point can't do for its caller — checkpoint blocks
+    // are instead reclaimed by the ContextCleaner once the driver GCs
+    // the dropped reference (periodic GC bounds this), so long-lived
+    // sessions don't accumulate pinned caches.
     val wBlock = Window.partitionBy("block", "bv")
     val blocks = simhashTable(docs)
       .select(col("doc_id"), col("simhash"),
@@ -240,7 +242,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(wBlock))
       .filter(col("__n") <= maxBucket)
       .select("doc_id", "simhash", "block", "bv")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     blocks.select(col("doc_id"), col("simhash").as("sh_a"),
         col("block"), col("bv"))
       .join(blocks.select(col("doc_id").as("nn_id"),

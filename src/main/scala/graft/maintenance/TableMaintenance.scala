@@ -62,19 +62,28 @@ object TableMaintenance {
     * count derives from the real on-disk byte total, so the same call is
     * right at sf0.001 and at 100 TB (where you'd target ~1 GB files).
     * Returns the committed version id; read via [[readTable]].
+    *
+    * `inDir` must be a DATA directory (a bare snapshot or one v=N dir —
+    * [[compactVersioned]] resolves that for a versioned table) and must
+    * be non-empty: an empty table has nothing to lay out, so this throws
+    * rather than committing a contentless version (callers wanting no-op
+    * semantics check first).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
     // Crash-leftover v=* dirs under a bare-root source must not inflate
     // the byte total the rewrite is sized from (listFiles already drops
-    // _*/.* metadata such as the history log).
+    // _*/.* metadata such as the history log) — and Spark's partition
+    // discovery would reject the mixed root-files + v=subdir layout
+    // outright, so when leftovers are present the scan reads the root's
+    // own data files explicitly instead of the directory.
     val totalRow = listFiles(spark, inDir, _.startsWith("v="))
       .agg(sum("bytes")).first()
     require(!totalRow.isNullAt(0), s"no data files under $inDir")
     val nFiles = math.max(1,
       math.ceil(totalRow.getLong(0).toDouble / targetBytes).toInt)
     val v = allVersions(spark, outDir).maxOption.map(_ + 1).getOrElse(0L)
-    spark.read.parquet(inDir).repartition(nFiles)
+    readDataDir(spark, inDir).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$outDir/v=$v")
     logOp(spark, outDir, "OPTIMIZE", Map(
       "snapshot_version" -> v.toString,
@@ -141,23 +150,48 @@ object TableMaintenance {
     graft.streaming.EventStreams.snapshotVersions(spark, dir)
 
   /** The directory holding the table's CURRENT data: the latest committed
-    * v=N, or the bare table dir for a never-versioned table. Loud failure
-    * when only incomplete versions exist — falling back to the bare dir
-    * would let a partition-discovery read pick up half-written files.
+    * v=N, or the bare table dir for a never-versioned table (whose own
+    * data files remain the valid snapshot even when a crashed rewrite
+    * left uncommitted v=N dirs behind — [[readDataDir]] reads around
+    * them). Loud failure when only incomplete versions exist and the root
+    * holds no data — then there is genuinely nothing safe to read.
     */
   def currentSnapshotDir(spark: SparkSession, dir: String): String = {
     val committed = committedVersions(spark, dir)
     if (committed.nonEmpty) s"$dir/v=${committed.max}"
     else {
-      require(allVersions(spark, dir).isEmpty,
+      val path = new Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasBareData = fs.exists(path) && fs.listStatus(path).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+      require(hasBareData || allVersions(spark, dir).isEmpty,
         s"only uncommitted versions under $dir — nothing safe to read")
       dir
     }
   }
 
+  /** Read the data files of one snapshot directory. A bare root that
+    * carries crash-leftover v= subdirs can't go through plain
+    * `spark.read.parquet(dir)` — partition discovery rejects the mixed
+    * layout (and must never ingest the leftovers' half-written files) —
+    * so in that case the root's own data files are enumerated explicitly.
+    */
+  def readDataDir(spark: SparkSession, d: String): DataFrame = {
+    val path = new Path(d)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(path)
+    if (top.exists(st => st.isDirectory && st.getPath.getName.startsWith("v=")))
+      // Spark-written snapshot files are always part-*; anything else in
+      // the root (caller-parked files) is not snapshot data
+      spark.read.parquet(top.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).toIndexedSeq: _*)
+    else spark.read.parquet(d)
+  }
+
   /** Current table state (latest committed version or bare dir). */
   def readTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(currentSnapshotDir(spark, dir))
+    readDataDir(spark, currentSnapshotDir(spark, dir))
 
   /** Time travel: read an older committed version explicitly. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
@@ -208,8 +242,10 @@ object TableMaintenance {
     var bareSwept = 0L
     fs.listStatus(path).foreach { st =>
       val n = st.getPath.getName
+      // Spark-written snapshots are always part-* files (plus key=value
+      // partition dirs); a caller-parked foo.parquet is NOT ours to touch
       val isSnapshotData =
-        (st.isFile && (n.startsWith("part-") || n.endsWith(".parquet"))) ||
+        (st.isFile && n.startsWith("part-")) ||
           (st.isDirectory && !n.startsWith("v=") && n.contains("="))
       if (isSnapshotData && !n.startsWith("_") && !n.startsWith(".")) {
         fs.delete(st.getPath, true)

@@ -88,11 +88,19 @@ object Mix {
     * hash(doc_id) % nShards) so no single window serializes a whole
     * source; the per-stream running sum is the one inherent sequential
     * dependency of concat packing.
+    *
+    * `orderCol` must TOTALLY order each stream (tie-break a non-unique
+    * key yourself, e.g. `struct(ts, doc_id)`): the frame is ROWS-based so
+    * ties don't collapse into one running-sum value, but tied rows would
+    * still pack in a run-dependent order, losing reproducibility.
     */
   def seqPack(docs: DataFrame, capacity: Int,
               tokens: Column, streamCol: Column,
               orderCol: Column): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would give orderCol
+    // ties the same cumulative sum → overlapping sequence offsets
     val w = Window.partitionBy(streamCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens", tokens.cast("long"))
       .withColumn("__start",

@@ -89,6 +89,28 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("compact reads through crash-leftover v= dirs; vacuum spares parked files") {
+    val dir = Files.createTempDirectory("graft_leftover").toString
+    spark.range(500).selectExpr("id", "id * 3 AS y")
+      .write.mode("overwrite").parquet(dir)
+    // crashed first compaction: v=0 exists but was never committed
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(s"$dir/v=0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=0/_SUCCESS"), false)
+    // a file the operator parked next to the table — not ours to touch
+    val parked = new org.apache.hadoop.fs.Path(s"$dir/backup.parquet")
+    fs.create(parked, true).close()
+    // the retry must read ONLY the bare snapshot (partition discovery
+    // would reject the mixed layout) and claim the next version slot
+    val v = TableMaintenance.compactVersioned(spark, dir, targetBytes = 8L * 1024)
+    assert(v == 1L)
+    assert(TableMaintenance.readTable(spark, dir).count() == 500)
+    TableMaintenance.vacuumVersions(spark, dir)
+    assert(fs.exists(parked), "vacuum deleted a caller-parked file")
+    assert(TableMaintenance.readTable(spark, dir).count() == 500)
+  }
+
   test("logOp/history: DESCRIBE HISTORY equivalent round-trips, newest first") {
     val dir = Files.createTempDirectory("graft_hist").toString
     TableMaintenance.logOp(spark, dir, "WRITE", Map("rows" -> "100"))

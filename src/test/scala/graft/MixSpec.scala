@@ -61,6 +61,21 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("seqPack: orderCol ties still tile gap-free (ROWS frame, not RANGE)") {
+    // every doc shares the same order key — under the default RANGE frame
+    // all rows would get one collapsed running sum and overlapping offsets
+    val docs = (0L until 50L).map(i => (i, "s", "a b c"))
+      .toDF("doc_id", "source", "text").withColumn("k", lit(1))
+    val out = Mix.seqPack(docs, capacity = 8,
+        tokens = size(split(col("text"), " ")),
+        streamCol = col("source"), orderCol = col("k"))
+      .select("n_tokens", "seq_id", "offset_in_seq")
+      .as[(Long, Long, Long)].collect()
+    val starts = out.map { case (_, s, o) => s * 8 + o }.sorted
+    // starts are exactly 0, 3, 6, ... — each doc begins where one ended
+    assert(starts.toSeq == (0L until 50L).map(_ * 3))
+  }
+
   test("seqPack shards: hashed streams parallelize a single big source") {
     val docs = (0L until 1000L).map(i => (i, "web", "a b c"))
       .toDF("doc_id", "source", "text")
