@@ -210,13 +210,75 @@ object Curate {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C22
+  /** Budgeted quality selection: rank each group's documents by a quality
+    * score and keep the best until the group's token budget is spent —
+    * how a data mixture actually hits a per-source token target instead
+    * of a rate guess. One window shuffle on the group key; every group
+    * selects independently, so the op parallelizes across sources and a
+    * single source never bottlenecks others.
+    *
+    * `quality` ordering must be engine-stable for exact reruns: a score
+    * that is one arithmetic expression of the row (like a ratio of
+    * counts) is bit-deterministic; tie-break on a unique key.
+    */
+  def qualityBudget(docs: DataFrame, quality: Column, tokens: Column,
+                    budget: Long, group: Column): DataFrame = {
+    val w = Window.partitionBy(group)
+      .orderBy(quality.desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("quality", quality)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
+  /** Query entry: stopword-ratio quality, whitespace tokens, 3000-token
+    * budget per source.
+    */
+  def qualityBudgetQuery(s: SparkSession, dir: String,
+                         budget: Long = 3000L): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("__c", graft.functions.Text.tokenProfileCounts(
+        col("text"), Seq(graft.functions.TextFuncs.stopwordsEn)))
+    val nWords = col("__c").getItem(0)
+    qualityBudget(d,
+      quality = col("__c").getItem(1).cast("double") / nWords,
+      tokens = nWords, budget = budget, group = col("source"))
+      .select("doc_id", "source", "n_tokens", "quality", "cum_tokens", "kept")
+      .orderBy("doc_id")
+  }
+
+  val qualityBudgetOracle: String = {
+    val inList = graft.functions.TextFuncs.stopwordsEn
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, source, n_tokens, quality, cum_tokens,
+       |  cum_tokens <= 3000 AS kept
+       |FROM (
+       |  SELECT doc_id, source, n_tokens, quality,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($inList))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) AS quality
+       |    FROM documents) b) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"         -> (pipelineCurate _),
     "pipeline_curate_neardup" -> (pipelineCurateNearDup _),
-    "contam_check"            -> ((s: SparkSession, d: String) => contamCheck(s, d)))
+    "contam_check"            -> ((s: SparkSession, d: String) => contamCheck(s, d)),
+    "quality_budget"          -> ((s: SparkSession, d: String) => qualityBudgetQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate"         -> pipelineCurateOracle,
     "pipeline_curate_neardup" -> pipelineCurateNearDupOracle,
-    "contam_check"            -> contamCheckOracle)
+    "contam_check"            -> contamCheckOracle,
+    "quality_budget"          -> qualityBudgetOracle)
 }

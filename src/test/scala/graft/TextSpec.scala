@@ -143,6 +143,23 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == (0.0, false))
   }
 
+  test("quality budget: best docs fill the budget, one over-the-line drop each") {
+    import spark.implicits._
+    // quality = stopword ratio; 4 docs of 10 tokens, budget 25 → the two
+    // best fit, the third crosses the line, the worst is out
+    def doc(id: Long, stops: Int) =
+      (id, (Seq.fill(stops)("the") ++ Seq.fill(10 - stops)(s"w$id")).mkString(" "), "s")
+    val docs = Seq(doc(1, 2), doc(2, 8), doc(3, 5), doc(4, 0))
+      .toDF("doc_id", "text", "source")
+      .withColumn("__c", graft.functions.Text.tokenProfileCounts(
+        col("text"), Seq(graft.functions.TextFuncs.stopwordsEn)))
+    val out = graft.pipeline.Curate.qualityBudget(docs,
+        quality = col("__c").getItem(1).cast("double") / col("__c").getItem(0),
+        tokens = col("__c").getItem(0), budget = 25L, group = col("source"))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(
