@@ -177,6 +177,24 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- "video"
+  /** Frame sampling over a "video" modeled as an ordered array of encoded
+    * frames (binary column of PNGs): take every `stride`-th frame
+    * starting at `offset`, decode each with the real codec, and report a
+    * per-frame mean luminance (the cheap shot-detection / thumbnail
+    * feature). Runs per-row — an exploded frames column shuffles nothing.
+    */
+  def sampleFrames(frames: Seq[Array[Byte]], stride: Int,
+                   offset: Int = 0): Seq[(Int, Double)] = {
+    require(stride >= 1, "stride must be >= 1")
+    (offset until frames.length by stride).map { i =>
+      val (w, h, sr, sg, sb) = Codecs.decodeImageStats(frames(i))
+      // ITU-R BT.601 luma weights over channel means
+      val n = (w * h).toDouble
+      (i, (0.299 * sr + 0.587 * sg + 0.114 * sb) / n)
+    }
+  }
+
   // ------------------------------------------------------------ pipeline
   /** Per-record decode dispatch on the mime metadata; a payload the codec
     * rejects yields decode_ok = false with null features instead of

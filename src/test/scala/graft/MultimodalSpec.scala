@@ -71,6 +71,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: every k-th frame decoded, luma from real pixels") {
+    val frames = (0L until 10L).map(Codecs.encodePng)
+    val sampled = Multimodal.sampleFrames(frames, stride = 3, offset = 1)
+    assert(sampled.map(_._1) == Seq(1, 4, 7))
+    sampled.foreach { case (i, luma) =>
+      val (w, h, sr, sg, sb) = Codecs.decodeImageStats(frames(i))
+      val expect = (0.299 * sr + 0.587 * sg + 0.114 * sb) / (w * h).toDouble
+      assert(math.abs(luma - expect) < 1e-12)
+      assert(luma > 0 && luma < 255)
+    }
+  }
+
   test("batch size bounds memory, not results") {
     val feed = Multimodal.mmFeed(spark, sf)
     val small = Multimodal.extractFeatures(feed, batchSize = 3)
