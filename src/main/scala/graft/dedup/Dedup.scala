@@ -80,16 +80,19 @@ object Dedup {
         graft.functions.PortableHash.md5_minhash_perms(col("sh"), k).as("p"))
     val sigCols = (0 until k).map(i => min(col("p").getItem(i)).as(s"__s$i"))
     val sig = posting.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // Band key "<band>,<s_0>,…,<s_r-1>": decimal renderings concatenated —
-    // both engines produce the identical string, so no engine-local hash
-    // sits in the grouping key. ~90 bytes/row instead of 12 on the banded
-    // table's shuffle; the banded table is k/rows rows per doc either way.
+    // Band key md5("<band>,<s_0>,…,<s_r-1>"): decimal renderings
+    // concatenated, then compressed through the one digest both engines
+    // share — still no engine-local hash in the grouping key (the oracle
+    // computes the identical md5), but the banded table shuffles fixed
+    // 32-byte hex keys instead of ~90-byte signature strings (and the
+    // downstream window/joins group on a fixed-width key). k/rows rows
+    // per doc.
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
-        concat_ws(",",
+        md5(concat_ws(",",
           (lit(b) +: (0 until rows).map(r => col(s"__s${b * rows + r}")))
-            .map(_.cast("string")): _*)
+            .map(_.cast("string")): _*).cast("binary"))
       }: _*)).as("bkey"))
     // Prune to non-singleton buckets before propagating: a bucket with one
     // doc generates no edge, and in a real corpus the overwhelming majority
@@ -459,8 +462,8 @@ object Dedup {
        |        FROM words CROSS JOIN range($k) ii(i)) t),
        |sig AS (SELECT doc_id, i, MIN(g) AS s FROM perm GROUP BY doc_id, i),
        |banded AS (
-       |  SELECT doc_id, (i // $rows) || ',' ||
-       |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS bkey
+       |  SELECT doc_id, md5((i // $rows) || ',' ||
+       |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
        |  FROM sig GROUP BY doc_id, i // $rows),
        |edges AS (
        |  SELECT doc_id, bkey FROM (
