@@ -210,6 +210,39 @@ object Curate {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ streaming
+  /** Streaming curation — the gates on an unbounded document feed. The
+    * stateless gates (short / lang_mismatch / low_quality) are the same
+    * scan-stage projections as batch; the exact-dup gate becomes
+    * watermark-bounded state keyed on the content hash
+    * (`dropDuplicatesWithinWatermark`, like [[graft.streaming.EventStreams
+    * .streamingDedup]]): the first arrival wins, a replay within the
+    * watermark drops — state is bounded by (ingest rate × watermark), not
+    * stream length. Dropped duplicates simply never appear downstream (a
+    * stream can't retract), so the output is every surviving doc with its
+    * gate verdict; `docs` needs a `ts` event-time column.
+    */
+  def streamingCurate(docs: DataFrame, watermark: String = "2 hours",
+                      minWords: Int = 25,
+                      minStopwordRatio: Double = 0.02): DataFrame = {
+    val swRatio =
+      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("__h")
+      .withColumn("__sc", TextFuncs.langScores(col("text")))
+      .withColumn("n_words", col("__sc").getItem(0))
+      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
+      .withColumn("reason",
+        when(col("n_words") < minWords, "short")
+          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+          .when(swRatio < minStopwordRatio, "low_quality")
+          .otherwise("kept"))
+      .withColumn("kept", col("reason") === "kept")
+      .select("doc_id", "ts", "n_words", "pred_lang", "reason", "kept")
+  }
+
   // --------------------------------------------------------------- C22
   /** Budgeted quality selection: rank each group's documents by a quality
     * score and keep the best until the group's token budget is spent —

@@ -155,6 +155,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curate: gates fire on the stream, replayed text drops") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String, lang: String)
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val base = 100L * 3600 * 1000 // well above epoch 0 for the watermark
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") +
+      " the of and to in is it for on a"
+    val q = graft.pipeline.Curate.streamingCurate(
+        mem.toDF().toDF("doc_id", "ts", "text", "lang"))
+      .writeStream.format("memory").queryName("stream_curate")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, new Timestamp(base), good, "en"),
+        (2L, new Timestamp(base + 1000), good, "en"),   // exact replay
+        (3L, new Timestamp(base + 2000), "too short", "en"),
+        // unique text (else the dedup state drops it), English stopwords,
+        // mislabeled as German → lang_mismatch
+        (4L, new Timestamp(base + 3000),
+          (1 to 30).map(i => s"x$i").mkString(" ") +
+            " the of and to in is it for on a", "de"))
+      q.processAllAvailable()
+      val got = spark.table("stream_curate")
+        .select("doc_id", "reason").as[(Long, String)].collect().toMap
+      assert(got(1L) == "kept")
+      assert(!got.contains(2L), "replayed content must drop in-state")
+      assert(got(3L) == "short")
+      assert(got(4L) == "lang_mismatch")
+    } finally q.stop()
+  }
+
   test("batch sessionize: sessions respect the 30-min gap invariant") {
     val sess = EventStreams.streamSessionize(spark, sf)
     val byUser = sess.orderBy("user_id", "session_id")
