@@ -305,6 +305,49 @@ object TextFuncs {
   }
 
   // --------------------------------------------------------------- C13
+  // --------------------------------------------------------------- C23
+  /** Intra-document repetition (the Gopher/MassiveText quality signal):
+    * fraction of word n-gram occurrences that are repeats of an earlier
+    * gram in the SAME document, plus the hottest gram's count. Templated
+    * and looping text scores high and gets filtered before training.
+    * Shape: explode grams → (doc, gram) count → per-doc rollup; the
+    * shuffle carries (doc_id, gram) pairs ∝ corpus tokens, never text,
+    * and both aggregations map-side combine.
+    */
+  def textRepetition(s: SparkSession, dir: String, n: Int = 2): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Sketch.word_ngrams(col("text"), n)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        ((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams")).as("rep_ratio"),
+        col("max_gram_count"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionOracle: String =
+    """SELECT doc_id, n_grams, n_distinct,
+      |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio,
+      |  max_gram_count
+      |FROM (
+      |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+      |    MAX(c) AS max_gram_count
+      |  FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id,
+      |        unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents) d
+      |      WHERE len(t) >= 2) u
+      |    GROUP BY doc_id, g) cc
+      |  GROUP BY doc_id) r
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus bigram frequencies, top-k by count: explode token bigrams →
     * one hash-aggregate (map-side combined) → global top-k. The corpus-
     * statistics primitive behind vocabulary building and contamination
@@ -382,7 +425,8 @@ object TextFuncs {
     "text_fingerprint" -> ((s: SparkSession, d: String) => textFingerprint(s, d)),
     "text_pii_scrub"   -> ((s: SparkSession, d: String) => textPiiScrub(s, d)),
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
-    "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)))
+    "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)),
+    "text_repetition"  -> ((s: SparkSession, d: String) => textRepetition(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
@@ -391,5 +435,6 @@ object TextFuncs {
     "text_langid"     -> textLangidOracle,
     "text_pii_scrub"  -> textPiiScrubOracle,
     "text_tfidf"      -> textTfidfOracle,
-    "text_ngram_freq" -> textNgramFreqOracle)
+    "text_ngram_freq" -> textNgramFreqOracle,
+    "text_repetition" -> textRepetitionOracle)
 }

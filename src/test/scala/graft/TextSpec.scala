@@ -143,6 +143,23 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == (0.0, false))
   }
 
+  test("repetition: looped text scores high, varied text scores zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "spam ham spam ham spam ham spam ham", "en", "s", 1L), // loops
+      (2L, "one two three four five six seven eight", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.functions.TextFuncs.textRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // doc 1: 7 bigrams, only 2 distinct ("spam ham" ×4, "ham spam" ×3)
+    assert(out(1L) == (7L, 2L, 5.0 / 7.0, 4L))
+    // doc 2: all 7 bigrams unique
+    assert(out(2L) == (7L, 7L, 0.0, 1L))
+  }
+
   test("quality budget: best docs fill the budget, one over-the-line drop each") {
     import spark.implicits._
     // quality = stopword ratio; 4 docs of 10 tokens, budget 25 → the two
