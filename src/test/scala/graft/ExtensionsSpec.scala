@@ -47,6 +47,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_word_ngrams('a b c', 2) AS g").first().getSeq[String](0)
     assert(ng == Seq("a b", "b c"))
 
+    // md5-KM perms: k values, perm 0 = first 8 digest bytes as a long
+    val perms = extSpark.sql(
+      "SELECT graft_minhash_perms('shingle', 4) AS p").first().getSeq[Long](0)
+    assert(perms.length == 4)
+    val bytes = "shingle".getBytes("UTF-8")
+    assert(perms.head ==
+      graft.functions.PortableHash.md5Long(bytes, 0, bytes.length))
+
     // wrong input type is an analysis error, not silent garbage
     intercept[Exception] {
       extSpark.sql("SELECT graft_vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
