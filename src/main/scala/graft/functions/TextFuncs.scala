@@ -98,6 +98,11 @@ object TextFuncs {
   val stopwordsEn: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+  /** `'the', 'a', …` — the one SQL rendering of [[stopwordsEn]], shared by
+    * every oracle that scores against the English profile.
+    */
+  val stopwordsEnSqlList: String = stopwordsEn.map(w => s"'$w'").mkString(", ")
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     // one tokenize pass serves word count AND stopword hits ([n, hits])
     val d = Tables.documents(s, dir)
@@ -119,7 +124,7 @@ object TextFuncs {
   }
 
   val textQualityOracle: String = {
-    val inList = stopwordsEn.map(w => s"'$w'").mkString(", ")
+    val inList = stopwordsEnSqlList
     s"""SELECT doc_id,
        |  length(text) AS n_chars,
        |  len(string_split(text, ' ')) AS n_words,
@@ -304,7 +309,6 @@ object TextFuncs {
        |ORDER BY doc_id""".stripMargin
   }
 
-  // --------------------------------------------------------------- C13
   // --------------------------------------------------------------- C23
   /** Intra-document repetition (the Gopher/MassiveText quality signal):
     * fraction of word n-gram occurrences that are repeats of an earlier
@@ -315,26 +319,35 @@ object TextFuncs {
     * and both aggregations map-side combine.
     */
   def textRepetition(s: SparkSession, dir: String, n: Int = 2): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.Sketch.word_ngrams(col("text"), n)).as("g"))
-    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.Sketch.word_ngrams(col("text"), n)).as("g"))
+    val agg = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_gram_count"))
-      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        ((col("n_grams") - col("n_distinct")).cast("double") /
-          col("n_grams")).as("rep_ratio"),
-        col("max_gram_count"))
+    // gram-less docs (< n words) still report, clean — a consumer joining
+    // this signal back must not confuse "not scored" with "missing"
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_grams").isNotNull,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("rep_ratio"),
+        coalesce(col("max_gram_count"), lit(0L)).as("max_gram_count"))
       .orderBy("doc_id")
   }
 
   val textRepetitionOracle: String =
-    """SELECT doc_id, n_grams, n_distinct,
-      |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio,
-      |  max_gram_count
-      |FROM (
+    """SELECT d.doc_id,
+      |  COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_distinct, 0) AS n_distinct,
+      |  COALESCE(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 0.0)
+      |    AS rep_ratio,
+      |  COALESCE(max_gram_count, 0) AS max_gram_count
+      |FROM documents d LEFT JOIN (
       |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
       |    MAX(c) AS max_gram_count
       |  FROM (
@@ -342,12 +355,13 @@ object TextFuncs {
       |      SELECT doc_id,
       |        unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
       |      FROM (SELECT doc_id, string_split(text, ' ') AS t
-      |            FROM documents) d
+      |            FROM documents) dd
       |      WHERE len(t) >= 2) u
       |    GROUP BY doc_id, g) cc
-      |  GROUP BY doc_id) r
+      |  GROUP BY doc_id) r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C13
   /** Corpus bigram frequencies, top-k by count: explode token bigrams →
     * one hash-aggregate (map-side combined) → global top-k. The corpus-
     * statistics primitive behind vocabulary building and contamination

@@ -187,12 +187,15 @@ object Multimodal {
   def sampleFrames(frames: Seq[Array[Byte]], stride: Int,
                    offset: Int = 0): Seq[(Int, Double)] = {
     require(stride >= 1, "stride must be >= 1")
-    (offset until frames.length by stride).map { i =>
-      val (w, h, sr, sg, sb) = Codecs.decodeImageStats(frames(i))
-      // ITU-R BT.601 luma weights over channel means
-      val n = (w * h).toDouble
-      (i, (0.299 * sr + 0.587 * sg + 0.114 * sb) / n)
-    }
+    require(offset >= 0, "offset must be >= 0")
+    // iterator walk, not positional indexing — linear for List frames too
+    frames.iterator.zipWithIndex
+      .filter { case (_, i) => i >= offset && (i - offset) % stride == 0 }
+      .map { case (f, i) =>
+        val (w, h, sr, sg, sb) = Codecs.decodeImageStats(f)
+        // ITU-R BT.601 luma weights over channel means
+        (i, (0.299 * sr + 0.587 * sg + 0.114 * sb) / (w * h).toDouble)
+      }.toSeq
   }
 
   // ------------------------------------------------------------ pipeline

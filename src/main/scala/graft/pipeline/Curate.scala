@@ -26,28 +26,46 @@ import graft.functions.TextFuncs
   */
 object Curate {
 
-  /** The one curation builder both variants share — a gate change here is
-    * a gate change everywhere. `nearDupIds`: docs to drop as `near_dup`
-    * (precedence right after the exact gate); None = gate off.
-    *
-    * ONE native tokenize+score pass per row ([n_tokens, score_en, …],
-    * materialized as __sc — non-cheap, so CollapseProject keeps the
-    * alias); word count, language gate, and quality gate are all plain
-    * array indexes over it. The previous HOF formulation re-split and
-    * re-scored the text ≥3× per row, interpreted — on the single
-    * most-run pipeline in the workload.
+  /** Adds the shared scoring columns: ONE native tokenize+score pass per
+    * row ([n_tokens, score_en, …] materialized as `__sc` — non-cheap, so
+    * CollapseProject keeps the alias), with `n_words` / `pred_lang`
+    * derived as plain array indexes over it. Batch and streaming curation
+    * both start here; the previous HOF formulation re-split and re-scored
+    * the text ≥3× per row, interpreted, on the single most-run pipeline
+    * in the workload.
+    */
+  private def withScores(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__sc", TextFuncs.langScores(col("text")))
+      .withColumn("n_words", col("__sc").getItem(0))
+      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
+
+  /** The stateless gate verdict (short > lang_mismatch > low_quality >
+    * kept) over [[withScores]] columns — the ONE definition of these
+    * gates; batch prepends its dup/near_dup arms, streaming uses it
+    * as-is (its dup gate is dedup state, not a verdict).
+    */
+  private def statelessReason(minWords: Int,
+                              minStopwordRatio: Double): Column = {
+    val swRatio =
+      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
+    when(col("n_words") < minWords, "short")
+      .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+      .when(swRatio < minStopwordRatio, "low_quality")
+      .otherwise("kept")
+  }
+
+  /** The one batch curation builder both query variants share — a gate
+    * change here (or in [[statelessReason]]) is a gate change everywhere.
+    * `nearDupIds`: docs to drop as `near_dup` (precedence right after the
+    * exact gate); None = gate off.
     */
   private def curateWith(docs: DataFrame, nearDupIds: Option[DataFrame],
                          minWords: Int, minStopwordRatio: Double): DataFrame = {
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
-    val swRatio =
-      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
-    val base = docs
-      .withColumn("__sc", TextFuncs.langScores(col("text")))
+    val base = withScores(docs)
       .withColumn("__rn", row_number().over(wDup))
-      .withColumn("n_words", col("__sc").getItem(0))
-      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
     val gated = nearDupIds match {
       case Some(nd) =>
         base.join(nd.withColumn("__nd", lit(true)), Seq("doc_id"), "left")
@@ -57,10 +75,7 @@ object Curate {
       .withColumn("reason",
         when(col("__rn") =!= 1, "dup")
           .when(coalesce(col("__nd"), lit(false)), "near_dup")
-          .when(col("n_words") < minWords, "short")
-          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
-          .when(swRatio < minStopwordRatio, "low_quality")
-          .otherwise("kept"))
+          .otherwise(statelessReason(minWords, minStopwordRatio)))
       .withColumn("kept", col("reason") === "kept")
       .select("doc_id", "n_words", "pred_lang", "reason", "kept")
       .orderBy("doc_id")
@@ -224,24 +239,14 @@ object Curate {
     */
   def streamingCurate(docs: DataFrame, watermark: String = "2 hours",
                       minWords: Int = 25,
-                      minStopwordRatio: Double = 0.02): DataFrame = {
-    val swRatio =
-      TextFuncs.langBest(col("__sc")).cast("double") / col("n_words")
-    docs
+                      minStopwordRatio: Double = 0.02): DataFrame =
+    withScores(docs
       .withWatermark("ts", watermark)
       .withColumn("__h", md5(col("text").cast("binary")))
-      .dropDuplicatesWithinWatermark("__h")
-      .withColumn("__sc", TextFuncs.langScores(col("text")))
-      .withColumn("n_words", col("__sc").getItem(0))
-      .withColumn("pred_lang", TextFuncs.langPred(col("__sc")))
-      .withColumn("reason",
-        when(col("n_words") < minWords, "short")
-          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
-          .when(swRatio < minStopwordRatio, "low_quality")
-          .otherwise("kept"))
+      .dropDuplicatesWithinWatermark("__h"))
+      .withColumn("reason", statelessReason(minWords, minStopwordRatio))
       .withColumn("kept", col("reason") === "kept")
       .select("doc_id", "ts", "n_words", "pred_lang", "reason", "kept")
-  }
 
   // --------------------------------------------------------------- C22
   /** Budgeted quality selection: rank each group's documents by a quality
@@ -284,8 +289,7 @@ object Curate {
   }
 
   val qualityBudgetOracle: String = {
-    val inList = graft.functions.TextFuncs.stopwordsEn
-      .map(w => s"'$w'").mkString(", ")
+    val inList = graft.functions.TextFuncs.stopwordsEnSqlList
     s"""SELECT doc_id, source, n_tokens, quality, cum_tokens,
        |  cum_tokens <= 3000 AS kept
        |FROM (

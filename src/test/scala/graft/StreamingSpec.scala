@@ -157,7 +157,6 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming curate: gates fire on the stream, replayed text drops") {
     implicit val sqlCtx = spark.sqlContext
-    case class Doc(doc_id: Long, ts: Timestamp, text: String, lang: String)
     val mem = MemoryStream[(Long, Timestamp, String, String)]
     val base = 100L * 3600 * 1000 // well above epoch 0 for the watermark
     val good = (1 to 30).map(i => s"w$i").mkString(" ") +
