@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, Md5MinhashPerms, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineLshBucket, Md5MinhashPerms, Md5MinhashSig, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, k) => Md5MinhashPerms(text, intArg(k, "k"))
         case _ => throw new IllegalArgumentException(
           "graft_minhash_perms(text[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinhashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => Md5MinhashSig(text, 3, 64)
+        case Seq(text, n, k) =>
+          Md5MinhashSig(text, intArg(n, "n"), intArg(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(text[, n, k])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lang_scores"),

@@ -64,22 +64,17 @@ object Dedup {
                    k: Int = 64, bands: Int = 16,
                    ccIterations: Int = 3): DataFrame = {
     val rows = k / bands
-    // Portable signature: word 3-shingle STRINGS (whole text below 3
-    // tokens), hashed by the md5 Kirsch–Mitzenmacher family — ONE digest
-    // per shingle serves all k permutations, and the whole pipeline
-    // (signatures → banding → label propagation) is reproduced exactly by
-    // the DuckDB oracle. Same agg shape as an engine-local hash would use:
-    // explode + one codegen'd hash-aggregate with k map-side-combined mins.
-    val ng = graft.functions.Sketch.word_ngrams(col("text"), 3)
-    val posting = Tables.documents(s, dir)
-      .withColumn("__ng", ng)
-      .select(col("doc_id"),
-        explode(when(size(col("__ng")) === 0, array(col("text")))
-          .otherwise(col("__ng"))).as("sh"))
-      .select(col("doc_id"),
-        graft.functions.PortableHash.md5_minhash_perms(col("sh"), k).as("p"))
-    val sigCols = (0 until k).map(i => min(col("p").getItem(i)).as(s"__s$i"))
-    val sig = posting.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Portable signature in ONE scan-stage pass: the native Md5MinhashSig
+    // expression tokenizes, slides word 3-shingles (whole text below 3
+    // tokens), digests each shingle once (md5 — the hash both engines
+    // share, so the whole pipeline signatures → banding → label
+    // propagation is reproduced exactly by the DuckDB oracle), and folds
+    // the k Kirsch–Mitzenmacher values into running minima per row. No
+    // shingle explode, no signature aggregation, no shuffle before
+    // banding — at corpus scale the signature step costs exactly one
+    // compiled pass over the text bytes.
+    val sig = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.PortableHash.md5_minhash_sig(col("text"), 3, k).as("sig"))
     // Band key md5("<band>,<s_0>,…,<s_r-1>"): decimal renderings
     // concatenated, then compressed through the one digest both engines
     // share — still no engine-local hash in the grouping key (the oracle
@@ -91,7 +86,7 @@ object Dedup {
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         md5(concat_ws(",",
-          (lit(b) +: (0 until rows).map(r => col(s"__s${b * rows + r}")))
+          (lit(b) +: (0 until rows).map(r => col("sig").getItem(b * rows + r)))
             .map(_.cast("string")): _*).cast("binary"))
       }: _*)).as("bkey"))
     // Prune to non-singleton buckets before propagating: a bucket with one

@@ -61,6 +61,66 @@ object PortableHash {
   def md5_minhash_perms(text: Column, k: Int): Column =
     GraftColumnBridge.column(Md5MinhashPerms(GraftColumnBridge.expression(text), k))
 
+  /** Complete k-permutation minhash signature of a document in ONE
+    * compiled pass: tokenize on single spaces, slide word n-shingles
+    * (whole text when fewer than n tokens — including the empty string
+    * for empty text), digest each shingle's bytes once, fold the k
+    * Kirsch–Mitzenmacher values into running minima. Exactly
+    * min-over-shingles of [[md5Perms]] — the fused form never
+    * materializes shingle strings OR the (shingle × k) permutation
+    * matrix, so signature computation is pure scan-stage work with no
+    * explode and no aggregation.
+    */
+  def md5MinhashSig(s: UTF8String, n: Int, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    // token start offsets, single-space delimited (parity with
+    // Sketch.wordNgrams and the oracle's string_split(text, ' '))
+    var starts = new Array[Int](8)
+    var nTok = 0
+    var i = 0
+    var tokStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTok == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        starts(nTok) = tokStart
+        nTok += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val md = mdLocal.get()
+    def fold(from: Int, until: Int): Unit = {
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = ByteBuffer.wrap(md.digest())
+      val a = d.getLong(0)
+      val b = d.getLong(8)
+      var j = 0
+      while (j < k) {
+        val v = a + j * b
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    if (nTok < n) fold(0, bytes.length)
+    else {
+      var g = 0
+      while (g <= nTok - n) {
+        val until = if (g + n < nTok) starts(g + n) - 1 else bytes.length
+        fold(starts(g), until)
+        g += 1
+      }
+    }
+    sig
+  }
+
+  /** Column API: the full per-row minhash signature. */
+  def md5_minhash_sig(text: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(Md5MinhashSig(GraftColumnBridge.expression(text), n, k))
+
   // ------------------------------------------------- DuckDB-side generator
 
   /** DuckDB SQL reconstructing the signed 64-bit value of 16 hex digits of
@@ -79,6 +139,27 @@ object PortableHash {
   * string — the portable minhash signature primitive (one digest, k
   * derived values, engine-reproducible).
   */
+/** `array<long>` of length k: the fused minhash signature (min over word
+  * n-shingles of the md5-KM permutation values) — see
+  * [[PortableHash.md5MinhashSig]].
+  */
+case class Md5MinhashSig(child: Expression, n: Int, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_minhash_sig", child.dataType,
+      "n" -> n, "k" -> k)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PortableHash.md5MinhashSig(input.asInstanceOf[UTF8String], n, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
+        s"graft.functions.PortableHash.md5MinhashSig($c, $n, $k));")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
+    copy(child = newChild)
+}
+
 case class Md5MinhashPerms(child: Expression, k: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -10,6 +10,34 @@ import graft.functions.Sketch
   * the algebraic guarantees the distributed operators rely on. Seeded
   * generators, 200 cases per property, fully deterministic.
   */
+class Md5MinhashSigSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.PortableHash
+
+  private def unfused(text: String, n: Int, k: Int): Array[Long] = {
+    // reference semantics: min over word n-shingles (whole text below n
+    // tokens) of the per-shingle KM permutation values
+    val toks = text.split(" ", -1)
+    val shingles =
+      if (toks.length < n) Seq(text)
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val perms = shingles.map(sh =>
+      PortableHash.md5Perms(UTF8String.fromString(sh), k))
+    Array.tabulate(k)(i => perms.map(_(i)).min)
+  }
+
+  test("fused signature == min over per-shingle perms, all edge shapes") {
+    for (text <- Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three", "one two", "single", "",
+      "a  b c d", // consecutive spaces → empty tokens, split parity
+      "exactly three words")) {
+      val fused = PortableHash.md5MinhashSig(UTF8String.fromString(text), 3, 64)
+      assert(fused.toSeq == unfused(text, 3, 64).toSeq, s"text: '$text'")
+    }
+  }
+}
+
 class SketchPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
