@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, Md5MinhashPerms, Md5MinhashSig, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineLshBucket, Md5MinhashPerms, Md5MinhashSig, Md5Simhash, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Md5MinhashSig(text, intArg(n, "n"), intArg(k, "k"))
         case _ => throw new IllegalArgumentException(
           "graft_minhash_sig(text[, n, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Md5Simhash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => Md5Simhash(text)
+        case _ => throw new IllegalArgumentException("graft_simhash(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lang_scores"),

@@ -146,39 +146,20 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- C3
-  /** 64-bit SimHash: explode tokens, one groupBy(doc) with 64 partial-agg
-    * sums (±1 per bit), recombine to the fingerprint. Map-side combine
-    * keeps the shuffle at one row per (doc × 64 longs). `bucket` is the
-    * top-16-bit prefix — the blocking key for hamming-distance search.
-    */
   /** (doc_id, simhash) for a document DataFrame — shared by the
     * fingerprint query (C3) and the hamming-NN search (C3b).
+    *
+    * 64-bit SimHash in ONE compiled pass per row (native Md5Simhash:
+    * tokenize, per-token first-64-md5-bits hash, per-bit ±1 sums,
+    * positive sums set bits) — no token explode, no 64-sum aggregate, no
+    * shuffle. Token hash = md5 because that is the one hash BOTH engines
+    * (Spark and the DuckDB oracle) compute identically, keeping the whole
+    * simhash pipeline exactly oracle-checkable — xxhash64 exists only in
+    * Spark.
     */
-  private[dedup] def simhashTable(docs: DataFrame): DataFrame = {
-    // Token hash = first 64 bits of md5(token). md5 is the one hash BOTH
-    // engines (Spark and the DuckDB oracle) compute identically, which
-    // makes the whole simhash pipeline exactly oracle-checkable —
-    // xxhash64 exists only in Spark. Assembled from two 32-bit halves via
-    // conv(hex, 16, 10), so no step overflows ANSI long arithmetic
-    // (shifts and bitwise-or are unchecked bit ops).
-    val hex = md5(col("tok").cast("binary"))
-    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", shiftleft(hi, 32).bitwiseOR(lo))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__b$j")
-    }
-    val sim = (0 until 64).map { j =>
-      shiftleft(when(col(s"__b$j") > 0, 1L).otherwise(0L), j)
-    }.reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", sim)
-      .select("doc_id", "simhash")
-  }
+  private[dedup] def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.PortableHash.md5_simhash(col("text")).as("simhash"))
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashTable(Tables.documents(s, dir))

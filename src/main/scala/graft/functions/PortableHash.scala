@@ -121,6 +121,45 @@ object PortableHash {
   def md5_minhash_sig(text: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(Md5MinhashSig(GraftColumnBridge.expression(text), n, k))
 
+  /** 64-bit SimHash of a document in ONE compiled pass: tokenize on
+    * single spaces (empty tokens included — `split` parity), token hash =
+    * first 8 md5-digest bytes (the engine-portable hash), per-bit ±1
+    * sums, positive sums set bits. Exactly the explode + 64-bit-sum
+    * aggregate formulation, without the explode or the aggregate.
+    */
+  def md5Simhash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](64)
+    val md = mdLocal.get()
+    var tokStart = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, tokStart, i - tokStart)
+        val h = ByteBuffer.wrap(md.digest()).getLong(0)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  /** Column API: the per-row 64-bit simhash. */
+  def md5_simhash(text: Column): Column =
+    GraftColumnBridge.column(Md5Simhash(GraftColumnBridge.expression(text)))
+
   // ------------------------------------------------- DuckDB-side generator
 
   /** DuckDB SQL reconstructing the signed 64-bit value of 16 hex digits of
@@ -157,6 +196,21 @@ case class Md5MinhashSig(child: Expression, n: Int, k: Int)
       s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
         s"graft.functions.PortableHash.md5MinhashSig($c, $n, $k));")
   override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit per-row simhash — see [[PortableHash.md5Simhash]]. */
+case class Md5Simhash(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_simhash", child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    PortableHash.md5Simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableHash.md5Simhash($c);")
+  override protected def withNewChildInternal(newChild: Expression): Md5Simhash =
     copy(child = newChild)
 }
 

@@ -36,6 +36,24 @@ class Md5MinhashSigSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(fused.toSeq == unfused(text, 3, 64).toSeq, s"text: '$text'")
     }
   }
+
+  test("fused simhash == per-token bit-sum reference, split parity") {
+    def reference(text: String): Long = {
+      val counts = new Array[Int](64)
+      text.split(" ", -1).foreach { tok =>
+        val b = tok.getBytes("UTF-8")
+        val h = PortableHash.md5Long(b, 0, b.length)
+        for (j <- 0 until 64)
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      }
+      (0 until 64).map(j => if (counts(j) > 0) 1L << j else 0L).sum
+    }
+    for (text <- Seq("the quick brown fox", "a  b", "", "one",
+      "repeated repeated repeated words words")) {
+      assert(PortableHash.md5Simhash(UTF8String.fromString(text)) ==
+        reference(text), s"text: '$text'")
+    }
+  }
 }
 
 class SketchPropertySpec extends AnyFunSuite {
