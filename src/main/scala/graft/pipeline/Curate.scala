@@ -93,13 +93,16 @@ object Curate {
     * side OR from textLangidOracle — and the two curate variants differ
     * only by the nd CTE chain and one CASE arm, mirroring [[curateWith]].
     */
-  private def curateOracleSql(ndCtes: Option[String]): String = {
-    val withClause = ndCtes.map(c => s"WITH $c,").getOrElse("WITH")
+  /** The curate CTE chain up to `r` (doc_id, n_words, pred_lang, reason)
+    * — the reusable half of the oracle, also the front of the composed
+    * corpus-build oracle.
+    */
+  private[pipeline] def curateSqlCtes(ndCtes: Option[String]): String = {
+    val prefix = ndCtes.map(c => s"$c,\n").getOrElse("")
     val isNd = if (ndCtes.isDefined) "nd.doc_id IS NOT NULL" else "FALSE"
     val pFrom =
       if (ndCtes.isDefined) "FROM g LEFT JOIN nd USING (doc_id)" else "FROM g"
-    s"""$withClause
-       |f AS (
+    s"""${prefix}f AS (
        |  SELECT doc_id, lang, len(t) AS n_words,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
        |    ${TextFuncs.langScoreSqlExprs("t").mkString(",\n    ")}
@@ -117,10 +120,13 @@ object Curate {
        |         WHEN pred_lang <> lang THEN 'lang_mismatch'
        |         WHEN swr < 0.02 THEN 'low_quality'
        |         ELSE 'kept' END AS reason
-       |  FROM p)
+       |  FROM p)""".stripMargin
+  }
+
+  private def curateOracleSql(ndCtes: Option[String]): String =
+    s"""WITH ${curateSqlCtes(ndCtes)}
        |SELECT doc_id, n_words, pred_lang, reason, reason = 'kept' AS kept
        |FROM r ORDER BY doc_id""".stripMargin
-  }
 
   val pipelineCurateOracle: String = curateOracleSql(None)
 

@@ -131,12 +131,62 @@ object Mix {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- composition
+  /** C24 — the whole corpus build in one query: curation gates → keep the
+    * survivors → stratified mixing → sequence packing. This is the
+    * production job the individual operators exist for, composed exactly
+    * as a user would compose them; every stage's semantics are the ones
+    * already verified in isolation, and the chained DuckDB oracle checks
+    * the composition end to end. Data cost: curate's content-hash
+    * shuffle, the (free) mixing filter, and the packing window — three
+    * shuffles corpus-wide, text read once.
+    */
+  def corpusBuildQuery(s: SparkSession, dir: String,
+                       capacity: Int = 512): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = Curate.curate(docs).filter(col("kept"))
+      .select("doc_id", "n_words")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val rates = (0 until 20)
+      .map(n => s"src$n" -> (0.25 + 0.75 * (n % 4) / 3.0)).toMap
+    val mixed = corpusMix(kept, rates)
+    seqPack(mixed, capacity, tokens = col("n_words"),
+        streamCol = col("source"), orderCol = col("doc_id"))
+      .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy("doc_id")
+  }
+
+  val corpusBuildOracle: String = {
+    val u = uniformSql("doc_id", "mix")
+    s"""WITH ${Curate.curateSqlCtes(None)},
+       |kept AS (
+       |  SELECT r.doc_id, r.n_words, d.source
+       |  FROM r JOIN documents d USING (doc_id)
+       |  WHERE reason = 'kept'),
+       |mixed AS (
+       |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens
+       |  FROM kept
+       |  WHERE $u <
+       |    0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM mixed)
+       |SELECT doc_id, source, n_tokens,
+       |  (cum - n_tokens) // 512 AS seq_id,
+       |  (cum - n_tokens) % 512 AS offset_in_seq
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_mix" -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
-    "seq_pack"   -> ((s: SparkSession, d: String) => seqPackQuery(s, d)))
+    "corpus_mix"   -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
+    "seq_pack"     -> ((s: SparkSession, d: String) => seqPackQuery(s, d)),
+    "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "corpus_mix" -> corpusMixOracle,
-    "seq_pack"   -> seqPackOracle)
+    "corpus_mix"   -> corpusMixOracle,
+    "seq_pack"     -> seqPackOracle,
+    "corpus_build" -> corpusBuildOracle)
 }
