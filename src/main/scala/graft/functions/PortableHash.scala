@@ -73,22 +73,7 @@ object PortableHash {
     */
   def md5MinhashSig(s: UTF8String, n: Int, k: Int): Array[Long] = {
     val bytes = s.getBytes
-    // token start offsets, single-space delimited (parity with
-    // Sketch.wordNgrams and the oracle's string_split(text, ' '))
-    var starts = new Array[Int](8)
-    var nTok = 0
-    var i = 0
-    var tokStart = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        if (nTok == starts.length)
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-        starts(nTok) = tokStart
-        nTok += 1
-        tokStart = i + 1
-      }
-      i += 1
-    }
+    val (starts, nTok) = Sketch.tokenStarts(bytes)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val md = mdLocal.get()
@@ -129,23 +114,18 @@ object PortableHash {
     */
   def md5Simhash(s: UTF8String): Long = {
     val bytes = s.getBytes
+    val (starts, nTok) = Sketch.tokenStarts(bytes)
     val counts = new Array[Int](64)
-    val md = mdLocal.get()
-    var tokStart = 0
-    var i = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        md.reset()
-        md.update(bytes, tokStart, i - tokStart)
-        val h = ByteBuffer.wrap(md.digest()).getLong(0)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
-        tokStart = i + 1
+    var t = 0
+    while (t < nTok) {
+      val until = if (t + 1 < nTok) starts(t + 1) - 1 else bytes.length
+      val h = md5Long(bytes, starts(t), until)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
       }
-      i += 1
+      t += 1
     }
     var sim = 0L
     var j = 0
@@ -174,10 +154,6 @@ object PortableHash {
   }
 }
 
-/** `array<long>` of the k Kirsch–Mitzenmacher md5 permutation hashes of a
-  * string — the portable minhash signature primitive (one digest, k
-  * derived values, engine-reproducible).
-  */
 /** `array<long>` of length k: the fused minhash signature (min over word
   * n-shingles of the md5-KM permutation values) — see
   * [[PortableHash.md5MinhashSig]].
@@ -214,6 +190,10 @@ case class Md5Simhash(child: Expression)
     copy(child = newChild)
 }
 
+/** `array<long>` of the k Kirsch–Mitzenmacher md5 permutation hashes of a
+  * string — the portable per-shingle primitive (one digest, k derived
+  * values, engine-reproducible).
+  */
 case class Md5MinhashPerms(child: Expression, k: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -140,12 +140,13 @@ object Sketch {
     java.util.Arrays.copyOf(res, nRes)
   }
 
-  /** Word n-grams as strings (split on single spaces), one pass over the
-    * bytes: each n-gram is a byte-range slice, no per-token allocation.
+  /** Start offsets of single-space-delimited tokens (`split(' ')` /
+    * `string_split` parity — empty tokens included): token t spans
+    * `[starts(t), t+1 < nTok ? starts(t+1)-1 : bytes.length)`. The ONE
+    * tokenizer shared by every fused sketch (wordNgrams, minhash
+    * signature, simhash) so boundary semantics can never diverge.
     */
-  def wordNgrams(s: UTF8String, n: Int): Array[UTF8String] = {
-    val bytes = s.getBytes
-    // token start offsets
+  private[functions] def tokenStarts(bytes: Array[Byte]): (Array[Int], Int) = {
     var starts = new Array[Int](8)
     var nTok = 0
     var i = 0
@@ -159,6 +160,15 @@ object Sketch {
       }
       i += 1
     }
+    (starts, nTok)
+  }
+
+  /** Word n-grams as strings (split on single spaces), one pass over the
+    * bytes: each n-gram is a byte-range slice, no per-token allocation.
+    */
+  def wordNgrams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    val (starts, nTok) = tokenStarts(bytes)
     if (nTok < n) return Array.empty
     val out = new Array[UTF8String](nTok - n + 1)
     var j = 0

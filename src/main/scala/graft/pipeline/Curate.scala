@@ -61,7 +61,8 @@ object Curate {
     * exact gate); None = gate off.
     */
   private def curateWith(docs: DataFrame, nearDupIds: Option[DataFrame],
-                         minWords: Int, minStopwordRatio: Double): DataFrame = {
+                         minWords: Int, minStopwordRatio: Double,
+                         extraCols: Seq[String] = Nil): DataFrame = {
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
     val base = withScores(docs)
@@ -71,19 +72,25 @@ object Curate {
         base.join(nd.withColumn("__nd", lit(true)), Seq("doc_id"), "left")
       case None => base.withColumn("__nd", lit(false)) // folds away below
     }
+    val outCols =
+      Seq("doc_id", "n_words", "pred_lang", "reason", "kept") ++ extraCols
     gated
       .withColumn("reason",
         when(col("__rn") =!= 1, "dup")
           .when(coalesce(col("__nd"), lit(false)), "near_dup")
           .otherwise(statelessReason(minWords, minStopwordRatio)))
       .withColumn("kept", col("reason") === "kept")
-      .select("doc_id", "n_words", "pred_lang", "reason", "kept")
+      .select(outCols.map(col): _*)
       .orderBy("doc_id")
   }
 
+  /** `extraCols`: input columns to carry through to the output unchanged
+    * (a composing pipeline keeps e.g. `source` without a join back).
+    */
   def curate(docs: DataFrame, minWords: Int = 25,
-             minStopwordRatio: Double = 0.02): DataFrame =
-    curateWith(docs, None, minWords, minStopwordRatio)
+             minStopwordRatio: Double = 0.02,
+             extraCols: Seq[String] = Nil): DataFrame =
+    curateWith(docs, None, minWords, minStopwordRatio, extraCols)
 
   def pipelineCurate(s: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(s, dir))

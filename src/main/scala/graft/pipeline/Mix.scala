@@ -55,24 +55,28 @@ object Mix {
       .filter(col("u") < col("rate"))
   }
 
-  /** C20 query: rates derived from the source id (src0..src19 →
-    * 0.25/0.5/0.75/1.0 by N mod 4) so the query is self-contained; real
-    * callers pass their measured mixture weights to [[corpusMix]].
+  /** Demo mixture shared by the C20 and C24 queries: src0..src19 →
+    * 0.25/0.5/0.75/1.0 by source id mod 4 — self-contained on the test
+    * corpus; real callers pass measured weights to [[corpusMix]].
     */
-  def corpusMixQuery(s: SparkSession, dir: String): DataFrame = {
-    val rates = (0 until 20)
-      .map(n => s"src$n" -> (0.25 + 0.75 * (n % 4) / 3.0)).toMap
-    corpusMix(Tables.documents(s, dir), rates)
+  val demoRates: Map[String, Double] =
+    (0 until 20).map(n => s"src$n" -> (0.25 + 0.75 * (n % 4) / 3.0)).toMap
+
+  /** The matching DuckDB arithmetic over a `source` column. */
+  val demoRateSql: String =
+    "0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0"
+
+  /** C20 query. */
+  def corpusMixQuery(s: SparkSession, dir: String): DataFrame =
+    corpusMix(Tables.documents(s, dir), demoRates)
       .select("doc_id", "source", "u", "rate")
       .orderBy("doc_id")
-  }
 
   val corpusMixOracle: String = {
     val u = uniformSql("doc_id", "mix")
-    s"""SELECT doc_id, source, $u AS u,
-       |  0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0 AS rate
+    s"""SELECT doc_id, source, $u AS u, $demoRateSql AS rate
        |FROM documents
-       |WHERE $u < 0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0
+       |WHERE $u < $demoRateSql
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -110,9 +114,30 @@ object Mix {
       .drop("__start")
   }
 
+  /** The training-sequence capacity the registered queries AND their
+    * oracles share — the oracles hardcode this value, so a non-default
+    * `capacity` argument must not be compared against them.
+    */
+  val PackCapacity: Int = 512
+
+  /** Shared packing SQL tail: chunk a (doc_id, source, n_tokens) relation
+    * `from` into [[PackCapacity]]-token sequences — the one rendering of
+    * the div/mod arithmetic, used by both packing oracles.
+    */
+  private def packSql(from: String): String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  (cum - n_tokens) // $PackCapacity AS seq_id,
+       |  (cum - n_tokens) % $PackCapacity AS offset_in_seq
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM $from) packed
+       |ORDER BY doc_id""".stripMargin
+
   /** C21 query: whitespace token counts, one stream per source. */
   def seqPackQuery(s: SparkSession, dir: String,
-                   capacity: Int = 512): DataFrame =
+                   capacity: Int = PackCapacity): DataFrame =
     seqPack(Tables.documents(s, dir), capacity,
       tokens = size(split(col("text"), " ")),
       streamCol = col("source"), orderCol = col("doc_id"))
@@ -120,16 +145,11 @@ object Mix {
       .orderBy("doc_id")
 
   val seqPackOracle: String =
-    """SELECT doc_id, source, n_tokens,
-      |  (cum - n_tokens) // 512 AS seq_id,
-      |  (cum - n_tokens) % 512 AS offset_in_seq
-      |FROM (
-      |  SELECT doc_id, source,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-      |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
-      |  FROM documents) t
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |""".stripMargin + packSql("toks")
 
   // --------------------------------------------------------- composition
   /** C24 — the whole corpus build in one query: curation gates → keep the
@@ -142,14 +162,14 @@ object Mix {
     * shuffles corpus-wide, text read once.
     */
   def corpusBuildQuery(s: SparkSession, dir: String,
-                       capacity: Int = 512): DataFrame = {
+                       capacity: Int = PackCapacity): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val kept = Curate.curate(docs).filter(col("kept"))
-      .select("doc_id", "n_words")
-      .join(docs.select("doc_id", "source"), "doc_id")
-    val rates = (0 until 20)
-      .map(n => s"src$n" -> (0.25 + 0.75 * (n % 4) / 3.0)).toMap
-    val mixed = corpusMix(kept, rates)
+    // `source` rides through the gates as a pass-through column — no
+    // join back to the corpus to recover it
+    val kept = Curate.curate(docs, extraCols = Seq("source"))
+      .filter(col("kept"))
+      .select("doc_id", "n_words", "source")
+    val mixed = corpusMix(kept, demoRates)
     seqPack(mixed, capacity, tokens = col("n_words"),
         streamCol = col("source"), orderCol = col("doc_id"))
       .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
@@ -166,17 +186,8 @@ object Mix {
        |mixed AS (
        |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens
        |  FROM kept
-       |  WHERE $u <
-       |    0.25 + 0.75 * (CAST(substr(source, 4) AS BIGINT) % 4) / 3.0),
-       |packed AS (
-       |  SELECT doc_id, source, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM mixed)
-       |SELECT doc_id, source, n_tokens,
-       |  (cum - n_tokens) // 512 AS seq_id,
-       |  (cum - n_tokens) % 512 AS offset_in_seq
-       |FROM packed ORDER BY doc_id""".stripMargin
+       |  WHERE $u < $demoRateSql)
+       |""".stripMargin + packSql("mixed")
   }
 
   // ------------------------------------------------------------ registry
