@@ -260,6 +260,93 @@ object Dedup {
   def dedupSimhashNn(s: SparkSession, dir: String): DataFrame =
     simhashNn(Tables.documents(s, dir))
 
+  // --------------------------------------------------------------- C25
+  /** Incremental dedup — the shape that matters at 100 TB: you never
+    * re-dedup the whole corpus, you dedup the NEW shard against it. Each
+    * `delta` document reports whether its exact content already exists in
+    * `corpus` (content-hash semi join — the corpus side shuffles only
+    * 16-byte hashes) and whether a corpus document sits within
+    * `maxHamming` simhash bits (Manku block equi-join delta↔corpus, with
+    * the same hot-block cap as [[simhashNn]], counted over the combined
+    * table so a degenerate block value on either side is bounded). Corpus
+    * text is never moved: both signals travel as per-row hashes computed
+    * scan-stage.
+    */
+  def dedupIncremental(corpus: DataFrame, delta: DataFrame,
+                       maxHamming: Int = 3,
+                       maxBucket: Int = SimhashMaxBucket): DataFrame = {
+    val exact = delta
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
+      .join(corpus.select(md5(col("text").cast("binary")).as("__h"))
+        .distinct().withColumn("__e", lit(true)), Seq("__h"), "left")
+      .select(col("doc_id"), coalesce(col("__e"), lit(false)).as("dup_exact"))
+    val all = corpus.select(col("doc_id"), col("text"),
+        lit(false).as("__isDelta"))
+      .unionByName(delta.select(col("doc_id"), col("text"),
+        lit(true).as("__isDelta")))
+    val wBlock = Window.partitionBy("block", "bv")
+    val blocks = all
+      .select(col("doc_id"), col("__isDelta"),
+        graft.functions.PortableHash.md5_simhash(col("text")).as("simhash"))
+      .select(col("doc_id"), col("__isDelta"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("block"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bv"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("__isDelta"), col("simhash"),
+        col("bk.block"), col("bk.bv"))
+      .withColumn("__n", count(lit(1)).over(wBlock))
+      .filter(col("__n") <= maxBucket)
+      .localCheckpoint(false) // shared by both join sides, one computation
+    val near = blocks.filter(col("__isDelta"))
+      .select(col("doc_id"), col("simhash").as("sh_a"), col("block"), col("bv"))
+      .join(blocks.filter(!col("__isDelta"))
+        .select(col("simhash").as("sh_b"), col("block"), col("bv")),
+        Seq("block", "bv"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .select("doc_id").distinct()
+      .withColumn("dup_near", lit(true))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"),
+        (col("dup_exact") || coalesce(col("dup_near"), lit(false)))
+          .as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Query entry: the doc_id % 10 == 7 slice plays the incoming shard,
+    * everything else the standing corpus.
+    */
+  def dedupIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dedupIncremental(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH $simhashBlocksSqlCtes,
+       |exact AS (
+       |  SELECT DISTINCT d.doc_id
+       |  FROM (SELECT doc_id, md5(text) AS h FROM documents
+       |        WHERE doc_id % 10 = 7) d
+       |  JOIN (SELECT DISTINCT md5(text) AS h FROM documents
+       |        WHERE doc_id % 10 <> 7) c USING (h)),
+       |near AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM pruned a JOIN pruned b USING (block, bv)
+       |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT del.doc_id,
+       |  e.doc_id IS NOT NULL AS dup_exact,
+       |  n.doc_id IS NOT NULL AS dup_near,
+       |  (e.doc_id IS NOT NULL OR n.doc_id IS NOT NULL) AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) del
+       |LEFT JOIN exact e USING (doc_id)
+       |LEFT JOIN near n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C4
   /** N-gram Jaccard over candidate pairs from a shingle inverted index:
     * explode distinct shingles, drop shingles with document frequency >
@@ -543,6 +630,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "dedup_incremental"   -> ((s: SparkSession, d: String) => dedupIncrementalQuery(s, d)),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_simhash_nn"    -> ((s: SparkSession, d: String) => dedupSimhashNn(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
@@ -551,6 +639,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
     "dedup_minhash"       -> dedupMinhashOracle,
+    "dedup_incremental"   -> dedupIncrementalOracle,
     "dedup_embedding"     -> dedupEmbeddingOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash"       -> dedupSimhashOracle,

@@ -45,6 +45,27 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) != clusters(3L))
   }
 
+  test("dedup_incremental: delta flags exact/near vs corpus, fresh stays clean") {
+    import graft.functions.PortableHash
+    // ~800-word docs: a 1-word edit flips ~1 simhash bit, so a Manku
+    // block survives (a 40-word doc would flip ~7 and never match)
+    val base = (1 to 800).map(i => s"w$i").mkString(" ")
+    val near = (1 to 800).map(i => if (i == 400) "CHANGED" else s"w$i").mkString(" ")
+    val corpus = Seq((10L, base), (11L, "some standing corpus document"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base),                                  // exact copy
+      (21L, near),                                  // near-dup
+      (22L, (1 to 50).map(i => s"fresh$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(corpus, delta)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(20L) == (true, true, true))  // exact copy is also hamming-0
+    assert(out(21L) == (false, true, true))
+    assert(out(22L) == (false, false, false))
+  }
+
   test("dedup_minhash: mutation chain collapses to one transitive cluster") {
     val dir = Files.createTempDirectory("graft_chain").toString
     val base = (1 to 40).map(i => s"tok$i").toArray

@@ -32,7 +32,8 @@ class PlanSpec extends SparkSpec {
     // InMemoryRelation) — each scans a local collection by design;
     // everything else must stay declarative.
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
-      "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup")
+      "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup",
+      "dedup_incremental")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
