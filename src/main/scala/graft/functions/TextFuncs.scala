@@ -348,8 +348,8 @@ object TextFuncs {
       |    AS rep_ratio,
       |  COALESCE(max_gram_count, 0) AS max_gram_count
       |FROM documents d LEFT JOIN (
-      |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
-      |    MAX(c) AS max_gram_count
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |    COUNT(*) AS n_distinct, MAX(c) AS max_gram_count
       |  FROM (
       |    SELECT doc_id, g, COUNT(*) AS c FROM (
       |      SELECT doc_id,

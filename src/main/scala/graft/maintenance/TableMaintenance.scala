@@ -212,7 +212,9 @@ object TableMaintenance {
     */
   def zorderVersioned(spark: SparkSession, dir: String, cols: Seq[String],
                       nFiles: Int, bits: Int = 16): Long =
-    zorderWrite(spark.read.parquet(currentSnapshotDir(spark, dir)),
+    // readDataDir, not plain read: a never-versioned root carrying
+    // crash-leftover v= dirs is a mixed layout partition discovery rejects
+    zorderWrite(readDataDir(spark, currentSnapshotDir(spark, dir)),
       cols, dir, nFiles, bits)
 
   /** VACUUM for versions: drop committed versions beyond the newest

@@ -307,9 +307,10 @@ object Curate {
        |  cum_tokens <= 3000 AS kept
        |FROM (
        |  SELECT doc_id, source, n_tokens, quality,
-       |    SUM(n_tokens) OVER (PARTITION BY source
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
        |      ORDER BY quality DESC, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
        |  FROM (
        |    SELECT doc_id, source,
        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

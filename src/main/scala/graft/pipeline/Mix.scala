@@ -32,10 +32,15 @@ object Mix {
         concat(lit(salt + ":"), docId.cast("string")), 1), 1), 12)
       .cast("double") / lit(4503599627370496.0) // 2^52
 
-  /** Matching DuckDB arithmetic for [[uniformOf]]. */
-  def uniformSql(docIdExpr: String, salt: String): String =
-    s"(('0x' || substr(md5('$salt:' || $docIdExpr), 1, 13))::BIGINT" +
+  /** Matching DuckDB arithmetic for [[uniformOf]]. Quotes in the salt are
+    * SQL-escaped so an arbitrary salt can't break (or inject into) the
+    * generated oracle while the Spark side sails on unescaped.
+    */
+  def uniformSql(docIdExpr: String, salt: String): String = {
+    val esc = salt.replace("'", "''")
+    s"(('0x' || substr(md5('$esc:' || $docIdExpr), 1, 13))::BIGINT" +
       " / 4503599627370496.0)"
+  }
 
   /** Stratified corpus sampling: keep each document with its source's
     * target rate. `rates` maps source → keep probability (missing sources
@@ -109,7 +114,11 @@ object Mix {
       .withColumn("n_tokens", tokens.cast("long"))
       .withColumn("__start",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .withColumn("seq_id", floor(col("__start") / capacity))
+      // integer `div`, not floor(double /): past 2^53 cumulative tokens a
+      // double quotient loses ulps and seq boundaries would drift from the
+      // oracle's exact integer semantics — this column exists for corpora
+      // where 2^53 tokens per stream is not hypothetical
+      .withColumn("seq_id", expr(s"__start div $capacity"))
       .withColumn("offset_in_seq", col("__start") % capacity)
       .drop("__start")
   }
@@ -126,12 +135,13 @@ object Mix {
     */
   private def packSql(from: String): String =
     s"""SELECT doc_id, source, n_tokens,
-       |  (cum - n_tokens) // $PackCapacity AS seq_id,
-       |  (cum - n_tokens) % $PackCapacity AS offset_in_seq
+       |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS seq_id,
+       |  CAST((cum - n_tokens) % $PackCapacity AS BIGINT) AS offset_in_seq
        |FROM (
        |  SELECT doc_id, source, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
        |  FROM $from) packed
        |ORDER BY doc_id""".stripMargin
 

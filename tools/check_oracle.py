@@ -52,6 +52,22 @@ def main():
         if list(g.columns) != list(w.columns):
             results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} want={list(w.columns)}"
             continue
+        # The driver's hash gate stringifies values, so int width doesn't
+        # matter (int32's "100" == int64's "100") but dtype KIND does:
+        # DuckDB HUGEINT (SUM of BIGINT) lands in pandas as float64/object,
+        # rendering "100.0" against Spark's "100" — hash mismatch the
+        # epsilon compare below would mask. Flag cross-kind pairs.
+        def kind(s):
+            if pd.api.types.is_bool_dtype(s): return "bool"
+            if pd.api.types.is_integer_dtype(s): return "int"
+            if pd.api.types.is_float_dtype(s): return "float"
+            return str(s.dtype)
+        dt_bad = [
+            f"{c}: spark={g[c].dtype} duckdb={w[c].dtype}" for c in g.columns
+            if kind(g[c]) != kind(w[c])]
+        if dt_bad:
+            results[name] = "DTYPE_MISMATCH " + "; ".join(dt_bad)
+            continue
         if len(g) != len(w):
             results[name] = f"ROWCOUNT_MISMATCH got={len(g)} want={len(w)}"
             continue
