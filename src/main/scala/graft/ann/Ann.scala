@@ -99,7 +99,15 @@ object Ann {
     */
   def annLsh(s: SparkSession, dir: String,
              nQueries: Int = NQueries, k: Int = TopK, bits: Int = LshBits,
-             probeBits: Int = LshProbeBits): DataFrame = {
+             probeBits: Int = LshProbeBits): DataFrame =
+    topkPerQuery(lshScored(s, dir, nQueries, bits, probeBits), k)
+
+  /** The LSH candidate set, scored: every (query, probed-bucket candidate)
+    * pair with its exact dot — shared by [[annLsh]] (top-k slice) and
+    * [[annRecall]] (candidate-budget counting).
+    */
+  private def lshScored(s: SparkSession, dir: String, nQueries: Int,
+                        bits: Int, probeBits: Int): DataFrame = {
     require(bits <= 20, "mask enumeration is 2^bits — keep bits <= 20")
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
@@ -111,10 +119,9 @@ object Ann {
         col("bucket"))
       .withColumn("bucket",
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
-    val scored = e.join(broadcast(probed), Seq("bucket"))
+    e.join(broadcast(probed), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
-    topkPerQuery(scored, k)
   }
 
   /** Oracle with the seeded hyperplane constants emitted as SQL and the
@@ -124,7 +131,13 @@ object Ann {
     * home bucket, so the probe join generates the identical candidate set.
     */
   def annLshOracle(nQueries: Int = NQueries, k: Int = TopK,
-                   bits: Int = LshBits, probeBits: Int = LshProbeBits): String = {
+                   bits: Int = LshBits, probeBits: Int = LshProbeBits): String =
+    lshWithBlock(nQueries, bits, probeBits) + "\n" + topkSql(k)
+
+  /** The LSH oracle's WITH-chain ending at `scored` — shared by the top-k
+    * oracle and the recall oracle's candidate count.
+    */
+  private def lshWithBlock(nQueries: Int, bits: Int, probeBits: Int): String = {
     val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", bits)
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeBits)
@@ -137,8 +150,7 @@ object Ann {
        |scored AS (
        |  SELECT p.query_id, e.vec_id,
        |    list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
-       |  FROM b e JOIN probed p USING (bucket) WHERE e.vec_id <> p.query_id)
-       |${topkSql(k)}""".stripMargin
+       |  FROM b e JOIN probed p USING (bucket) WHERE e.vec_id <> p.query_id)""".stripMargin
       .replace("BUCKET_EXPR", bucket)
   }
 
@@ -305,11 +317,18 @@ object Ann {
     // Only training (one bounded collect) runs on the driver; assignment
     // over the full table is a pure projection — see the helpers above.
     val centroids = trainIvf(s, dir, nCells, iterations, maxTrain)
+    topkPerQuery(ivfScored(e, centroids, nQueries, nProbe), k)
+  }
+
+  /** The IVF candidate set, scored: every (query, probed-cell candidate)
+    * pair with its exact dot — shared by [[annIvf]] and [[annRecall]].
+    */
+  private def ivfScored(e: DataFrame, centroids: Seq[(Long, Array[Float])],
+                        nQueries: Int, nProbe: Int): DataFrame = {
     val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
-    topkPerQuery(scored, k)
   }
 
   // --------------------------------------------------------------- C7c
@@ -367,22 +386,34 @@ object Ann {
                m: Int = PqM, codebookSize: Int = PqCodebook,
                rerankFactor: Int = RerankFactor): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val PqModel(centroids, centArr, codebooks) =
-      trainPq(s, dir, nCells, iterations, maxTrain, m, codebookSize)
+    val model = trainPq(s, dir, nCells, iterations, maxTrain, m, codebookSize)
+    pqTopk(e, model, nQueries, k, nProbe, rerankFactor)
+  }
+
+  /** Stage 1 of the PQ search: ADC scores over the COMPRESSED rows of the
+    * probed cells — the candidate set whose size is the method's scan
+    * budget. Shared by [[pqTopk]] and [[annRecall]].
+    */
+  private def pqAdc(e: DataFrame, model: PqModel,
+                    nQueries: Int, nProbe: Int): DataFrame = {
     // the compressed index: (vec_id, cell, m codes) — floats dropped
-    val (assigned, probes) = assignAndProbe(e, centroids, nQueries, nProbe)
+    val (assigned, probes) = assignAndProbe(e, model.centroids, nQueries, nProbe)
     val index = assigned.select(col("vec_id"), col("cell"),
       graft.functions.Pq.encode(col("embedding"), col("cell"),
-        centArr, codebooks).as("codes"))
-    // stage 1: ADC over compressed rows only
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("vec_id"))
-    val candidates = index.join(broadcast(probes), Seq("cell"))
+        model.centArr, model.codebooks).as("codes"))
+    index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", dot(col("qe"),
         graft.functions.Pq.decode(col("codes"), col("cell"),
-          centArr, codebooks)))
+          model.centArr, model.codebooks)))
       .select("query_id", "vec_id", "adc")
+  }
+
+  private def pqTopk(e: DataFrame, model: PqModel, nQueries: Int, k: Int,
+                     nProbe: Int, rerankFactor: Int): DataFrame = {
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val candidates = pqAdc(e, model, nQueries, nProbe)
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= k * rerankFactor)
       .select("query_id", "vec_id")
@@ -398,6 +429,52 @@ object Ann {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("score", dot(col("qe"), col("embedding")))
     topkPerQuery(scored, k)
+  }
+
+  // --------------------------------------------------------------- C7d
+  /** Measured recall of every approximate method against the exact
+    * baseline, as a driver-checkable query: for each of lsh / ivf /
+    * ivf_pq, recall@k (fraction of the brute-force top-k recovered) and
+    * the candidate budget it spent — pairs actually scored, absolute and
+    * as a fraction of brute-force's |Q|·(n−1). THE quality-vs-cost dial
+    * of the ANN family, tracked round over round instead of asserted once
+    * in a spec. One trained model serves both ivf and ivf_pq (the PQ
+    * model's coarse centroids ARE the IVF model — same sample, same
+    * Lloyd), exactly as the oracle generator shares it.
+    */
+  def annRecall(s: SparkSession, dir: String,
+                nQueries: Int = NQueries, k: Int = TopK): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = trainPq(s, dir)
+    val bf = annBruteforce(s, dir, nQueries, k).select("query_id", "vec_id")
+    // hits = |approx top-k ∩ exact top-k| (both sides unique per pair, so
+    // the inner-join count IS the intersection size); candidates = scored
+    // pair count. Both are 1-row aggregates — broadcast hints keep the
+    // stitching joins as BNLJ, never a cartesian.
+    def one(name: String, topk: DataFrame, scoredCands: DataFrame): DataFrame =
+      topk.select("query_id", "vec_id").join(bf, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(
+          scoredCands.agg(count(lit(1)).as("candidates"))))
+        .select(lit(name).as("method"), col("hits"), col("candidates"))
+    val lshS = lshScored(s, dir, nQueries, LshBits, LshProbeBits)
+    val ivfS = ivfScored(e, model.centroids, nQueries, IvfProbe)
+    val rows =
+      one("ivf", topkPerQuery(ivfS, k), ivfS)
+        .unionByName(one("ivf_pq",
+          pqTopk(e, model, nQueries, k, IvfProbe, RerankFactor),
+          pqAdc(e, model, nQueries, IvfProbe)))
+        .unionByName(one("lsh", topkPerQuery(lshS, k), lshS))
+    val bfCand = e.agg((lit(nQueries.toLong) * (count(lit(1)) - 1))
+      .as("bf_candidates"))
+    rows.crossJoin(broadcast(bfCand))
+      .select(col("method"),
+        (col("hits").cast("double") / lit((nQueries * k).toDouble))
+          .as("recall_at_k"),
+        col("candidates"),
+        (col("candidates").cast("double") / col("bf_candidates").cast("double"))
+          .as("cand_ratio"))
+      .orderBy("method")
   }
 
   // ---------------------------------------- literal-model oracle generation
@@ -439,14 +516,18 @@ object Ann {
   def annIvfOracleSql(s: SparkSession, dir: String): String =
     ivfOracleFromCentroids(trainIvf(s, dir))
 
-  private def ivfOracleFromCentroids(centroids: Seq[(Long, Array[Float])]): String = {
+  private def ivfOracleFromCentroids(centroids: Seq[(Long, Array[Float])]): String =
+    ivfScoredCtes(centroids) + "\n" + topkSql(TopK)
+
+  /** The IVF oracle's WITH-chain ending at `scored` — shared by the top-k
+    * oracle and the recall oracle's candidate count.
+    */
+  private def ivfScoredCtes(centroids: Seq[(Long, Array[Float])]): String =
     s"""WITH ${ivfSqlCtes(centroids, NQueries, IvfProbe)},
        |scored AS (
        |  SELECT p.query_id, a.vec_id,
        |    list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS score
-       |  FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id)
-       |${topkSql(TopK)}""".stripMargin
-  }
+       |  FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id)""".stripMargin
 
   /** DuckDB oracle for [[annIvfPq]]: centroids AND codebooks inlined;
     * encode = per-subspace argmin of the double-exact residual distance
@@ -458,7 +539,28 @@ object Ann {
   def annIvfPqOracleSql(s: SparkSession, dir: String): String =
     pqOracleFromModel(trainPq(s, dir))
 
-  private def pqOracleFromModel(model: PqModel): String = {
+  private def pqOracleFromModel(model: PqModel): String =
+    s"""${pqAdcCtes(model)},
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+       |    FROM adcs) t WHERE rn <= ${TopK * RerankFactor}),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+       |  FROM cands cd
+       |  JOIN embeddings e ON e.vec_id = cd.vec_id
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qe
+       |        FROM embeddings WHERE vec_id < $NQueries) q
+       |    ON q.query_id = cd.query_id)
+       |${topkSql(TopK)}""".stripMargin
+
+  /** The PQ oracle's WITH-chain ending at `adcs` (the ADC candidate set —
+    * the method's scan budget) — shared by the top-k oracle and the recall
+    * oracle's candidate count.
+    */
+  private def pqAdcCtes(model: PqModel): String = {
     val subDim = model.centArr(0).length / PqM
     val cbRows = (for {
       mi <- 0 until PqM
@@ -489,38 +591,62 @@ object Ann {
        |  SELECT p.query_id, d.vec_id,
        |    list_dot_product(CAST(p.qe AS DOUBLE[]), d.dv) AS adc
        |  FROM decoded d JOIN probes p USING (cell)
-       |  WHERE d.vec_id <> p.query_id),
-       |cands AS (
-       |  SELECT query_id, vec_id FROM (
-       |    SELECT query_id, vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-       |    FROM adcs) t WHERE rn <= ${TopK * RerankFactor}),
-       |scored AS (
-       |  SELECT cd.query_id, cd.vec_id,
-       |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
-       |  FROM cands cd
-       |  JOIN embeddings e ON e.vec_id = cd.vec_id
-       |  JOIN (SELECT vec_id AS query_id, embedding AS qe
-       |        FROM embeddings WHERE vec_id < $NQueries) q
-       |    ON q.query_id = cd.query_id)
-       |${topkSql(TopK)}""".stripMargin
+       |  WHERE d.vec_id <> p.query_id)""".stripMargin
+  }
+
+  /** The recall oracle: each approximate method's full top-k oracle is
+    * nested as a derived table (its own WITH scope — no CTE-name
+    * collisions), intersected with the brute-force top-k, and paired with
+    * the candidate count of its scored CTE. Mirrors [[annRecall]] stage
+    * for stage; every double it emits is a division of exact integers, so
+    * the compare is bit-stable.
+    */
+  private def recallOracleFromModel(model: PqModel): String = {
+    def cnt(withChain: String, cte: String): String =
+      withChain + s"\nSELECT COUNT(*) AS c FROM $cte"
+    def hits(topkSql: String): String =
+      s"(SELECT COUNT(*) FROM (\n$topkSql\n) t JOIN bf USING (query_id, vec_id))"
+    def cand(candSql: String): String =
+      s"(SELECT c FROM (\n$candSql\n) t)"
+    s"""WITH bf AS (SELECT query_id, vec_id FROM (
+       |$annBruteforceOracle
+       |) t),
+       |nb AS (SELECT CAST($NQueries AS BIGINT) * (COUNT(*) - 1) AS c FROM embeddings),
+       |r AS (
+       |  SELECT 'ivf' AS method,
+       |    ${hits(ivfOracleFromCentroids(model.centroids))} AS hits,
+       |    ${cand(cnt(ivfScoredCtes(model.centroids), "scored"))} AS candidates
+       |  UNION ALL
+       |  SELECT 'ivf_pq',
+       |    ${hits(pqOracleFromModel(model))},
+       |    ${cand(cnt(pqAdcCtes(model), "adcs"))}
+       |  UNION ALL
+       |  SELECT 'lsh',
+       |    ${hits(annLshOracle())},
+       |    ${cand(cnt(lshWithBlock(NQueries, LshBits, LshProbeBits), "scored"))})
+       |SELECT method,
+       |  CAST(hits AS DOUBLE) / ${(NQueries * TopK).toDouble} AS recall_at_k,
+       |  CAST(candidates AS BIGINT) AS candidates,
+       |  CAST(candidates AS DOUBLE) / (SELECT CAST(c AS DOUBLE) FROM nb) AS cand_ratio
+       |FROM r ORDER BY method""".stripMargin
   }
 
   /** Data-dependent oracles (trained-model literals), generated at Verify
     * dump time with the same (session, sfDir) the queries run against.
     * `wanted` gates per entry so a subset dump trains nothing it doesn't
-    * need; both oracles share ONE training run — the PQ model's coarse
-    * centroids ARE the IVF model (same sample, same Lloyd).
+    * need; all three oracles share ONE training run — the PQ model's
+    * coarse centroids ARE the IVF model (same sample, same Lloyd).
     */
   def dynamicOracles(s: SparkSession, dir: String,
                      wanted: String => Boolean = _ => true): Map[String, String] = {
-    val names = Seq("ann_ivf", "ann_ivf_pq").filter(wanted)
+    val names = Seq("ann_ivf", "ann_ivf_pq", "ann_recall").filter(wanted)
     if (names.isEmpty) Map.empty
     else {
       lazy val model = trainPq(s, dir)
       names.map {
         case n @ "ann_ivf"    => n -> ivfOracleFromCentroids(model.centroids)
         case n @ "ann_ivf_pq" => n -> pqOracleFromModel(model)
+        case n @ "ann_recall" => n -> recallOracleFromModel(model)
       }.toMap
     }
   }
@@ -559,6 +685,7 @@ object Ann {
     "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "ann_ivf_pq"     -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
+    "ann_recall"     -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "emb_norm_stats" -> (embNormStats _))
 
   val oracles: Map[String, String] = Map(

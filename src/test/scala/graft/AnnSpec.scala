@@ -40,6 +40,29 @@ class AnnSpec extends SparkSpec {
     assert(multi >= single, s"multi=$multi < single=$single")
   }
 
+  test("ann_recall: one row per method; recall agrees with a direct " +
+    "intersection; every method's candidate budget is sublinear") {
+    val rows = Ann.annRecall(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf_pq", "lsh"))
+    val exact = Ann.annBruteforce(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def direct(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val byM = rows.map(r => r.getString(0) -> r).toMap
+    assert(byM("lsh").getDouble(1) == direct(Ann.annLsh(spark, sf)))
+    assert(byM("ivf").getDouble(1) == direct(Ann.annIvf(spark, sf)))
+    assert(byM("ivf_pq").getDouble(1) == direct(Ann.annIvfPq(spark, sf)))
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.2, s"${r.getString(0)} recall=${r.getDouble(1)}")
+      // the whole point of approximate search: strictly fewer pairs scored
+      // than brute force (cand_ratio < 1), and a real budget (> 0)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) < 1.0,
+        s"${r.getString(0)} cand_ratio=${r.getDouble(3)}")
+    }
+  }
+
   test("ivf: k results per query, recall beats chance, deterministic") {
     val exact = Ann.annBruteforce(spark, sf, nQueries = 8, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

@@ -61,6 +61,9 @@ def main():
             if pd.api.types.is_bool_dtype(s): return "bool"
             if pd.api.types.is_integer_dtype(s): return "int"
             if pd.api.types.is_float_dtype(s): return "float"
+            # unit differences (ns vs us, DuckDB-version-dependent) don't
+            # affect the stringified compare the driver hashes
+            if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
             return str(s.dtype)
         dt_bad = [
             f"{c}: spark={g[c].dtype} duckdb={w[c].dtype}" for c in g.columns
