@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * shared 32-core box swing ±3× on host noise — round 2's driver run
   * recorded 197 s for a suite that re-ran at 69 s. Medians make the bench
   * self-adjudicating: an outlier run cannot dominate the headline number.
+  *
+  * Scaling measurement: unless `SPARK_GRAFT_SCALE_DIR` is explicitly set
+  * empty, the suite ALSO runs at a second (smaller) scale factor — default
+  * /root/testdata/sf0.01 — and the output carries per-query medians at both
+  * points plus the big/small wall ratio. At 10× the data, an overhead-bound
+  * query sits near 1×, a data-proportional one near 10×; anything well past
+  * 10× is superlinear and lands in "scale_flags". This turns the 100 TB
+  * "overhead-bound at test SF" claim from one-time prose into a per-round
+  * measured regression check. The small pass runs FIRST so codegen/JIT
+  * warmup is paid there, keeping the headline (big-SF) numbers and the
+  * ratio clean of compilation noise.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -20,10 +31,48 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** One full measured sweep: `runs` interleaved whole-suite passes (run 1
+    * of everything, then run 2, ...) rather than back-to-back repeats of
+    * one query — a transient host stall then lands in at most one sample
+    * of each query instead of all three samples of whichever was running.
+    * Returns per-query samples and failure counts.
+    */
+  private def runSuite(spark: SparkSession, sfDir: String,
+                       names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                       runs: Int)
+      : (Map[String, List[Double]], Map[String, Int]) = {
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+    for (_ <- 1 to runs; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      // noop sink: every operator/projection actually executes (count()
+      // would let Catalyst prune the computed columns away).
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed at $sfDir: ${e.getMessage}")
+          failures(name) = failures.getOrElse(name, 0) + 1
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // A failed run's fast-abort elapsed is NOT a sample — recording it
+      // would let a broken query masquerade as a fast one in the medians.
+      if (ok) samples(name) = samples.getOrElse(name, Nil) :+ dt
+      // release operator-owned persists (e.g. shared posting lists)
+      // between queries: keeps repeated runs measuring the cold path
+      // instead of a cache hit, and stops evictable InMemoryRelations
+      // accumulating across the suite
+      spark.catalog.clearCache()
+    }
+    (samples.toMap, failures.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ > 0).getOrElse(3)
+    // second scaling point: set SPARK_GRAFT_SCALE_DIR= (empty) to disable
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,37 +86,30 @@ object Bench {
     // measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // Warmup 2: the percentile_approx/HLL sketch aggregates run
+    // INTERPRETED (ObjectHashAggregate — no codegen) and pay a one-time
+    // per-JVM JIT cost that had dba_table_stats_approx sitting atop the
+    // bench table for three rounds at 2.5–7.5 s. One untimed execution
+    // absorbs it (JIT warmup is data-independent, so the cheapest dir
+    // available does); the timed medians then reflect steady state.
+    try SparkEntry.queries.get("dba_table_stats_approx").foreach { fn =>
+      val warmDir = if (scaleDir.nonEmpty &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)))
+        scaleDir else sfDir
+      fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stats_approx warmup failed: ${e.getMessage}")
+    }
+    spark.catalog.clearCache()
     // Optional subset for local iteration (SparkEntry owns the contract).
     val only = SparkEntry.querySubset
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Interleave whole-suite passes (run 1 of everything, then run 2, ...)
-    // rather than back-to-back repeats of one query: a transient host stall
-    // then lands in at most one sample of each query instead of all three
-    // samples of whichever query was running.
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val failures = scala.collection.mutable.Map.empty[String, Int]
-    for (_ <- 1 to runs; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      // noop sink: every operator/projection actually executes (count()
-      // would let Catalyst prune the computed columns away).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failures(name) = failures.getOrElse(name, 0) + 1
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // A failed run's fast-abort elapsed is NOT a sample — recording it
-      // would let a broken query masquerade as a fast one in the medians.
-      if (ok) samples(name) = samples.getOrElse(name, Nil) :+ dt
-      // release operator-owned persists (e.g. the jaccard posting list)
-      // between queries: keeps repeated runs measuring the cold path
-      // instead of a cache hit, and stops evictable InMemoryRelations
-      // accumulating across the suite
-      spark.catalog.clearCache()
-    }
+    // small-SF pass first (see scaladoc), then the headline pass
+    val smallDir = Some(scaleDir).filter(d => d.nonEmpty && d != sfDir &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    val small = smallDir.map(d => runSuite(spark, d, names, runs))
+    val (samples, failures) = runSuite(spark, sfDir, names, runs)
     val measured = names.filter { case (n, _) => samples.contains(n) }
     val med = measured.map { case (n, _) => n -> median(samples(n)) }
     val mins = measured.map { case (n, _) => n -> samples(n).min }
@@ -76,7 +118,24 @@ object Bench {
     val errJson = failures.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"}""")
+    // scaling block: per-query medians at the small SF, per-query wall
+    // ratio big/small, total ratio, and the superlinear flags
+    val scaleJson = (for ((d, (sSamples, _)) <- smallDir.zip(small)) yield {
+      val sMed = measured.flatMap { case (n, _) =>
+        sSamples.get(n).map(xs => n -> median(xs)) }
+      val sTotal = sMed.map(_._2).sum
+      val ratios = sMed.flatMap { case (n, sv) =>
+        med.find(_._1 == n).collect {
+          case (_, bv) if sv > 0 => n -> (bv / sv) }
+      }
+      // 10× the data: ≤10× wall is at-worst-linear; leave headroom for
+      // host noise on sub-second queries before calling it superlinear
+      val flags = ratios.filter(_._2 > 12.0).map(_._1)
+      val flagJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rTotal = if (sTotal > 0) total / sTotal else 0.0
+      s""","sf_small":"$d","total_small":$sTotal,"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson"""
+    }).getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }
