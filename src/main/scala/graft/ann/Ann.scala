@@ -410,10 +410,17 @@ object Ann {
   }
 
   private def pqTopk(e: DataFrame, model: PqModel, nQueries: Int, k: Int,
-                     nProbe: Int, rerankFactor: Int): DataFrame = {
+                     nProbe: Int, rerankFactor: Int): DataFrame =
+    pqTopkFromAdc(e, pqAdc(e, model, nQueries, nProbe), nQueries, k, rerankFactor)
+
+  /** Stage 2 from a precomputed ADC candidate set — split out so
+    * [[annRecall]] can score the SAME materialized ADC pass it counts.
+    */
+  private def pqTopkFromAdc(e: DataFrame, adc: DataFrame, nQueries: Int,
+                            k: Int, rerankFactor: Int): DataFrame = {
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
-    val candidates = pqAdc(e, model, nQueries, nProbe)
+    val candidates = adc
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= k * rerankFactor)
       .select("query_id", "vec_id")
@@ -446,7 +453,15 @@ object Ann {
                 nQueries: Int = NQueries, k: Int = TopK): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val model = trainPq(s, dir)
+    // The brute-force top-k and each method's scored candidate set feed
+    // TWO downstream aggregates apiece (intersection join + count); a lazy
+    // localCheckpoint materializes each subtree exactly once instead of
+    // trusting exchange reuse to deduplicate the heaviest scans, and the
+    // blocks are ContextCleaner-reclaimed (nothing pinned on the caller).
+    // Scored sets are projected to (query_id, vec_id, score) first so the
+    // checkpoint never stores embedding columns.
     val bf = annBruteforce(s, dir, nQueries, k).select("query_id", "vec_id")
+      .localCheckpoint(false)
     // hits = |approx top-k ∩ exact top-k| (both sides unique per pair, so
     // the inner-join count IS the intersection size); candidates = scored
     // pair count. Both are 1-row aggregates — broadcast hints keep the
@@ -458,18 +473,26 @@ object Ann {
           scoredCands.agg(count(lit(1)).as("candidates"))))
         .select(lit(name).as("method"), col("hits"), col("candidates"))
     val lshS = lshScored(s, dir, nQueries, LshBits, LshProbeBits)
+      .select("query_id", "vec_id", "score").localCheckpoint(false)
     val ivfS = ivfScored(e, model.centroids, nQueries, IvfProbe)
+      .select("query_id", "vec_id", "score").localCheckpoint(false)
+    val adcS = pqAdc(e, model, nQueries, IvfProbe).localCheckpoint(false)
     val rows =
       one("ivf", topkPerQuery(ivfS, k), ivfS)
         .unionByName(one("ivf_pq",
-          pqTopk(e, model, nQueries, k, IvfProbe, RerankFactor),
-          pqAdc(e, model, nQueries, IvfProbe)))
+          pqTopkFromAdc(e, adcS, nQueries, k, RerankFactor), adcS))
         .unionByName(one("lsh", topkPerQuery(lshS, k), lshS))
     val bfCand = e.agg((lit(nQueries.toLong) * (count(lit(1)) - 1))
       .as("bf_candidates"))
-    rows.crossJoin(broadcast(bfCand))
+    // recall denominator = the ACTUAL brute-force top-k count, not the
+    // nominal |Q|·k: on a table with fewer than k+1 vectors the nominal
+    // denominator understates recall (and diverges from AnnSpec's direct
+    // intersection check). Equal on any real corpus; still an
+    // exact-integer division, so the compare stays bit-stable.
+    val bfN = bf.agg(count(lit(1)).as("bf_n"))
+    rows.crossJoin(broadcast(bfCand)).crossJoin(broadcast(bfN))
       .select(col("method"),
-        (col("hits").cast("double") / lit((nQueries * k).toDouble))
+        (col("hits").cast("double") / col("bf_n").cast("double"))
           .as("recall_at_k"),
         col("candidates"),
         (col("candidates").cast("double") / col("bf_candidates").cast("double"))
@@ -625,7 +648,7 @@ object Ann {
        |    ${hits(annLshOracle())},
        |    ${cand(cnt(lshWithBlock(NQueries, LshBits, LshProbeBits), "scored"))})
        |SELECT method,
-       |  CAST(hits AS DOUBLE) / ${(NQueries * TopK).toDouble} AS recall_at_k,
+       |  CAST(hits AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall_at_k,
        |  CAST(candidates AS BIGINT) AS candidates,
        |  CAST(candidates AS DOUBLE) / (SELECT CAST(c AS DOUBLE) FROM nb) AS cand_ratio
        |FROM r ORDER BY method""".stripMargin

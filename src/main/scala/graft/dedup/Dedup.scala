@@ -355,12 +355,6 @@ object Dedup {
     * lists, then exact Jaccard on the full shingle sets. Shuffle is
     * bounded by Σ df² over rare shingles, not n².
     */
-  /** API contract: the shingle posting list is `persist()`ed (evictable,
-    * recomputable) and deliberately left registered so the four downstream
-    * reads share one pass; in a long-lived session call
-    * `spark.catalog.clearCache()` (or unpersist via the plan) after
-    * consuming the result if the storage pool matters to you.
-    */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         maxDf: Int = 5, minJaccard: Double = 0.03): DataFrame = {
     // Everything flows from one exploded posting list (doc_id, shingle-
@@ -368,11 +362,15 @@ object Dedup {
     // ≤ df²/2 pairs per bucket, shuffle ∝ data not n²), and |A∩B| is a
     // count over co-occurring postings — set arrays are never shuffled.
     // The list is read four times downstream (sizes, pairs, both sides of
-    // the intersection join); one cached pass beats four scan+shingle
-    // recomputations. `persist` (not checkpoint): the cache is evictable
-    // under memory pressure and recomputable from lineage, so a long
-    // session never has this pinned irrecoverably.
-    val posting = shingleHashes(Tables.documents(s, dir)).persist()
+    // the intersection join); one materialized pass beats four
+    // scan+shingle recomputations. Lazy localCheckpoint, not persist(): a
+    // persist()'d relation is pinned by the CacheManager until someone
+    // session-wide unpersists it — a contract this library entry point
+    // can't impose on its caller — while checkpoint blocks are reclaimed
+    // by the ContextCleaner once the driver GCs the dropped reference.
+    // Lazy keeps DataFrame construction plan-only (same pattern as the
+    // simhash block table above).
+    val posting = shingleHashes(Tables.documents(s, dir)).localCheckpoint(false)
     val sizes = posting.groupBy("doc_id")
       .agg(count(lit(1)).as("sz"))
     // bucket = posting list of one rare shingle; pairs via in-array

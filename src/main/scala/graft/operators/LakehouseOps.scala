@@ -65,12 +65,38 @@ object LakehouseOps {
 
   def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
                   tiebreak: Seq[Column] = Seq.empty,
-                  autoAlign: Boolean = false): DataFrame = {
+                  autoAlign: Boolean = false,
+                  skewSafe: Boolean = false): DataFrame = {
     if (autoAlign) return mergeUpsertEvolve(target, source, keys, tiebreak)
-    val srcLatest = latestPerKey(source, keys, tiebreak)
+    val srcLatest =
+      if (skewSafe) latestPerKeyAgg(source, keys, tiebreak)
+      else latestPerKey(source, keys, tiebreak)
     target.select(source.columns.map(col).toIndexedSeq: _*)
       .join(srcLatest, keys, "left_anti")
       .unionByName(srcLatest)
+  }
+
+  /** The skew-safe [[latestPerKey]]: the same one-winner-per-key rule as
+    * an AGGREGATION (`max_by` over the ordering tuple) instead of a
+    * `row_number` window. A window partition holds every row of its key
+    * in one task and AQE cannot split it — a hot source key (the classic
+    * CDC pathology: one entity re-emitted millions of times) stalls the
+    * merge at scale. `max_by` is a declarative aggregate with map-side
+    * partial combine: each task reduces its slice of the hot key to ONE
+    * candidate row before the shuffle, so no reducer ever sees the key's
+    * full row set. Same winner: the window sorts (tiebreak desc, rest
+    * desc) nulls-last and picks row 1; lexicographic struct-max with
+    * null-smallest field ordering is that exact comparison.
+    */
+  private def latestPerKeyAgg(source: DataFrame, keys: Seq[String],
+                              tiebreak: Seq[Column]): DataFrame = {
+    val rest = source.columns.filterNot(keys.contains).toIndexedSeq
+    val ord: Seq[Column] = tiebreak ++ rest.map(col)
+    if (ord.isEmpty) return source.select(keys.map(col).toIndexedSeq: _*).distinct()
+    source.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max_by(struct(rest.map(col): _*), struct(ord: _*)).as("__row"))
+      .select((keys.map(col) ++ rest.map(r => col("__row").getField(r).as(r))).toIndexedSeq: _*)
+      .select(source.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Schema-evolving MERGE — the reference's
@@ -233,6 +259,21 @@ object LakehouseOps {
     val source = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
     mergeUpsert(target, source, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** B2b — the same merge with `skewSafe = true`: source dedup as a
+    * `max_by` aggregation (map-side combine bounds a hot key) instead of
+    * a window. Checked against the IDENTICAL oracle as dba_merge_upsert —
+    * the two formulations must be indistinguishable by result.
+    */
+  def dbaMergeUpsertSkew(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val target = ord.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val source = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
+    mergeUpsert(target, source, Seq("o_orderkey"), skewSafe = true)
       .orderBy("o_orderkey")
   }
 
@@ -479,6 +520,7 @@ object LakehouseOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dba_query_metrics"   -> (dbaQueryMetrics _),
     "dba_merge_upsert"    -> (dbaMergeUpsert _),
+    "dba_merge_skew"      -> (dbaMergeUpsertSkew _),
     "dba_scd2_history"    -> (dbaScd2History _),
     "dba_schema_align"    -> (dbaSchemaAlign _),
     "dba_table_stats"     -> (dbaTableStats _),
@@ -493,6 +535,7 @@ object LakehouseOps {
   val oracles: Map[String, String] = Map(
     "dba_query_metrics" -> dbaQueryMetricsOracle,
     "dba_merge_upsert"  -> dbaMergeUpsertOracle,
+    "dba_merge_skew"    -> dbaMergeUpsertOracle,
     "dba_scd2_history"  -> dbaScd2HistoryOracle,
     "dba_schema_align"  -> dbaSchemaAlignOracle,
     "dba_table_stats"   -> dbaTableStatsOracle,

@@ -478,7 +478,11 @@ object Relational {
     * of the same customer with o_orderdate <= ts. The right side is
     * pre-aggregated to one row per (key, time) so the pick is deterministic.
     */
-  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The shared union-of-both-sides input: events carry null order
+    * columns, orders carry their key/date; `side` makes orders sort
+    * before events at equal t (an order ON the event's timestamp counts).
+    */
+  private def asofUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
         col("event_id"), lit(null).cast("long").as("okey_in"),
@@ -489,15 +493,41 @@ object Relational {
       .select(col("k"), col("o_orderdate").as("t"), lit(0).as("side"),
         lit(null).cast("long").as("event_id"),
         col("okey").as("okey_in"), col("o_orderdate").as("odate_in"))
+    ev.unionByName(ord)
+  }
+
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("k").orderBy("t", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
+    asofUnion(s, dir)
       .withColumn("o_orderkey", last("okey_in", ignoreNulls = true).over(w))
       .withColumn("o_orderdate", last("odate_in", ignoreNulls = true).over(w))
       .filter(col("side") === 1 && col("o_orderkey").isNotNull)
       .select(col("event_id"), col("k").as("user_id"), col("o_orderkey"), col("o_orderdate"))
       .orderBy("event_id")
   }
+
+  // ---------------------------------------------------------------- A16b
+  /** The same as-of join with the hot-key hazard removed: `qAsofJoin`'s
+    * single `Window.partitionBy(k)` serializes every row of a key into one
+    * task (the one shuffle shape AQE's skew splitting cannot rescue), so a
+    * user holding 10% of the events stalls the stage at scale. This
+    * variant routes through [[Salting.carryLastOverBuckets]] — month
+    * buckets bound every partition at the (user, month) group size while
+    * the carry across buckets runs over one row per (user, month). Same
+    * result (the driver checks it against the identical DuckDB ASOF
+    * oracle); strictly more plan, so prefer [[qAsofJoin]] until key skew
+    * is the bottleneck.
+    */
+  def qAsofJoinSkew(s: SparkSession, dir: String): DataFrame =
+    Salting.carryLastOverBuckets(asofUnion(s, dir),
+        keys = Seq("k"), time = col("t"), tiebreak = Seq(col("side")),
+        valueCols = Seq("okey_in", "odate_in"),
+        bucket = date_trunc("month", col("t")))
+      .filter(col("side") === 1 && col("okey_in").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("okey_in").as("o_orderkey"), col("odate_in").as("o_orderdate"))
+      .orderBy("event_id")
 
   val qAsofOracle: String =
     """WITH r AS (
@@ -609,6 +639,7 @@ object Relational {
     "q_distinct_agg"       -> (qDistinctAgg _),
     "q_json_flatten"       -> (qJsonFlatten _),
     "q_asof_join"          -> (qAsofJoin _),
+    "q_asof_skew"          -> (qAsofJoinSkew _),
     "q_above_avg"          -> (qAboveAvg _),
     "q_setops"             -> (qSetOps _),
     "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)),
@@ -633,6 +664,7 @@ object Relational {
     "q_distinct_agg"       -> qDistinctAggOracle,
     "q_json_flatten"       -> qJsonFlattenOracle,
     "q_asof_join"          -> qAsofOracle,
+    "q_asof_skew"          -> qAsofOracle,
     "q_above_avg"          -> qAboveAvgOracle,
     "q_setops"             -> qSetOpsOracle,
     "q_histogram"          -> qHistogramOracle,

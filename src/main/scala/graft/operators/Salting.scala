@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Key-salting for skewed shuffles — the manual fallback when AQE's skew
@@ -43,4 +44,60 @@ object Salting {
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Skew-safe last-non-null carry-forward — the as-of join kernel,
+    * re-partitioned so no task ever holds a whole hot key.
+    *
+    * `Window.partitionBy(key)` puts EVERY row of a key in one task, and
+    * AQE's skew splitting cannot break a window partition apart — at
+    * 100 TB one hot key stalls the stage. Bucketing the time axis bounds
+    * every shuffle partition at the (key, bucket) group size instead:
+    *
+    *  1. a local window per (key, bucket) computes the within-bucket
+    *     running last-non-null (bounded partitions);
+    *  2. a `groupBy(key, bucket)` aggregate reduces each bucket to its
+    *     overall last value — an AGGREGATION, so map-side partial combine
+    *     caps the hot key's per-task contribution where a window cannot;
+    *  3. a carry window over that per-bucket table (ONE row per
+    *     (key, bucket) — tiny even for the hottest key) propagates the
+    *     last value of all strictly-earlier buckets;
+    *  4. a join on (key, bucket) — again bounded — stitches the carry-in
+    *     back, and `coalesce(local, carry)` is the global answer.
+    *
+    * Equivalent to `last(value, ignoreNulls).over(partitionBy(keys)
+    * .orderBy(time, tiebreak))` whenever `bucket` is monotonic in `time`
+    * (b1 < b2 ⟹ every t in b1 ≤ every t in b2 — e.g. `date_trunc`, or
+    * `floor(epoch / width)`). `valueCols` must be null/non-null together
+    * (one "carrier row" marker — the as-of union shape); pick the bucket
+    * granularity so the hottest key spreads over many buckets.
+    */
+  def carryLastOverBuckets(df: DataFrame, keys: Seq[String], time: Column,
+                           tiebreak: Seq[Column], valueCols: Seq[String],
+                           bucket: Column): DataFrame = {
+    val kcols = keys.map(col)
+    val ord = time +: tiebreak
+    val in = df.withColumn("__bkt", bucket)
+    val wLocal = Window.partitionBy(kcols :+ col("__bkt"): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localized = valueCols.foldLeft(in) { (d, v) =>
+      d.withColumn(s"__loc_$v", last(col(v), ignoreNulls = true).over(wLocal))
+    }
+    // max_by's ordering is null when the carrier columns are null, so
+    // value-less rows never win; buckets with no carrier rows still get a
+    // row (null __last) so the join below covers every (key, bucket)
+    val bktLast = in.groupBy(kcols :+ col("__bkt"): _*)
+      .agg(max_by(struct(valueCols.map(col): _*),
+        when(col(valueCols.head).isNotNull, struct(ord: _*))).as("__last"))
+    val wCarry = Window.partitionBy(kcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bktLast
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(kcols :+ col("__bkt") :+ col("__carry"): _*)
+    val stitched = valueCols.foldLeft(
+      localized.join(carry, keys :+ "__bkt")) { (d, v) =>
+      d.withColumn(v, coalesce(col(s"__loc_$v"), col("__carry").getField(v)))
+    }
+    stitched.drop("__bkt" +: "__carry" +: valueCols.map(v => s"__loc_$v"): _*)
+  }
 }

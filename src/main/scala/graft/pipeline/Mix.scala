@@ -161,6 +161,61 @@ object Mix {
        |  FROM documents)
        |""".stripMargin + packSql("toks")
 
+  /** C21b — packing for HOT streams. [[seqPack]]'s window serializes each
+    * stream into one task (AQE cannot split a window partition); a source
+    * holding 10% of a 100 TB corpus stalls the stage. This variant splits
+    * every stream into `nShards` deterministic sub-streams — shard =
+    * ⌊uniform(idCol) · nShards⌋, the same engine-portable md5 uniform the
+    * mixer uses — and packs each (stream, shard) independently. Packing
+    * invariants (contiguous offsets, capacity chunking) hold per
+    * sub-stream; sequences are identified by (stream, shard, seq_id).
+    * This IS the scaladoc'd 100 TB posture of [[seqPack]] ("shard each
+    * source into many streams"), as an operator instead of advice.
+    *
+    * `nShards` must be a power of two: uniform is k/2^52 with k integer,
+    * so the product is exact in a double and the shard split is bit-stable
+    * across engines (the oracle reproduces it in SQL).
+    */
+  def seqPackSharded(docs: DataFrame, capacity: Int, tokens: Column,
+                     streamCol: Column, orderCol: Column, idCol: Column,
+                     nShards: Int = 8): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two for an exact double split, got $nShards")
+    val sharded = docs.withColumn("shard",
+      floor(uniformOf(idCol, "shard") * nShards).cast("bigint"))
+    seqPack(sharded, capacity, tokens,
+      struct(streamCol, col("shard")), orderCol)
+  }
+
+  /** C21b query: same corpus as seq_pack, 8 shards per source. */
+  def seqPackShardedQuery(s: SparkSession, dir: String,
+                          capacity: Int = PackCapacity): DataFrame =
+    seqPackSharded(Tables.documents(s, dir), capacity,
+      tokens = size(split(col("text"), " ")),
+      streamCol = col("source"), orderCol = col("doc_id"),
+      idCol = col("doc_id"), nShards = 8)
+      .select("doc_id", "source", "shard", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy("doc_id")
+
+  val seqPackShardedOracle: String = {
+    val u = uniformSql("doc_id", "shard")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor($u * 8) AS BIGINT) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, source, shard, n_tokens,
+       |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS seq_id,
+       |  CAST((cum - n_tokens) % $PackCapacity AS BIGINT) AS offset_in_seq
+       |FROM (
+       |  SELECT doc_id, source, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM toks) packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- composition
   /** C24 — the whole corpus build in one query: curation gates → keep the
     * survivors → stratified mixing → sequence packing. This is the
@@ -204,10 +259,12 @@ object Mix {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix"   -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
     "seq_pack"     -> ((s: SparkSession, d: String) => seqPackQuery(s, d)),
+    "seq_pack_sharded" -> ((s: SparkSession, d: String) => seqPackShardedQuery(s, d)),
     "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_mix"   -> corpusMixOracle,
     "seq_pack"     -> seqPackOracle,
+    "seq_pack_sharded" -> seqPackShardedOracle,
     "corpus_build" -> corpusBuildOracle)
 }

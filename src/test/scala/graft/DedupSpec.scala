@@ -158,6 +158,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("dedup_ngram_jaccard: owns its posting-list release — nothing " +
+    "stays registered in the CacheManager after materialization") {
+    spark.catalog.clearCache() // start clean (shared session)
+    Dedup.dedupNgramJaccard(spark, corpusDir)
+      .write.format("noop").mode("overwrite").save()
+    // the shared posting list rides a lazy localCheckpoint (ContextCleaner
+    // reclaims the blocks once the reference is GC'd), NOT a persist() a
+    // library caller would have to clearCache() away
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupNgramJaccard left a pinned InMemoryRelation behind")
+  }
+
   test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
     val out = Dedup.dedupEmbedding(spark, sf)
     val rows = out.collect()

@@ -31,9 +31,12 @@ class PlanSpec extends SparkSpec {
     // block table (released by the ContextCleaner instead of pinning an
     // InMemoryRelation) — each scans a local collection by design;
     // everything else must stay declarative.
+    // ... dedup_ngram_jaccard checkpoints its shared posting list and
+    // ann_recall its brute-force/candidate sets (operator-owned release
+    // via the ContextCleaner instead of a pinned persist)
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
       "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup",
-      "dedup_incremental")
+      "dedup_incremental", "dedup_ngram_jaccard", "ann_recall")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -1,0 +1,182 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LakehouseOps, Relational, Salting}
+import graft.pipeline.Mix
+
+/** Skewed-key behavior of the window-partitioned fact paths.
+  *
+  * `Window.partitionBy(key)` is the one shuffle shape AQE's skew splitting
+  * cannot rescue: every row of a key lands in ONE task. These tests build
+  * hot-key corpora (one key holding a large share of all rows — the shape
+  * that stalls a 1000-executor stage at 100 TB), demonstrate the hazard is
+  * real (max key-group ≥ 10× the median — a >10× straggler by
+  * construction), and prove each skew-safe variant (a) bounds its shuffle
+  * groups below the straggler threshold and (b) returns byte-identical
+  * results to the naive window formulation.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = 1_700_000_000_000L // well above epoch; ~2023-11
+
+  /** max/median group size of `df` grouped by `cols` — the straggler ratio
+    * a window shuffle on those columns would see (a window partition's
+    * task load IS its key-group size).
+    */
+  private def groupSkew(df: DataFrame, cols: String*): (Long, Double) = {
+    val sizes = df.groupBy(cols.map(col): _*).count()
+      .select("count").as[Long].collect().sorted
+    val median = sizes(sizes.length / 2).toDouble
+    (sizes.last, sizes.last / median)
+  }
+
+  // ------------------------------------------------------- as-of carry
+  /** Union-shaped as-of input: user 1 is hot (1000 events over ~200 days);
+    * 50 cold users with 20 events each. Every user gets 30 order rows.
+    */
+  private lazy val asofCorpus: DataFrame = {
+    val min = 60_000L
+    val hot = (0 until 1000).map { i =>
+      (1L, new Timestamp(base + i * 288 * min), 1, 10_000L + i,
+        None: Option[Long], None: Option[Timestamp])
+    }
+    val cold = for (u <- 2L to 51L; i <- 0 until 20) yield
+      (u, new Timestamp(base + i * 14_400 * min + u * min), 1,
+        20_000L + u * 100 + i, None: Option[Long], None: Option[Timestamp])
+    val orders = for (u <- 1L to 51L; j <- 0 until 30) yield {
+      val t = new Timestamp(base + j * 9_600 * min + u * 7 * min)
+      (u, t, 0, -1L, Some(u * 1000 + j), Some(t))
+    }
+    (hot ++ cold ++ orders)
+      .toDF("k", "t", "side", "event_id", "okey_in", "odate_in")
+      // side=1 event rows carry null order columns, as in the real union
+      .withColumn("okey_in", when(col("side") === 0, col("okey_in")))
+      .withColumn("odate_in", when(col("side") === 0, col("odate_in")))
+      .repartition(4)
+  }
+
+  test("as-of: hot key is a >10x straggler for the naive window; " +
+    "day buckets bound it; results identical") {
+    val (naiveMax, naiveRatio) = groupSkew(asofCorpus, "k")
+    assert(naiveRatio >= 10.0,
+      s"corpus must exhibit the hazard: max=$naiveMax ratio=$naiveRatio")
+    val bucketed = asofCorpus.withColumn("__b", date_trunc("day", col("t")))
+    val (bMax, bRatio) = groupSkew(bucketed, "k", "__b")
+    assert(bRatio < 10.0, s"bucketed groups still skewed: ratio=$bRatio")
+    assert(bMax * 10 <= naiveMax,
+      s"bucketing should shrink the largest task ≥10x: $bMax vs $naiveMax")
+
+    val w = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = asofCorpus
+      .withColumn("ok", last("okey_in", ignoreNulls = true).over(w))
+      .withColumn("od", last("odate_in", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "ok", "od")
+    val safe = Salting.carryLastOverBuckets(asofCorpus,
+        keys = Seq("k"), time = col("t"), tiebreak = Seq(col("side")),
+        valueCols = Seq("okey_in", "odate_in"),
+        bucket = date_trunc("day", col("t")))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("okey_in").as("ok"), col("odate_in").as("od"))
+    val n = naive.as[(Long, Option[Long], Option[Timestamp])].collect().toSet
+    val s = safe.as[(Long, Option[Long], Option[Timestamp])].collect().toSet
+    assert(n.nonEmpty && n == s)
+  }
+
+  test("as-of: q_asof_skew matches q_asof_join on the real tables") {
+    val a = Relational.qAsofJoin(spark, sf).collect().toSeq
+    val b = Relational.qAsofJoinSkew(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  // ------------------------------------------------------- merge dedup
+  test("merge: skewSafe dedup aggregates (no window, partial combine), " +
+    "same winner per key as the window — hot-key CDC corpus") {
+    // key 1 re-emitted 2000 times (the hot entity), keys 2..200 three
+    // times each — tiebreak on ts, payload varies so the winner matters
+    val src = ((0 until 2000).map(i => (1L, new Timestamp(base + i), s"v$i")) ++
+      (for (k <- 2L to 200L; i <- 0 until 3) yield
+        (k, new Timestamp(base + i * 1000), s"k${k}_$i")))
+      .toDF("id", "ts", "payload").repartition(4)
+    val (_, ratio) = groupSkew(src, "id")
+    assert(ratio >= 10.0, s"corpus must exhibit the hazard: ratio=$ratio")
+    val tgt = (1L to 300L).map(k => (k, new Timestamp(0), "old"))
+      .toDF("id", "ts", "payload")
+
+    val naive = LakehouseOps.mergeUpsert(tgt, src, Seq("id"),
+      tiebreak = Seq(col("ts")))
+    val safe = LakehouseOps.mergeUpsert(tgt, src, Seq("id"),
+      tiebreak = Seq(col("ts")), skewSafe = true)
+    val n = naive.as[(Long, Timestamp, String)].collect().toSet
+    val s = safe.as[(Long, Timestamp, String)].collect().toSet
+    assert(n.nonEmpty && n == s)
+
+    // the mitigation's plan shape: no window anywhere (nothing serializes
+    // a key into one task), and the max_by dedup aggregates — Spark plans
+    // a partial pass before the exchange, so each task reduces its slice
+    // of the hot key to one candidate row before any shuffle
+    val plan = safe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "skew-safe merge must not window")
+    assert(plan.contains("max_by"), "skew-safe merge dedups via max_by")
+    assert(plan.toLowerCase.contains("partial_max_by"),
+      "max_by must have a map-side partial pass")
+    assert(naive.queryExecution.executedPlan.toString.contains("Window"),
+      "the naive path is the window formulation (sanity)")
+  }
+
+  test("merge: dba_merge_skew matches dba_merge_upsert on the real tables") {
+    val a = LakehouseOps.dbaMergeUpsert(spark, sf).collect().toSeq
+    val b = LakehouseOps.dbaMergeUpsertSkew(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  // ------------------------------------------------------- seq packing
+  test("seq_pack_sharded: hot stream splits across all shards, each " +
+    "sub-stream is a valid packing, every doc packed exactly once") {
+    val docs = ((0 until 800).map(i => (i.toLong, "hot", i % 37 + 1)) ++
+      (for (c <- 1 to 4; i <- 0 until 50) yield
+        (1000L + c * 100 + i, s"cold$c", i % 23 + 1)))
+      .toDF("doc_id", "source", "n_tokens").repartition(4)
+    val (naiveMax, ratio) = groupSkew(docs, "source")
+    assert(ratio >= 10.0, s"corpus must exhibit the hazard: ratio=$ratio")
+
+    val cap = 64
+    val packed = Mix.seqPackSharded(docs, cap, tokens = col("n_tokens"),
+        streamCol = col("source"), orderCol = col("doc_id"),
+        idCol = col("doc_id"), nShards = 8)
+      .select("doc_id", "source", "shard", "n_tokens", "seq_id", "offset_in_seq")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+
+    assert(packed.length == docs.count().toInt, "every doc packed once")
+    val hotShards = packed.filter(_._2 == "hot").groupBy(_._3)
+    assert(hotShards.size == 8, s"hot stream must spread: ${hotShards.size}")
+    assert(hotShards.values.map(_.length).max < 800 * 3 / 10,
+      "no shard holds more than ~30% of the hot stream (md5 uniform)")
+    // the window now shuffles on (source, shard). Max/median is the wrong
+    // straggler metric here (cold streams fragment, dragging the median
+    // down); what bounds the stage is the LARGEST task, and nShards is
+    // its dial — 8 shards must shrink the hottest group several-fold
+    val (sMax, _) = groupSkew(
+      docs.withColumn("shard",
+        floor(Mix.uniformOf(col("doc_id"), "shard") * 8)), "source", "shard")
+    assert(sMax * 4 <= naiveMax,
+      s"sharding should shrink the largest task ≥4x: $sMax vs $naiveMax")
+    // per-sub-stream packing invariant: running start = cumsum − n_tokens,
+    // seq_id = start div cap, offset = start mod cap — checked directly
+    packed.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._1).foreach { case (id, _, _, nt, seqId, off) =>
+        assert(seqId == start / cap && off == start % cap,
+          s"doc $id: seq=$seqId off=$off, want start=$start")
+        start += nt
+      }
+    }
+  }
+}

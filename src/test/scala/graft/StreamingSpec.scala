@@ -7,58 +7,190 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
 
+/** Streaming semantics, exercised under BOTH state store providers: the
+  * default in-memory HDFSBackedStateStoreProvider AND RocksDB — the
+  * provider a 100 TB deployment actually runs (state no longer bounded by
+  * executor heap). The provider is a session conf read at query START, so
+  * each parametrized test sets it around `.start()`; every stateful test
+  * body is provider-agnostic and must produce identical results on both.
+  */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val providers = Seq(
+    "hashmap" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   case class Raw(ts: Timestamp, event_type: String, value: Double)
 
-  test("streaming windowed agg over MemoryStream matches batch result") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Raw]
-    val hour = 3600L * 1000
-    val rows = Seq(
-      Raw(new Timestamp(0), "click", 1.0),
-      Raw(new Timestamp(10 * 60 * 1000), "click", 2.0),
-      Raw(new Timestamp(hour + 1000), "view", 5.0),
-      Raw(new Timestamp(hour + 2000), "click", 3.0))
-    val q = EventStreams.streamingWindowedAgg(mem.toDF())
-      .writeStream.format("memory").queryName("win_agg")
-      .outputMode("update").start()
-    try {
-      mem.addData(rows: _*)
-      q.processAllAvailable()
-      val got = spark.table("win_agg")
-        .select("window_start", "event_type", "n_events", "sum_value")
-        .as[(Timestamp, String, Long, Double)].collect()
-        .map { case (w, t, n, s) => (w.getTime, t, n, s) }.toSet
-      assert(got == Set(
-        (0L, "click", 2L, 3.0),
-        (hour, "view", 1L, 5.0),
-        (hour, "click", 1L, 3.0)))
-    } finally q.stop()
-  }
+  for ((label, cls) <- providers) {
 
-  test("streaming sessionize closes sessions on gap; state times out") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[EventStreams.Ev]
-    val q = EventStreams.streamingSessionize(mem.toDS(), gapMs = 60 * 1000)
-      .writeStream.format("memory").queryName("sessions")
-      .outputMode("append").start()
-    try {
-      // user 1: two events 10s apart (one session), then a 5-minute gap,
-      // then another event → first session closes on the gap. Timestamps
-      // sit well above epoch 0 so the initial watermark can't drop them.
-      val base = 1_000_000_000_000L
-      mem.addData(
-        EventStreams.Ev(1L, base, 1.0),
-        EventStreams.Ev(1L, base + 10_000L, 2.0))
-      q.processAllAvailable()
-      mem.addData(EventStreams.Ev(1L, base + 310_000L, 4.0))
-      q.processAllAvailable()
-      val got = spark.table("sessions")
-        .as[EventStreams.Session].collect().toSet
-      assert(got.contains(EventStreams.Session(1L, base, base + 10_000L, 2L, 3.0)))
-    } finally q.stop()
+    test(s"[$label] streaming windowed agg over MemoryStream matches batch result") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[Raw]
+        val hour = 3600L * 1000
+        val rows = Seq(
+          Raw(new Timestamp(0), "click", 1.0),
+          Raw(new Timestamp(10 * 60 * 1000), "click", 2.0),
+          Raw(new Timestamp(hour + 1000), "view", 5.0),
+          Raw(new Timestamp(hour + 2000), "click", 3.0))
+        val q = EventStreams.streamingWindowedAgg(mem.toDF())
+          .writeStream.format("memory").queryName(s"win_agg_$label")
+          .outputMode("update").start()
+        try {
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+          val got = spark.table(s"win_agg_$label")
+            .select("window_start", "event_type", "n_events", "sum_value")
+            .as[(Timestamp, String, Long, Double)].collect()
+            .map { case (w, t, n, s) => (w.getTime, t, n, s) }.toSet
+          assert(got == Set(
+            (0L, "click", 2L, 3.0),
+            (hour, "view", 1L, 5.0),
+            (hour, "click", 1L, 3.0)))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] streaming sessionize closes sessions on gap; state times out") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[EventStreams.Ev]
+        val q = EventStreams.streamingSessionize(mem.toDS(), gapMs = 60 * 1000)
+          .writeStream.format("memory").queryName(s"sessions_$label")
+          .outputMode("append").start()
+        try {
+          // user 1: two events 10s apart (one session), then a 5-minute gap,
+          // then another event → first session closes on the gap. Timestamps
+          // sit well above epoch 0 so the initial watermark can't drop them.
+          val base = 1_000_000_000_000L
+          mem.addData(
+            EventStreams.Ev(1L, base, 1.0),
+            EventStreams.Ev(1L, base + 10_000L, 2.0))
+          q.processAllAvailable()
+          mem.addData(EventStreams.Ev(1L, base + 310_000L, 4.0))
+          q.processAllAvailable()
+          val got = spark.table(s"sessions_$label")
+            .as[EventStreams.Session].collect().toSet
+          assert(got.contains(EventStreams.Session(1L, base, base + 10_000L, 2L, 3.0)))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] streaming dedup: duplicate ids within the watermark are dropped") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Timestamp, Double)]
+        val q = EventStreams.streamingDedup(
+            mem.toDF().toDF("event_id", "ts", "value"), "event_id")
+          .writeStream.format("memory").queryName(s"deduped_$label")
+          .outputMode("append").start()
+        try {
+          val base = 1_000_000_000_000L
+          mem.addData(
+            (1L, new Timestamp(base), 1.0),
+            (1L, new Timestamp(base), 1.0), // in-batch dup
+            (2L, new Timestamp(base + 1000), 2.0))
+          q.processAllAvailable()
+          // cross-batch dup id, re-stamped ts — must still drop (dedup is on
+          // the id alone, within the watermark)
+          mem.addData((1L, new Timestamp(base + 5000), 9.0))
+          q.processAllAvailable()
+          val ids = spark.table(s"deduped_$label").select("event_id")
+            .as[Long].collect().toSeq.sorted
+          assert(ids == Seq(1L, 2L))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] stream-stream interval join matches the batch attribution window") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val clicks = MemoryStream[(Long, Long, Timestamp)]
+        val purchases = MemoryStream[(Long, Long, Timestamp)]
+        val base = 1_000_000_000_000L
+        val q = EventStreams.streamingIntervalJoin(
+            clicks.toDF().toDF("event_id", "user_id", "ts"),
+            purchases.toDF().toDF("event_id", "user_id", "ts"))
+          .writeStream.format("memory").queryName(s"attrib_$label")
+          .outputMode("append").start()
+        try {
+          clicks.addData(
+            (100L, 1L, new Timestamp(base)),            // 10 min before purchase
+            (101L, 1L, new Timestamp(base - 3_600_000)), // 1h before: outside
+            (102L, 2L, new Timestamp(base)))             // other user
+          purchases.addData((200L, 1L, new Timestamp(base + 600_000)))
+          q.processAllAvailable()
+          val got = spark.table(s"attrib_$label")
+            .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+          assert(got == Set((200L, 100L)))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] streaming distinct users: HLL sketch counts per sliding window") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Timestamp, String, Long)]
+        val q = EventStreams.streamingDistinctUsers(
+            mem.toDF().toDF("ts", "event_type", "user_id"))
+          .writeStream.format("memory").queryName(s"reach_$label")
+          .outputMode("update").start()
+        try {
+          val base = 1_000_000_000_000L  // well above epoch for the watermark
+          mem.addData(
+            (new Timestamp(base), "click", 1L),
+            (new Timestamp(base + 60_000), "click", 1L),   // same user again
+            (new Timestamp(base + 120_000), "click", 2L),
+            (new Timestamp(base + 180_000), "view", 3L))
+          q.processAllAvailable()
+          val got = spark.table(s"reach_$label")
+            .select("window_start", "event_type", "n_users_approx")
+            .as[(Timestamp, String, Long)].collect()
+            .map { case (w, t, n) => (w.getTime, t, n) }.toSet
+          // each event falls in 2 sliding windows; 3 distinct users is far
+          // below HLL error onset so approx == exact here
+          val w0 = (base / 1_800_000) * 1_800_000        // 30-min aligned
+          assert(got.contains((w0, "click", 2L)))
+          assert(got.contains((w0 - 1_800_000, "click", 2L)))
+          assert(got.contains((w0, "view", 1L)))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] streaming curate: gates fire on the stream, replayed text drops") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Timestamp, String, String)]
+        val base = 100L * 3600 * 1000 // well above epoch 0 for the watermark
+        val good = (1 to 30).map(i => s"w$i").mkString(" ") +
+          " the of and to in is it for on a"
+        val q = graft.pipeline.Curate.streamingCurate(
+            mem.toDF().toDF("doc_id", "ts", "text", "lang"))
+          .writeStream.format("memory").queryName(s"stream_curate_$label")
+          .outputMode("append").start()
+        try {
+          mem.addData(
+            (1L, new Timestamp(base), good, "en"),
+            (2L, new Timestamp(base + 1000), good, "en"),   // exact replay
+            (3L, new Timestamp(base + 2000), "too short", "en"),
+            // unique text (else the dedup state drops it), English stopwords,
+            // mislabeled as German → lang_mismatch
+            (4L, new Timestamp(base + 3000),
+              (1 to 30).map(i => s"x$i").mkString(" ") +
+                " the of and to in is it for on a", "de"))
+          q.processAllAvailable()
+          val got = spark.table(s"stream_curate_$label")
+            .select("doc_id", "reason").as[(Long, String)].collect().toMap
+          assert(got(1L) == "kept")
+          assert(!got.contains(2L), "replayed content must drop in-state")
+          assert(got(3L) == "short")
+          assert(got(4L) == "lang_mismatch")
+        } finally q.stop()
+      }
+    }
   }
 
   test("streaming upsert: foreachBatch merge keeps latest row per key") {
@@ -78,111 +210,6 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
     // each micro-batch committed its own snapshot version
     assert(EventStreams.snapshotVersions(spark, dir).size == 2)
-  }
-
-  test("streaming dedup: duplicate ids within the watermark are dropped") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, Double)]
-    val q = EventStreams.streamingDedup(
-        mem.toDF().toDF("event_id", "ts", "value"), "event_id")
-      .writeStream.format("memory").queryName("deduped")
-      .outputMode("append").start()
-    try {
-      val base = 1_000_000_000_000L
-      mem.addData(
-        (1L, new Timestamp(base), 1.0),
-        (1L, new Timestamp(base), 1.0), // in-batch dup
-        (2L, new Timestamp(base + 1000), 2.0))
-      q.processAllAvailable()
-      // cross-batch dup id, re-stamped ts — must still drop (dedup is on
-      // the id alone, within the watermark)
-      mem.addData((1L, new Timestamp(base + 5000), 9.0))
-      q.processAllAvailable()
-      val ids = spark.table("deduped").select("event_id")
-        .as[Long].collect().toSeq.sorted
-      assert(ids == Seq(1L, 2L))
-    } finally q.stop()
-  }
-
-  test("stream-stream interval join matches the batch attribution window") {
-    implicit val sqlCtx = spark.sqlContext
-    val clicks = MemoryStream[(Long, Long, Timestamp)]
-    val purchases = MemoryStream[(Long, Long, Timestamp)]
-    val base = 1_000_000_000_000L
-    val q = EventStreams.streamingIntervalJoin(
-        clicks.toDF().toDF("event_id", "user_id", "ts"),
-        purchases.toDF().toDF("event_id", "user_id", "ts"))
-      .writeStream.format("memory").queryName("attrib")
-      .outputMode("append").start()
-    try {
-      clicks.addData(
-        (100L, 1L, new Timestamp(base)),            // 10 min before purchase
-        (101L, 1L, new Timestamp(base - 3_600_000)), // 1h before: outside
-        (102L, 2L, new Timestamp(base)))             // other user
-      purchases.addData((200L, 1L, new Timestamp(base + 600_000)))
-      q.processAllAvailable()
-      val got = spark.table("attrib")
-        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
-      assert(got == Set((200L, 100L)))
-    } finally q.stop()
-  }
-
-  test("streaming distinct users: HLL sketch counts per sliding window") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Timestamp, String, Long)]
-    val q = EventStreams.streamingDistinctUsers(
-        mem.toDF().toDF("ts", "event_type", "user_id"))
-      .writeStream.format("memory").queryName("reach")
-      .outputMode("update").start()
-    try {
-      val base = 1_000_000_000_000L  // well above epoch for the watermark
-      mem.addData(
-        (new Timestamp(base), "click", 1L),
-        (new Timestamp(base + 60_000), "click", 1L),   // same user again
-        (new Timestamp(base + 120_000), "click", 2L),
-        (new Timestamp(base + 180_000), "view", 3L))
-      q.processAllAvailable()
-      val got = spark.table("reach")
-        .select("window_start", "event_type", "n_users_approx")
-        .as[(Timestamp, String, Long)].collect()
-        .map { case (w, t, n) => (w.getTime, t, n) }.toSet
-      // each event falls in 2 sliding windows; 3 distinct users is far
-      // below HLL error onset so approx == exact here
-      val w0 = (base / 1_800_000) * 1_800_000        // 30-min aligned
-      assert(got.contains((w0, "click", 2L)))
-      assert(got.contains((w0 - 1_800_000, "click", 2L)))
-      assert(got.contains((w0, "view", 1L)))
-    } finally q.stop()
-  }
-
-  test("streaming curate: gates fire on the stream, replayed text drops") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, String, String)]
-    val base = 100L * 3600 * 1000 // well above epoch 0 for the watermark
-    val good = (1 to 30).map(i => s"w$i").mkString(" ") +
-      " the of and to in is it for on a"
-    val q = graft.pipeline.Curate.streamingCurate(
-        mem.toDF().toDF("doc_id", "ts", "text", "lang"))
-      .writeStream.format("memory").queryName("stream_curate")
-      .outputMode("append").start()
-    try {
-      mem.addData(
-        (1L, new Timestamp(base), good, "en"),
-        (2L, new Timestamp(base + 1000), good, "en"),   // exact replay
-        (3L, new Timestamp(base + 2000), "too short", "en"),
-        // unique text (else the dedup state drops it), English stopwords,
-        // mislabeled as German → lang_mismatch
-        (4L, new Timestamp(base + 3000),
-          (1 to 30).map(i => s"x$i").mkString(" ") +
-            " the of and to in is it for on a", "de"))
-      q.processAllAvailable()
-      val got = spark.table("stream_curate")
-        .select("doc_id", "reason").as[(Long, String)].collect().toMap
-      assert(got(1L) == "kept")
-      assert(!got.contains(2L), "replayed content must drop in-state")
-      assert(got(3L) == "short")
-      assert(got(4L) == "lang_mismatch")
-    } finally q.stop()
   }
 
   test("batch sessionize: sessions respect the 30-min gap invariant") {
