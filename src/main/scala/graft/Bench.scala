@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   * Scaling measurement: unless `SPARK_GRAFT_SCALE_DIR` is explicitly set
   * empty, the suite ALSO runs at a second (smaller) scale factor — default
   * /root/testdata/sf0.01 — and the output carries per-query medians at both
-  * points plus the big/small wall ratio. At 10× the data, an overhead-bound
-  * query sits near 1×, a data-proportional one near 10×; anything well past
-  * 10× is superlinear and lands in "scale_flags". This turns the 100 TB
+  * points plus the big/small wall ratio. At N× the data (N derived from the
+  * two dirs' sf names, 10× for the default pair), an overhead-bound query
+  * sits near 1×, a data-proportional one near N×; anything well past N×
+  * is superlinear and lands in "scale_flags". This turns the 100 TB
   * "overhead-bound at test SF" claim from one-time prose into a per-round
   * measured regression check. The small pass runs FIRST so codegen/JIT
   * warmup is paid there, keeping the headline (big-SF) numbers and the
@@ -110,6 +111,16 @@ object Bench {
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
     val small = smallDir.map(d => runSuite(spark, d, names, runs))
     val (samples, failures) = runSuite(spark, sfDir, names, runs)
+    // expected big/small wall ratio for an exactly-linear query = the size
+    // ratio of the two dirs, derived from their "sf<N>" names (both dirs
+    // are env-configurable — hard-coding 10x would mis-flag any other
+    // pair); unparsable names fall back to the default sf0.1/sf0.01 pair
+    def sfOf(dir: String): Option[Double] =
+      "sf([0-9.]+)".r.findFirstMatchIn(
+        java.nio.file.Paths.get(dir).getFileName.toString)
+        .flatMap(m => m.group(1).toDoubleOption).filter(_ > 0)
+    val sizeRatio = (for (d <- smallDir; b <- sfOf(sfDir); s <- sfOf(d))
+      yield b / s).getOrElse(10.0)
     val measured = names.filter { case (n, _) => samples.contains(n) }
     val med = measured.map { case (n, _) => n -> median(samples(n)) }
     val mins = measured.map { case (n, _) => n -> samples(n).min }
@@ -120,7 +131,7 @@ object Bench {
     val total = med.map(_._2).sum
     // scaling block: per-query medians at the small SF, per-query wall
     // ratio big/small, total ratio, and the superlinear flags
-    val scaleJson = (for ((d, (sSamples, _)) <- smallDir.zip(small)) yield {
+    val scaleJson = (for ((d, (sSamples, sFailures)) <- smallDir.zip(small)) yield {
       val sMed = measured.flatMap { case (n, _) =>
         sSamples.get(n).map(xs => n -> median(xs)) }
       val sTotal = sMed.map(_._2).sum
@@ -128,12 +139,16 @@ object Bench {
         med.find(_._1 == n).collect {
           case (_, bv) if sv > 0 => n -> (bv / sv) }
       }
-      // 10× the data: ≤10× wall is at-worst-linear; leave headroom for
-      // host noise on sub-second queries before calling it superlinear
-      val flags = ratios.filter(_._2 > 12.0).map(_._1)
+      // N× the data: ≤N× wall is at-worst-linear; 20% headroom for host
+      // noise on sub-second queries before calling it superlinear
+      val flags = ratios.filter(_._2 > 1.2 * sizeRatio).map(_._1)
       val flagJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
       val rTotal = if (sTotal > 0) total / sTotal else 0.0
-      s""","sf_small":"$d","total_small":$sTotal,"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson"""
+      // a query failing ONLY at the small SF would otherwise vanish from
+      // queries_small/scale_ratio with stderr-only evidence
+      val sErrJson = sFailures.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":$sizeRatio,"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()

@@ -62,8 +62,12 @@ def main():
             if pd.api.types.is_integer_dtype(s): return "int"
             if pd.api.types.is_float_dtype(s): return "float"
             # unit differences (ns vs us, DuckDB-version-dependent) don't
-            # affect the stringified compare the driver hashes
-            if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+            # affect the stringified compare the driver hashes — but
+            # tz-awareness DOES (a tz drift must stay visible as a dtype
+            # error, not hide behind a lucky string match)
+            if pd.api.types.is_datetime64_any_dtype(s):
+                tz = getattr(s.dtype, "tz", None)
+                return f"datetime[tz={tz}]" if tz is not None else "datetime"
             return str(s.dtype)
         dt_bad = [
             f"{c}: spark={g[c].dtype} duckdb={w[c].dtype}" for c in g.columns
