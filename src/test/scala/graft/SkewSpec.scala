@@ -90,6 +90,91 @@ class SkewSpec extends SparkSpec {
     assert(n.nonEmpty && n == s)
   }
 
+  test("as-of: task-level straggler evidence — naive window has a >10x " +
+    "shuffle-read straggler, the carry variant stays bounded") {
+    // records read per task, grouped by stage — the deterministic straggler
+    // metric (task TIME is host noise; a window task's shuffle-read record
+    // count IS its load)
+    def taskRecords(body: => Unit): Map[Int, Seq[Long]] = {
+      val buf = scala.collection.concurrent.TrieMap.empty[Long, (Int, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            buf(e.taskInfo.taskId) = (e.stageId, m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are async — wait until the stream goes quiet
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          if (buf.size == last) same += 1 else { same = 0; last = buf.size }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      buf.values.groupBy(_._1).map { case (st, vs) => st -> vs.map(_._2).toSeq }
+    }
+    // worst max/median across stages with meaningful shuffle input (tiny
+    // metadata stages would make the median meaningless)
+    def worstRatio(stages: Map[Int, Seq[Long]]): Double =
+      stages.values
+        .filter(v => v.count(_ > 0) >= 4 && v.max >= 1000)
+        .map { v =>
+          val pos = v.filter(_ > 0).sorted
+          v.max.toDouble / pos(pos.size / 2)
+        }.foldLeft(0.0)(math.max)
+
+    // hotter corpus than asofCorpus so the straggler is unambiguous even
+    // after hash-bucketing keys into partitions: user 1 holds 4000 of
+    // ~6500 rows
+    val min = 60_000L
+    val rows = (0 until 4000).map(i =>
+      (1L, new Timestamp(base + i * 72 * min), 1, 10_000L + i,
+        None: Option[Long], None: Option[Timestamp])) ++
+      (for (u <- 2L to 51L; i <- 0 until 20) yield
+        (u, new Timestamp(base + i * 14_400 * min + u * min), 1,
+          20_000L + u * 100 + i, None: Option[Long], None: Option[Timestamp])) ++
+      (for (u <- 1L to 51L; j <- 0 until 30) yield {
+        val t = new Timestamp(base + j * 9_600 * min + u * 7 * min)
+        (u, t, 0, -1L, Some(u * 1000 + j), Some(t))
+      })
+    val corpus = rows
+      .toDF("k", "t", "side", "event_id", "okey_in", "odate_in")
+      .withColumn("okey_in", when(col("side") === 0, col("okey_in")))
+      .withColumn("odate_in", when(col("side") === 0, col("odate_in")))
+      .repartition(8)
+
+    // 32 shuffle partitions (the bench config) and no AQE so partition
+    // counts are deterministic and coalescing can't mask the skew
+    withConf("spark.sql.shuffle.partitions" -> "32",
+             "spark.sql.adaptive.enabled" -> "false") {
+      val w = Window.partitionBy("k").orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = corpus
+        .withColumn("ok", last("okey_in", ignoreNulls = true).over(w))
+        .filter(col("side") === 1).select("event_id", "ok")
+      val nRatio = worstRatio(taskRecords {
+        naive.write.format("noop").mode("overwrite").save()
+      })
+      assert(nRatio >= 10.0,
+        s"naive window should show a >10x straggler task, got $nRatio")
+
+      val safe = Salting.carryLastOverBuckets(corpus,
+          keys = Seq("k"), time = col("t"), tiebreak = Seq(col("side")),
+          valueCols = Seq("okey_in", "odate_in"),
+          bucket = date_trunc("day", col("t")))
+        .filter(col("side") === 1).select("event_id", "okey_in")
+      val sRatio = worstRatio(taskRecords {
+        safe.write.format("noop").mode("overwrite").save()
+      })
+      assert(sRatio < 10.0,
+        s"carry variant must have no >10x straggler task, got $sRatio")
+    }
+  }
+
   test("as-of: q_asof_skew matches q_asof_join on the real tables") {
     val a = Relational.qAsofJoin(spark, sf).collect().toSeq
     val b = Relational.qAsofJoinSkew(spark, sf).collect().toSeq
