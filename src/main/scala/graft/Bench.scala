@@ -119,8 +119,15 @@ object Bench {
       "sf([0-9.]+)".r.findFirstMatchIn(
         java.nio.file.Paths.get(dir).getFileName.toString)
         .flatMap(m => m.group(1).toDoubleOption).filter(_ > 0)
-    val sizeRatio = (for (d <- smallDir; b <- sfOf(sfDir); s <- sfOf(d))
-      yield b / s).getOrElse(10.0)
+    // None when either name is unparsable: flags are then OMITTED (null)
+    // rather than computed against a guessed ratio — a silent 10.0
+    // fallback would mis-flag any honestly data-proportional query on a
+    // non-default pair, the exact failure this derivation exists to avoid
+    val sizeRatio: Option[Double] =
+      for (d <- smallDir; b <- sfOf(sfDir); s <- sfOf(d)) yield b / s
+    if (smallDir.nonEmpty && sizeRatio.isEmpty)
+      System.err.println(s"[bench] cannot parse sf<N> from '$sfDir' / " +
+        s"'${smallDir.get}' — scale_flags omitted (ratios still reported)")
     val measured = names.filter { case (n, _) => samples.contains(n) }
     val med = measured.map { case (n, _) => n -> median(samples(n)) }
     val mins = measured.map { case (n, _) => n -> samples(n).min }
@@ -141,14 +148,16 @@ object Bench {
       }
       // N× the data: ≤N× wall is at-worst-linear; 20% headroom for host
       // noise on sub-second queries before calling it superlinear
-      val flags = ratios.filter(_._2 > 1.2 * sizeRatio).map(_._1)
-      val flagJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flagJson = sizeRatio.fold("null") { r =>
+        ratios.filter(_._2 > 1.2 * r).map(_._1)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
       val rTotal = if (sTotal > 0) total / sTotal else 0.0
       // a query failing ONLY at the small SF would otherwise vanish from
       // queries_small/scale_ratio with stderr-only evidence
       val sErrJson = sFailures.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":$sizeRatio,"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
+      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()

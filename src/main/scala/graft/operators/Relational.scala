@@ -472,15 +472,11 @@ object Relational {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- A16
-  /** As-of join, the union-sort-window formulation: one shuffle on the key,
-    * no per-row range probe — this is the shape that scales (no broadcast of
-    * the time side, no O(n·m) theta join). For each event, the latest order
-    * of the same customer with o_orderdate <= ts. The right side is
-    * pre-aggregated to one row per (key, time) so the pick is deterministic.
-    */
   /** The shared union-of-both-sides input: events carry null order
     * columns, orders carry their key/date; `side` makes orders sort
     * before events at equal t (an order ON the event's timestamp counts).
+    * The order side is pre-aggregated to one row per (key, time) so the
+    * downstream last()/max_by pick is deterministic.
     */
   private def asofUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -496,6 +492,11 @@ object Relational {
     ev.unionByName(ord)
   }
 
+  /** As-of join, the union-sort-window formulation: one shuffle on the key,
+    * no per-row range probe — this is the shape that scales (no broadcast of
+    * the time side, no O(n·m) theta join). For each event, the latest order
+    * of the same customer with o_orderdate <= ts.
+    */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("k").orderBy("t", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -67,9 +67,13 @@ object Salting {
     * Equivalent to `last(value, ignoreNulls).over(partitionBy(keys)
     * .orderBy(time, tiebreak))` whenever `bucket` is monotonic in `time`
     * (b1 < b2 ⟹ every t in b1 ≤ every t in b2 — e.g. `date_trunc`, or
-    * `floor(epoch / width)`). `valueCols` must be null/non-null together
-    * (one "carrier row" marker — the as-of union shape); pick the bucket
-    * granularity so the hottest key spreads over many buckets.
+    * `floor(epoch / width)`). Null keys and null times are preserved with
+    * window semantics too: the stitch join is null-safe, a null key is its
+    * own group, and a null time lands in the null bucket, which sorts
+    * first — exactly where an ascending orderBy puts null times.
+    * `valueCols` must be null/non-null together (one "carrier row"
+    * marker — the as-of union shape); pick the bucket granularity so the
+    * hottest key spreads over many buckets.
     */
   def carryLastOverBuckets(df: DataFrame, keys: Seq[String], time: Column,
                            tiebreak: Seq[Column], valueCols: Seq[String],
@@ -91,13 +95,22 @@ object Salting {
         when(col(valueCols.head).isNotNull, struct(ord: _*))).as("__last"))
     val wCarry = Window.partitionBy(kcols: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the stitch join is NULL-SAFE (<=> stays an equi-join key, so the
+    // plan is still a bounded hash join): a USING join would silently
+    // drop rows whose key or time is null, where the window formulation
+    // keeps them
     val carry = bktLast
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
-      .select(kcols :+ col("__bkt") :+ col("__carry"): _*)
-    val stitched = valueCols.foldLeft(
-      localized.join(carry, keys :+ "__bkt")) { (d, v) =>
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ck$i") } :+
+        col("__bkt").as("__cb") :+ col("__carry"): _*)
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => localized(k) <=> carry(s"__ck$i") }
+      .reduce(_ && _) && (localized("__bkt") <=> carry("__cb"))
+    val stitched = valueCols.foldLeft(localized.join(carry, cond)) { (d, v) =>
       d.withColumn(v, coalesce(col(s"__loc_$v"), col("__carry").getField(v)))
     }
-    stitched.drop("__bkt" +: "__carry" +: valueCols.map(v => s"__loc_$v"): _*)
+    stitched.drop(
+      keys.indices.map(i => s"__ck$i") ++
+        Seq("__bkt", "__cb", "__carry") ++ valueCols.map(v => s"__loc_$v"): _*)
   }
 }

@@ -37,13 +37,15 @@ class SkewSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------- as-of carry
-  /** Union-shaped as-of input: user 1 is hot (1000 events over ~200 days);
-    * 50 cold users with 20 events each. Every user gets 30 order rows.
+  /** Union-shaped as-of input: user 1 is hot (`hotN` events, one every
+    * `hotStepMin` minutes); 50 cold users with 20 events each. Every user
+    * gets 30 order rows.
     */
-  private lazy val asofCorpus: DataFrame = {
+  private def asofCorpusOf(hotN: Int, hotStepMin: Int,
+                           partitions: Int): DataFrame = {
     val min = 60_000L
-    val hot = (0 until 1000).map { i =>
-      (1L, new Timestamp(base + i * 288 * min), 1, 10_000L + i,
+    val hot = (0 until hotN).map { i =>
+      (1L, new Timestamp(base + i * hotStepMin * min), 1, 10_000L + i,
         None: Option[Long], None: Option[Timestamp])
     }
     val cold = for (u <- 2L to 51L; i <- 0 until 20) yield
@@ -58,8 +60,10 @@ class SkewSpec extends SparkSpec {
       // side=1 event rows carry null order columns, as in the real union
       .withColumn("okey_in", when(col("side") === 0, col("okey_in")))
       .withColumn("odate_in", when(col("side") === 0, col("odate_in")))
-      .repartition(4)
+      .repartition(partitions)
   }
+
+  private lazy val asofCorpus: DataFrame = asofCorpusOf(1000, 288, 4)
 
   test("as-of: hot key is a >10x straggler for the naive window; " +
     "day buckets bound it; results identical") {
@@ -130,22 +134,7 @@ class SkewSpec extends SparkSpec {
     // hotter corpus than asofCorpus so the straggler is unambiguous even
     // after hash-bucketing keys into partitions: user 1 holds 4000 of
     // ~6500 rows
-    val min = 60_000L
-    val rows = (0 until 4000).map(i =>
-      (1L, new Timestamp(base + i * 72 * min), 1, 10_000L + i,
-        None: Option[Long], None: Option[Timestamp])) ++
-      (for (u <- 2L to 51L; i <- 0 until 20) yield
-        (u, new Timestamp(base + i * 14_400 * min + u * min), 1,
-          20_000L + u * 100 + i, None: Option[Long], None: Option[Timestamp])) ++
-      (for (u <- 1L to 51L; j <- 0 until 30) yield {
-        val t = new Timestamp(base + j * 9_600 * min + u * 7 * min)
-        (u, t, 0, -1L, Some(u * 1000 + j), Some(t))
-      })
-    val corpus = rows
-      .toDF("k", "t", "side", "event_id", "okey_in", "odate_in")
-      .withColumn("okey_in", when(col("side") === 0, col("okey_in")))
-      .withColumn("odate_in", when(col("side") === 0, col("odate_in")))
-      .repartition(8)
+    val corpus = asofCorpusOf(4000, 72, 8)
 
     // 32 shuffle partitions (the bench config) and no AQE so partition
     // counts are deterministic and coalescing can't mask the skew
@@ -173,6 +162,36 @@ class SkewSpec extends SparkSpec {
       assert(sRatio < 10.0,
         s"carry variant must have no >10x straggler task, got $sRatio")
     }
+  }
+
+  test("as-of: null keys and null times survive the carry (window parity " +
+    "on dirty data)") {
+    // a null key is its own group; a null time sorts first (ascending
+    // nulls-first) — the bucketed carry must keep BOTH kinds of row where
+    // a naive USING stitch join would silently drop them
+    val dirty = Seq(
+      (Some(1L), Some(new Timestamp(base)), 0, -1L, Some(10L), Some(new Timestamp(base))),
+      (Some(1L), Some(new Timestamp(base + 86400000L)), 1, 100L, None: Option[Long], None: Option[Timestamp]),
+      (Some(1L), None: Option[Timestamp], 1, 101L, None: Option[Long], None: Option[Timestamp]),
+      (None: Option[Long], Some(new Timestamp(base)), 0, -1L, Some(20L), Some(new Timestamp(base))),
+      (None: Option[Long], Some(new Timestamp(base + 86400000L)), 1, 102L, None: Option[Long], None: Option[Timestamp]))
+      .toDF("k", "t", "side", "event_id", "okey_in", "odate_in")
+    val w = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = dirty
+      .withColumn("ok", last("okey_in", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "ok")
+      .as[(Long, Option[Long])].collect().toSet
+    val safe = Salting.carryLastOverBuckets(dirty,
+        keys = Seq("k"), time = col("t"), tiebreak = Seq(col("side")),
+        valueCols = Seq("okey_in", "odate_in"),
+        bucket = date_trunc("day", col("t")))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("okey_in").as("ok"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(naive == Set((100L, Some(10L)), (101L, None), (102L, Some(20L))))
+    assert(safe == naive, "dirty-data rows must not be dropped or diverge")
   }
 
   test("as-of: q_asof_skew matches q_asof_join on the real tables") {

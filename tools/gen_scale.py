@@ -34,8 +34,12 @@ def main():
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     # orders/lineitem share the orderkey domain: one shift stride for both
+    # (lineitem skipped in the loop — its stride IS orders', so FK pairs
+    # land in the same replica)
     stride = {}
     for t, keys in FACTS.items():
+        if t == "lineitem":
+            continue
         tab = pq.read_table(f"{src}/{t}.parquet", columns=[keys[0]])
         stride[t] = pc.max(tab.column(0)).as_py() + 1
     stride["lineitem"] = stride["orders"]
