@@ -87,12 +87,19 @@ object Salting {
     val localized = valueCols.foldLeft(in) { (d, v) =>
       d.withColumn(s"__loc_$v", last(col(v), ignoreNulls = true).over(wLocal))
     }
-    // max_by's ordering is null when the carrier columns are null, so
-    // value-less rows never win; buckets with no carrier rows still get a
-    // row (null __last) so the join below covers every (key, bucket)
-    val bktLast = in.groupBy(kcols :+ col("__bkt"): _*)
-      .agg(max_by(struct(valueCols.map(col): _*),
-        when(col(valueCols.head).isNotNull, struct(ord: _*))).as("__last"))
+    // The bucket table derives from the WINDOWED output, not from `df`
+    // again: the bucket's last non-null value tuple is exactly the local
+    // running-last at the bucket's max-(time, tiebreak) row, and
+    // `localized` is already hash-partitioned on (key, bucket) by the
+    // window, so this aggregate needs no second scan and no second
+    // exchange (the one exchange is shared with the stitch side via
+    // ReuseExchange). Buckets whose max row carries no value (no carrier
+    // row in the bucket) nullify to a null __last so the carry skips them.
+    val bktLast = localized.groupBy(kcols :+ col("__bkt"): _*)
+      .agg(max_by(struct(valueCols.map(v => col(s"__loc_$v").as(v)): _*),
+        struct(ord: _*)).as("__last"))
+      .withColumn("__last",
+        when(col("__last").getField(valueCols.head).isNotNull, col("__last")))
     val wCarry = Window.partitionBy(kcols: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // the stitch join is NULL-SAFE (<=> stays an equi-join key, so the
