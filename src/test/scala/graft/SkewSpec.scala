@@ -241,6 +241,63 @@ class SkewSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  // -------------------------------------------------- randomized parity
+  test("randomized parity: bucketed carry == window and agg-merge == " +
+    "window-merge on seeded random corpora (nulls, ties, tiny buckets)") {
+    val rnd = new scala.util.Random(42) // deterministic
+    for (c <- 0 until 3) {
+      // as-of shape: random keys (some null), times on a quarter-day grid
+      // (cross-bucket AND in-bucket collisions), ~half the rows carriers;
+      // event_id makes the ordering total so both formulations are
+      // deterministic
+      val n = 200 + rnd.nextInt(300)
+      val nKeys = 1 + rnd.nextInt(6)
+      val rows = (0 until n).map { i =>
+        val k = if (rnd.nextInt(10) == 0) None
+                else Some(rnd.nextInt(nKeys).toLong)
+        val t = if (rnd.nextInt(15) == 0) None
+                else Some(new Timestamp(base + rnd.nextInt(400) * 21_600_000L))
+        val isCarrier = rnd.nextBoolean()
+        val okey = if (isCarrier) Some(rnd.nextInt(50).toLong) else None
+        (k, t, if (isCarrier) 0 else 1, i.toLong, okey,
+          okey.map(o => new Timestamp(base + o * 1000)))
+      }
+      val df = rows
+        .toDF("k", "t", "side", "event_id", "okey_in", "odate_in")
+        .repartition(4)
+      val w = Window.partitionBy("k").orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df
+        .withColumn("ok", last("okey_in", ignoreNulls = true).over(w))
+        .withColumn("od", last("odate_in", ignoreNulls = true).over(w))
+        .select("event_id", "ok", "od")
+        .as[(Long, Option[Long], Option[Timestamp])].collect().toSet
+      val safe = Salting.carryLastOverBuckets(df,
+          keys = Seq("k"), time = col("t"),
+          tiebreak = Seq(col("side"), col("event_id")),
+          valueCols = Seq("okey_in", "odate_in"),
+          bucket = date_trunc("day", col("t")))
+        .select(col("event_id"), col("okey_in").as("ok"), col("odate_in").as("od"))
+        .as[(Long, Option[Long], Option[Timestamp])].collect().toSet
+      assert(safe == naive, s"carry parity broke on seeded case $c")
+
+      // merge shape: duplicate keys, tied timestamps, random payloads —
+      // the rest-columns-desc rule must pick the same winner both ways
+      val src = (0 until 150 + rnd.nextInt(100)).map { _ =>
+        (rnd.nextInt(30).toLong, new Timestamp(base + rnd.nextInt(5) * 1000),
+          s"p${rnd.nextInt(8)}")
+      }.toDF("id", "ts", "payload").repartition(4)
+      val tgt = (0L to 40L).map(k => (k, new Timestamp(0), "old"))
+        .toDF("id", "ts", "payload")
+      val mN = LakehouseOps.mergeUpsert(tgt, src, Seq("id"), Seq(col("ts")))
+        .as[(Long, Timestamp, String)].collect().toSet
+      val mS = LakehouseOps.mergeUpsert(tgt, src, Seq("id"), Seq(col("ts")),
+          skewSafe = true)
+        .as[(Long, Timestamp, String)].collect().toSet
+      assert(mS == mN, s"merge parity broke on seeded case $c")
+    }
+  }
+
   // ------------------------------------------------------- seq packing
   test("seq_pack_sharded: hot stream splits across all shards, each " +
     "sub-stream is a valid packing, every doc packed exactly once") {
