@@ -96,15 +96,30 @@ object EventStreams {
     * range predicate; the shuffle is on user_id only, the range filter
     * rides along (never a cartesian).
     */
+  /** Binned range join, not equi-then-filter: joining on user_id alone
+    * evaluates EVERY click×purchase pair of a user across all history
+    * before the interval filter — quadratic in per-user history length,
+    * the thing that turns years of events at 100 TB into an explosion.
+    * Bucketing time by the interval width makes the join key
+    * (user, bucket): a click in (p − gap, p] sits in the purchase's
+    * bucket or the one before (integer-div floor), so each purchase
+    * probes exactly 2 buckets and pairs evaluated ∝ matched-window
+    * density, not history². Each click has ONE home bucket and the two
+    * probe buckets are distinct, so no pair can appear twice.
+    */
   def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_ns").as("click_ns"),
         col("event_id").as("click_id"))
+      .withColumn("__bkt", expr(s"click_ns div ${sessionGapNs}L"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ns").as("purchase_ns"),
         col("event_id").as("purchase_id"), col("value"))
-    purchases.join(clicks, Seq("user_id"))
+      .withColumn("__bkt", explode(array(
+        expr(s"purchase_ns div ${sessionGapNs}L"),
+        expr(s"purchase_ns div ${sessionGapNs}L - 1"))))
+    purchases.join(clicks, Seq("user_id", "__bkt"))
       .filter(col("click_ns") > col("purchase_ns") - lit(sessionGapNs) &&
         col("click_ns") <= col("purchase_ns"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
