@@ -92,11 +92,9 @@ object EventStreams {
 
   // --------------------------------------------------------------- D3
   /** Interval join — attribution: every click by the same user in the 30
-    * minutes before a purchase. Batch form: equi-join on the user plus a
-    * range predicate; the shuffle is on user_id only, the range filter
-    * rides along (never a cartesian).
-    */
-  /** Binned range join, not equi-then-filter: joining on user_id alone
+    * minutes before a purchase.
+    *
+    * Binned range join, not equi-then-filter: joining on user_id alone
     * evaluates EVERY click×purchase pair of a user across all history
     * before the interval filter — quadratic in per-user history length,
     * the thing that turns years of events at 100 TB into an explosion.
