@@ -55,9 +55,10 @@ object Salting {
     *
     *  1. a local window per (key, bucket) computes the within-bucket
     *     running last-non-null (bounded partitions);
-    *  2. a `groupBy(key, bucket)` aggregate reduces each bucket to its
-    *     overall last value — an AGGREGATION, so map-side partial combine
-    *     caps the hot key's per-task contribution where a window cannot;
+    *  2. a `groupBy(key, bucket)` aggregate over the windowed output
+    *     reduces each bucket to its overall last value — it reuses the
+    *     window's (key, bucket) partitioning, so it adds no exchange and
+    *     inherits the same bounded-group guarantee;
     *  3. a carry window over that per-bucket table (ONE row per
     *     (key, bucket) — tiny even for the hottest key) propagates the
     *     last value of all strictly-earlier buckets;
