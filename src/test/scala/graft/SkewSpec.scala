@@ -196,8 +196,16 @@ class SkewSpec extends SparkSpec {
 
   test("as-of: q_asof_skew matches q_asof_join on the real tables") {
     val a = Relational.qAsofJoin(spark, sf).collect().toSeq
-    val b = Relational.qAsofJoinSkew(spark, sf).collect().toSeq
+    val df = Relational.qAsofJoinSkew(spark, sf)
+    val b = df.collect().toSeq
     assert(a.nonEmpty && a == b)
+    // the carry's bucket table derives from the windowed output and must
+    // SHARE its exchange with the stitch side — without reuse the kernel
+    // silently scans and shuffles the corpus twice
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("ShuffleQueryStage") && p.contains("reuses"),
+      "q_asof_skew lost exchange reuse between the carry and stitch sides")
   }
 
   // ------------------------------------------------------- merge dedup
