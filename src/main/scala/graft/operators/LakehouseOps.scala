@@ -312,6 +312,52 @@ object LakehouseOps {
       .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
+  /** B3b — the same SCD2 collapse with the hot-key hazard removed from
+    * the BIG window. dbaScd2History's change detection windows over
+    * (user_id) — one endpoint reporting 100× more often than the rest
+    * (the classic monitoring-feed skew) serializes its entire snapshot
+    * history into one task. Here the lag rides (user, day-bucket)
+    * partitions: local lag within the bucket, the bucket's last status
+    * carried in from the previous bucket (the aggregate reuses the
+    * window's partitioning; the carry window sees one row per bucket).
+    * The second window — interval stitching via lead() — stays keyed on
+    * user alone ON PURPOSE: it runs over CHANGE POINTS, whose count per
+    * key is the number of status runs (workload-compressed), not the
+    * snapshot volume; a billion-snapshot endpoint with a thousand status
+    * changes costs a thousand-row partition there. Same oracle as B3.
+    */
+  def dbaScd2HistorySkew(s: SparkSession, dir: String,
+                         bucketNs: Long = 86_400_000_000_000L): DataFrame = {
+    val in = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("__bkt", expr(s"ts_ns div ${bucketNs}L"))
+    val wLoc = Window.partitionBy("user_id", "__bkt").orderBy("ts_ns", "event_id")
+    val localized = in.withColumn("__prev_loc", lag("status", 1).over(wLoc))
+    // one row per (user, bucket): the bucket's last status — reuses the
+    // (user, bucket) hash partitioning the window just established
+    val bktLast = localized.groupBy(col("user_id"), col("__bkt"))
+      .agg(max_by(col("status"), struct(col("ts_ns"), col("event_id")))
+        .as("__lastst"))
+    // previous PRESENT bucket's last status (frame ends at -1; every
+    // bucket row has a non-null status, so plain last() is exact lag)
+    val wCarry = Window.partitionBy("user_id").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bktLast
+      .withColumn("__carry", last("__lastst").over(wCarry))
+      .select(col("user_id"), col("__bkt"), col("__carry"))
+    val changes = localized.join(carry, Seq("user_id", "__bkt"))
+      .withColumn("__prev", coalesce(col("__prev_loc"), col("__carry")))
+      .filter(col("__prev").isNull || col("status") =!= col("__prev"))
+      .select(col("user_id"), col("event_id"), col("status"),
+        expr("ts_ns div 1000000").as("valid_from_ms"))
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_id")
+    changes
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
   val dbaScd2HistoryOracle: String =
     """WITH o AS (
       |  SELECT user_id, event_id, event_type AS status, epoch_ms(ts) AS ms,
@@ -522,6 +568,7 @@ object LakehouseOps {
     "dba_merge_upsert"    -> (dbaMergeUpsert _),
     "dba_merge_skew"      -> (dbaMergeUpsertSkew _),
     "dba_scd2_history"    -> (dbaScd2History _),
+    "dba_scd2_skew"       -> ((s: SparkSession, d: String) => dbaScd2HistorySkew(s, d)),
     "dba_schema_align"    -> (dbaSchemaAlign _),
     "dba_table_stats"     -> (dbaTableStats _),
     "dba_table_stats_approx" -> (dbaTableStatsApprox _),
@@ -537,6 +584,7 @@ object LakehouseOps {
     "dba_merge_upsert"  -> dbaMergeUpsertOracle,
     "dba_merge_skew"    -> dbaMergeUpsertOracle,
     "dba_scd2_history"  -> dbaScd2HistoryOracle,
+    "dba_scd2_skew"     -> dbaScd2HistoryOracle,
     "dba_schema_align"  -> dbaSchemaAlignOracle,
     "dba_table_stats"   -> dbaTableStatsOracle,
     "dba_zorder_key"    -> dbaZorderKeyOracle,

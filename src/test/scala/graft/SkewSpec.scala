@@ -249,6 +249,83 @@ class SkewSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  // ------------------------------------------------------- scd2 lag-carry
+  test("scd2: bucketed lag-carry matches the naive window on a hot " +
+    "monitoring feed; the second window rides compressed change points") {
+    // endpoint 1 reports 5000 times (hot), endpoints 2..40 report 40
+    // times each; statuses flip rarely, so change points compress
+    val rnd = new scala.util.Random(7)
+    val statuses = Array("RUNNING", "STOPPED", "STARTING")
+    def feed(u: Long, n: Int, stepMs: Long) = {
+      var st = 0
+      (0 until n).map { i =>
+        if (rnd.nextInt(20) == 0) st = rnd.nextInt(3)
+        (u, (base + i * stepMs) * 1_000_000L, u * 100_000 + i, statuses(st))
+      }
+    }
+    val snaps = (feed(1L, 5000, 60_000L) ++
+      (2L to 40L).flatMap(u => feed(u, 40, 3_600_000L)))
+      .toDF("user_id", "ts_ns", "event_id", "status").repartition(4)
+    val (_, ratio) = groupSkew(snaps, "user_id")
+    assert(ratio >= 10.0, s"corpus must exhibit the hazard: ratio=$ratio")
+
+    def naiveScd2(in: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val changes = in
+        .withColumn("__prev", lag("status", 1).over(w))
+        .filter(col("__prev").isNull || col("status") =!= col("__prev"))
+        .select(col("user_id"), col("event_id"), col("status"),
+          expr("ts_ns div 1000000").as("valid_from_ms"))
+      val w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_id")
+      changes
+        .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
+        .withColumn("is_current", col("valid_to_ms").isNull)
+    }
+    // same machinery as LakehouseOps.dbaScd2HistorySkew, driven on the
+    // synthetic feed: local lag per (user, day) + carry of the previous
+    // bucket's last status
+    val bucketNs = 86_400_000_000_000L
+    val in = snaps.withColumn("__bkt", expr(s"ts_ns div ${bucketNs}L"))
+    val wLoc = Window.partitionBy("user_id", "__bkt").orderBy("ts_ns", "event_id")
+    val localized = in.withColumn("__prev_loc", lag("status", 1).over(wLoc))
+    val bktLast = localized.groupBy(col("user_id"), col("__bkt"))
+      .agg(max_by(col("status"), struct(col("ts_ns"), col("event_id"))).as("__lastst"))
+    val wCarry = Window.partitionBy("user_id").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bktLast
+      .withColumn("__carry", last("__lastst").over(wCarry))
+      .select(col("user_id"), col("__bkt"), col("__carry"))
+    val changes = localized.join(carry, Seq("user_id", "__bkt"))
+      .withColumn("__prev", coalesce(col("__prev_loc"), col("__carry")))
+      .filter(col("__prev").isNull || col("status") =!= col("__prev"))
+      .select(col("user_id"), col("event_id"), col("status"),
+        expr("ts_ns div 1000000").as("valid_from_ms"))
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_id")
+    val safe = changes
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+
+    val n = naiveScd2(snaps)
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val s = safe
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(n.nonEmpty && n == s)
+    // the hazard is gone from the big window: (user, day) groups are
+    // bounded, and the second window's input is the compressed change
+    // stream (~5% of snapshots at this flip rate)
+    val (bMax, _) = groupSkew(in, "user_id", "__bkt")
+    assert(bMax <= 5000 / 3, s"day buckets must bound the hot feed: $bMax")
+    val nChanges = changes.count()
+    assert(nChanges < snaps.count() / 5,
+      s"change points must compress: $nChanges")
+  }
+
+  test("scd2: dba_scd2_skew matches dba_scd2_history on the real tables") {
+    val a = LakehouseOps.dbaScd2History(spark, sf).collect().toSeq
+    val b = LakehouseOps.dbaScd2HistorySkew(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   // -------------------------------------------------- randomized parity
   test("randomized parity: bucketed carry == window and agg-merge == " +
     "window-merge on seeded random corpora (nulls, ties, tiny buckets)") {
