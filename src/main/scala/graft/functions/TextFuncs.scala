@@ -431,6 +431,69 @@ object TextFuncs {
       |  FROM scored) t
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- C26
+  /** Duplicated-span coverage (the second Gopher/MassiveText repetition
+    * signal, complementing [[textRepetition]]): the fraction of a
+    * document's TOKENS that sit inside some word n-gram occurring ≥2
+    * times in that document. [[textRepetition]]'s rep_ratio counts
+    * duplicate grams; this measures how much of the text they blanket —
+    * a doc with one hot gram repeated at the start and end scores low
+    * there but its spans are what a filter actually wants to bound.
+    * Shape: posexplode grams → per-(doc, gram) count+positions (ONE
+    * aggregation, positions ride as a list so no second pass) → explode
+    * the ≥2 survivors' covered token indexes → per-doc distinct count.
+    * Shuffles carry (doc_id, gram, positions) ∝ corpus tokens, never
+    * text, and the first aggregation map-side combines.
+    */
+  def dupSpan(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.Sketch.word_ngrams(col("text"), n)).as(Seq("pos", "g")))
+    val dupPos = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"), collect_list(col("pos")).as("ps"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), explode(col("ps")).as("pos"))
+    val cov = dupPos
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ti")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_tokens").cast("double") / col("n_tokens"), lit(0.0))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** C26 query: trigram spans over the documents table. */
+  def textDupSpan(s: SparkSession, dir: String): DataFrame =
+    dupSpan(Tables.documents(s, dir))
+
+  /** n = 3 is shared between the registered query and this oracle. The
+    * coverage count is base-independent (DuckDB positions are 1-based,
+    * Spark's 0-based; a distinct-count of shifted indexes is identical).
+    */
+  val textDupSpanOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(range(1, len(t) - 1)) AS pos,
+      |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |            for i in range(1, len(t) - 1)]) AS g
+      |  FROM tk),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+      |    FROM g) x
+      |  WHERE c >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest([pos, pos + 1, pos + 2]) AS ti FROM dup),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+      |  COALESCE(dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(CAST(dup_tokens AS DOUBLE) / len(string_split(d.text, ' ')), 0.0)
+      |    AS dup_ratio
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
@@ -440,7 +503,8 @@ object TextFuncs {
     "text_pii_scrub"   -> ((s: SparkSession, d: String) => textPiiScrub(s, d)),
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)),
-    "text_repetition"  -> ((s: SparkSession, d: String) => textRepetition(s, d)))
+    "text_repetition"  -> ((s: SparkSession, d: String) => textRepetition(s, d)),
+    "text_dup_span"    -> ((s: SparkSession, d: String) => textDupSpan(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
@@ -450,5 +514,6 @@ object TextFuncs {
     "text_pii_scrub"  -> textPiiScrubOracle,
     "text_tfidf"      -> textTfidfOracle,
     "text_ngram_freq" -> textNgramFreqOracle,
-    "text_repetition" -> textRepetitionOracle)
+    "text_repetition" -> textRepetitionOracle,
+    "text_dup_span"   -> textDupSpanOracle)
 }

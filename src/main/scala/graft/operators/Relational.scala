@@ -622,6 +622,190 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- A23
+  /** TPC-H Q10 shape — returned-item revenue by customer: which customers
+    * returned the most merchandise in a quarter. The quarter filter lands
+    * on the orders scan and the returnflag filter on the lineitem scan
+    * BEFORE the join (both pushed to parquet); nation broadcasts; the
+    * customer join keys on c_custkey — one shuffle each for the two fact
+    * sides, group-by on the already-co-located customer key.
+    */
+  def q10ReturnedItem(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val nat = Tables.nation(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- A24
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue, the
+    * "WHERE x = (SELECT MAX ...)" idiom. One shuffle builds per-supplier
+    * revenue; the max is a 1-row aggregate broadcast back as an equi-join
+    * (NOT a global window — `Window.partitionBy()` would funnel the whole
+    * relation through one task). Revenue doubles come from identical
+    * decimal sums on both engines, so the equality join is exact.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  val q15Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- A25
+  /** TPC-H Q18 shape — large-volume orders (HAVING over a fact-side
+    * aggregate). The per-order quantity rollup happens ONCE, pre-join:
+    * the filtered aggregate (~0.25% of orders at this threshold) then
+    * joins orders and customer without re-scanning lineitem — TPC-H's
+    * official text re-aggregates the fact in the outer query; carrying
+    * the inner sum through 1:1 joins is the same result minus a scan.
+    * Both joins shrink to broadcasts under AQE at test scale; at 100 TB
+    * they are key-aligned shuffle joins on o_orderkey / c_custkey.
+    */
+  def q18LargeVolume(s: SparkSession, dir: String, minQty: Int = 300): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("__qty"))
+      .filter(col("__qty") > minQty)
+      .select(col("l_orderkey"), asDouble(col("__qty")).as("total_qty"))
+    big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- A26
+  /** TPC-H Q19 shape — disjunctive OR-of-ANDs across both join sides. The
+    * full mixed-side disjunction can only run post-join, so each side's
+    * implied projection of the OR must reach its scan: Catalyst derives
+    * the fact-side one itself (the l_quantity range disjunction lands in
+    * lineitem's PushedFilters), and the part-side projection (brand ∈
+    * {...} ∧ size ≤ 35) is applied BY HAND pre-join — it prunes the
+    * broadcast build side deterministically instead of depending on
+    * optimizer-version behavior. PlanSpec pins both scans' filters.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    def arm(brand: String, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val full = arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+      arm("Brand#3", 35, 20, 30)
+    val part = Tables.part(s, dir)
+      // hand-derived part-side projection of `full` (see scaladoc)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+        col("p_size").between(1, 35))
+    Tables.lineitem(s, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(full)
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Oracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------- A27
+  /** TPC-H Q22 shape — idle high-balance customers: above the average
+    * positive balance, no order since the cutoff. The scalar subquery is
+    * a 1-row aggregate cross-joined back (broadcast nested loop on a
+    * literal — fixed cost at any scale); idleness is an anti join against
+    * the date-filtered orders; the final rollup groups the survivors by
+    * market segment. The average uses decimal-sum/count (not avg()) so
+    * both engines compare against bit-identical doubles.
+    */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((asDouble(sum(dec(col("c_acctbal")))) / count(lit(1))).as("__avg"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        asDouble(sum(dec(col("c_acctbal")))).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
@@ -646,7 +830,12 @@ object Relational {
     "q_histogram"          -> ((s: SparkSession, d: String) => qHistogram(s, d)),
     "q_grouping_sets"      -> (qGroupingSets _),
     "q4_priority_exists"   -> (q4PriorityExists _),
-    "q14_promo_share"      -> (q14PromoShare _))
+    "q14_promo_share"      -> (q14PromoShare _),
+    "q10_returned_item"    -> (q10ReturnedItem _),
+    "q15_top_supplier"     -> (q15TopSupplier _),
+    "q18_large_volume"     -> ((s: SparkSession, d: String) => q18LargeVolume(s, d)),
+    "q19_disjunctive"      -> (q19Disjunctive _),
+    "q22_idle_customers"   -> (q22IdleCustomers _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Oracle,
@@ -671,5 +860,10 @@ object Relational {
     "q_histogram"          -> qHistogramOracle,
     "q_grouping_sets"      -> qGroupingSetsOracle,
     "q4_priority_exists"   -> q4Oracle,
-    "q14_promo_share"      -> q14Oracle)
+    "q14_promo_share"      -> q14Oracle,
+    "q10_returned_item"    -> q10Oracle,
+    "q15_top_supplier"     -> q15Oracle,
+    "q18_large_volume"     -> q18Oracle,
+    "q19_disjunctive"      -> q19Oracle,
+    "q22_idle_customers"   -> q22Oracle)
 }

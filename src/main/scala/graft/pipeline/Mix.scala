@@ -216,6 +216,97 @@ object Mix {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- exact-count stratification
+  /** C27 — exact-count stratified sampling: exactly min(quota, |stratum|)
+    * documents per stratum, chosen by the engine-portable md5 uniform (so
+    * the sample is deterministic across reruns and engines — rerunning a
+    * 100 TB eval-holdout draw yields the identical set). [[corpusMix]] is
+    * the RATE-based sampler (binomial counts); this is its exact-count
+    * complement for quotas ("200k eval docs per source", k-shot probe
+    * sets). One window shuffle on the stratum key. Hot-stratum note: a
+    * stratum holding 10% of the corpus serializes its rank scan into one
+    * task — when quota ≪ |stratum|, pre-gate with
+    * `.filter(uniformOf(id, salt) < margin)` sized so ≥ quota survivors
+    * remain w.h.p. (the uniform IS the rank key, so a u-prefix gate keeps
+    * exactly the winners), then rank the survivors.
+    */
+  def corpusStratified(docs: DataFrame, strata: Column, quota: Int,
+                       idCol: Column, salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(strata).orderBy(col("__u"), idCol)
+    docs.withColumn("__u", uniformOf(idCol, salt))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("__u")
+  }
+
+  /** C27 query: 10 docs per source. */
+  def corpusStratifiedQuery(s: SparkSession, dir: String): DataFrame =
+    corpusStratified(Tables.documents(s, dir), col("source"), 10, col("doc_id"))
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+
+  val corpusStratifiedOracle: String = {
+    val u = uniformSql("doc_id", "strat")
+    s"""SELECT doc_id, source, rn FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $u, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- chunking
+  /** C28 — overlapping token-window chunking, the SPLIT counterpart to
+    * [[seqPack]]'s concat: each document yields chunks of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens (stride < chunk ⇒
+    * overlap, the RAG-embedding layout; stride = chunk ⇒ disjoint splits
+    * for context-length capping). Start positions run 0, stride, … up to
+    * the last index, so every token lands in ≥1 chunk and the tail chunk
+    * is short rather than dropped. Pure per-row array arithmetic
+    * (`sequence` → explode → `slice`): zero shuffle, scan-shaped, output
+    * bytes ∝ input × (chunk/stride) overlap factor.
+    */
+  def docChunk(docs: DataFrame, textCol: Column,
+               chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    docs
+      .withColumn("__t", split(textCol, " "))
+      .withColumn("n_tokens", size(col("__t")))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(stride))))
+      .withColumn("chunk_id", expr(s"CAST(start_tok div $stride AS BIGINT)"))
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens), col("n_tokens") - col("start_tok")).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(chunkTokens)), " "))
+      .withColumn("start_tok", col("start_tok").cast("long"))
+      .drop("__t")
+  }
+
+  /** The (chunk, stride) the C28 query and its oracle share. */
+  val ChunkTokens: Int = 32
+  val ChunkStride: Int = 24
+
+  /** C28 query: 32-token chunks every 24 tokens (25% overlap). */
+  def docChunkQuery(s: SparkSession, dir: String): DataFrame =
+    docChunk(Tables.documents(s, dir), col("text"), ChunkTokens, ChunkStride)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_tokens",
+        "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunkOracle: String =
+    s"""SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+       |  CAST(s AS BIGINT) AS start_tok,
+       |  CAST(n AS INT) AS n_tokens,
+       |  CAST(least($ChunkTokens, n - s) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(t[CAST(s + 1 AS INT) : CAST(s + $ChunkTokens AS INT)], ' ')
+       |    AS chunk_text
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |        len(string_split(text, ' ')) AS n,
+       |        unnest(range(0, len(string_split(text, ' ')), $ChunkStride)) AS s
+       |      FROM documents) d
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------------------------------------------- composition
   /** C24 — the whole corpus build in one query: curation gates → keep the
     * survivors → stratified mixing → sequence packing. This is the
@@ -260,11 +351,15 @@ object Mix {
     "corpus_mix"   -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
     "seq_pack"     -> ((s: SparkSession, d: String) => seqPackQuery(s, d)),
     "seq_pack_sharded" -> ((s: SparkSession, d: String) => seqPackShardedQuery(s, d)),
-    "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)))
+    "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)),
+    "corpus_stratified" -> ((s: SparkSession, d: String) => corpusStratifiedQuery(s, d)),
+    "doc_chunk"    -> ((s: SparkSession, d: String) => docChunkQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_mix"   -> corpusMixOracle,
     "seq_pack"     -> seqPackOracle,
     "seq_pack_sharded" -> seqPackShardedOracle,
-    "corpus_build" -> corpusBuildOracle)
+    "corpus_build" -> corpusBuildOracle,
+    "corpus_stratified" -> corpusStratifiedOracle,
+    "doc_chunk"    -> docChunkOracle)
 }

@@ -76,6 +76,63 @@ class MixSpec extends SparkSpec {
     assert(starts.toSeq == (0L until 50L).map(_ * 3))
   }
 
+  test("corpusStratified: exactly min(quota, |stratum|) per stratum, deterministic") {
+    // src0 has 30 docs (> quota), src1 has 4 (< quota)
+    val docs = ((0L until 30L).map(i => (i, "src0", "t")) ++
+        (100L until 104L).map(i => (i, "src1", "t")))
+      .toDF("doc_id", "source", "text")
+    val out = Mix.corpusStratified(docs, col("source"), 10, col("doc_id"))
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("src0" -> 10L, "src1" -> 4L))
+    // ranks are contiguous 1..k within each stratum
+    val ranks = out.select("source", "rn").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ranks("src0") == (1L to 10L) && ranks("src1") == (1L to 4L))
+    // deterministic: the same draw twice is the same set; a different salt
+    // draws a (very likely) different one
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Mix.corpusStratified(docs, col("source"), 10, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val c = Mix.corpusStratified(docs, col("source"), 10, col("doc_id"),
+      salt = "other").select("doc_id").as[Long].collect().toSet
+    assert((a -- c).nonEmpty, "independent salts should disagree somewhere")
+  }
+
+  test("docChunk: chunks tile every token, overlap by chunk-stride, no shuffle") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → starts 0,4,8
+      (2L, "single"),                                  // 1 tok  → one short chunk
+      (3L, (1 to 4).map(i => s"x$i").mkString(" ")))   // 4 toks → starts 0 only? no: 0 (n-1=3 < stride)
+      .toDF("doc_id", "text")
+    val out = Mix.docChunk(docs, col("text"), chunkTokens = 6, stride = 4)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0/4/8, lengths 6/6/2; chunk k starts at k*stride
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 4L, 8L))
+    assert(d1.map(_._4).toSeq == Seq(6L, 6L, 2L))
+    assert(d1(1)._5 == "w5 w6 w7 w8 w9 w10")
+    // chunk_text token count always equals chunk_tokens
+    out.foreach { case (_, _, _, ct, txt) =>
+      assert(txt.split(" ").length.toLong == ct) }
+    // single-token and shorter-than-chunk docs still emit one full cover
+    assert(out.filter(_._1 == 2L).map(r => (r._3, r._4, r._5)).toSeq ==
+      Seq((0L, 1L, "single")))
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq(4L))
+    // disjoint mode (stride = chunk) reconstructs the document exactly
+    val rebuilt = Mix.docChunk(docs, col("text"), chunkTokens = 4, stride = 4)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(rebuilt(1L) == (1 to 10).map(i => s"w$i").mkString(" "))
+    // scan-shaped: explode + slice plan without any exchange
+    val plan = Mix.docChunk(docs, col("text"), 6, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+
   test("seqPack shards: hashed streams parallelize a single big source") {
     val docs = (0L until 1000L).map(i => (i, "web", "a b c"))
       .toDF("doc_id", "source", "text")

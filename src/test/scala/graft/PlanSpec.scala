@@ -52,6 +52,28 @@ class PlanSpec extends SparkSpec {
     assert(semi.contains("PushedFilters: [IsNotNull(o_orderdate)"))
   }
 
+  test("q19: the hand-derived part-side disjunction projection reaches the scan") {
+    // Catalyst can't push the mixed-side OR-of-ANDs itself; the operator
+    // derives the part-only implication by hand — it must show up in the
+    // part scan's PushedFilters, pruning the broadcast build side
+    // (plan toString truncates long PushedFilters lists, so match prefixes)
+    val p = plan("q19_disjunctive")
+    assert(p.contains("In(p_brand, [Brand#12,Brand#23,Brand#3])"),
+      "derived part-side brand filter missing from the part scan")
+    // Catalyst's own per-side projection of the OR lands on the fact scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      "derived lineitem-side quantity disjunction missing from the fact scan")
+  }
+
+  test("q15/q22: scalar-subquery aggregates broadcast, never cartesian") {
+    // the 1-row max/avg joins back as a broadcast (hash for the equality,
+    // nested-loop for the range compare) — fixed cost at any corpus size
+    assert(executedPlan("q15_top_supplier").contains("BroadcastHashJoin"))
+    val q22 = executedPlan("q22_idle_customers")
+    assert(q22.contains("BroadcastNestedLoopJoin"))
+    assert(!q22.contains("CartesianProduct"))
+  }
+
   test("scans prune to the referenced columns only") {
     val p = plan("q6_revenue_delta")
     // lineitem is 16 columns; q6 needs exactly these four

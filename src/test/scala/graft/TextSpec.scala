@@ -177,6 +177,22 @@ class TextSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("dupSpan: covered-token union over repeated trigrams, gram-less docs report 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c d"), // "a b c" at 0 and 3 → covers tokens 0-5 of 7
+      (2L, "all words here differ totally"),
+      (3L, "x x x x"),       // "x x x" at 0,1 → covers all 4 tokens
+      (4L, "p q"))           // shorter than a trigram → no grams at all
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextFuncs.dupSpan(docs)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 7, 6L, 6.0 / 7)))
+    assert(out(2L) == ((2L, 5, 0L, 0.0)))
+    assert(out(3L) == ((3L, 4, 4L, 1.0)))
+    assert(out(4L) == ((4L, 2, 0L, 0.0)))
+  }
+
   test("pii scrub: redacts emails/phones/ips, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(
