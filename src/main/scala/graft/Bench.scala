@@ -141,15 +141,25 @@ object Bench {
     val scaleJson = (for ((d, (sSamples, sFailures)) <- smallDir.zip(small)) yield {
       val sMed = measured.flatMap { case (n, _) =>
         sSamples.get(n).map(xs => n -> median(xs)) }
+      val sMin = measured.flatMap { case (n, _) =>
+        sSamples.get(n).map(xs => n -> xs.min) }
       val sTotal = sMed.map(_._2).sum
       val ratios = sMed.flatMap { case (n, sv) =>
         med.find(_._1 == n).collect {
           case (_, bv) if sv > 0 => n -> (bv / sv) }
       }
+      // flag input: per-query MINIMA at both SFs, not medians — the min is
+      // the run least contaminated by host stalls, so a transient freeze in
+      // one sample cannot manufacture a superlinear flag (round 7's
+      // mm_binary_pipeline false-flag came from a median-polluting stall)
+      val ratiosMin = sMin.flatMap { case (n, sv) =>
+        mins.find(_._1 == n).collect {
+          case (_, bv) if sv > 0 => n -> (bv / sv) }
+      }
       // N× the data: ≤N× wall is at-worst-linear; 20% headroom for host
       // noise on sub-second queries before calling it superlinear
       val flagJson = sizeRatio.fold("null") { r =>
-        ratios.filter(_._2 > 1.2 * r).map(_._1)
+        ratiosMin.filter(_._2 > 1.2 * r).map(_._1)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rTotal = if (sTotal > 0) total / sTotal else 0.0
@@ -157,9 +167,20 @@ object Bench {
       // queries_small/scale_ratio with stderr-only evidence
       val sErrJson = sFailures.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
+      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_ratio_min":${toJson(ratiosMin)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$scaleJson}"""
+    println(line)
+    // Also persist the line to a file: the driver captures only a stdout
+    // tail, which truncated the JSON three rounds running. Env-overridable;
+    // failures to write are reported but never fail the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    if (outPath.nonEmpty) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -487,7 +487,7 @@ object TextFuncs {
       |  WHERE c >= 2),
       |cov AS (SELECT DISTINCT doc_id, unnest([pos, pos + 1, pos + 2]) AS ti FROM dup),
       |agg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
-      |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+      |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
       |  COALESCE(dup_tokens, 0) AS dup_tokens,
       |  COALESCE(CAST(dup_tokens AS DOUBLE) / len(string_split(d.text, ' ')), 0.0)
       |    AS dup_ratio

@@ -671,9 +671,16 @@ object Relational {
     * decimal sums on both engines, so the equality join is exact.
     */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // the explicit l_suppkey null filter matters: the supplier join infers
+    // it onto the probe branch only, which would make the two `rev`
+    // subtrees canonically different and silently DOUBLE the lineitem
+    // scan+aggregate (no ReuseExchange). Stating it at the source keeps
+    // both consumers byte-identical → one shuffle, planned once
+    // (PlanSpec pins the ReusedExchange)
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
         .as("total_revenue"))

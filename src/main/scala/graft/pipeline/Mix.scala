@@ -260,10 +260,14 @@ object Mix {
     * whitespace tokens starting every `stride` tokens (stride < chunk ⇒
     * overlap, the RAG-embedding layout; stride = chunk ⇒ disjoint splits
     * for context-length capping). Start positions run 0, stride, … up to
-    * the last index, so every token lands in ≥1 chunk and the tail chunk
-    * is short rather than dropped. Pure per-row array arithmetic
-    * (`sequence` → explode → `slice`): zero shuffle, scan-shaped, output
-    * bytes ∝ input × (chunk/stride) overlap factor.
+    * the FIRST start whose chunk reaches the document's end, so every
+    * token lands in ≥1 chunk, the tail chunk is short rather than
+    * dropped, and no chunk is wholly contained in its predecessor (when
+    * stride < chunk a naive "every stride up to the last token" emits
+    * tail starts that add zero new tokens — pure duplicate content in a
+    * RAG index). Pure per-row array arithmetic (`sequence` → explode →
+    * `slice`): zero shuffle, scan-shaped, output bytes ∝ input ×
+    * (chunk/stride) overlap factor.
     */
   def docChunk(docs: DataFrame, textCol: Column,
                chunkTokens: Int, stride: Int): DataFrame = {
@@ -272,8 +276,15 @@ object Mix {
     docs
       .withColumn("__t", split(textCol, " "))
       .withColumn("n_tokens", size(col("__t")))
+      // last start = smallest stride multiple whose chunk reaches the end:
+      // bound = min(n-1, max(n-chunk, 0) + stride-1). The min-with-(n-1)
+      // keeps stride > chunk (gapped sampling) at one-chunk-per-stride;
+      // the max-with-0 keeps short docs (n ≤ chunk) at a single chunk.
       .withColumn("start_tok",
-        explode(sequence(lit(0), col("n_tokens") - 1, lit(stride))))
+        explode(sequence(lit(0),
+          least(col("n_tokens") - 1,
+            greatest(col("n_tokens") - chunkTokens, lit(0)) + (stride - 1)),
+          lit(stride))))
       .withColumn("chunk_id", expr(s"CAST(start_tok div $stride AS BIGINT)"))
       .withColumn("chunk_tokens",
         least(lit(chunkTokens), col("n_tokens") - col("start_tok")).cast("long"))
@@ -303,7 +314,9 @@ object Mix {
        |    AS chunk_text
        |FROM (SELECT doc_id, string_split(text, ' ') AS t,
        |        len(string_split(text, ' ')) AS n,
-       |        unnest(range(0, len(string_split(text, ' ')), $ChunkStride)) AS s
+       |        unnest(range(0, least(len(string_split(text, ' ')) - 1,
+       |          greatest(len(string_split(text, ' ')) - $ChunkTokens, 0)
+       |            + ${ChunkStride - 1}) + 1, $ChunkStride)) AS s
        |      FROM documents) d
        |ORDER BY doc_id, chunk_id""".stripMargin
 

@@ -108,11 +108,15 @@ class MixSpec extends SparkSpec {
     val out = Mix.docChunk(docs, col("text"), chunkTokens = 6, stride = 4)
       .select("doc_id", "chunk_id", "start_tok", "chunk_tokens", "chunk_text")
       .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
-    // doc 1: starts 0/4/8, lengths 6/6/2; chunk k starts at k*stride
+    // doc 1: starts 0/4 — chunk@4 (w5..w10) reaches the end, so the naive
+    // start 8 (w9 w10, wholly inside chunk@4) is NOT emitted
     val d1 = out.filter(_._1 == 1L)
-    assert(d1.map(_._3).toSeq == Seq(0L, 4L, 8L))
-    assert(d1.map(_._4).toSeq == Seq(6L, 6L, 2L))
+    assert(d1.map(_._3).toSeq == Seq(0L, 4L))
+    assert(d1.map(_._4).toSeq == Seq(6L, 6L))
     assert(d1(1)._5 == "w5 w6 w7 w8 w9 w10")
+    // every token of doc 1 is still covered by some chunk
+    val covered = d1.flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 10L).toSet)
     // chunk_text token count always equals chunk_tokens
     out.foreach { case (_, _, _, ct, txt) =>
       assert(txt.split(" ").length.toLong == ct) }

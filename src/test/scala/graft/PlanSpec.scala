@@ -68,7 +68,16 @@ class PlanSpec extends SparkSpec {
   test("q15/q22: scalar-subquery aggregates broadcast, never cartesian") {
     // the 1-row max/avg joins back as a broadcast (hash for the equality,
     // nested-loop for the range compare) — fixed cost at any corpus size
-    assert(executedPlan("q15_top_supplier").contains("BroadcastHashJoin"))
+    val q15 = executedPlan("q15_top_supplier")
+    assert(q15.contains("BroadcastHashJoin"))
+    // the `rev` aggregate feeds BOTH the max side and the probe side; the
+    // equality join relies on bit-identical sums from byte-identical
+    // branches, so the shuffle must be planned ONCE and reused — an
+    // optimizer change that re-plans it would double the lineitem scan
+    // and (worse) allow the two sums to diverge in evaluation order
+    assert(q15.contains("ReusedExchange") || q15.contains("ReusedQueryStage") ||
+      q15.contains("reuses"),
+      "q15 lost exchange reuse between the rev aggregate's two consumers")
     val q22 = executedPlan("q22_idle_customers")
     assert(q22.contains("BroadcastNestedLoopJoin"))
     assert(!q22.contains("CartesianProduct"))
