@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
-      graft.functions.TextFuncs.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.functions.TextFuncs.queries ++ graft.functions.Bpe.queries ++
+      graft.multimodal.Multimodal.queries ++
       graft.streaming.EventStreams.queries ++ graft.pipeline.Curate.queries ++
       graft.pipeline.Mix.queries
 
@@ -25,7 +26,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
-      graft.functions.TextFuncs.oracles ++ graft.streaming.EventStreams.oracles ++
+      graft.functions.TextFuncs.oracles ++ graft.functions.Bpe.oracles ++
+      graft.streaming.EventStreams.oracles ++
       graft.pipeline.Curate.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.pipeline.Mix.oracles
 

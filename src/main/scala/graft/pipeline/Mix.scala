@@ -133,7 +133,7 @@ object Mix {
     * `from` into [[PackCapacity]]-token sequences — the one rendering of
     * the div/mod arithmetic, used by both packing oracles.
     */
-  private def packSql(from: String): String =
+  private[graft] def packSql(from: String): String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS seq_id,
        |  CAST((cum - n_tokens) % $PackCapacity AS BIGINT) AS offset_in_seq
