@@ -223,17 +223,39 @@ object Mix {
     * 100 TB eval-holdout draw yields the identical set). [[corpusMix]] is
     * the RATE-based sampler (binomial counts); this is its exact-count
     * complement for quotas ("200k eval docs per source", k-shot probe
-    * sets). One window shuffle on the stratum key. Hot-stratum note: a
-    * stratum holding 10% of the corpus serializes its rank scan into one
-    * task — when quota ≪ |stratum|, pre-gate with
-    * `.filter(uniformOf(id, salt) < margin)` sized so ≥ quota survivors
-    * remain w.h.p. (the uniform IS the rank key, so a u-prefix gate keeps
-    * exactly the winners), then rank the survivors.
+    * sets). One window shuffle on the stratum key.
+    *
+    * Hot-stratum path: a stratum holding 10% of the corpus serializes its
+    * rank scan into one task (a window partition is one task — the shape
+    * AQE cannot split). With `preGateMargin = Some(m)`, rows only enter
+    * the window when `u < m` — the uniform IS the rank key, so when a
+    * stratum has ≥ quota survivors under the gate, the quota winners are
+    * all survivors and the gated rank is EXACTLY the full rank. Strata
+    * with < quota survivors (small strata, or an under-sized margin)
+    * fall back to ranking in full, so the output is identical for ANY
+    * margin — the margin only tunes how much the hot stratum's window
+    * partition shrinks (expected m × |stratum|). Cost: one extra
+    * scan-stage survivor count (map-side-combined, shuffles n_strata
+    * rows) + a broadcast of the well-supplied stratum keys.
     */
   def corpusStratified(docs: DataFrame, strata: Column, quota: Int,
-                       idCol: Column, salt: String = "strat"): DataFrame = {
+                       idCol: Column, salt: String = "strat",
+                       preGateMargin: Option[Double] = None): DataFrame = {
+    val withU = docs.withColumn("__u", uniformOf(idCol, salt))
+    val input = preGateMargin match {
+      case Some(m) =>
+        require(m > 0 && m <= 1, s"preGateMargin must be in (0, 1], got $m")
+        val supplied = withU.filter(col("__u") < m)
+          .groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= quota)
+          .select("__s")
+        withU.join(broadcast(supplied), strata === col("__s"), "left")
+          .filter(col("__s").isNull || col("__u") < m)
+          .drop("__s")
+      case None => withU
+    }
     val w = Window.partitionBy(strata).orderBy(col("__u"), idCol)
-    docs.withColumn("__u", uniformOf(idCol, salt))
+    input
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .drop("__u")
@@ -242,6 +264,16 @@ object Mix {
   /** C27 query: 10 docs per source. */
   def corpusStratifiedQuery(s: SparkSession, dir: String): DataFrame =
     corpusStratified(Tables.documents(s, dir), col("source"), 10, col("doc_id"))
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+
+  /** C27b query: the same draw through the hot-stratum pre-gate (margin
+    * 0.5 — some strata gate, undersupplied ones fall back). Same oracle
+    * as C27: the gate is output-invariant by construction.
+    */
+  def corpusStratifiedGatedQuery(s: SparkSession, dir: String): DataFrame =
+    corpusStratified(Tables.documents(s, dir), col("source"), 10, col("doc_id"),
+        preGateMargin = Some(0.5))
       .select("doc_id", "source", "rn")
       .orderBy("doc_id")
 
@@ -366,6 +398,7 @@ object Mix {
     "seq_pack_sharded" -> ((s: SparkSession, d: String) => seqPackShardedQuery(s, d)),
     "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)),
     "corpus_stratified" -> ((s: SparkSession, d: String) => corpusStratifiedQuery(s, d)),
+    "corpus_stratified_gated" -> ((s: SparkSession, d: String) => corpusStratifiedGatedQuery(s, d)),
     "doc_chunk"    -> ((s: SparkSession, d: String) => docChunkQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -374,5 +407,6 @@ object Mix {
     "seq_pack_sharded" -> seqPackShardedOracle,
     "corpus_build" -> corpusBuildOracle,
     "corpus_stratified" -> corpusStratifiedOracle,
+    "corpus_stratified_gated" -> corpusStratifiedOracle,
     "doc_chunk"    -> docChunkOracle)
 }

@@ -260,20 +260,23 @@ object EventStreams {
     * same v<N base — idempotent. Read the table with [[latestSnapshot]].
     * Old versions are retention-swept like any other files.
     */
-  def streamingUpsert(events: DataFrame, targetDir: String,
-                      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def streamingUpsert(events: DataFrame, targetDir: String, keys: Seq[String],
+                      skewSafe: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val merged = snapshotVersions(spark, targetDir)
+        // no prior snapshot still merges (against an empty target): the
+        // first batch of a CDC feed can carry duplicate keys too, and
+        // MERGE semantics owe it the same one-winner-per-key dedup
+        val target = snapshotVersions(spark, targetDir)
           .filter(_ < batchId).sorted.lastOption match {
-          case Some(v) =>
-            graft.operators.LakehouseOps.mergeUpsert(
-              spark.read.parquet(s"$targetDir/v=$v"), batch, keys)
-          case None => batch
+          case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+          case None    => batch.limit(0)
         }
-        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+        graft.operators.LakehouseOps
+          .mergeUpsert(target, batch, keys, skewSafe = skewSafe)
+          .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
       }
 
   /** Complete (committed) snapshot versions under a streamingUpsert target. */

@@ -425,4 +425,46 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  // --------------------------------------------- stratified-draw pre-gate
+  test("stratified: hot stratum is a straggler for the naive rank; " +
+    "u-prefix gate bounds the window input; draws identical") {
+    // one stratum holds 5000 of 5200 docs — the 10%+-of-corpus shape the
+    // scaladoc warns about; 4 cold strata with 50 docs each
+    val docs = ((0 until 5000).map(i => (i.toLong, "hot")) ++
+      (for (c <- 1 to 4; i <- 0 until 50) yield
+        (10_000L + c * 100 + i, s"cold$c")))
+      .toDF("doc_id", "source").repartition(4)
+    val (naiveMax, ratio) = groupSkew(docs, "source")
+    assert(ratio >= 10.0, s"corpus must exhibit the hazard: ratio=$ratio")
+
+    val quota = 10
+    val margin = 0.02 // hot survivors E≈100 ≥ quota; cold E≈1 → fallback
+    // the gate is what enters the window shuffle: survivors of supplied
+    // strata + full rows of fallback strata (replicates the operator's
+    // internal input to measure its task bound)
+    val withU = docs.withColumn("__u", Mix.uniformOf(col("doc_id"), "strat"))
+    val supplied = withU.filter(col("__u") < margin)
+      .groupBy("source").count().filter(col("count") >= quota)
+      .select(col("source").as("__s")).as[String].collect().toSet
+    assert(supplied.contains("hot"), "margin must supply the hot stratum")
+    val windowInput = withU.filter(
+      !col("source").isin(supplied.toSeq: _*) || col("__u") < margin)
+    val (gatedMax, _) = groupSkew(windowInput, "source")
+    assert(gatedMax * 10 <= naiveMax,
+      s"gate should shrink the hot window partition ≥10x: $gatedMax vs $naiveMax")
+
+    val full = Mix.corpusStratified(docs, col("source"), quota, col("doc_id"))
+      .select("doc_id", "source", "rn")
+      .as[(Long, String, Int)].collect().toSet
+    val gated = Mix.corpusStratified(docs, col("source"), quota, col("doc_id"),
+        preGateMargin = Some(margin))
+      .select("doc_id", "source", "rn")
+      .as[(Long, String, Int)].collect().toSet
+    assert(full.nonEmpty && gated == full,
+      "pre-gated draw must be identical, ranks included")
+    // cold strata (< quota survivors at this margin) fell back to the
+    // full draw: all 4 present with full quotas
+    assert((1 to 4).forall(c => gated.count(_._2 == s"cold$c") == quota))
+  }
 }

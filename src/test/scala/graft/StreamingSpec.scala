@@ -105,6 +105,40 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+    test(s"[$label] streaming dedup: hot replayed id — state rows ∝ distinct ids, not arrivals") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Timestamp, Double)]
+        val q = EventStreams.streamingDedup(
+            mem.toDF().toDF("event_id", "ts", "value"), "event_id")
+          .writeStream.format("memory").queryName(s"hot_dedup_$label")
+          .outputMode("append").start()
+        try {
+          val base = 1_000_000_000_000L
+          // id 1 replayed 2000× in one batch (the hot-key flood) + 50 cold
+          val hot = (0 until 2000).map(i => (1L, new Timestamp(base + i), 1.0))
+          val cold = (2L to 51L).map(k => (k, new Timestamp(base + k), k.toDouble))
+          mem.addData(hot ++ cold: _*)
+          q.processAllAvailable()
+          // and replayed again across the batch boundary
+          mem.addData((0 until 500).map(i =>
+            (1L, new Timestamp(base + 10_000 + i), 9.0)): _*)
+          q.processAllAvailable()
+          val out = spark.table(s"hot_dedup_$label")
+            .select("event_id").as[Long].collect()
+          assert(out.length == 51 && out.toSet == (1L to 51L).toSet,
+            "exactly one survivor per distinct id")
+          // the hot id holds ONE state row: dedup state is keyed on the id,
+          // so 2500 arrivals of id 1 cannot grow it — the property that
+          // keeps a replay storm from ballooning a 100 TB deployment's
+          // state store
+          val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          assert(state <= 51,
+            s"state holds $state rows — must be ∝ distinct ids (51), not arrivals (2550)")
+        } finally q.stop()
+      }
+    }
+
     test(s"[$label] stream-stream interval join matches the batch attribution window") {
       withConf(ProviderConf -> cls) {
         implicit val sqlCtx = spark.sqlContext
@@ -210,6 +244,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
     // each micro-batch committed its own snapshot version
     assert(EventStreams.snapshotVersions(spark, dir).size == 2)
+  }
+
+  test("streaming upsert: hot CDC key flood — skew-safe merge, one winner per key " +
+    "from the first batch on (rocksdb)") {
+    withConf(ProviderConf -> providers.toMap.apply("rocksdb")) {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_hot").toString + "/t"
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = EventStreams.streamingUpsert(
+          mem.toDF().toDF("k", "ts", "v"), dir, Seq("k"), skewSafe = true)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", dir + "_ckpt")
+      val base = 1_000_000_000_000L
+      // batch 0: entity 1 re-emitted 2000× (the CDC pathology) + 50 cold keys
+      val hot = (0 until 2000).map(i => (1L, new Timestamp(base + i), s"v$i"))
+      val cold = (2L to 51L).map(k => (k, new Timestamp(base + k), s"k$k"))
+      mem.addData(hot ++ cold: _*)
+      q.start().awaitTermination()
+      // the FIRST snapshot already holds one winner per key (no prior
+      // version existed — the merge ran against an empty target)
+      val v0 = spark.read.parquet(s"$dir/v=0")
+      assert(v0.count() == 51)
+      // batch 1: the hot entity updates again
+      mem.addData((1L, new Timestamp(base + 999_999), "final"))
+      q.start().awaitTermination()
+      val got = EventStreams.latestSnapshot(spark, dir)
+        .as[(Long, Timestamp, String)].collect()
+        .map { case (k, _, v) => k -> v }.toMap
+      assert(got.size == 51)
+      assert(got(1L) == "final", "hot key carries its latest-ts winner")
+      assert(got(2L) == "k2")
+    }
   }
 
   test("batch sessionize: sessions respect the 30-min gap invariant") {
