@@ -70,6 +70,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: slice-based counter ≡ list-based reference on random corpora " +
+    "under freshly trained tables") {
+    val rnd = new scala.util.Random(1234)
+    def word() = // small alphabet so merges actually fire
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    def doc() = (0 until (1 + rnd.nextInt(30))).map(_ => word()).mkString(" ")
+    def refCount(text: String, merges: Seq[(String, String)]): Int =
+      text.split(" ", -1).filter(_.nonEmpty).map { w =>
+        var syms = w.map(_.toString).toArray
+        merges.foreach { rule =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == rule._1 && syms(j + 1) == rule._2) {
+              out += syms(j) + syms(j + 1); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toArray
+        }
+        syms.length
+      }.sum
+    (0 until 20).foreach { _ =>
+      val corpus = (0 until 50).map(_ => (doc(), 1L + rnd.nextInt(5)))
+      val merges = Bpe.trainLocal(corpus, 24)
+      val flat = merges.flatMap { case (a, b) => Seq(a, b) }.toArray
+      corpus.foreach { case (text, _) =>
+        val got = Bpe.tokenCount(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), flat)
+        assert(got == refCount(text, merges), s"'$text' under $merges")
+      }
+    }
+  }
+
   test("subword counts are bounded by words below and characters above") {
     val r = graft.functions.Bpe.textTokensBpe(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"),
