@@ -279,14 +279,57 @@ object Bpe {
        |  FROM documents d JOIN bpe_t t USING (doc_id))
        |""".stripMargin + graft.pipeline.Mix.packSql("toks")
 
+  /** C29c query: budgeted quality selection in BPE tokens — `qualityBudget`
+    * unchanged, fed the subword counter (4000-subword budget per source;
+    * the whitespace twin budgets 3000 words). With seq_pack_bpe this
+    * closes the loop: every token-budgeted operator runs on real tokens.
+    */
+  def qualityBudgetBpe(s: SparkSession, dir: String,
+                       budget: Long = 4000L): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("__c", graft.functions.Text.tokenProfileCounts(
+        col("text"), Seq(graft.functions.TextFuncs.stopwordsEn)))
+    val nWords = col("__c").getItem(0)
+    graft.pipeline.Curate.qualityBudget(d,
+        quality = col("__c").getItem(1).cast("double") / nWords,
+        tokens = bpe_token_count(col("text")),
+        budget = budget, group = col("source"))
+      .select("doc_id", "source", "n_tokens", "quality", "cum_tokens", "kept")
+      .orderBy("doc_id")
+  }
+
+  val qualityBudgetBpeOracle: String = {
+    val inList = graft.functions.TextFuncs.stopwordsEnSqlList
+    s"""WITH ${bpeDocCte(DefaultMerges)},
+       |b AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(t.n_tokens_bpe AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(d.text, ' '),
+       |      w -> w IN ($inList))) AS DOUBLE)
+       |      / len(string_split(d.text, ' ')) AS quality
+       |  FROM documents d JOIN bpe_t t USING (doc_id))
+       |SELECT doc_id, source, n_tokens, quality, cum_tokens,
+       |  cum_tokens <= 4000 AS kept
+       |FROM (
+       |  SELECT doc_id, source, n_tokens, quality,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM b) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tokens_bpe" -> ((s: SparkSession, d: String) => textTokensBpe(s, d)),
-    "seq_pack_bpe"    -> ((s: SparkSession, d: String) => seqPackBpe(s, d)))
+    "text_tokens_bpe"    -> ((s: SparkSession, d: String) => textTokensBpe(s, d)),
+    "seq_pack_bpe"       -> ((s: SparkSession, d: String) => seqPackBpe(s, d)),
+    "quality_budget_bpe" -> ((s: SparkSession, d: String) => qualityBudgetBpe(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "text_tokens_bpe" -> textTokensBpeOracle,
-    "seq_pack_bpe"    -> seqPackBpeOracle)
+    "text_tokens_bpe"    -> textTokensBpeOracle,
+    "seq_pack_bpe"       -> seqPackBpeOracle,
+    "quality_budget_bpe" -> qualityBudgetBpeOracle)
 }
 
 /** Native expression: BPE token count of `child` under a fixed merge
