@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
       "langid must score each document exactly once")
   }
 
+  test("rank-filter queries keep the map-side WindowGroupLimit") {
+    // rn <= k over a window triggers Spark's partial WindowGroupLimit:
+    // each map task emits at most k rows per key BEFORE the window
+    // exchange — the property that keeps top-k/latest-per-key shuffles
+    // ∝ keys × tasks instead of ∝ rows. Pin it so a formulation change
+    // (e.g. rank via join, or a non-rank filter) can't silently drop it.
+    Seq("q_dedup_latest", "q_topk_per_group",
+        "corpus_stratified", "corpus_stratified_gated").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$n lost the partial window group limit")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation hot paths") {
     // AQE's final-plan rendering marks codegen'd stages with a "*(n)" prefix
     Seq("q1_pricing_summary", "dedup_minhash", "text_quality").foreach { n =>
