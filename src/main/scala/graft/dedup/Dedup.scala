@@ -624,6 +624,68 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C30
+  /** Cross-document duplicated-span coverage — the corpus-level complement
+    * to the intra-doc dup_span signal (C26), approximating substring-level
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a winnowing fingerprint match witnesses a shared character
+    * run of length ≥ w+k-1, so a document's fraction of fingerprints with
+    * corpus document-frequency ≥ 2 measures how much of it is boilerplate
+    * duplicated SOMEWHERE else — without ever materializing pairs.
+    *
+    * Shape: one fingerprint pass (portable-md5 winnowing, scan-stage
+    * native expression, `localCheckpoint`ed once — the relation feeds
+    * both the df aggregate and the tagging join), df = map-side-combined
+    * count per fingerprint, then a 1:n equi-join streams each posting
+    * past its df (a boilerplate fingerprint shared by millions of docs is
+    * a hot JOIN key, which AQE's skew splitting handles — unlike a window
+    * partition). Shuffle ∝ fingerprints (~tokens/w), never pairs: this is
+    * what makes span-level dedup signals tractable at 100 TB, where the
+    * exact suffix-array formulation is not.
+    */
+  def crossDocSpans(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Sketch.winnow_fingerprints(col("text"), k, w))
+          .as("fp"))
+      .localCheckpoint(false)
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    fps.join(dfreq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_fps"))
+      .withColumn("share_ratio",
+        col("shared_fps").cast("double") / col("n_fingerprints"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the C11 winnowing SQL (distinct minima per doc — the Scala
+    * expression emits each fingerprint once), then the df tagging in SQL.
+    */
+  val crossDocSpansOracle: String = {
+    val k = 8
+    val w = 4
+    val h64 = graft.functions.PortableHash.sqlInt64("h")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    [md5(substr(text, i + 1, $k)) for i in range(greatest(len(text) - ${k - 1}, 1))] AS hx
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, [$h64 for h in hx] AS grams FROM hs),
+       |wins AS (
+       |  SELECT doc_id, unnest(
+       |    [list_min(grams[j + 1 : j + $w]) for j in range(greatest(len(grams) - ${w - 1}, 1))]) AS fp
+       |  FROM gr),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+       |dfreq AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+       |SELECT doc_id, COUNT(*) AS n_fingerprints,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fps,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS share_ratio
+       |FROM fps JOIN dfreq USING (fp)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
@@ -632,7 +694,9 @@ object Dedup {
     "dedup_simhash"       -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_simhash_nn"    -> ((s: SparkSession, d: String) => dedupSimhashNn(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
-    "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+    "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
+    "dedup_span_cross"    -> ((s: SparkSession, d: String) =>
+      crossDocSpans(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
@@ -641,5 +705,6 @@ object Dedup {
     "dedup_embedding"     -> dedupEmbeddingOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash"       -> dedupSimhashOracle,
-    "dedup_simhash_nn"    -> dedupSimhashNnOracle)
+    "dedup_simhash_nn"    -> dedupSimhashNnOracle,
+    "dedup_span_cross"    -> crossDocSpansOracle)
 }

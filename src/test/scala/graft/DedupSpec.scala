@@ -170,6 +170,38 @@ class DedupSpec extends SparkSpec {
       "dedupNgramJaccard left a pinned InMemoryRelation behind")
   }
 
+  test("dedup_span_cross: shared spans detected, isolated docs score zero, " +
+    "coverage bounded, no pinned cache") {
+    spark.catalog.clearCache()
+    // docs 1/2 share a long copied span (> w+k-1 chars) inside distinct
+    // text; docs 3/4 are fingerprint-disjoint (disjoint alphabets)
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha bravo $span charlie delta"),
+      (2L, s"echo foxtrot $span golf hotel"),
+      (3L, "iiii jjjj kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss"),
+      (4L, "uuuu vvvv wwww xxxx yyyy zzzz 1111 2222 3333 4444 5555"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    // every doc: 0 <= shared <= total, ratio consistent
+    out.values.foreach { case (_, n, sh, r) =>
+      assert(n > 0 && sh >= 0 && sh <= n)
+      assert(math.abs(r - sh.toDouble / n) < 1e-12)
+    }
+    // the copied span is found from BOTH sides...
+    assert(out(1L)._3 > 0 && out(2L)._3 > 0,
+      "copied span must register as shared fingerprints")
+    // ...but neither doc is fully duplicated (unique flanks stay unshared)
+    assert(out(1L)._4 < 1.0 && out(2L)._4 < 1.0)
+    // fingerprint-disjoint docs share nothing
+    assert(out(3L)._3 == 0 && out(4L)._3 == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "crossDocSpans left a pinned InMemoryRelation behind")
+  }
+
   test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
     val out = Dedup.dedupEmbedding(spark, sf)
     val rows = out.collect()
