@@ -286,6 +286,54 @@ object Mix {
        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ shuffling
+  /** C31 — deterministic corpus shuffle: the training-order randomization
+    * every corpus build runs between curation and packing (neighboring
+    * source documents must not land in neighboring training sequences).
+    * Two-level so no global sort exists: shard = ⌊u_shard · nShards⌋
+    * distributes docs across output shards; pos = md5-uniform rank within
+    * the shard. Reading shards in (shard, pos) order IS the shuffled
+    * corpus; both levels derive from the doc id, so the order is
+    * bit-stable across engines, reruns, and partitionings — a 100 TB
+    * shuffle that reproduces exactly. One window shuffle on the shard key
+    * (nShards is the parallelism dial; hot shards cannot exist — the
+    * uniform splits uniformly regardless of data skew, unlike key-derived
+    * stream shards).
+    *
+    * `nShards` must be a power of two (exact double split — same
+    * contract as [[seqPackSharded]]).
+    */
+  def corpusShuffle(docs: DataFrame, idCol: Column,
+                    nShards: Int = 8, salt: String = "shuffle"): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two for an exact double split, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__u"), idCol)
+    docs
+      .withColumn("shard",
+        floor(uniformOf(idCol, salt + ":shard") * nShards).cast("bigint"))
+      .withColumn("__u", uniformOf(idCol, salt + ":pos"))
+      .withColumn("pos", row_number().over(w).cast("bigint") - 1)
+      .drop("__u")
+  }
+
+  /** C31 query: 8-shard shuffle of the documents table. */
+  def corpusShuffleQuery(s: SparkSession, dir: String): DataFrame =
+    corpusShuffle(Tables.documents(s, dir), col("doc_id"))
+      .select("doc_id", "source", "shard", "pos")
+      .orderBy("doc_id")
+
+  val corpusShuffleOracle: String = {
+    val uShard = uniformSql("doc_id", "shuffle:shard")
+    val uPos = uniformSql("doc_id", "shuffle:pos")
+    s"""SELECT doc_id, source, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY $uPos, doc_id) - 1
+       |    AS pos
+       |FROM (SELECT doc_id, source,
+       |        CAST(floor($uShard * 8) AS BIGINT) AS shard
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- chunking
   /** C28 — overlapping token-window chunking, the SPLIT counterpart to
     * [[seqPack]]'s concat: each document yields chunks of `chunkTokens`
@@ -399,6 +447,7 @@ object Mix {
     "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)),
     "corpus_stratified" -> ((s: SparkSession, d: String) => corpusStratifiedQuery(s, d)),
     "corpus_stratified_gated" -> ((s: SparkSession, d: String) => corpusStratifiedGatedQuery(s, d)),
+    "corpus_shuffle" -> ((s: SparkSession, d: String) => corpusShuffleQuery(s, d)),
     "doc_chunk"    -> ((s: SparkSession, d: String) => docChunkQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -408,5 +457,6 @@ object Mix {
     "corpus_build" -> corpusBuildOracle,
     "corpus_stratified" -> corpusStratifiedOracle,
     "corpus_stratified_gated" -> corpusStratifiedOracle,
+    "corpus_shuffle" -> corpusShuffleOracle,
     "doc_chunk"    -> docChunkOracle)
 }

@@ -99,6 +99,34 @@ class MixSpec extends SparkSpec {
     assert((a -- c).nonEmpty, "independent salts should disagree somewhere")
   }
 
+  test("corpusShuffle: positions tile each shard, order is partition-stable " +
+    "and actually shuffles runs of neighbors") {
+    val docs = (0L until 1000L).map(i => (i, s"src${i / 100}"))
+      .toDF("doc_id", "source")
+    val a = Mix.corpusShuffle(docs, col("doc_id"))
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Mix.corpusShuffle(docs.repartition(7), col("doc_id"))
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "shuffle order must not depend on partitioning")
+    // positions are 0..n-1 within each shard, no gaps or dups
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // all 8 shards used, roughly evenly (uniform split: no shard > 2x mean)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.size == 8 && sizes.values.max <= 2 * 1000 / 8)
+    // randomization is real: consecutive source docs scatter — within one
+    // shard, the average position distance of adjacent doc_ids is large
+    val shard0 = a.filter(_._2 == 0L).sortBy(_._1)
+    val adjacent = shard0.sliding(2).collect {
+      case Array((_, _, p1), (_, _, p2)) => math.abs(p2 - p1)
+    }.toSeq
+    assert(adjacent.sum.toDouble / adjacent.length > shard0.length / 10.0,
+      "adjacent input docs should land far apart in shuffled order")
+  }
+
   test("docChunk: chunks tile every token, overlap by chunk-stride, no shuffle") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → starts 0,4,8
