@@ -133,13 +133,14 @@ object Mix {
     * `from` into [[PackCapacity]]-token sequences — the one rendering of
     * the div/mod arithmetic, used by both packing oracles.
     */
-  private[graft] def packSql(from: String): String =
+  private[graft] def packSql(from: String,
+                             orderSql: String = "doc_id"): String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS seq_id,
        |  CAST((cum - n_tokens) % $PackCapacity AS BIGINT) AS offset_in_seq
        |FROM (
        |  SELECT doc_id, source, n_tokens,
-       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY $orderSql
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum
        |  FROM $from) packed
@@ -439,12 +440,51 @@ object Mix {
        |""".stripMargin + packSql("mixed")
   }
 
+  /** C24b — the production chain WITH training-order randomization: the
+    * same gates and mixing as [[corpusBuildQuery]], but documents pack in
+    * md5-shuffled order within each stream instead of id order (id-order
+    * packing puts neighboring source docs in the same training sequence —
+    * exactly the correlation a shuffle exists to break). The order key is
+    * (uniform(doc_id), doc_id) — still total, still bit-stable, so the
+    * randomized layout reproduces exactly; the plan is unchanged except
+    * the window's sort key. Same three shuffles, text read once.
+    */
+  def corpusBuildShuffledQuery(s: SparkSession, dir: String,
+                               capacity: Int = PackCapacity): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = Curate.curate(docs, extraCols = Seq("source"))
+      .filter(col("kept"))
+      .select("doc_id", "n_words", "source")
+    val mixed = corpusMix(kept, demoRates)
+    seqPack(mixed, capacity, tokens = col("n_words"),
+        streamCol = col("source"),
+        orderCol = struct(uniformOf(col("doc_id"), "order"), col("doc_id")))
+      .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy("doc_id")
+  }
+
+  val corpusBuildShuffledOracle: String = {
+    val u = uniformSql("doc_id", "mix")
+    val uOrd = uniformSql("doc_id", "order")
+    s"""WITH ${Curate.curateSqlCtes(None)},
+       |kept AS (
+       |  SELECT r.doc_id, r.n_words, d.source
+       |  FROM r JOIN documents d USING (doc_id)
+       |  WHERE reason = 'kept'),
+       |mixed AS (
+       |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens
+       |  FROM kept
+       |  WHERE $u < $demoRateSql)
+       |""".stripMargin + packSql("mixed", s"$uOrd, doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix"   -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
     "seq_pack"     -> ((s: SparkSession, d: String) => seqPackQuery(s, d)),
     "seq_pack_sharded" -> ((s: SparkSession, d: String) => seqPackShardedQuery(s, d)),
     "corpus_build" -> ((s: SparkSession, d: String) => corpusBuildQuery(s, d)),
+    "corpus_build_shuffled" -> ((s: SparkSession, d: String) => corpusBuildShuffledQuery(s, d)),
     "corpus_stratified" -> ((s: SparkSession, d: String) => corpusStratifiedQuery(s, d)),
     "corpus_stratified_gated" -> ((s: SparkSession, d: String) => corpusStratifiedGatedQuery(s, d)),
     "corpus_shuffle" -> ((s: SparkSession, d: String) => corpusShuffleQuery(s, d)),
@@ -455,6 +495,7 @@ object Mix {
     "seq_pack"     -> seqPackOracle,
     "seq_pack_sharded" -> seqPackShardedOracle,
     "corpus_build" -> corpusBuildOracle,
+    "corpus_build_shuffled" -> corpusBuildShuffledOracle,
     "corpus_stratified" -> corpusStratifiedOracle,
     "corpus_stratified_gated" -> corpusStratifiedOracle,
     "corpus_shuffle" -> corpusShuffleOracle,

@@ -127,6 +127,26 @@ class MixSpec extends SparkSpec {
       "adjacent input docs should land far apart in shuffled order")
   }
 
+  test("corpus_build_shuffled: same survivors and stream totals as id-order " +
+    "build, different sequence layout") {
+    val a = Mix.corpusBuildQuery(spark, sf)
+      .select("doc_id", "source", "n_tokens", "seq_id")
+      .as[(Long, String, Long, Long)].collect()
+    val b = Mix.corpusBuildShuffledQuery(spark, sf)
+      .select("doc_id", "source", "n_tokens", "seq_id")
+      .as[(Long, String, Long, Long)].collect()
+    // identical doc set and token counts (the shuffle reorders, never drops)
+    assert(a.map(r => (r._1, r._2, r._3)).toSet == b.map(r => (r._1, r._2, r._3)).toSet)
+    // per-stream sequence counts identical (same tokens, same capacity)
+    def seqsPerStream(rows: Array[(Long, String, Long, Long)]) =
+      rows.groupBy(_._2).view.mapValues(_.map(_._4).max).toMap
+    assert(seqsPerStream(a) == seqsPerStream(b))
+    // but the layout genuinely shuffled: some doc changed sequence
+    val aSeq = a.map(r => r._1 -> r._4).toMap
+    assert(b.exists { case (id, _, _, s) => aSeq(id) != s },
+      "shuffled build must assign at least one doc to a different sequence")
+  }
+
   test("docChunk: chunks tile every token, overlap by chunk-stride, no shuffle") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → starts 0,4,8
