@@ -813,8 +813,98 @@ object Relational {
       |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- A28
+  /** Ordered funnel analysis (view → click → purchase): users reaching
+    * each stage, where a stage only counts if its first event happens
+    * STRICTLY AFTER the user's previous stage's first event — the
+    * sequential semantics product analytics means by "funnel" (a purchase
+    * before the first view doesn't convert). Each hop is a per-user min
+    * aggregation plus a key-aligned join of the (tiny) stage table back
+    * to the filtered fact — the event-type filters prune each scan, the
+    * three shuffles share the user key, and nothing is windowed, so a hot
+    * user costs only its aggregation combine. Comparisons ride exact
+    * nanosecond longs (`ts_ns`) for bit-stable cross-engine ordering.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("v_ns"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_ns") > col("v_ns"))
+      .groupBy("user_id").agg(min("ts_ns").as("c_ns"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_ns") > col("c_ns"))
+      .groupBy("user_id").agg(min("ts_ns").as("p_ns"))
+    v.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("users")).withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("users")).withColumn("stage", lit("3_purchase")))
+      .select("stage", "users")
+      .orderBy("stage")
+  }
+
+  val qFunnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS v_ns FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS c_ns
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v_ns GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c_ns GROUP BY 1)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- A29
+  /** Weekly cohort retention: users grouped by first-activity week, the
+    * classic retention matrix (cohort week × week offset → active users).
+    * One aggregation finds each user's cohort, one distinct projection
+    * finds (user, activity week), a key-aligned join + count-distinct
+    * builds the matrix. Monday-start `date_trunc('week', …)` is identical
+    * in Spark and DuckDB, and both cohort and activity week are truncated
+    * BEFORE differencing, so the offset is an exact multiple of 7 days —
+    * no timezone or sub-week drift can split a cohort cell.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    e.distinct()
+      .join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("CAST(datediff(wk, cohort_week) div 7 AS INT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      // ISO string, not DATE: engines render bare dates with different
+      // physical types (Spark date vs DuckDB timestamp-backed date),
+      // which the hash compare can't unify
+      .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qCohortRetentionOracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY 1)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  week_offset, active_users
+      |FROM (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+      |    COUNT(DISTINCT user_id) AS active_users
+      |  FROM a JOIN cohort USING (user_id)
+      |  GROUP BY 1, 2) t
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"             -> (qFunnel _),
+    "q_cohort_retention"   -> (qCohortRetention _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -845,6 +935,8 @@ object Relational {
     "q22_idle_customers"   -> (q22IdleCustomers _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel"             -> qFunnelOracle,
+    "q_cohort_retention"   -> qCohortRetentionOracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,
