@@ -494,6 +494,59 @@ object TextFuncs {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C32
+  /** Per-source vocabulary diagnostics — the saturation/boilerplate
+    * dashboard a corpus build watches per ingest source: vocabulary size,
+    * hapax ratio (fraction of the vocabulary seen exactly once — low
+    * means templated/boilerplate text, high means rich or noisy), and
+    * top-k token coverage (how much of the source the k most frequent
+    * tokens account for). One (source, token) count aggregation
+    * (map-side-combined, shuffles counts not text), a per-source rank
+    * window over the VOCABULARY (bounded by distinct tokens, not corpus
+    * size — the one place a window is safe by construction), one final
+    * per-source rollup.
+    */
+  def vocabStats(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("t"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum("c").as("total_tokens"),
+        sum(when(col("rnk") <= topK, col("c")).otherwise(0L)).as("__topk"))
+      .select(col("source"), col("vocab_size"),
+        (col("__hapax").cast("double") / col("vocab_size")).as("hapax_ratio"),
+        col("total_tokens"),
+        (col("__topk").cast("double") / col("total_tokens")).as("topk_coverage"))
+      .orderBy("source")
+  }
+
+  /** C32 query: top-10 coverage over the documents table. */
+  def textVocabStats(s: SparkSession, dir: String): DataFrame =
+    vocabStats(Tables.documents(s, dir))
+
+  val textVocabStatsOracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |counts AS (
+      |  SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, t) AS rnk
+      |  FROM counts)
+      |SELECT source, COUNT(*) AS vocab_size,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS hapax_ratio,
+      |  CAST(SUM(c) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+      |    AS topk_coverage
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
@@ -504,7 +557,8 @@ object TextFuncs {
     "text_tfidf"       -> ((s: SparkSession, d: String) => textTfidf(s, d)),
     "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)),
     "text_repetition"  -> ((s: SparkSession, d: String) => textRepetition(s, d)),
-    "text_dup_span"    -> ((s: SparkSession, d: String) => textDupSpan(s, d)))
+    "text_dup_span"    -> ((s: SparkSession, d: String) => textDupSpan(s, d)),
+    "text_vocab_stats" -> ((s: SparkSession, d: String) => textVocabStats(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
@@ -515,5 +569,6 @@ object TextFuncs {
     "text_tfidf"      -> textTfidfOracle,
     "text_ngram_freq" -> textNgramFreqOracle,
     "text_repetition" -> textRepetitionOracle,
-    "text_dup_span"   -> textDupSpanOracle)
+    "text_dup_span"   -> textDupSpanOracle,
+    "text_vocab_stats" -> textVocabStatsOracle)
 }
