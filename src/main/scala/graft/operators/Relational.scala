@@ -825,22 +825,33 @@ object Relational {
     * user costs only its aggregation combine. Comparisons ride exact
     * nanosecond longs (`ts_ns`) for bit-stable cross-engine ordering.
     */
-  def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_ns"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_ns").as("v_ns"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts_ns") > col("v_ns"))
-      .groupBy("user_id").agg(min("ts_ns").as("c_ns"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts_ns") > col("c_ns"))
-      .groupBy("user_id").agg(min("ts_ns").as("p_ns"))
-    v.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_view"))
-      .unionByName(c.agg(count(lit(1)).as("users")).withColumn("stage", lit("2_click")))
-      .unionByName(p.agg(count(lit(1)).as("users")).withColumn("stage", lit("3_purchase")))
+  /** Library form: `events` needs (user_id, event_type, <timeCol>);
+    * `stages` lists the funnel's event types in order.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             timeCol: String = "ts_ns"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val base = events.filter(col("event_type") === stage)
+        val gated = prev match {
+          case Some(p) => base.join(p.select(col("user_id"), col("__t").as("__prev")), "user_id")
+            .filter(col(timeCol) > col("__prev"))
+          case None => base
+        }
+        Some(gated.groupBy("user_id").agg(min(timeCol).as("__t")))
+    }.flatten
+    perStage.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .withColumn("stage", lit(s"${i + 1}_$stage"))
+    }.reduce(_ unionByName _)
       .select("stage", "users")
       .orderBy("stage")
   }
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_ns")),
+      Seq("view", "click", "purchase"))
 
   val qFunnelOracle: String =
     """WITH v AS (
