@@ -237,6 +237,46 @@ object EventStreams {
       }.toDF()
   }
 
+  // ---------------------------------------------------- streaming funnel
+  case class FunnelEv(user_id: Long, event_type: String, ts_ns: Long)
+  case class FunnelProgress(stage: Int, last_ns: Long)
+  case class FunnelHit(user_id: Long, stage: Int, stage_name: String, ts_ns: Long)
+
+  /** Streaming ordered funnel: per-user stage progress as keyed state,
+    * emitting a row each time a user advances a stage. Advancement rule
+    * matches [[graft.operators.Relational.funnel]] exactly — the next
+    * stage's event must land STRICTLY AFTER the time the previous stage
+    * was reached, and the FIRST qualifying event wins — so on an
+    * in-event-time-order feed the stage counts equal the batch funnel's
+    * (spec-asserted). Events are sorted by time within each micro-batch;
+    * cross-batch late events cannot retroactively advance a user (the
+    * inherent arrival-boundedness of streaming funnels — bound lateness
+    * with the source's watermark). State per user is two numbers,
+    * independent of event volume: a hot user costs what a cold one does.
+    */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEv],
+                      stages: Seq[String]): DataFrame = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+          val hits = Seq.newBuilder[FunnelHit]
+          it.toSeq.sortBy(e => (e.ts_ns, e.event_type)).foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                e.ts_ns > st.last_ns) {
+              st = FunnelProgress(st.stage + 1, e.ts_ns)
+              hits += FunnelHit(userId, st.stage, stages(st.stage - 1), e.ts_ns)
+            }
+          }
+          state.update(st)
+          hits.result().iterator
+      }.toDF()
+  }
+
   /** Streaming exact dedup: watermark-bounded dedup on the id ALONE — a
     * replayed event re-stamped with a different ts still drops (plain
     * `dropDuplicates(id, ts)` would let it through). State holds only ids

@@ -139,6 +139,53 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+    test(s"[$label] streaming funnel matches the batch funnel on an ordered feed") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[EventStreams.FunnelEv]
+        val stages = Seq("view", "click", "purchase")
+        val q = EventStreams.streamingFunnel(mem.toDS(), stages)
+          .writeStream.format("memory").queryName(s"funnel_$label")
+          .outputMode("append").start()
+        try {
+          // user 1 converts fully across TWO batches; user 2 buys before
+          // viewing (never passes click); user 3 ties view/click (strictly
+          // -after blocks the click); user 4 views only
+          mem.addData(
+            EventStreams.FunnelEv(1L, "view", 10L),
+            EventStreams.FunnelEv(2L, "purchase", 5L),
+            EventStreams.FunnelEv(2L, "view", 10L),
+            EventStreams.FunnelEv(3L, "view", 10L),
+            EventStreams.FunnelEv(3L, "click", 10L),
+            EventStreams.FunnelEv(4L, "view", 10L))
+          q.processAllAvailable()
+          mem.addData(
+            EventStreams.FunnelEv(1L, "click", 20L),
+            EventStreams.FunnelEv(1L, "purchase", 30L),
+            EventStreams.FunnelEv(2L, "click", 20L))
+          q.processAllAvailable()
+          val hits = spark.table(s"funnel_$label")
+            .as[EventStreams.FunnelHit].collect()
+          // per-stage reach counts equal the batch operator on the union
+          val batch = graft.operators.Relational.funnel(
+            Seq((1L, "view", 10L), (2L, "purchase", 5L), (2L, "view", 10L),
+              (3L, "view", 10L), (3L, "click", 10L), (4L, "view", 10L),
+              (1L, "click", 20L), (1L, "purchase", 30L), (2L, "click", 20L))
+              .toDF("user_id", "event_type", "ts_ns"), stages)
+            .as[(String, Long)].collect().toMap
+          val streamed = stages.zipWithIndex.map { case (s, i) =>
+            s"${i + 1}_$s" -> hits.count(_.stage == i + 1).toLong }.toMap
+          assert(streamed == batch,
+            s"streaming $streamed must equal batch $batch")
+          // and the transitions themselves are the expected ones
+          assert(hits.filter(_.user_id == 1L).map(h => (h.stage, h.ts_ns)).sorted
+            .toSeq == Seq((1, 10L), (2, 20L), (3, 30L)))
+          assert(!hits.exists(h => h.user_id == 3L && h.stage == 2),
+            "tied click must not advance (strictly-after)")
+        } finally q.stop()
+      }
+    }
+
     test(s"[$label] stream-stream interval join matches the batch attribution window") {
       withConf(ProviderConf -> cls) {
         implicit val sqlCtx = spark.sqlContext
