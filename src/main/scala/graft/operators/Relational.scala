@@ -912,10 +912,64 @@ object Relational {
       |  GROUP BY 1, 2) t
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- A30
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue per
+    * (supplier nation, customer nation, year) for the two directed pairs.
+    * The nation-pair predicate is pushed as an `IN` onto BOTH nation dims
+    * before their broadcast (the OR across sides stays post-join, but
+    * each side's 2-row dim already prunes its build side to the pair);
+    * the supplier/customer key maps broadcast; the one shuffle is the
+    * final 3-key aggregate. Year is extracted AFTER the range filter
+    * pushed to the scan.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String,
+                       natA: String = "NATION_1",
+                       natB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(natA, natB)
+    val supN = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val cusN = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(cusN), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === natA && col("cust_nation") === natB) ||
+        (col("supp_nation") === natB && col("cust_nation") === natA))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"             -> (qFunnel _),
     "q_cohort_retention"   -> (qCohortRetention _),
+    "q7_volume_shipping"   -> ((s: SparkSession, d: String) => q7VolumeShipping(s, d)),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -948,6 +1002,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_funnel"             -> qFunnelOracle,
     "q_cohort_retention"   -> qCohortRetentionOracle,
+    "q7_volume_shipping"   -> q7Oracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,
