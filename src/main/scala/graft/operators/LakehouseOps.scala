@@ -563,7 +563,51 @@ object LakehouseOps {
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------------------------- B12
+  /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
+    * window stalls: the k hottest values of a prospective shuffle key,
+    * each with its share of all rows and its ratio over the mean key
+    * load (the straggler factor a window partition on this key would
+    * see; ≥10× is where this library's skew-safe variants earn their
+    * premium). One map-side-combined count aggregation + a 1-row
+    * broadcast of the global stats + a rank top-k — nothing here windows
+    * over data volume, so the report itself is hot-key-immune.
+    */
+  def keySkewReport(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("__total"), count(lit(1)).as("__nkeys"))
+    counts.join(broadcast(totals))
+      .withColumn("share", col("cnt").cast("double") / col("__total"))
+      .withColumn("skew_ratio",
+        col("cnt").cast("double") * col("__nkeys") / col("__total"))
+      // distributed top-k (TakeOrdered), THEN rank the ≤topK survivors —
+      // a global row_number window would funnel every key through one
+      // task, the very straggler shape this report exists to expose
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+      .select("rank", "key", "cnt", "share", "skew_ratio")
+      .orderBy("rank")
+  }
+
+  /** B12 query: hottest event users (the feed a streaming upsert keys on). */
+  def dbaSkewReport(s: SparkSession, dir: String): DataFrame =
+    keySkewReport(graft.Tables.events(s, dir), col("user_id"))
+
+  val dbaSkewReportOracle: String =
+    """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+      |             COUNT(*) AS nkeys FROM c)
+      |SELECT rank, key, cnt, share, skew_ratio FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank, key, cnt,
+      |    CAST(cnt AS DOUBLE) / total AS share,
+      |    CAST(cnt AS DOUBLE) * nkeys / total AS skew_ratio
+      |  FROM c, s) t
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dba_skew_report"     -> (dbaSkewReport _),
     "dba_query_metrics"   -> (dbaQueryMetrics _),
     "dba_merge_upsert"    -> (dbaMergeUpsert _),
     "dba_merge_skew"      -> (dbaMergeUpsertSkew _),
@@ -580,6 +624,7 @@ object LakehouseOps {
     "dba_json_ingest"     -> (dbaJsonIngest _))
 
   val oracles: Map[String, String] = Map(
+    "dba_skew_report"   -> dbaSkewReportOracle,
     "dba_query_metrics" -> dbaQueryMetricsOracle,
     "dba_merge_upsert"  -> dbaMergeUpsertOracle,
     "dba_merge_skew"    -> dbaMergeUpsertOracle,
