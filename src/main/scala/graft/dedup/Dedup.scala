@@ -60,6 +60,46 @@ object Dedup {
     * chains (at 100 TB: iterate until a count of changed labels hits 0,
     * checkpointing every few rounds to cut lineage).
     */
+  /** Hyper-edge min-label propagation — the connected-components kernel
+    * shared by the minhash and embedding clusterers. `edges` is
+    * (doc_id, bkey), already pruned to multi-member buckets and
+    * `localCheckpoint`ed by the caller (who also releases it). Each round
+    * is eagerly checkpointed — measured faster than evictable `persist`
+    * (checkpoint scan beats InMemoryRelation's columnar round-trip, and
+    * each round plans against a flat LogicalRDD instead of re-optimizing
+    * the chain) — with every superseded round RELEASED via
+    * `GraftColumnBridge.releaseCheckpoint`; the previous label rides the
+    * aggregation so the fixpoint exit is a filter over the materialized
+    * checkpoint, not an extra join job. Returns the final (small) label
+    * table, checkpointed; only it stays pinned.
+    */
+  private def propagateLabels(edges: DataFrame, ccIterations: Int): DataFrame = {
+    var labels = edges.select("doc_id").distinct()
+      .withColumn("label", col("doc_id"))
+    var prev: Option[DataFrame] = None
+    var converged = false
+    var i = 0
+    while (i < ccIterations && !converged) {
+      val bucketMin = edges.join(labels, "doc_id")
+        .groupBy("bkey").agg(min("label").as("bmin"))
+      val next = edges.join(bucketMin, Seq("bkey"))
+        .groupBy("doc_id").agg(min("bmin").as("label"))
+        .join(labels.withColumnRenamed("label", "__old"), "doc_id")
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
+      prev = Some(next)
+      labels = next.select("doc_id", "label")
+      i += 1
+    }
+    // cut lineage at the (small) final label table, then release the
+    // data-sized intermediates — without this the last round's checkpoint
+    // pins executor storage for the rest of the session
+    val finalLabels = labels.localCheckpoint(true)
+    prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
+    finalLabels
+  }
+
   def dedupMinhash(s: SparkSession, dir: String,
                    k: Int = 64, bands: Int = 16,
                    ccIterations: Int = 3): DataFrame = {
@@ -108,32 +148,7 @@ object Dedup {
       .filter(col("__n") >= 2)
       .select("doc_id", "bkey")
       .localCheckpoint(true)
-    var labels = edges.select("doc_id").distinct()
-      .withColumn("label", col("doc_id"))
-    var prev: Option[DataFrame] = None
-    var converged = false
-    var i = 0
-    while (i < ccIterations && !converged) {
-      val bucketMin = edges.join(labels, "doc_id")
-        .groupBy("bkey").agg(min("label").as("bmin"))
-      // carry the previous label through the aggregation so the fixpoint
-      // check below is a plain filter over the materialized checkpoint —
-      // no extra join job per round
-      val next = edges.join(bucketMin, Seq("bkey"))
-        .groupBy("doc_id").agg(min("bmin").as("label"))
-        .join(labels.withColumnRenamed("label", "__old"), "doc_id")
-        .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("__old")).isEmpty
-      prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
-      prev = Some(next)
-      labels = next.select("doc_id", "label")
-      i += 1
-    }
-    // cut lineage at the (small) final label table, then release the
-    // data-sized intermediates — without this the edge list pins executor
-    // storage for the rest of the session
-    val finalLabels = labels.localCheckpoint(true)
-    prev.foreach(org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint)
+    val finalLabels = propagateLabels(edges, ccIterations)
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
     // singleton docs (pruned away above) are their own cluster; the doc
     // inventory re-reads just the id column from the table scan — cheaper
@@ -624,6 +639,74 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C33
+  /** Embedding near-dup CLUSTERS — the missing half of C5: pairwise
+    * flags tell you two vectors are near-dups, but keep-one-per-group
+    * dedup needs the transitive closure (A≈B, B≈C ⇒ one cluster even
+    * when A·C < threshold). Edges are same-LSH-bucket pairs above the
+    * cosine threshold, each a 2-member hyper-edge into the SAME
+    * min-label propagation kernel the minhash clusterer runs
+    * ([[propagateLabels]]) — candidates ∝ bucket sizes (never n²),
+    * embeddings projected away before any shuffle, propagation input is
+    * the near-dup subset only.
+    */
+  def dedupEmbeddingClusters(emb: DataFrame,
+                             bits: Int = 4, threshold: Double = 0.95,
+                             ccIterations: Int = 3): DataFrame = {
+    val e = emb
+      .withColumn("bucket", graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        graft.ann.Ann.dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb")
+      .distinct() // multi-bucket co-occurrence adds no information
+    val pkey = concat_ws("_", col("ida"), col("idb"))
+    val edges = pairs.select(col("ida").as("doc_id"), pkey.as("bkey"))
+      .unionByName(pairs.select(col("idb").as("doc_id"), pkey.as("bkey")))
+      .localCheckpoint(true)
+    val labels = propagateLabels(edges, ccIterations)
+    org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
+    emb.select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Same seeded planes + exact double dot products as the C5 oracle,
+    * then the unrolled 3-round propagation over pair hyper-edges
+    * (converged fixpoints are idempotent — "exactly 3" ≡ "≤3 with exit").
+    */
+  val dedupEmbeddingClustersOracle: String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
+    """WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
+      |p AS (
+      |  SELECT DISTINCT a.vec_id AS ida, bb.vec_id AS idb
+      |  FROM b a JOIN b bb USING (bucket)
+      |  WHERE a.vec_id < bb.vec_id
+      |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |          CAST(bb.embedding AS DOUBLE[])) >= 0.95),
+      |edges AS (
+      |  SELECT ida AS doc_id, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) AS bkey FROM p
+      |  UNION ALL
+      |  SELECT idb, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) FROM p),
+      |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
+      |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
+      |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
+      |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
+      |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
+      |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
+      |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
+      |SELECT e.vec_id, COALESCE(l.label, e.vec_id) AS cluster_id
+      |FROM embeddings e LEFT JOIN l3 l ON l.doc_id = e.vec_id
+      |ORDER BY vec_id""".stripMargin
+      .replace("BUCKET_EXPR", bucket)
+  }
+
   // --------------------------------------------------------------- C30
   /** Cross-document duplicated-span coverage — the corpus-level complement
     * to the intra-doc dup_span signal (C26), approximating substring-level
@@ -696,7 +779,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "dedup_span_cross"    -> ((s: SparkSession, d: String) =>
-      crossDocSpans(Tables.documents(s, d))))
+      crossDocSpans(Tables.documents(s, d))),
+    "dedup_embedding_cc"  -> ((s: SparkSession, d: String) =>
+      dedupEmbeddingClusters(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
@@ -706,5 +791,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_simhash"       -> dedupSimhashOracle,
     "dedup_simhash_nn"    -> dedupSimhashNnOracle,
-    "dedup_span_cross"    -> crossDocSpansOracle)
+    "dedup_span_cross"    -> crossDocSpansOracle,
+    "dedup_embedding_cc"  -> dedupEmbeddingClustersOracle)
 }

@@ -202,6 +202,57 @@ class DedupSpec extends SparkSpec {
       "crossDocSpans left a pinned InMemoryRelation behind")
   }
 
+  test("dedup_embedding_cc: transitive chain merges into one cluster; " +
+    "non-neighbors stay singletons") {
+    // Chain v0–v1–v2 rotated by 18° steps in a random 2-plane: adjacent
+    // cosine ≈ 0.951 (≥ 0.95), endpoints ≈ 0.809 (< 0.95) — the cluster
+    // must close transitively. Bucketed LSH only sees same-bucket pairs,
+    // so deterministically scan seeds until all three land in one bucket
+    // (real recall behavior; the operator's contract is per-bucket).
+    val dim = 64
+    val theta = math.toRadians(18)
+    def chainOf(seed: Int): Seq[Array[Float]] = {
+      val rnd = new scala.util.Random(seed)
+      def unit(): Array[Double] = {
+        val v = Array.fill(dim)(rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val d1 = unit()
+      val raw = unit()
+      val proj = raw.zip(d1).map { case (r, a) => r * a }.sum
+      val o: Array[Double] = raw.zip(d1).map { case (r, a) => r - proj * a }
+      val n2 = math.sqrt(o.map(x => x * x).sum)
+      val d2 = o.map(_ / n2)
+      (0 to 2).map { k =>
+        val (c, s) = (math.cos(k * theta), math.sin(k * theta))
+        d1.zip(d2).map { case (a, b) => (c * a + s * b).toFloat }
+      }
+    }
+    def bucketsOf(vs: Seq[Array[Float]]): Seq[Long] =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .select(graft.ann.Ann.hyperplaneBucket(col("embedding"), 4))
+        .as[Long].collect().toSeq
+    val chain = (0 until 200).iterator.map(chainOf)
+      .find(vs => bucketsOf(vs).distinct.size == 1)
+      .getOrElse(fail("no seed put the 18° chain in one bucket"))
+    // verify the crafted geometry really straddles the threshold
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(chain(0), chain(1)) >= 0.95 && cos(chain(1), chain(2)) >= 0.95)
+    assert(cos(chain(0), chain(2)) < 0.95, "endpoints must NOT be pairwise dups")
+    // two far-away singletons (axis vectors orthogonal to nothing shared)
+    val axis1 = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val axis2 = Array.tabulate(dim)(i => if (i == 1) 1f else 0f)
+    val emb = (Seq(40L, 41L, 42L).zip(chain) ++ Seq(90L -> axis1, 91L -> axis2))
+      .toDF("vec_id", "embedding")
+    val clusters = Dedup.dedupEmbeddingClusters(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(40L) == 40L && clusters(41L) == 40L && clusters(42L) == 40L,
+      s"chain must merge transitively: $clusters")
+    assert(clusters(90L) == 90L && clusters(91L) == 91L)
+  }
+
   test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
     val out = Dedup.dedupEmbedding(spark, sf)
     val rows = out.collect()

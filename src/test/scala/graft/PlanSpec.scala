@@ -37,7 +37,8 @@ class PlanSpec extends SparkSpec {
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
       "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup",
       "dedup_incremental", "dedup_ngram_jaccard", "ann_recall",
-      "dedup_span_cross") // checkpointed fingerprint posting list
+      "dedup_span_cross", // checkpointed fingerprint posting list
+      "dedup_embedding_cc") // checkpointed pair edges + label rounds
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
