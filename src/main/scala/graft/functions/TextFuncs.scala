@@ -547,6 +547,63 @@ object TextFuncs {
       |    AS topk_coverage
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C34
+  /** N-gram novelty under ingestion order — for each document, the
+    * fraction of its distinct word n-grams NOT already present in any
+    * lower-id document. The keep-first complement to the symmetric
+    * cross-doc signals: when shards are ingested in id order this says
+    * how much genuinely new text each document contributes (novelty ~0 =
+    * pure rehash of the standing corpus — the incremental-dedup drop
+    * candidate). Shape: distinct (doc, gram) pairs → per-gram
+    * `min(doc_id)` (map-side-combined — "first seen" needs no sort or
+    * window) → 1:n tagging join (AQE-splittable on hot boilerplate
+    * grams) → per-doc rollup. Shuffles carry grams and ids, never text.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(graft.functions.Sketch.word_ngrams(col("text"), n)).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_seen"))
+    val agg = grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_seen") < col("doc_id"), 1L).otherwise(0L))
+          .as("seen_grams"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("seen_grams"), lit(0L)).as("seen_grams"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("seen_grams").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** C34 query: trigram novelty over the documents table. */
+  def textNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(s, dir))
+
+  val textNgramNoveltyOracle: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |              for i in range(1, len(t) - 1)]) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d) u),
+      |first AS (SELECT g, MIN(doc_id) AS first_seen FROM g GROUP BY g),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS seen_grams
+      |  FROM g JOIN first USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(seen_grams, 0) AS seen_grams,
+      |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 1.0
+      |       ELSE 1.0 - CAST(seen_grams AS DOUBLE) / n_grams END AS novelty
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
@@ -558,7 +615,8 @@ object TextFuncs {
     "text_ngram_freq"  -> ((s: SparkSession, d: String) => textNgramFreq(s, d)),
     "text_repetition"  -> ((s: SparkSession, d: String) => textRepetition(s, d)),
     "text_dup_span"    -> ((s: SparkSession, d: String) => textDupSpan(s, d)),
-    "text_vocab_stats" -> ((s: SparkSession, d: String) => textVocabStats(s, d)))
+    "text_vocab_stats" -> ((s: SparkSession, d: String) => textVocabStats(s, d)),
+    "text_ngram_novelty" -> ((s: SparkSession, d: String) => textNgramNovelty(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_quality"    -> textQualityOracle,
@@ -570,5 +628,6 @@ object TextFuncs {
     "text_ngram_freq" -> textNgramFreqOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_dup_span"   -> textDupSpanOracle,
-    "text_vocab_stats" -> textVocabStatsOracle)
+    "text_vocab_stats" -> textVocabStatsOracle,
+    "text_ngram_novelty" -> textNgramNoveltyOracle)
 }
