@@ -677,6 +677,68 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** C33b — [[dedupEmbeddingClusters]] with an exact-collapse pre-step:
+    * bit-identical embeddings group to one representative (min id) BEFORE
+    * LSH pairing. On replica-heavy corpora — the web-crawl shape, and
+    * exactly what the sf1-equivalent stress corpus simulates — in-bucket
+    * pair work is quadratic in copy count, while every edge a copy would
+    * contribute is already implied by its representative (same vector ⇒
+    * same bucket, same cosines). Identical output on converged graphs:
+    * components over representatives equal components over members, and
+    * each group's min IS its representative, so the component min-label
+    * is unchanged; members re-attach through the (AQE-splittable) 1:n
+    * exact-group join. No collect_list — a billion-copy vector costs a
+    * map-side-combined `min` and a streamed join, never an array.
+    */
+  def dedupEmbeddingClustersExact(emb: DataFrame,
+                                  bits: Int = 4, threshold: Double = 0.95,
+                                  ccIterations: Int = 3): DataFrame = {
+    val reps = emb.groupBy("embedding").agg(min("vec_id").as("rep"))
+    val repClusters = dedupEmbeddingClusters(
+        reps.select(col("rep").as("vec_id"), col("embedding")),
+        bits, threshold, ccIterations)
+      .select(col("vec_id").as("rep"), col("cluster_id"))
+    emb.join(reps, "embedding")
+      .select(col("vec_id"), col("rep"))
+      .join(repClusters, "rep")
+      .select("vec_id", "cluster_id")
+      .orderBy("vec_id")
+  }
+
+  /** The C33 oracle lifted over exact-group representatives (DuckDB
+    * groups and joins FLOAT[] lists by value, same as Spark's array
+    * grouping).
+    */
+  val dedupEmbeddingClustersExactOracle: String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
+    """WITH reps AS (
+      |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
+      |b AS (SELECT rep AS vec_id, embedding, BUCKET_EXPR AS bucket FROM reps),
+      |p AS (
+      |  SELECT DISTINCT a.vec_id AS ida, bb.vec_id AS idb
+      |  FROM b a JOIN b bb USING (bucket)
+      |  WHERE a.vec_id < bb.vec_id
+      |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |          CAST(bb.embedding AS DOUBLE[])) >= 0.95),
+      |edges AS (
+      |  SELECT ida AS doc_id, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) AS bkey FROM p
+      |  UNION ALL
+      |  SELECT idb, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) FROM p),
+      |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
+      |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
+      |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
+      |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
+      |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
+      |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
+      |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
+      |SELECT e.vec_id, COALESCE(l.label, r.rep) AS cluster_id
+      |FROM embeddings e
+      |JOIN reps r USING (embedding)
+      |LEFT JOIN l3 l ON l.doc_id = r.rep
+      |ORDER BY vec_id""".stripMargin
+      .replace("BUCKET_EXPR", bucket)
+  }
+
   /** Same seeded planes + exact double dot products as the C5 oracle,
     * then the unrolled 3-round propagation over pair hyper-edges
     * (converged fixpoints are idempotent — "exactly 3" ≡ "≤3 with exit").
@@ -781,7 +843,9 @@ object Dedup {
     "dedup_span_cross"    -> ((s: SparkSession, d: String) =>
       crossDocSpans(Tables.documents(s, d))),
     "dedup_embedding_cc"  -> ((s: SparkSession, d: String) =>
-      dedupEmbeddingClusters(Tables.embeddings(s, d))))
+      dedupEmbeddingClusters(Tables.embeddings(s, d))),
+    "dedup_embedding_cc_exact" -> ((s: SparkSession, d: String) =>
+      dedupEmbeddingClustersExact(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
@@ -792,5 +856,6 @@ object Dedup {
     "dedup_simhash"       -> dedupSimhashOracle,
     "dedup_simhash_nn"    -> dedupSimhashNnOracle,
     "dedup_span_cross"    -> crossDocSpansOracle,
-    "dedup_embedding_cc"  -> dedupEmbeddingClustersOracle)
+    "dedup_embedding_cc"  -> dedupEmbeddingClustersOracle,
+    "dedup_embedding_cc_exact" -> dedupEmbeddingClustersExactOracle)
 }

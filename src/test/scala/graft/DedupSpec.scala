@@ -253,6 +253,29 @@ class DedupSpec extends SparkSpec {
     assert(clusters(90L) == 90L && clusters(91L) == 91L)
   }
 
+  test("dedup_embedding_cc_exact: identical copies collapse, clusters equal the naive form") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 5 exact copies of v(1) (the replica-heavy shape), 3 of v(2), and
+    // 4 distinct singleton vectors
+    val emb = ((10L to 14L).map(_ -> vec(1)) ++ (20L to 22L).map(_ -> vec(2)) ++
+      (30L to 33L).map(i => i -> vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val naive = Dedup.dedupEmbeddingClusters(emb)
+      .as[(Long, Long)].collect().toMap
+    val exact = Dedup.dedupEmbeddingClustersExact(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(exact == naive, "exact-collapse must not change converged clusters")
+    assert((10L to 14L).forall(exact(_) == 10L), "copies share the min-id cluster")
+    assert((20L to 22L).forall(exact(_) == 20L))
+    assert((30L to 33L).forall(i => exact(i) == i), "distinct vectors stay singletons")
+  }
+
   test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
     val out = Dedup.dedupEmbedding(spark, sf)
     val rows = out.collect()

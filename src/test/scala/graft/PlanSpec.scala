@@ -38,7 +38,8 @@ class PlanSpec extends SparkSpec {
       "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup",
       "dedup_incremental", "dedup_ngram_jaccard", "ann_recall",
       "dedup_span_cross", // checkpointed fingerprint posting list
-      "dedup_embedding_cc") // checkpointed pair edges + label rounds
+      "dedup_embedding_cc", // checkpointed pair edges + label rounds
+      "dedup_embedding_cc_exact")
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
