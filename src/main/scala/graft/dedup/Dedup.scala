@@ -50,15 +50,28 @@ object Dedup {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Iteration cap for min-label propagation. The kernel exits as soon as
+    * a round changes nothing, so on converged graphs (every real corpus —
+    * near-dup cluster diameter is tiny) the cap is never reached and
+    * raising it is free; it exists only to bound pathological chains.
+    * Oracles unroll exactly this many rounds ("exactly N" ≡ "≤N with
+    * early exit" — converged fixpoints are idempotent), so a duplicate
+    * chain with graph diameter > N under-merges identically in BOTH
+    * engines; DedupSpec plants a diameter-8 chain to prove merges far
+    * beyond the old cap of 3.
+    */
+  val CcIterations = 20
+
   // --------------------------------------------------------------- C2
   /** MinHash + LSH: k=64 permutations, 16 bands × 4 rows, then label
-    * propagation over the band-bucket graph to a (near-)fixpoint — cluster
+    * propagation over the band-bucket graph to a fixpoint — cluster
     * ids are transitive (A~B, B~C ⇒ one cluster), which single-hop
     * bucket-min is not. Each iteration is two key shuffles over the
     * (doc, band) edges; diameter of near-dup clusters is tiny in practice,
-    * so `ccIterations`=3 reaches the fixpoint except on pathological
-    * chains (at 100 TB: iterate until a count of changed labels hits 0,
-    * checkpointing every few rounds to cut lineage).
+    * so propagation exits after 2-3 rounds; [[CcIterations]] only bounds
+    * pathological chains (at 100 TB: same loop — the convergence check IS
+    * a count of changed labels, and each round checkpoints to cut
+    * lineage).
     */
   /** Hyper-edge min-label propagation — the connected-components kernel
     * shared by the minhash and embedding clusterers. `edges` is
@@ -73,7 +86,7 @@ object Dedup {
     * checkpoint, not an extra join job. Returns the final (small) label
     * table, checkpointed; only it stays pinned.
     */
-  private def propagateLabels(edges: DataFrame, ccIterations: Int): DataFrame = {
+  private[graft] def propagateLabels(edges: DataFrame, ccIterations: Int): DataFrame = {
     var labels = edges.select("doc_id").distinct()
       .withColumn("label", col("doc_id"))
     var prev: Option[DataFrame] = None
@@ -100,9 +113,32 @@ object Dedup {
     finalLabels
   }
 
+  /** DuckDB mirror of [[propagateLabels]]: `rounds` min-label rounds over
+    * an `edges`(doc_id, bkey) CTE, unrolled. A converged fixpoint is
+    * idempotent, so "exactly `rounds`" ≡ "≤ `rounds` with early exit"
+    * whenever the graph converges within the cap — the same diameter
+    * > `rounds` blind spot the Spark side has, by construction. The
+    * caller's `edges` CTE must be declared `AS MATERIALIZED` (it is
+    * referenced 2×`rounds` times; inlining would recompute the whole
+    * upstream pipeline per reference), and every round CTE here is
+    * MATERIALIZED too — inlined, the rounds nest into one ~2·rounds-deep
+    * join tree whose join-order planning is exponential in depth
+    * (measured: 10 inlined rounds plan in 11 s, 20 never finish; 20
+    * materialized rounds run in 0.09 s). Ends with CTE `l<rounds>`.
+    */
+  private[dedup] def propagationUnrollSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      "l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges)")
+    (1 to rounds).foreach { i =>
+      sb.append(s",\nb$i AS MATERIALIZED (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l${i - 1} USING (doc_id) GROUP BY bkey)")
+      sb.append(s",\nl$i AS MATERIALIZED (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b$i USING (bkey) GROUP BY doc_id)")
+    }
+    sb.toString
+  }
+
   def dedupMinhash(s: SparkSession, dir: String,
                    k: Int = 64, bands: Int = 16,
-                   ccIterations: Int = 3): DataFrame = {
+                   ccIterations: Int = CcIterations): DataFrame = {
     val rows = k / bands
     // Portable signature in ONE scan-stage pass: the native Md5MinhashSig
     // expression tokenizes, slides word 3-shingles (whole text below 3
@@ -509,8 +545,8 @@ object Dedup {
     * 32-bit-word arithmetic — the exact mod-2^64 value of Spark's wrapping
     * `a + i·b`, with the two's-complement CASE keeping every intermediate
     * inside BIGINT. Band keys: identical decimal concatenation. Label
-    * propagation: the same ≤`ccIterations` rounds, unrolled — a converged
-    * fixpoint is idempotent, so "exactly 3" ≡ "at most 3 with early exit".
+    * propagation: [[propagationUnrollSql]] at the same [[CcIterations]]
+    * cap the Spark kernel runs under.
     */
   val dedupMinhashOracle: String = {
     val k = 64
@@ -541,19 +577,13 @@ object Dedup {
        |  SELECT doc_id, md5((i // $rows) || ',' ||
        |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
        |  FROM sig GROUP BY doc_id, i // $rows),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_id, bkey FROM (
        |    SELECT doc_id, bkey, COUNT(*) OVER (PARTITION BY bkey) AS n
        |    FROM banded) t WHERE n >= 2),
-       |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
-       |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
-       |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
-       |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
-       |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
-       |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
-       |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
+       |${propagationUnrollSql(CcIterations)}
        |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
-       |FROM documents d LEFT JOIN l3 l USING (doc_id)
+       |FROM documents d LEFT JOIN l$CcIterations l USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -640,21 +670,68 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- C33
-  /** Embedding near-dup CLUSTERS — the missing half of C5: pairwise
-    * flags tell you two vectors are near-dups, but keep-one-per-group
-    * dedup needs the transitive closure (A≈B, B≈C ⇒ one cluster even
-    * when A·C < threshold). Edges are same-LSH-bucket pairs above the
-    * cosine threshold, each a 2-member hyper-edge into the SAME
-    * min-label propagation kernel the minhash clusterer runs
-    * ([[propagateLabels]]) — candidates ∝ bucket sizes (never n²),
-    * embeddings projected away before any shuffle, propagation input is
-    * the near-dup subset only.
+  /** Default cosine-LSH sizing for [[dedupEmbeddingClusters]]: aim for
+    * `TargetBucket` representatives per bucket (so in-bucket all-pairs
+    * work is ~TargetBucket²/2 cosines per bucket), never fewer than
+    * `MinLshBits` planes (16 buckets — the historical fixed setting,
+    * preserved at test SFs so oracles and recall behavior carry over) and
+    * never more than `MaxLshBits` (4096 buckets; beyond that random-
+    * hyperplane recall for 0.95-cosine neighbors decays sharply).
+    * `MaxRepBucket` is the Manku-style hot-bucket guard: a bucket holding
+    * more DISTINCT vectors than this after exact-collapse generates no
+    * candidate pairs at all (its members cluster only via exact-collapse)
+    * — bounded worst-case task cost (≤ MaxRepBucket²/2 cosines) bought
+    * with a documented recall loss on adversarially-concentrated inputs,
+    * exactly the `SimhashMaxBucket` tradeoff.
     */
-  def dedupEmbeddingClusters(emb: DataFrame,
-                             bits: Int = 4, threshold: Double = 0.95,
-                             ccIterations: Int = 3): DataFrame = {
-    val e = emb
-      .withColumn("bucket", graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
+  private[dedup] val TargetBucket = 128
+  private[dedup] val MinLshBits = 4
+  private[dedup] val MaxLshBits = 12
+  private[dedup] val MaxRepBucket = 1024
+
+  /** Smallest b in [minBits, maxBits] with 2^b ≥ ⌈n / targetBucket⌉,
+    * i.e. n ≤ targetBucket·2^b — pure integer arithmetic, mirrored
+    * verbatim by [[lshBitsSqlCase]] so both engines pick the same width.
+    */
+  private[graft] def lshBitsFor(n: Long, targetBucket: Int = TargetBucket,
+                                minBits: Int = MinLshBits,
+                                maxBits: Int = MaxLshBits): Int = {
+    var b = minBits
+    while (b < maxBits && n > (targetBucket.toLong << b)) b += 1
+    b
+  }
+
+  /** [[lshBitsFor]] as a SQL CASE chain over a count expression. */
+  private[graft] def lshBitsSqlCase(cnt: String, targetBucket: Int = TargetBucket,
+                                    minBits: Int = MinLshBits,
+                                    maxBits: Int = MaxLshBits): String = {
+    val whens = (minBits until maxBits)
+      .map(b => s"WHEN $cnt <= ${targetBucket.toLong << b} THEN $b").mkString(" ")
+    s"(CASE $whens ELSE $maxBits END)"
+  }
+
+  /** Candidate pairing + propagation over an already-collapsed
+    * representative table (vec_id, embedding) — the shared kernel under
+    * C33/C33b. Bucket at `bits` hyperplanes; with `maxBucket` set, buckets
+    * holding more reps than the cap are pruned before pairing (one window
+    * count over the bucketing shuffle — the Manku hot-block pattern), so
+    * per-bucket pair generation is hard-bounded no matter how the corpus
+    * concentrates. Then all-pairs within buckets gated by cosine ≥
+    * `threshold`, each surviving pair a 2-member hyper-edge into
+    * [[propagateLabels]]. Candidates ∝ Σ bucket², embeddings projected
+    * away before any shuffle, propagation input is the near-dup subset
+    * only. Returns (vec_id, cluster_id) for every rep.
+    */
+  private def clusterReps(reps: DataFrame, bits: Int, threshold: Double,
+                          ccIterations: Int, maxBucket: Option[Int]): DataFrame = {
+    val bucketed = reps.withColumn("bucket",
+      graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
+    val e = maxBucket.fold(bucketed) { cap =>
+      bucketed
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("__n") <= cap)
+        .drop("__n")
+    }
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("bucket"))
     val pairs = a.join(b, Seq("bucket"))
@@ -670,102 +747,137 @@ object Dedup {
       .localCheckpoint(true)
     val labels = propagateLabels(edges, ccIterations)
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
-    emb.select(col("vec_id"))
+    reps.select(col("vec_id"))
       .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
-      .orderBy("vec_id")
   }
 
-  /** C33b — [[dedupEmbeddingClusters]] with an exact-collapse pre-step:
-    * bit-identical embeddings group to one representative (min id) BEFORE
-    * LSH pairing. On replica-heavy corpora — the web-crawl shape, and
-    * exactly what the sf1-equivalent stress corpus simulates — in-bucket
-    * pair work is quadratic in copy count, while every edge a copy would
-    * contribute is already implied by its representative (same vector ⇒
-    * same bucket, same cosines). Identical output on converged graphs:
-    * components over representatives equal components over members, and
-    * each group's min IS its representative, so the component min-label
-    * is unchanged; members re-attach through the (AQE-splittable) 1:n
-    * exact-group join. No collect_list — a billion-copy vector costs a
-    * map-side-combined `min` and a streamed join, never an array.
+  /** Re-attach every member of `emb` to its representative's cluster via
+    * the exact-group join (AQE-splittable 1:n; no collect_list — a
+    * billion-copy vector costs a map-side-combined `min` and a streamed
+    * join, never an array).
+    */
+  private def attachMembers(emb: DataFrame, reps: DataFrame,
+                            repClusters: DataFrame): DataFrame =
+    emb.join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
+      .select(col("vec_id"), col("rep"))
+      .join(repClusters.withColumnRenamed("vec_id", "rep"), "rep")
+      .select("vec_id", "cluster_id")
+      .orderBy("vec_id")
+
+  /** Embedding near-dup CLUSTERS — the missing half of C5: pairwise
+    * flags tell you two vectors are near-dups, but keep-one-per-group
+    * dedup needs the transitive closure (A≈B, B≈C ⇒ one cluster even
+    * when A·C < threshold).
+    *
+    * Scale shape, in order of defense:
+    *  1. **Exact-collapse first**: bit-identical embeddings group to one
+    *     representative (min id) before any pairing. On replica-heavy
+    *     corpora — the web-crawl shape — in-bucket pair work is quadratic
+    *     in copy count, while every edge a copy would contribute is
+    *     already implied by its representative (same vector ⇒ same
+    *     bucket, same cosines). Identical output on converged graphs:
+    *     components over reps equal components over members, and each
+    *     group's min IS its rep, so the component min-label is unchanged.
+    *  2. **Bits scale with the collapsed count**: one cheap count over
+    *     the rep table picks ⌈log2(n/[[TargetBucket]])⌉ hyperplanes
+    *     (clamped to [[[MinLshBits]], [[MaxLshBits]]]), keeping expected
+    *     bucket fill ≈ TargetBucket as the corpus grows instead of
+    *     letting 16 fixed buckets go quadratic. The oracle computes the
+    *     SAME width in SQL ([[lshBitsSqlCase]] over COUNT(reps)) and
+    *     truncates a [[MaxLshBits]]-plane bucket with `& (2^bits − 1)` —
+    *     valid because plane p contributes bit 2^p and the seeded plane
+    *     sequence for b bits is a prefix of the sequence for b' > b.
+    *  3. **Hot-bucket cap** ([[MaxRepBucket]]): buckets that still
+    *     overflow (adversarially-concentrated directions) are pruned
+    *     from pairing entirely — the `SimhashMaxBucket` recall tradeoff,
+    *     never an unbounded task.
+    */
+  def dedupEmbeddingClusters(emb: DataFrame,
+                             threshold: Double = 0.95,
+                             ccIterations: Int = CcIterations,
+                             targetBucket: Int = TargetBucket,
+                             minBits: Int = MinLshBits,
+                             maxBits: Int = MaxLshBits,
+                             maxBucket: Int = MaxRepBucket): DataFrame = {
+    val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+    // one aggregate job over the collapsed reps (tiny next to the pairing
+    // it sizes) — the IVF pattern: a bounded driver-side scalar, not data
+    val bits = lshBitsFor(reps.count(), targetBucket, minBits, maxBits)
+    val repClusters =
+      clusterReps(reps, bits, threshold, ccIterations, Some(maxBucket))
+    attachMembers(emb, reps, repClusters)
+  }
+
+  /** C33b — the fixed-width, uncapped variant (collapse + 4-bit LSH, no
+    * hot-bucket prune): pins the historical C33 geometry so the pair of
+    * oracles witnesses that the C33 scale guards (adaptive bits + cap)
+    * change nothing on corpora where no bucket overflows.
     */
   def dedupEmbeddingClustersExact(emb: DataFrame,
                                   bits: Int = 4, threshold: Double = 0.95,
-                                  ccIterations: Int = 3): DataFrame = {
-    val reps = emb.groupBy("embedding").agg(min("vec_id").as("rep"))
-    val repClusters = dedupEmbeddingClusters(
-        reps.select(col("rep").as("vec_id"), col("embedding")),
-        bits, threshold, ccIterations)
-      .select(col("vec_id").as("rep"), col("cluster_id"))
-    emb.join(reps, "embedding")
-      .select(col("vec_id"), col("rep"))
-      .join(repClusters, "rep")
-      .select("vec_id", "cluster_id")
-      .orderBy("vec_id")
+                                  ccIterations: Int = CcIterations): DataFrame = {
+    val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+    val repClusters = clusterReps(reps, bits, threshold, ccIterations, None)
+    attachMembers(emb, reps, repClusters)
   }
 
-  /** The C33 oracle lifted over exact-group representatives (DuckDB
-    * groups and joins FLOAT[] lists by value, same as Spark's array
-    * grouping).
+  /** Shared oracle tail: pair candidates from a bucketed rep CTE `bc`,
+    * pair hyper-edges, the [[CcIterations]]-round unroll, then member
+    * re-attachment through the exact-group join (DuckDB groups and joins
+    * FLOAT[] lists by value, same as Spark's array grouping).
     */
+  private def clusterOracleTail(threshold: Double): String =
+    s"""p AS (
+       |  SELECT DISTINCT a.vec_id AS ida, bb.vec_id AS idb
+       |  FROM bc a JOIN bc bb USING (bucket)
+       |  WHERE a.vec_id < bb.vec_id
+       |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(bb.embedding AS DOUBLE[])) >= $threshold),
+       |edges AS MATERIALIZED (
+       |  SELECT ida AS doc_id, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) AS bkey FROM p
+       |  UNION ALL
+       |  SELECT idb, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) FROM p),
+       |${propagationUnrollSql(CcIterations)}
+       |SELECT e.vec_id, COALESCE(l.label, r.rep) AS cluster_id
+       |FROM embeddings e
+       |JOIN reps r USING (embedding)
+       |LEFT JOIN l$CcIterations l ON l.doc_id = r.rep
+       |ORDER BY vec_id""".stripMargin
+
+  /** C33b oracle: exact-collapse + fixed 4-bit planes, no cap. */
   val dedupEmbeddingClustersExactOracle: String = {
     val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
-    """WITH reps AS (
-      |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
-      |b AS (SELECT rep AS vec_id, embedding, BUCKET_EXPR AS bucket FROM reps),
-      |p AS (
-      |  SELECT DISTINCT a.vec_id AS ida, bb.vec_id AS idb
-      |  FROM b a JOIN b bb USING (bucket)
-      |  WHERE a.vec_id < bb.vec_id
-      |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
-      |          CAST(bb.embedding AS DOUBLE[])) >= 0.95),
-      |edges AS (
-      |  SELECT ida AS doc_id, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) AS bkey FROM p
-      |  UNION ALL
-      |  SELECT idb, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) FROM p),
-      |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
-      |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
-      |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
-      |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
-      |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
-      |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
-      |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
-      |SELECT e.vec_id, COALESCE(l.label, r.rep) AS cluster_id
-      |FROM embeddings e
-      |JOIN reps r USING (embedding)
-      |LEFT JOIN l3 l ON l.doc_id = r.rep
-      |ORDER BY vec_id""".stripMargin
+    s"""WITH reps AS MATERIALIZED (
+       |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
+       |bc AS (SELECT rep AS vec_id, embedding, BUCKET_EXPR AS bucket FROM reps),
+       |${clusterOracleTail(0.95)}""".stripMargin
       .replace("BUCKET_EXPR", bucket)
   }
 
-  /** Same seeded planes + exact double dot products as the C5 oracle,
-    * then the unrolled 3-round propagation over pair hyper-edges
-    * (converged fixpoints are idempotent — "exactly 3" ≡ "≤3 with exit").
+  /** C33 oracle — mirrors every scale guard of [[dedupEmbeddingClusters]]
+    * in SQL: exact-collapse, bit width from the SAME integer CASE chain
+    * over COUNT(reps), bucket truncated from [[MaxLshBits]] planes with
+    * `& (2^bits − 1)` (plane p contributes 2^p and the seeded plane
+    * sequence is prefix-stable, so truncation ≡ bucketing at `bits`),
+    * then the [[MaxRepBucket]] hot-bucket prune as a window count.
     */
   val dedupEmbeddingClustersOracle: String = {
-    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
-    """WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
-      |p AS (
-      |  SELECT DISTINCT a.vec_id AS ida, bb.vec_id AS idb
-      |  FROM b a JOIN b bb USING (bucket)
-      |  WHERE a.vec_id < bb.vec_id
-      |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
-      |          CAST(bb.embedding AS DOUBLE[])) >= 0.95),
-      |edges AS (
-      |  SELECT ida AS doc_id, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) AS bkey FROM p
-      |  UNION ALL
-      |  SELECT idb, CAST(ida AS VARCHAR) || '_' || CAST(idb AS VARCHAR) FROM p),
-      |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM edges),
-      |b1 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l0 USING (doc_id) GROUP BY bkey),
-      |l1 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b1 USING (bkey) GROUP BY doc_id),
-      |b2 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l1 USING (doc_id) GROUP BY bkey),
-      |l2 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b2 USING (bkey) GROUP BY doc_id),
-      |b3 AS (SELECT bkey, MIN(label) AS bmin FROM edges JOIN l2 USING (doc_id) GROUP BY bkey),
-      |l3 AS (SELECT doc_id, MIN(bmin) AS label FROM edges JOIN b3 USING (bkey) GROUP BY doc_id)
-      |SELECT e.vec_id, COALESCE(l.label, e.vec_id) AS cluster_id
-      |FROM embeddings e LEFT JOIN l3 l ON l.doc_id = e.vec_id
-      |ORDER BY vec_id""".stripMargin
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", MaxLshBits)
+    s"""WITH reps AS MATERIALIZED (
+       |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
+       |bw AS (SELECT ${lshBitsSqlCase("COUNT(*)")} AS bits FROM reps),
+       |bf AS (SELECT rep AS vec_id, embedding, BUCKET_EXPR AS bucket12 FROM reps),
+       |bc AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |      COUNT(*) OVER (PARTITION BY bucket) AS n
+       |    FROM (SELECT vec_id, embedding,
+       |            bucket12 & ((1::BIGINT << bits) - 1) AS bucket
+       |          FROM bf CROSS JOIN bw) tt) t
+       |  WHERE n <= $MaxRepBucket),
+       |${clusterOracleTail(0.95)}""".stripMargin
       .replace("BUCKET_EXPR", bucket)
   }
 

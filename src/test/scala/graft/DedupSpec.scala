@@ -276,6 +276,75 @@ class DedupSpec extends SparkSpec {
     assert((30L to 33L).forall(i => exact(i) == i), "distinct vectors stay singletons")
   }
 
+  test("propagateLabels: a diameter-8 chain merges to ONE cluster (cap >> 3)") {
+    // path graph 0-1-2-...-8 as pair hyper-edges: min-label needs ~8
+    // rounds to carry label 0 to node 8 — the old ccIterations=3 split
+    // this into several clusters
+    val edges = (0L until 8L).flatMap(i =>
+        Seq((i, s"e$i"), (i + 1, s"e$i")))
+      .toDF("doc_id", "bkey")
+    val labels = Dedup.propagateLabels(edges, Dedup.CcIterations)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 8L).forall(labels(_) == 0L),
+      s"deep chain must converge to one cluster: $labels")
+  }
+
+  test("dedup_embedding_cc: hot-bucket cap bounds pair work; exact copies still collapse") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val base = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 20 tiny perturbations of one direction: same bucket, pairwise
+    // cosine ≈ 1 — with maxBucket=8 the bucket is pruned, so all stay
+    // singletons (bounded work, documented recall cost) …
+    def perturb(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = base.map(x => x + 1e-4f * r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val distinct = (0L until 20L).map(i => i -> perturb(i.toInt + 1))
+    val buckets = distinct.toDF("vec_id", "embedding")
+      .select(graft.ann.Ann.hyperplaneBucket(col("embedding"), 4))
+      .as[Long].collect()
+    assume(buckets.distinct.length == 1, "perturbations must share a bucket")
+    // … while exact replicas of id 3 ride the collapse regardless of cap
+    val emb = (distinct ++ Seq(100L -> perturb(4), 101L -> perturb(4)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupEmbeddingClusters(emb, maxBucket = 8)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 20L).forall(out(_) < 20L),
+      "pruned-bucket members stay unmerged by LSH")
+    assert(out(100L) == 3L && out(101L) == 3L,
+      s"exact copies must collapse to their representative: $out")
+    assert(out(3L) == 3L)
+  }
+
+  test("lshBitsFor scales with corpus size and truncation matches full-width buckets") {
+    assert(Dedup.lshBitsFor(500) == 4)
+    assert(Dedup.lshBitsFor(128L << 4) == 4)
+    assert(Dedup.lshBitsFor((128L << 4) + 1) == 5)
+    assert(Dedup.lshBitsFor(128L << 11) == 11)
+    assert(Dedup.lshBitsFor(Long.MaxValue / 2) == 12)
+    // prefix-stability: bucket at b bits == low b bits of the 12-bit
+    // bucket (what the oracle's `& (2^bits - 1)` truncation relies on)
+    val vs = (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = vs.select(
+        graft.ann.Ann.hyperplaneBucket(col("embedding"), 4).as("b4"),
+        graft.ann.Ann.hyperplaneBucket(col("embedding"), 7).as("b7"),
+        graft.ann.Ann.hyperplaneBucket(col("embedding"), 12).as("b12"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (b4, b7, b12) =>
+      assert(b4 == (b12 & 15L) && b7 == (b12 & 127L))
+    }
+  }
+
   test("dedup_embedding: top-1 neighbor is symmetric-sane and flags dups") {
     val out = Dedup.dedupEmbedding(spark, sf)
     val rows = out.collect()
