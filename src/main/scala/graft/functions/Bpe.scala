@@ -54,6 +54,13 @@ object Bpe {
     * zero tokens), each word encoded against `flat` = the merge table
     * flattened [a0,b0,a1,b1,…]. Symbols are (start,end) slices of the
     * word — merging is pointer arithmetic, no per-symbol allocation.
+    *
+    * This is the RULE-SWEEP encoder: O(merges × word length) per word —
+    * exact at any table size but unaffordable at production vocab
+    * (~32k merges ⇒ ~500× the 64-merge cost). The query path uses
+    * [[BpeModel.wordTokens]] (pair-rank heap, cost independent of table
+    * size); this sweep stays as the executable spec the property tests
+    * hold the heap encoder to, and as the over-long-word fallback.
     */
   def tokenCount(s: UTF8String, flat: Array[String]): Int = {
     val str = s.toString
@@ -63,7 +70,27 @@ object Bpe {
     var i = 0
     while (i <= n) {
       if (i == n || str.charAt(i) == ' ') {
-        if (i > ws) total += wordTokens(str, ws, i, flat)
+        if (i > ws) total += wordTokensSweep(str, ws, i, flat)
+        ws = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** [[tokenCount]] against a compiled [[BpeModel]] — the production-vocab
+    * path: per word O(len · (log len + log merges)) via lowest-rank-first
+    * heap merging, instead of one sweep per rule.
+    */
+  def tokenCountFast(s: UTF8String, model: BpeModel): Int = {
+    val str = s.toString
+    val n = str.length
+    var total = 0
+    var ws = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > ws) total += model.wordTokens(str, ws, i)
         ws = i + 1
       }
       i += 1
@@ -78,8 +105,8 @@ object Bpe {
   /** Encoded symbol count of one word (`str[from, until)`). `starts` is
     * rebuilt in place per rule: reading index always ≥ writing index.
     */
-  private def wordTokens(str: String, from: Int, until: Int,
-                         flat: Array[String]): Int = {
+  private[functions] def wordTokensSweep(str: String, from: Int, until: Int,
+                                         flat: Array[String]): Int = {
     val len = until - from
     if (len <= 1) return len
     // initial symbols = code points (never split a surrogate pair)
@@ -88,7 +115,11 @@ object Bpe {
     var i = from
     while (i < until) {
       starts(count) = i; count += 1
-      i += (if (Character.isHighSurrogate(str.charAt(i)) && i + 1 < until) 2 else 1)
+      // 2-char step only over a REAL surrogate pair — an unpaired high
+      // surrogate must stay its own symbol (codePointAt semantics), not
+      // fuse with the following ordinary char
+      i += (if (Character.isHighSurrogate(str.charAt(i)) && i + 1 < until &&
+                Character.isLowSurrogate(str.charAt(i + 1))) 2 else 1)
     }
     starts(count) = until
     var r = 0
@@ -332,6 +363,165 @@ object Bpe {
     "quality_budget_bpe" -> qualityBudgetBpeOracle)
 }
 
+/** Compiled merge table for production-vocab BPE encoding: symbols are
+  * interned to int ids, rules become a sorted (leftId,rightId) → (rank,
+  * productId) lookup, and each word is encoded by lowest-rank-first heap
+  * merging — per-word cost O(len · (log len + log merges)), INDEPENDENT
+  * of table size, where the rule-sweep encoder pays O(merges × len) (a
+  * 32k-merge production vocab would be ~500× the 64-merge sweep).
+  *
+  * Encoding equivalence: for tables produced by [[Bpe.trainLocal]],
+  * lowest-rank-first merging (ties: leftmost occurrence first — exactly
+  * the heap order (rank, position)) yields the same symbol count as the
+  * sequential rank-order sweep: rule j's elements exist before rule j,
+  * a merge only creates occurrences of later-ranked rules, and same-rank
+  * occurrences are consumed left-to-right non-overlapping in both.
+  * BpeSpec property-tests this against [[Bpe.tokenCount]] on randomly
+  * trained tables; words ≥ 2^20 chars (heap entries would overflow their
+  * packed position field) fall back to the sweep.
+  */
+final class BpeModel(merges: Seq[(String, String)]) extends Serializable {
+
+  /** Flattened table for the sweep fallback / reference. */
+  val flat: Array[String] =
+    merges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray
+
+  // ---- symbol interning: rule elements + products, first-appearance ids
+  @transient private lazy val state: (java.util.HashMap[Integer, Integer],
+                                      Array[Long], Array[Int], Array[Int]) = {
+    val ids = new java.util.HashMap[String, Integer]()
+    def idOf(s: String): Int = {
+      var v = ids.get(s)
+      if (v == null) { v = ids.size(); ids.put(s, v) }
+      v.intValue()
+    }
+    val seen = new java.util.HashMap[java.lang.Long, Integer]()
+    val keys = new Array[Long](merges.length)
+    val rank = new Array[Int](merges.length)
+    val prod = new Array[Int](merges.length)
+    var m = 0
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val key = (idOf(a).toLong << 32) | (idOf(b).toLong & 0xffffffffL)
+      // duplicate pair (never emitted by the trainer): first rank wins,
+      // matching the sweep where the earlier pass consumes the pair
+      if (seen.get(key) == null) {
+        seen.put(key, r)
+        keys(m) = key; rank(m) = r; prod(m) = idOf(a + b); m += 1
+      }
+    }
+    // sort the pair table by key for allocation-free binary search
+    val order = Array.range(0, m).sortBy(keys(_))
+    val sk = order.map(keys(_)); val sr = order.map(rank(_))
+    val sp = order.map(prod(_))
+    // initial word symbols are single code points — intern those straight
+    // from the code point so encoding never allocates lookup strings
+    val cps = new java.util.HashMap[Integer, Integer]()
+    ids.forEach { (s, id) =>
+      if (s.codePointCount(0, s.length) == 1)
+        cps.put(s.codePointAt(0), id)
+    }
+    (cps, sk, sr, sp)
+  }
+
+  /** index into the sorted pair table, or -1 */
+  private def pairSlot(a: Int, b: Int): Int = {
+    if (a < 0 || b < 0) return -1
+    val key = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    java.util.Arrays.binarySearch(state._2, key)
+  }
+
+  /** Encoded symbol count of one word (`str[from, until)`). */
+  def wordTokens(str: String, from: Int, until: Int): Int = {
+    val len = until - from
+    if (len <= 1) return len
+    if (len >= (1 << 20)) return Bpe.wordTokensSweep(str, from, until, flat)
+    val (cps, _, ranks, prods) = state
+    // initial symbols = code points
+    val sym = new Array[Int](len)
+    var count = 0
+    var i = from
+    while (i < until) {
+      val cp = str.codePointAt(i)
+      val id = cps.get(cp)
+      sym(count) = if (id == null) -1 else id.intValue()
+      count += 1
+      i += Character.charCount(cp)
+    }
+    if (count <= 1) return count
+    val m = count
+    // doubly-linked symbol list + lazy-validation min-heap of candidate
+    // merges: entry long = rank<<40 | leftPos<<20 | serial, so the heap
+    // order IS (rank asc, leftmost first); side arrays hold what the
+    // entry expects to find (right pos + both symbol ids) — a pop whose
+    // expectation no longer holds is stale and discarded
+    val nxt = new Array[Int](m); val prv = new Array[Int](m)
+    val alive = new Array[Boolean](m)
+    var j = 0
+    while (j < m) { nxt(j) = j + 1; prv(j) = j - 1; alive(j) = true; j += 1 }
+    var heap = new Array[Long](m * 2)
+    var heapN = 0
+    var eJ = new Array[Int](m * 2); var eSi = new Array[Int](m * 2)
+    var eSj = new Array[Int](m * 2); var eProd = new Array[Int](m * 2)
+    var eRank = new Array[Int](m * 2)
+    var serial = 0
+    def push(rank: Int, i0: Int, j0: Int, prod: Int): Unit = {
+      if (serial >= eJ.length) {
+        eJ = java.util.Arrays.copyOf(eJ, serial * 2)
+        eSi = java.util.Arrays.copyOf(eSi, serial * 2)
+        eSj = java.util.Arrays.copyOf(eSj, serial * 2)
+        eProd = java.util.Arrays.copyOf(eProd, serial * 2)
+        eRank = java.util.Arrays.copyOf(eRank, serial * 2)
+      }
+      eJ(serial) = j0; eSi(serial) = sym(i0); eSj(serial) = sym(j0)
+      eProd(serial) = prod; eRank(serial) = rank
+      if (heapN >= heap.length) heap = java.util.Arrays.copyOf(heap, heapN * 2)
+      var c = heapN
+      heap(c) = (rank.toLong << 40) | (i0.toLong << 20) | serial.toLong
+      heapN += 1; serial += 1
+      while (c > 0 && heap((c - 1) / 2) > heap(c)) {
+        val p = (c - 1) / 2
+        val t = heap(p); heap(p) = heap(c); heap(c) = t; c = p
+      }
+    }
+    def tryPush(i0: Int, j0: Int): Unit = {
+      val slot = pairSlot(sym(i0), sym(j0))
+      if (slot >= 0) push(ranks(slot), i0, j0, prods(slot))
+    }
+    j = 0
+    while (j < m - 1) { tryPush(j, j + 1); j += 1 }
+    while (heapN > 0 && count > 1) {
+      val top = heap(0)
+      heapN -= 1
+      heap(0) = heap(heapN)
+      var c = 0
+      var continueSift = true
+      while (continueSift) {
+        val l = 2 * c + 1; val r = l + 1
+        var s = c
+        if (l < heapN && heap(l) < heap(s)) s = l
+        if (r < heapN && heap(r) < heap(s)) s = r
+        if (s == c) continueSift = false
+        else { val t = heap(s); heap(s) = heap(c); heap(c) = t; c = s }
+      }
+      val sId = (top & 0xfffffL).toInt
+      val li = ((top >> 20) & 0xfffffL).toInt
+      val ri = eJ(sId)
+      if (alive(li) && alive(ri) && nxt(li) == ri &&
+          sym(li) == eSi(sId) && sym(ri) == eSj(sId)) {
+        sym(li) = eProd(sId)
+        alive(ri) = false
+        val rn = nxt(ri)
+        nxt(li) = rn
+        if (rn < m) prv(rn) = li
+        count -= 1
+        if (prv(li) >= 0) tryPush(prv(li), li)
+        if (rn < m) tryPush(li, rn)
+      }
+    }
+    count
+  }
+}
+
 /** Native expression: BPE token count of `child` under a fixed merge
   * table — tokenize, encode, and count in ONE compiled call per row
   * inside the whole-stage-codegen span (the merge table rides along as a
@@ -344,10 +534,9 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     SketchTypeCheck.check("graft_bpe_token_count", child.dataType,
       "merges" -> merges.length)
 
-  private lazy val flat: Array[String] =
-    merges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray
+  @transient private lazy val model = new BpeModel(merges)
 
-  def countOf(s: UTF8String): Int = Bpe.tokenCount(s, flat)
+  def countOf(s: UTF8String): Int = Bpe.tokenCountFast(s, model)
 
   override def nullSafeEval(input: Any): Any =
     countOf(input.asInstanceOf[UTF8String])

@@ -103,6 +103,68 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: heap encoder ≡ rule-sweep encoder on random corpora " +
+    "under freshly trained tables") {
+    val rnd = new scala.util.Random(4321)
+    def word() =
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    def doc() = (0 until (1 + rnd.nextInt(30))).map(_ => word()).mkString(" ")
+    (0 until 20).foreach { _ =>
+      val corpus = (0 until 50).map(_ => (doc(), 1L + rnd.nextInt(5)))
+      val merges = Bpe.trainLocal(corpus, 24)
+      val flat = merges.flatMap { case (a, b) => Seq(a, b) }.toArray
+      val model = new graft.functions.BpeModel(merges)
+      corpus.foreach { case (text, _) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        assert(Bpe.tokenCountFast(u, model) == Bpe.tokenCount(u, flat),
+          s"'$text' under $merges")
+      }
+    }
+  }
+
+  test("heap encoder ≡ sweep on the corpus under DefaultMerges, and on malformed surrogates") {
+    val model = new graft.functions.BpeModel(Bpe.DefaultMerges)
+    val flat = Bpe.DefaultMerges.flatMap { case (a, b) => Seq(a, b) }.toArray
+    Tables.documents(spark, sf).select("text").as[String].collect()
+      .foreach { text =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        assert(Bpe.tokenCountFast(u, model) == Bpe.tokenCount(u, flat))
+      }
+    // unpaired high surrogate must stay its own symbol in both encoders
+    Seq("a\uD800b c", "𐀀 ab", "x\uD800", "\uDC00er").foreach { text =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      assert(Bpe.tokenCountFast(u, model) == Bpe.tokenCount(u, flat), text)
+    }
+  }
+
+  test("production vocab: 4k-merge table encodes within ~2x of the 64-merge wall") {
+    // a trainer-shaped synthetic table: all 2-grams over a-z, then
+    // 3-grams (xy, z) — elements exist before use, like a trained table
+    val twoGrams = for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield (a.toString, b.toString)
+    val threeGrams = for (a <- 'a' to 'z'; b <- 'a' to 'z'; c <- 'a' to 'f')
+      yield (s"$a$b", c.toString)
+    val big = (twoGrams ++ threeGrams).take(4096)
+    assert(big.length == 4096)
+    val bigModel = new graft.functions.BpeModel(big)
+    val smallModel = new graft.functions.BpeModel(Bpe.DefaultMerges)
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    def wall(model: graft.functions.BpeModel): Double = {
+      var sink = 0L
+      val t0 = System.nanoTime()
+      (0 until 5).foreach(_ => texts.foreach(t => sink += Bpe.tokenCountFast(t, model)))
+      require(sink != Long.MinValue) // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    wall(smallModel); wall(bigModel) // JIT warmup
+    val small = wall(smallModel)
+    val bigT = wall(bigModel)
+    info(f"64-merge: $small%.3fs, 4096-merge: $bigT%.3fs, ratio ${bigT / small}%.2f")
+    assert(bigT <= small * 2.5 + 0.05,
+      f"4k-merge encode must stay within ~2x of 64-merge: $small%.3f vs $bigT%.3f")
+  }
+
   test("subword counts are bounded by words below and characters above") {
     val r = graft.functions.Bpe.textTokensBpe(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"),
