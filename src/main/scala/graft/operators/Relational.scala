@@ -843,7 +843,9 @@ object Relational {
     }.flatten
     perStage.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
       df.agg(count(lit(1)).as("users"))
-        .withColumn("stage", lit(s"${i + 1}_$stage"))
+        // zero-padded index: the output sorts by this string, and
+        // "10_x" < "2_y" would misorder a 10+-stage funnel
+        .withColumn("stage", lit(f"${i + 1}%02d_$stage"))
     }.reduce(_ unionByName _)
       .select("stage", "users")
       .orderBy("stage")
@@ -865,9 +867,9 @@ object Relational {
       |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns
       |  FROM events e JOIN c USING (user_id)
       |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c_ns GROUP BY 1)
-      |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
-      |UNION ALL SELECT '2_click', COUNT(*) FROM c
-      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |SELECT '01_view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT '02_click', COUNT(*) FROM c
+      |UNION ALL SELECT '03_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
   // ---------------------------------------------------------------- A29

@@ -249,10 +249,12 @@ object EventStreams {
     * was reached, and the FIRST qualifying event wins — so on an
     * in-event-time-order feed the stage counts equal the batch funnel's
     * (spec-asserted). Events are sorted by time within each micro-batch;
-    * cross-batch late events cannot retroactively advance a user (the
-    * inherent arrival-boundedness of streaming funnels — bound lateness
-    * with the source's watermark). State per user is two numbers,
-    * independent of event volume: a hot user costs what a cold one does.
+    * cross-batch late events cannot retroactively advance a user — for
+    * exactness under disorder use [[streamingFunnelUnordered]]. State per
+    * user is two numbers, independent of event volume; per-BATCH work is
+    * O(arrivals·log arrivals) per user (the in-batch sort materializes
+    * that batch's arrivals — a hot-key flood costs task memory for the
+    * batch, though never standing state).
     */
   def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEv],
                       stages: Seq[String]): DataFrame = {
@@ -273,6 +275,77 @@ object EventStreams {
             }
           }
           state.update(st)
+          hits.result().iterator
+      }.toDF()
+  }
+
+  case class FunnelEvT(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelBuf(stage: Int, last_ms: Long, buf: List[(Int, Long)])
+  case class FunnelHitT(user_id: Long, stage: Int, stage_name: String, ts_ms: Long)
+
+  /** Out-of-order streaming funnel: EXACTLY the batch funnel's stage
+    * times on ANY arrival order, as long as lateness stays within the
+    * watermark (Spark drops older input before the stateful op — the
+    * bound every watermarked operator shares).
+    *
+    * The sessionize pattern, applied to retro-unlocking: arrivals for
+    * funnel stages are BUFFERED in state rather than judged immediately,
+    * and a stage time is emitted only once it is FINAL — stage k's
+    * candidate min `t` cannot be beaten when `t ≤ watermark`, because
+    * every future arrival carries a later timestamp. So a late `view`
+    * arriving after a `click` still unlocks the click: both sit in the
+    * buffer until the watermark passes them, and the finalize loop then
+    * advances through both in time order. Buffered entries at or below
+    * the watermark can never qualify again after the loop (stage-k
+    * qualification needs ts > the finalized stage-(k−1) time, and any
+    * NOT-yet-final time exceeds the watermark), so they are pruned every
+    * call: state per user is (stage, last) + only the in-flight
+    * fingerprints younger than the watermark — bounded by arrival rate ×
+    * lateness, never stream length. An event-time timeout at the oldest
+    * buffered timestamp guarantees finalization fires even if the user
+    * goes quiet.
+    */
+  def streamingFunnelUnordered(events: org.apache.spark.sql.Dataset[FunnelEvT],
+                               stages: Seq[String],
+                               lateness: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelHitT](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[FunnelBuf]) =>
+          val st = state.getOption.getOrElse(FunnelBuf(0, Long.MinValue, Nil))
+          var buf = st.buf
+          it.foreach { e =>
+            stageIdx.get(e.event_type).foreach { si =>
+              if (si >= st.stage) buf = (si, e.ts.getTime) :: buf
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val hits = List.newBuilder[FunnelHitT]
+          var stage = st.stage
+          var last = st.last_ms
+          var advanced = true
+          while (advanced && stage < stages.length) {
+            advanced = false
+            var t = Long.MaxValue
+            buf.foreach { case (si, ts) =>
+              if (si == stage && ts > last && ts < t) t = ts
+            }
+            if (t != Long.MaxValue && t <= wm) {
+              stage += 1; last = t; advanced = true
+              hits += FunnelHitT(userId, stage, stages(stage - 1), t)
+            }
+          }
+          buf = buf.filter(_._2 > wm)
+          state.update(FunnelBuf(stage, last, buf))
+          if (buf.nonEmpty) {
+            // fire when the watermark passes the oldest buffered event
+            state.setTimeoutTimestamp(buf.map(_._2).min)
+          }
           hits.result().iterator
       }.toDF()
   }

@@ -174,12 +174,69 @@ class StreamingSpec extends SparkSpec {
               .toDF("user_id", "event_type", "ts_ns"), stages)
             .as[(String, Long)].collect().toMap
           val streamed = stages.zipWithIndex.map { case (s, i) =>
-            s"${i + 1}_$s" -> hits.count(_.stage == i + 1).toLong }.toMap
+            f"${i + 1}%02d_$s" -> hits.count(_.stage == i + 1).toLong }.toMap
           assert(streamed == batch,
             s"streaming $streamed must equal batch $batch")
           // and the transitions themselves are the expected ones
           assert(hits.filter(_.user_id == 1L).map(h => (h.stage, h.ts_ns)).sorted
             .toSeq == Seq((1, 10L), (2, 20L), (3, 30L)))
+          assert(!hits.exists(h => h.user_id == 3L && h.stage == 2),
+            "tied click must not advance (strictly-after)")
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$label] unordered streaming funnel matches the batch funnel on a SHUFFLED feed") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[EventStreams.FunnelEvT]
+        val stages = Seq("view", "click", "purchase")
+        val min = 60L * 1000
+        def ev(u: Long, t: String, m: Long) =
+          EventStreams.FunnelEvT(u, t, new Timestamp(m * min))
+        // same scenario as the ordered test, deliberately scrambled:
+        // user 1's purchase arrives FIRST, its view LAST — the ordered
+        // funnel would strand user 1 at stage 0; retro-unlock must not
+        val all = Seq(
+          ev(1L, "view", 10), ev(1L, "click", 20), ev(1L, "purchase", 30),
+          ev(2L, "purchase", 5), ev(2L, "view", 10), ev(2L, "click", 20),
+          ev(3L, "view", 10), ev(3L, "click", 10), // tie: strictly-after blocks
+          ev(4L, "view", 10))
+        val q = EventStreams.streamingFunnelUnordered(mem.toDS(), stages)
+          .writeStream.format("memory").queryName(s"funnel_un_$label")
+          .outputMode("append").start()
+        try {
+          mem.addData(ev(1L, "purchase", 30), ev(3L, "click", 10), ev(2L, "click", 20))
+          q.processAllAvailable()
+          mem.addData(ev(1L, "click", 20), ev(2L, "purchase", 5),
+            ev(3L, "view", 10), ev(4L, "view", 10))
+          q.processAllAvailable()
+          mem.addData(ev(1L, "view", 10), ev(2L, "view", 10))
+          q.processAllAvailable()
+          // nothing may finalize before the watermark passes the events
+          assert(spark.table(s"funnel_un_$label").isEmpty,
+            "hits must only be emitted once final (watermark-gated)")
+          // sentinels push the watermark (2h lateness) past every event;
+          // the second gives the timeout-triggered batch a chance to run
+          mem.addData(ev(999L, "noise", 30 + 121))
+          q.processAllAvailable()
+          mem.addData(ev(999L, "noise", 30 + 122))
+          q.processAllAvailable()
+          val hits = spark.table(s"funnel_un_$label")
+            .as[EventStreams.FunnelHitT].collect()
+          val batch = graft.operators.Relational.funnel(
+            all.map(e => (e.user_id, e.event_type, e.ts.getTime))
+              .toDF("user_id", "event_type", "ts_ns"), stages)
+            .as[(String, Long)].collect().toMap
+          val streamed = stages.zipWithIndex.map { case (s, i) =>
+            f"${i + 1}%02d_$s" -> hits.count(_.stage == i + 1).toLong }.toMap
+          assert(streamed == batch,
+            s"shuffled streaming $streamed must equal batch $batch")
+          assert(hits.filter(_.user_id == 1L).map(h => (h.stage, h.ts_ms)).sorted
+            .toSeq == Seq((1, 10 * min), (2, 20 * min), (3, 30 * min)),
+            "late view must retro-unlock click and purchase")
+          assert(hits.filter(_.user_id == 2L).map(_.stage).sorted.toSeq == Seq(1, 2),
+            "pre-view purchase must not satisfy the purchase stage")
           assert(!hits.exists(h => h.user_id == 3L && h.stage == 2),
             "tied click must not advance (strictly-after)")
         } finally q.stop()
