@@ -63,6 +63,43 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("recall floor holds at the sf1-equivalent decade (10x-replicated corpus)") {
+    // the bench's big-decade shape (tools/gen_scale.py), made adversarial:
+    // 10 NEAR-replicas per vector under shifted ids (deterministic gaussian
+    // jitter, renormalized — cosine ≈ 0.9 to the original). Exact copies
+    // would share buckets and score recall 1.0 trivially; near-copies
+    // straddle LSH hyperplanes and IVF cell boundaries, so the floors
+    // asserted here are a real quality counterweight to every
+    // bucket-sizing dial at replica-heavy scale.
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val stride = src.map(_._1).max + 1
+    val big = for {
+      r <- 0 until 10
+      (id, v) <- src
+    } yield {
+      if (r == 0) (id, v)
+      else {
+        val rnd = new scala.util.Random(id * 31 + r)
+        val p = v.map(x => x + 0.06f * rnd.nextGaussian().toFloat)
+        val n = math.sqrt(p.map(x => x.toDouble * x).sum)
+        (id + r * stride, p.map(x => (x / n).toFloat))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf1eq_ann").toString
+    big.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rec = Ann.annRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    info(s"sf1-equiv recall@k: $rec")
+    // deterministic corpus + deterministic training ⇒ exact reproducible
+    // values (measured: ivf 1.0, ivf_pq 1.0, lsh 0.875); floors leave
+    // margin for k/probe retuning without silencing a real regression
+    assert(rec("ivf") >= 0.9, s"ivf recall ${rec("ivf")} below floor at the big decade")
+    assert(rec("ivf_pq") >= 0.8, s"ivf_pq recall ${rec("ivf_pq")} below floor")
+    assert(rec("lsh") >= 0.7, s"lsh recall ${rec("lsh")} below floor")
+  }
+
   test("ivf: k results per query, recall beats chance, deterministic") {
     val exact = Ann.annBruteforce(spark, sf, nQueries = 8, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
