@@ -16,6 +16,7 @@ object SparkEntry {
     Relational.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
       graft.functions.TextFuncs.queries ++ graft.functions.Bpe.queries ++
+      graft.functions.UnigramLm.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.streaming.EventStreams.queries ++ graft.pipeline.Curate.queries ++
       graft.pipeline.Mix.queries
@@ -27,6 +28,7 @@ object SparkEntry {
     Relational.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.functions.Bpe.oracles ++
+      graft.functions.UnigramLm.oracles ++
       graft.streaming.EventStreams.oracles ++
       graft.pipeline.Curate.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.pipeline.Mix.oracles

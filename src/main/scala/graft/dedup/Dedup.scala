@@ -801,7 +801,12 @@ object Dedup {
                              minBits: Int = MinLshBits,
                              maxBits: Int = MaxLshBits,
                              maxBucket: Int = MaxRepBucket): DataFrame = {
+    // the rep table feeds THREE consumers (the sizing count, candidate
+    // pairing, member re-attachment) — persist it so the collapse shuffle
+    // runs once, not per consumer. Operator-owned persist, reclaimed by
+    // the session's clearCache like the shared posting lists.
     val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .persist()
     // one aggregate job over the collapsed reps (tiny next to the pairing
     // it sizes) — the IVF pattern: a bounded driver-side scalar, not data
     val bits = lshBitsFor(reps.count(), targetBucket, minBits, maxBits)
@@ -819,6 +824,7 @@ object Dedup {
                                   bits: Int = 4, threshold: Double = 0.95,
                                   ccIterations: Int = CcIterations): DataFrame = {
     val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .persist() // shared by pairing + re-attachment (see above)
     val repClusters = clusterReps(reps, bits, threshold, ccIterations, None)
     attachMembers(emb, reps, repClusters)
   }
@@ -863,11 +869,11 @@ object Dedup {
     * sequence is prefix-stable, so truncation ≡ bucketing at `bits`),
     * then the [[MaxRepBucket]] hot-bucket prune as a window count.
     */
-  val dedupEmbeddingClustersOracle: String = {
+  def dedupEmbeddingClustersOracleFor(targetBucket: Int): String = {
     val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", MaxLshBits)
     s"""WITH reps AS MATERIALIZED (
        |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
-       |bw AS (SELECT ${lshBitsSqlCase("COUNT(*)")} AS bits FROM reps),
+       |bw AS (SELECT ${lshBitsSqlCase("COUNT(*)", targetBucket)} AS bits FROM reps),
        |bf AS (SELECT rep AS vec_id, embedding, BUCKET_EXPR AS bucket12 FROM reps),
        |bc AS (
        |  SELECT vec_id, embedding, bucket FROM (
@@ -880,6 +886,18 @@ object Dedup {
        |${clusterOracleTail(0.95)}""".stripMargin
       .replace("BUCKET_EXPR", bucket)
   }
+
+  val dedupEmbeddingClustersOracle: String =
+    dedupEmbeddingClustersOracleFor(TargetBucket)
+
+  /** C33c oracle: [[dedupEmbeddingClustersOracleFor]] at targetBucket=16 —
+    * at the sf0.01 gate (500 distinct vectors) the CASE chain lands on 5
+    * bits, so the adaptive width + prefix truncation are HASH-VERIFIED
+    * cross-engine, not just unit-tested (the production default of 128
+    * stays at the 4-bit floor at every test SF).
+    */
+  val dedupEmbeddingClustersDenseOracle: String =
+    dedupEmbeddingClustersOracleFor(16)
 
   // --------------------------------------------------------------- C30
   /** Cross-document duplicated-span coverage — the corpus-level complement
@@ -957,7 +975,9 @@ object Dedup {
     "dedup_embedding_cc"  -> ((s: SparkSession, d: String) =>
       dedupEmbeddingClusters(Tables.embeddings(s, d))),
     "dedup_embedding_cc_exact" -> ((s: SparkSession, d: String) =>
-      dedupEmbeddingClustersExact(Tables.embeddings(s, d))))
+      dedupEmbeddingClustersExact(Tables.embeddings(s, d))),
+    "dedup_embedding_cc_dense" -> ((s: SparkSession, d: String) =>
+      dedupEmbeddingClusters(Tables.embeddings(s, d), targetBucket = 16)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
@@ -969,5 +989,6 @@ object Dedup {
     "dedup_simhash_nn"    -> dedupSimhashNnOracle,
     "dedup_span_cross"    -> crossDocSpansOracle,
     "dedup_embedding_cc"  -> dedupEmbeddingClustersOracle,
-    "dedup_embedding_cc_exact" -> dedupEmbeddingClustersExactOracle)
+    "dedup_embedding_cc_exact" -> dedupEmbeddingClustersExactOracle,
+    "dedup_embedding_cc_dense" -> dedupEmbeddingClustersDenseOracle)
 }

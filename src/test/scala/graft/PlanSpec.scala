@@ -39,7 +39,8 @@ class PlanSpec extends SparkSpec {
       "dedup_incremental", "dedup_ngram_jaccard", "ann_recall",
       "dedup_span_cross", // checkpointed fingerprint posting list
       "dedup_embedding_cc", // checkpointed pair edges + label rounds
-      "dedup_embedding_cc_exact")
+      "dedup_embedding_cc_exact",
+      "dedup_embedding_cc_dense") // same kernel, denser buckets
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -210,6 +210,39 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == (("no sensitive content here at all", 0, 0, 0)))
   }
 
+  test("lm score: matches an independent fold; junk scores below corpus prose") {
+    import graft.functions.UnigramLm
+    val dir = Files.createTempDirectory("graft_lm").toString
+    val docs = Seq(
+      (0L, "join hash row the a", "en", "s", 20L),
+      (1L, "zzz qqq wwraith gibberish", "en", "s", 24L),
+      (2L, "join join join", "en", "s", 14L),
+      (3L, "", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = UnigramLm.textLmScore(spark, dir)
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, n, sc) => id -> ((n, sc)) }.toMap
+    // independent per-doc reference straight from the literal table
+    val vocab = UnigramLm.DefaultVocab.toMap
+    docs.foreach { case (id, text, _, _, _) =>
+      val toks = text.split(" ", -1)
+      val want = toks.map(t => vocab.getOrElse(t, UnigramLm.OovLogpMicro))
+        .sum.toDouble / (toks.length * 1e6)
+      val (n, sc) = got(id)
+      assert(n == toks.length, s"doc $id token count")
+      assert(math.abs(sc - want) < 1e-12, s"doc $id: got $sc want $want")
+    }
+    // junk (all-OOV) must score far below in-vocabulary prose
+    assert(got(1L)._2 < got(0L)._2 - 1.0,
+      s"OOV junk ${got(1L)._2} must sit below corpus prose ${got(0L)._2}")
+    // scoring stays inside whole-stage codegen (native expression)
+    val df = UnigramLm.textLmScore(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && !plan.contains("ScalaUDF"))
+  }
+
   test("fingerprint: deterministic, identical docs identical checksums") {
     val fp1 = TextFuncs.textFingerprint(spark, corpusDir).collect()
     val fp2 = TextFuncs.textFingerprint(spark, corpusDir).collect()
