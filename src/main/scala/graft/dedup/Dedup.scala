@@ -727,10 +727,14 @@ object Dedup {
     val bucketed = reps.withColumn("bucket",
       graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
     val e = maxBucket.fold(bucketed) { cap =>
-      bucketed
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
-        .filter(col("__n") <= cap)
-        .drop("__n")
+      // bucket sizes via a (bucket)-only aggregate + broadcast semi join —
+      // a window count would shuffle every row WITH its embedding array;
+      // this shuffles map-combined (bucket, count) pairs (≤ 2^bits rows)
+      // and prunes map-side
+      val keep = broadcast(bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        .select("bucket"))
+      bucketed.join(keep, "bucket")
     }
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("bucket"))
