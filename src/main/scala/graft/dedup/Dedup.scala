@@ -722,20 +722,23 @@ object Dedup {
     * away before any shuffle, propagation input is the near-dup subset
     * only. Returns (vec_id, cluster_id) for every rep.
     */
+  /** Keep only rows whose `bucket` holds ≤ `cap` rows. Bucket sizes via a
+    * (bucket)-only aggregate + broadcast semi join — a window count would
+    * shuffle every row WITH its embedding array; this shuffles map-combined
+    * (bucket, count) pairs (≤ 2^bits rows) and prunes map-side.
+    */
+  private[graft] def pruneHotBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
+    val keep = broadcast(bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+      .select("bucket"))
+    bucketed.join(keep, "bucket")
+  }
+
   private def clusterReps(reps: DataFrame, bits: Int, threshold: Double,
                           ccIterations: Int, maxBucket: Option[Int]): DataFrame = {
     val bucketed = reps.withColumn("bucket",
       graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
-    val e = maxBucket.fold(bucketed) { cap =>
-      // bucket sizes via a (bucket)-only aggregate + broadcast semi join —
-      // a window count would shuffle every row WITH its embedding array;
-      // this shuffles map-combined (bucket, count) pairs (≤ 2^bits rows)
-      // and prunes map-side
-      val keep = broadcast(bucketed.groupBy("bucket")
-        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
-        .select("bucket"))
-      bucketed.join(keep, "bucket")
-    }
+    val e = maxBucket.fold(bucketed)(pruneHotBuckets(bucketed, _))
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("bucket"))
     val pairs = a.join(b, Seq("bucket"))

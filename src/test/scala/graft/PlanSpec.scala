@@ -151,6 +151,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding-cluster hot-bucket cap prunes via broadcast, never a window") {
+    // the cap sits behind a localCheckpoint inside the registered query,
+    // so pin the kernel itself: bucket sizes from a (bucket)-only
+    // map-combined aggregate, broadcast back as the filter — a window
+    // count would shuffle every rep WITH its float[] embedding
+    val bucketed = Tables.embeddings(spark, sf)
+      .withColumn("bucket", ann.Ann.hyperplaneBucket(col("embedding"), 4))
+    val pruned = dedup.Dedup.pruneHotBuckets(bucketed, 64)
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "bucket cap lost its broadcast")
+    assert(!p.contains("Window"), "bucket cap regressed to a window count")
+    assert(p.contains("partial_count"), "bucket counts lost map-side combine")
+  }
+
   test("whole-stage codegen covers the aggregation hot paths") {
     // AQE's final-plan rendering marks codegen'd stages with a "*(n)" prefix
     Seq("q1_pricing_summary", "dedup_minhash", "text_quality").foreach { n =>
