@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LakehouseOps, Relational}
+import graft.operators.{LakehouseOps, Relational, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LakehouseOps.queries ++
+    Relational.queries ++ TpchTail.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
       graft.functions.TextFuncs.queries ++ graft.functions.Bpe.queries ++
       graft.functions.UnigramLm.queries ++
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
     * then records a weaker rows-only check; ScalaTest covers those). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LakehouseOps.oracles ++
+    Relational.oracles ++ TpchTail.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.functions.Bpe.oracles ++
       graft.functions.UnigramLm.oracles ++
