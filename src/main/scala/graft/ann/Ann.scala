@@ -264,7 +264,7 @@ object Ann {
     array(cs.map { case (cell, arr) =>
       struct(dot(v, typedLit(arr.toSeq)).as("sim"), lit(cell).as("cell"))
     }: _*)
-  private def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
+  private[graft] def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
     array_max(cellScores(v, cs)).getField("cell")
 
   /** The IVF query skeleton shared by [[annIvf]] and [[annIvfPq]]:
@@ -301,7 +301,7 @@ object Ann {
     * shared by the query and its literal-model oracle generator so both
     * always see the identical centroids.
     */
-  private[ann] def trainIvf(s: SparkSession, dir: String,
+  private[graft] def trainIvf(s: SparkSession, dir: String,
                             nCells: Int = IvfCells,
                             iterations: Int = LloydIters,
                             maxTrain: Int = MaxTrain): Seq[(Long, Array[Float])] = {
@@ -512,8 +512,11 @@ object Ann {
     * literals makes the whole query DuckDB-checkable — the same trick
     * cosineLshBucketSql uses for its hyperplanes.
     */
-  private def ivfSqlCtes(centroids: Seq[(Long, Array[Float])],
-                         nQueries: Int, nProbe: Int): String = {
+  /** The cent → sc → assigned CTE prefix alone (no probes) — shared with
+    * the semantic-dedup oracle (graft.dedup.Dedup.semanticDedup), whose
+    * pair join needs cell assignment but no query probing.
+    */
+  private[graft] def assignedSqlCte(centroids: Seq[(Long, Array[Float])]): String = {
     val rows = centroids.sortBy(_._1)
       .map { case (c, v) => s"($c, CAST(${dlist(v)} AS DOUBLE[]))" }
       .mkString(",\n    ")
@@ -527,7 +530,12 @@ object Ann {
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT vec_id, embedding, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-       |    FROM sc) t WHERE rn = 1),
+       |    FROM sc) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfSqlCtes(centroids: Seq[(Long, Array[Float])],
+                         nQueries: Int, nProbe: Int): String = {
+    s"""${assignedSqlCte(centroids)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cell FROM (
        |    SELECT vec_id, embedding, cell,

@@ -968,8 +968,94 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C36
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embedding space with the SAME deterministic coarse quantizer the IVF
+    * index trains (bounded hash-sample + driver-side Lloyd,
+    * graft.ann.Ann.trainIvf), then mark a vector a semantic duplicate when
+    * some LOWER-id vector in its cell has cosine ≥ threshold (keep-first,
+    * like every other dedup here). The reference repo has no embedding
+    * surface at all — this is north-star territory (BASELINE.json) — but
+    * its keep-one-per-group MERGE/dedup verbs (tasks/Query History API to
+    * Delta_withmetrics.py row_number-qualify) set the keep-first semantics.
+    *
+    * Scale shape: cell assignment is a pure scan-stage projection (nCells
+    * literal dot products per row, no shuffle — the IVF trick); the one
+    * shuffle is the cell-key join, and pairs are generated only INSIDE
+    * cells, so candidate volume is Σ|cell|² — governed by nCells, which at
+    * production scale is sized ~√N (SemDeDup's own regime) so cells stay
+    * bounded. The best-lower-neighbor reduce is a map-side-combinable
+    * struct-max aggregation, not a window, so a hot cell splits across
+    * tasks under AQE instead of pinning one.
+    */
+  def semanticDedup(emb: DataFrame, centroids: Seq[(Long, Array[Float])],
+                    threshold: Double = SemThreshold): DataFrame = {
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
+    val lower = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+      col("embedding").as("nn_emb"))
+    // project embeddings away the moment the cosine exists: the aggregate
+    // input carries 24 bytes/pair, not two 256-byte vectors
+    val best = assigned.join(lower, Seq("cell"))
+      .filter(col("nn_id") < col("vec_id"))
+      .select(col("vec_id"),
+        graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"),
+        col("nn_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("nn_id")).as("neg_nn"))).as("m"))
+      .select(col("vec_id"), col("m.cosine").as("nn_cos"),
+        (-col("m.neg_nn")).as("nn_id"))
+    assigned.select("vec_id", "cell")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_id"), col("nn_cos"),
+        coalesce(col("nn_cos") >= threshold, lit(false)).as("is_semdup"))
+      .orderBy("vec_id")
+  }
+
+  private[graft] val SemThreshold = 0.93
+
+  def dedupSemanticQuery(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir), graft.ann.Ann.trainIvf(s, dir))
+
+  /** Literal-model oracle (the ann_ivf trick): the trained centroids enter
+    * as SQL literals, assignment/pairing/keep-first replayed relationally.
+    * Generated at Verify time with the same (session, sfDir) — see
+    * [[dynamicOracles]].
+    */
+  def dedupSemanticOracleSql(s: SparkSession, dir: String): String = {
+    val ctes = graft.ann.Ann.assignedSqlCte(graft.ann.Ann.trainIvf(s, dir))
+    s"""WITH $ctes,
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nn_id,
+       |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                     CAST(b.embedding AS DOUBLE[])) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |best AS (
+       |  SELECT vec_id, nn_id, cosine AS nn_cos FROM (
+       |    SELECT vec_id, nn_id, cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY cosine DESC, nn_id) AS rn
+       |    FROM pairs) t WHERE rn = 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, b.nn_id, b.nn_cos,
+       |  COALESCE(b.nn_cos >= $SemThreshold, FALSE) AS is_semdup
+       |FROM assigned a LEFT JOIN best b USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** Data-dependent oracles (trained-model literals) — merged into the
+    * Verify dump by SparkEntry.dynamicOracleSql, same contract as
+    * graft.ann.Ann.dynamicOracles.
+    */
+  def dynamicOracles(s: SparkSession, dir: String,
+                     wanted: String => Boolean = _ => true): Map[String, String] =
+    if (wanted("dedup_semantic"))
+      Map("dedup_semantic" -> dedupSemanticOracleSql(s, dir))
+    else Map.empty
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic"      -> ((s: SparkSession, d: String) => dedupSemanticQuery(s, d)),
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => dedupIncrementalQuery(s, d)),

@@ -353,4 +353,41 @@ class DedupSpec extends SparkSpec {
     val cos = rows.map(_.getDouble(2))
     assert(cos.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
   }
+
+  test("dedup_semantic: keep-first within cells; below-threshold and " +
+    "lone-in-cell vectors survive") {
+    // two orthogonal cells; v1 a near-copy of v0 (cos ≈ 1), v2 same cell
+    // but cos(v0,v2) = 0.9 < 0.93, v3 alone in cell 1
+    def n(v: Array[Float]): Array[Float] = {
+      val s = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / s)
+    }
+    val centroids: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+    val emb = Seq(
+      (0L, n(Array(1f, 0f, 0f, 0f))),
+      (1L, n(Array(1f, 0.01f, 0f, 0f))),
+      (2L, n(Array(0.9f, 0f, (math.sqrt(1 - 0.81) max 0).toFloat, 0f))),
+      (3L, n(Array(0f, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, centroids)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(rows(0L) == (0L, false)) // no lower id in cell → kept
+    assert(rows(1L)._2)             // near-copy of 0 → semantic dup
+    assert(rows(2L) == (0L, false)) // cos 0.9 below threshold → kept
+    assert(rows(3L) == (1L, false)) // alone in its cell → kept
+    // the best-lower-neighbor of 1 must be 0 with cos ≈ 1
+    val r1 = out.filter(col("vec_id") === 1L).collect()(0)
+    assert(r1.getLong(2) == 0L && r1.getDouble(3) > 0.99)
+  }
+
+  test("dedup_semantic: plan has no windows — assignment is a projection, " +
+    "keep-first is an aggregate") {
+    val plan = Dedup.dedupSemanticQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "semantic dedup must not window: argmax cell via array_max, " +
+        "best-neighbor via struct-max aggregate")
+  }
 }
