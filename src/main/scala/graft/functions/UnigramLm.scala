@@ -87,6 +87,52 @@ object UnigramLm {
       .select("doc_id", "n_tokens", "lm_score")
       .orderBy("doc_id")
 
+  /** CCNet's head/middle/tail split (Wenzek et al. §4.3): per LANGUAGE,
+    * rank documents by LM score and cut the corpus into thirds — head =
+    * best-scoring third (most like the reference corpus), tail = worst.
+    * CCNet keeps head+middle for pretraining; the bucket column is the
+    * exact signal that decision consumes.
+    *
+    * Cut points are discrete order statistics (percentile_disc at 1/3 and
+    * 2/3: the smallest score whose ascending cumulative count covers the
+    * fraction), NOT interpolated quantiles — thresholds are then values
+    * the data actually contains, and every comparison is between doubles
+    * BOTH engines computed from identical integer operands, so the
+    * bucketing is hash-exact cross-engine with no epsilon anywhere.
+    *
+    * Scale shape: scoring is the same shuffle-free scan as
+    * [[textLmScore]]; the cumulative window rides the COMPRESSED
+    * (lang, distinct score) histogram (workload-compressed, like the SCD2
+    * interval stitch), never the documents; the 2-row-per-language
+    * threshold table broadcasts back. Text bytes are read twice and
+    * shuffled never.
+    */
+  def corpusCcnetBuckets(s: SparkSession, dir: String,
+                         vocab: Seq[(String, Long)] = DefaultVocab,
+                         oov: Long = OovLogpMicro): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (lp_sum(col("text"), vocab, oov).cast("double") /
+          (size(split(col("text"), " ")).cast("double") * 1e6)).as("lm_score"))
+    val hist = scored.groupBy("lang", "lm_score").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("lm_score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t33"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("t67"))
+    scored.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") <= col("t33"), lit("tail"))
+          .when(col("lm_score") <= col("t67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** The same literals as SQL; the integer sum makes the score
@@ -108,12 +154,48 @@ object UnigramLm {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Same CTE chain as the Spark plan: score → distinct-score histogram →
+    * ascending cumulative counts → discrete thirds → bucket.
+    */
+  val corpusCcnetBucketsOracle: String = {
+    val rows = DefaultVocab
+      .map { case (t, lp) => s"(${sqlQuote(t)}, ${lp}::BIGINT)" }
+      .mkString(",\n    ")
+    s"""WITH v(tok, lp) AS (VALUES
+       |    $rows),
+       |w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |         CAST(SUM(COALESCE(l.lp, ${OovLogpMicro}::BIGINT)) AS DOUBLE)
+       |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS lm_score
+       |       FROM w LEFT JOIN v l USING (tok) GROUP BY doc_id, lang),
+       |hist AS (SELECT lang, lm_score, COUNT(*) AS c
+       |         FROM sc GROUP BY lang, lm_score),
+       |cum AS (SELECT lang, lm_score,
+       |          SUM(c) OVER (PARTITION BY lang ORDER BY lm_score
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |          SUM(c) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |th AS (SELECT lang,
+       |         MIN(CASE WHEN cum * 3 >= n THEN lm_score END) AS t33,
+       |         MIN(CASE WHEN cum * 3 >= n * 2 THEN lm_score END) AS t67
+       |       FROM cum GROUP BY lang)
+       |SELECT doc_id, sc.lang, lm_score,
+       |  CASE WHEN lm_score <= t33 THEN 'tail'
+       |       WHEN lm_score <= t67 THEN 'middle'
+       |       ELSE 'head' END AS bucket
+       |FROM sc JOIN th ON sc.lang = th.lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_lm_score" -> ((s: SparkSession, d: String) => textLmScore(s, d)))
+    "text_lm_score" -> ((s: SparkSession, d: String) => textLmScore(s, d)),
+    "corpus_ccnet_buckets" -> ((s: SparkSession, d: String) => corpusCcnetBuckets(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "text_lm_score" -> textLmScoreOracle)
+    "text_lm_score" -> textLmScoreOracle,
+    "corpus_ccnet_buckets" -> corpusCcnetBucketsOracle)
 }
 
 /** Native expression: Σ log10 p(token) in micro-units over the space-split

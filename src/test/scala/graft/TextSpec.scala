@@ -243,6 +243,29 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("*(") && !plan.contains("ScalaUDF"))
   }
 
+  test("ccnet buckets: per-language thirds by LM score, head above tail") {
+    import graft.functions.UnigramLm
+    val dir = Files.createTempDirectory("graft_ccnet").toString
+    // 6 'en' docs with strictly decreasing junk content → strictly
+    // increasing scores; 1 lone 'xx' doc (its own language third)
+    val en = (0 until 6).map { i =>
+      val toks = Seq.fill(6 - i)("zzz") ++ Seq.fill(i)("join")
+      (i.toLong, toks.mkString(" "), "en", "s", 20L)
+    }
+    val docs = en :+ ((9L, "join hash", "xx", "s", 9L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = UnigramLm.corpusCcnetBuckets(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    // ascending score order is doc_id order by construction: 0,1 tail /
+    // 2,3 middle / 4,5 head (discrete thirds over 6 distinct scores)
+    assert(got(0L)._2 == "tail" && got(1L)._2 == "tail")
+    assert(got(2L)._2 == "middle" && got(3L)._2 == "middle")
+    assert(got(4L)._2 == "head" && got(5L)._2 == "head")
+    // a single-doc language: its one score covers every third → tail
+    assert(got(9L) == (("xx", "tail")))
+  }
+
   test("fingerprint: deterministic, identical docs identical checksums") {
     val fp1 = TextFuncs.textFingerprint(spark, corpusDir).collect()
     val fp2 = TextFuncs.textFingerprint(spark, corpusDir).collect()
