@@ -260,8 +260,18 @@ object Dedup {
     // are instead reclaimed by the ContextCleaner once the driver GCs
     // the dropped reference (periodic GC bounds this), so long-lived
     // sessions don't accumulate pinned caches.
+    hammingCandidates(simhashTable(docs), maxBucket)
+  }
+
+  /** The Manku-block candidate kernel over ANY (doc_id, simhash) table —
+    * shared by text simhash NN and the multimodal perceptual-hash dedup
+    * (graft.multimodal.Multimodal.mmImageDedup). See the scaladoc above
+    * for the hot-block guard + checkpoint rationale.
+    */
+  private[graft] def hammingCandidates(sigs: DataFrame,
+                                       maxBucket: Int): DataFrame = {
     val wBlock = Window.partitionBy("block", "bv")
-    val blocks = simhashTable(docs)
+    val blocks = sigs
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("block"),
@@ -284,15 +294,23 @@ object Dedup {
   }
 
   def simhashNn(docs: DataFrame, maxHamming: Int = 3,
-                maxBucket: Int = SimhashMaxBucket): DataFrame = {
-    val cand = simhashCandidates(docs, maxBucket)
+                maxBucket: Int = SimhashMaxBucket): DataFrame =
+    hammingNnReport(docs.select("doc_id"),
+      simhashCandidates(docs, maxBucket), maxHamming)
+
+  /** Best-neighbor report over a hamming candidate table: per id, the
+    * minimum-distance neighbor (ties → lower id) and the ≤maxHamming dup
+    * flag; ids without candidates survive with null neighbor.
+    */
+  private[graft] def hammingNnReport(ids: DataFrame, cand: DataFrame,
+                                     maxHamming: Int): DataFrame = {
     // a pair agreeing on k blocks appears k times with identical sort
     // keys — rn=1 picks the same winner, so no dedup pass is needed
     val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("nn_id"))
     val best = cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("nn_id"), col("hamming"))
-    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+    ids.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nn_id"), col("hamming"),
         (col("hamming") <= maxHamming).as("is_dup"))
       .orderBy("doc_id")
@@ -594,11 +612,19 @@ object Dedup {
     * two's-complement value so the whole sum stays in BIGINT — identical
     * to Spark's wrapping `shiftleft(1L, 63)`.
     */
-  private def simhashSqlCtes: String = {
-    val weights = (0 until 64).map { j =>
+  /** VALUES rows (j, 2^j) for rebuilding a 64-bit signature from per-bit
+    * rows in SQL — j=63 wraps to Long.MinValue (DuckDB sums in HUGEINT,
+    * the BIGINT cast restores two's complement). Shared with the image
+    * perceptual-hash oracle (graft.multimodal.Multimodal).
+    */
+  private[graft] def bitWeightsSqlValues: String =
+    (0 until 64).map { j =>
       val w = 1L << j // j=63 wraps to Long.MinValue — intended
       if (w < 0) s"($j, -9223372036854775807 - 1)" else s"($j, ${w}::BIGINT)"
     }.mkString(", ")
+
+  private def simhashSqlCtes: String = {
+    val weights = bitWeightsSqlValues
     s"""tok AS (
        |  SELECT doc_id, md5(tok) AS hx
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -156,6 +156,37 @@ object Multimodal {
       * PNG: target (x, y) reads source (x·sw/tw, y·sh/th). Deterministic
       * by construction (no platform-dependent interpolation).
       */
+    /** 64-bit perceptual difference hash (dHash) over a really-decoded
+      * image: nearest-neighbor downsample to a 9×8 luma grid (the same
+      * deterministic sampling as [[resizePng]]), bit (x,y) = luma rises
+      * left→right. Integer BT.601 luma (299r+587g+114b — ×1000, no
+      * floats) keeps every comparison exact and SQL-replayable. Constant
+      * brightness shifts barely move it; re-encodes/resizes of the same
+      * picture collapse to nearby hashes — the standard image near-dup
+      * key (the visual analogue of text simhash).
+      */
+    def dhash(payload: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "not a decodable image")
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      def luma(gx: Int, gy: Int): Int = {
+        val rgb = img.getRGB(gx * sw / 9, gy * sh / 8)
+        299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)
+      }
+      var sig = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x + 1, y) > luma(x, y)) sig |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      sig
+    }
+
     def resizePng(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
       val src = ImageIO.read(new ByteArrayInputStream(payload))
       require(src != null, "not a decodable image")
@@ -304,10 +335,104 @@ object Multimodal {
       |  CASE WHEN k = 2 THEN len(string_split(text, ' '))::BIGINT END AS n_tokens
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ image dedup
+  /** Per-image 64-bit dHash via the real codec path: encode the formula
+    * image to PNG, decode it back, hash the decoded pixels. One batched
+    * mapPartitions pass (the codec rung), no shuffle.
+    */
+  def imagePhashes(s: SparkSession, dir: String,
+                   batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { id =>
+        (id, Codecs.dhash(Codecs.encodePng(id)))
+      }))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** C38: image near-dup dedup — the visual member of the dedup family.
+    * Perceptual dHash per really-decoded image (scan-stage, shuffle-free),
+    * then the SAME Manku 4×16-bit block kernel text simhash uses
+    * (graft.dedup.Dedup.hammingCandidates: hot-block cap, pairs only
+    * inside blocks) and the same best-neighbor report. At 100 TB the
+    * image bytes never shuffle — only 8-byte hashes and block keys do.
+    *
+    * Exactly oracle-checked like C12: payloads derive from the pixel
+    * formula, so DuckDB recomputes the 9×8 luma grid → dHash → block join
+    * from the formula directly; the hash match proves the codec round
+    * trip AND the hash/join plumbing bit-for-bit.
+    */
+  def mmImageDedup(s: SparkSession, dir: String, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sigs = imagePhashes(s, dir)
+    // the ids side reads only doc ids — no second encode/decode pass
+    val ids = Tables.documents(s, dir).select("doc_id")
+      .filter(col("doc_id") % 3 === 0)
+    graft.dedup.Dedup.hammingNnReport(ids,
+      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket), maxHamming)
+  }
+
+  /** DuckDB replays the dHash from the generative pixel formula: 9×8
+    * nearest-neighbor luma grid (integer BT.601 ×1000), horizontal rises
+    * as bits, two's-complement 64-bit rebuild via the shared bit-weight
+    * VALUES, then the Manku block join — column-for-column the Spark
+    * plan over hashes the real codecs produced.
+    */
+  val mmImageDedupOracle: String = {
+    val weights = graft.dedup.Dedup.bitWeightsSqlValues
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + doc_id % 17 AS w0, 16 + doc_id % 13 AS h0
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |pw(j, w) AS (VALUES $weights),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    (j % 8) AS x, (j // 8) AS y,
+       |    ((x * w0) // 9) AS sxa, (((x + 1) * w0) // 9) AS sxb,
+       |    ((y * h0) // 8) AS sy,
+       |    299 * ((sxa * 7 + sy * 13 + doc_id) % 256)
+       |      + 587 * ((sxa * 3 + sy + doc_id * 5) % 256)
+       |      + 114 * ((sxa + sy + doc_id * 11) % 256) AS lum1,
+       |    299 * ((sxb * 7 + sy * 13 + doc_id) % 256)
+       |      + 587 * ((sxb * 3 + sy + doc_id * 5) % 256)
+       |      + 114 * ((sxb + sy + doc_id * 11) % 256) AS lum2
+       |  FROM d CROSS JOIN range(64) js(j)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN b.lum2 > b.lum1 THEN pw.w END), 0)
+       |      AS BIGINT) AS simhash
+       |  FROM bits b JOIN pw USING (j) GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT doc_id, simhash, bk.block,
+       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
+       |  FROM sig CROSS JOIN range(4) bk(block)),
+       |pruned AS (
+       |  SELECT doc_id, simhash, block, bv FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
+       |    FROM blocks) t WHERE n <= 1000),
+       |cand AS (
+       |  SELECT a.doc_id, b.doc_id AS nn_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM pruned a JOIN pruned b USING (block, bv)
+       |  WHERE a.doc_id <> b.doc_id),
+       |best AS (
+       |  SELECT doc_id, nn_id, hamming FROM (
+       |    SELECT doc_id, nn_id, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY hamming, nn_id) AS rn
+       |    FROM cand) t WHERE rn = 1)
+       |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
+       |FROM d LEFT JOIN best b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_pipeline" -> ((s: SparkSession, d: String) => mmBinaryPipeline(s, d)))
+    "mm_binary_pipeline" -> ((s: SparkSession, d: String) => mmBinaryPipeline(s, d)),
+    "mm_image_dedup" -> ((s: SparkSession, d: String) => mmImageDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_pipeline" -> mmBinaryPipelineOracle)
+    "mm_binary_pipeline" -> mmBinaryPipelineOracle,
+    "mm_image_dedup" -> mmImageDedupOracle)
 }

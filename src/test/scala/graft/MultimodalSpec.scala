@@ -91,4 +91,34 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(small.toSeq == big.toSeq)
   }
+
+  test("dHash: brightness-shift invariant away from wraps, dims-independent length") {
+    // +k on every channel flips a luma comparison only where a channel
+    // wraps mod 256; a 1-unit shift flips few bits — the near-dup property
+    val base = Codecs.dhash(Codecs.encodePng(42L))
+    assert(base == Codecs.dhash(Codecs.encodePng(42L))) // deterministic
+    val shifted = Codecs.dhash(Codecs.encodePng(42L + 256 * 221)) // same dims, +r/g/b shift
+    assert(java.lang.Long.bitCount(base ^ shifted) <= 16,
+      "a brightness-style shift must move few dHash bits")
+  }
+
+  test("mm_image_dedup: identical formula images pair at hamming 0") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mmid").toString
+    // Δ = 3·lcm(256,17,13) = 169728: identical dims AND identical pixels
+    // (every channel shift ≡ 0 mod 256) → identical PNGs → dHash equal
+    Seq((0L, "x", "en", "s", 1L), (169728L, "y", "en", "s", 1L),
+      (3L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.mmImageDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2), r.getBoolean(3)))))
+      .toMap
+    assert(rows(0L).contains((169728L, 0, true)))
+    assert(rows(169728L).contains((0L, 0, true)))
+    // the third image is unrelated: either no candidate in any block, or
+    // a far-off one — never a 0-distance pair
+    assert(rows(3L).forall(_._2 > 0))
+  }
 }
