@@ -605,7 +605,61 @@ object TextFuncs {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- C39
+  /** Scale-true global top-k tokens — the heavy-hitters shape for corpora
+    * whose VOCABULARY doesn't fit a full count shuffle (web n-grams,
+    * URLs): per-partition Misra–Gries summaries (fixed `width` counters,
+    * one pass), then ONE exact broadcast-filtered recount of the
+    * surviving candidates only. Pigeonhole guarantees the union of
+    * per-partition survivors contains every token with global count
+    * > N/width (below-threshold-everywhere implies below globally), so
+    * the final top-k is EXACT whenever the kth count clears N/width —
+    * size width to the tail you care about. Shuffle ∝ candidates
+    * (≤ partitions·width), never ∝ vocabulary; the candidate table stays
+    * distributed (tiny distinct → broadcast join), no driver collect.
+    *
+    * The deterministic contrast to [[textNgramFreq]]: same answer, but
+    * the full-vocabulary groupBy is replaced by a bounded-memory sketch
+    * pass + a candidates-only recount.
+    */
+  def textTopkSketch(s: SparkSession, dir: String, k: Int = 20,
+                     width: Int = 64): DataFrame = {
+    import s.implicits._
+    val tokens = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+    val survivors = tokens.as[String].mapPartitions { it =>
+      val h = new java.util.HashMap[String, Long]()
+      it.foreach { t =>
+        val c = h.get(t)
+        if (c != null || h.size < width) h.put(t, if (c == null) 1L else c + 1L)
+        else { // decrement-all step: drop every counter by one
+          val e = h.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      h.keySet().iterator().asScala
+    }.toDF("tok").distinct()
+    tokens.join(broadcast(survivors), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** The oracle is the EXACT top-k — the sketch path must reproduce it
+    * bit-for-bit (candidate superset + exact recount), or the width was
+    * sized below the tail and the mismatch SHOULD fail the gate.
+    */
+  val textTopkSketchOracle: String =
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_topk_sketch" -> ((s: SparkSession, d: String) => textTopkSketch(s, d)),
     "text_quality"     -> ((s: SparkSession, d: String) => textQuality(s, d)),
     "text_tokens"      -> ((s: SparkSession, d: String) => textTokens(s, d)),
     "text_langid"      -> ((s: SparkSession, d: String) => textLangid(s, d)),
@@ -619,6 +673,7 @@ object TextFuncs {
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => textNgramNovelty(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "text_topk_sketch" -> textTopkSketchOracle,
     "text_quality"    -> textQualityOracle,
     "text_fingerprint" -> textFingerprintOracle,
     "text_tokens"     -> textTokensOracle,

@@ -34,10 +34,10 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the no-oracle tail stays the declared file-layout/sketch trio") {
-    // the ANN literal-model trio is oracled DYNAMICALLY (Verify merges
-    // dynamicOracleSql at dump time — trained centroids become SQL
-    // literals), so it is excluded from the static-map diff here
-    val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall")
+    // the ANN literal-model trio + semantic dedup are oracled DYNAMICALLY
+    // (Verify merges dynamicOracleSql at dump time — trained centroids
+    // become SQL literals), so they are excluded from the static-map diff
+    val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall", "dedup_semantic")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
     val declared = Set("dba_compaction_plan", "dba_describe_detail",

@@ -40,7 +40,9 @@ class PlanSpec extends SparkSpec {
       "dedup_span_cross", // checkpointed fingerprint posting list
       "dedup_embedding_cc", // checkpointed pair edges + label rounds
       "dedup_embedding_cc_exact",
-      "dedup_embedding_cc_dense") // same kernel, denser buckets
+      "dedup_embedding_cc_dense", // same kernel, denser buckets
+      "mm_image_dedup",   // codec mapPartitions + checkpointed block table
+      "text_topk_sketch") // per-partition Misra-Gries pass is imperative
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -243,6 +243,27 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("*(") && !plan.contains("ScalaUDF"))
   }
 
+  test("topk sketch: exact top-k with a tight width, hot token never lost") {
+    import graft.functions.TextFuncs
+    val dir = Files.createTempDirectory("graft_topk").toString
+    // one hot token (40%), 4 warm, a 200-token cold tail; the hot/warm
+    // counts clear N/width for width=8, the tail must be pruned away
+    val docs = (0 until 50).map { i =>
+      val toks = Seq.fill(8)("hot") ++
+        Seq("w1", "w2", "w3", "w4").flatMap(Seq.fill(2)(_)) ++
+        Seq(s"cold${i * 4}", s"cold${i * 4 + 1}", s"cold${i * 4 + 2}", s"cold${i * 4 + 3}")
+      (i.toLong, toks.mkString(" "), "en", "s", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7) // scatter the hot token across partitions
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextFuncs.textTopkSketch(spark, dir, k = 5, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head == ("hot" -> 400L))
+    assert(got.map(_._1).toSet == Set("hot", "w1", "w2", "w3", "w4"))
+    assert(got.tail.forall(_._2 == 100L))
+  }
+
   test("ccnet buckets: per-language thirds by LM score, head above tail") {
     import graft.functions.UnigramLm
     val dir = Files.createTempDirectory("graft_ccnet").toString
