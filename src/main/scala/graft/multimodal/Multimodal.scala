@@ -46,6 +46,12 @@ object Multimodal {
     * columns); decoding is the production path a crawl pipeline runs.
     */
   object Codecs {
+    // ImageIO's default stream cache is a TEMP FILE per encode/decode
+    // call — for the small per-record images a media pipeline handles,
+    // file creation dominates the actual codec work. Memory-cached
+    // streams produce identical bytes without touching disk.
+    ImageIO.setUseCache(false)
+
     /** Image dims derive from the id: 16..32 × 16..28. */
     def imageDims(docId: Long): (Int, Int) =
       (16 + (docId % 17).toInt, 16 + (docId % 13).toInt)
