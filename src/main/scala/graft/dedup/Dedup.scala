@@ -301,15 +301,21 @@ object Dedup {
   /** Best-neighbor report over a hamming candidate table: per id, the
     * minimum-distance neighbor (ties → lower id) and the ≤maxHamming dup
     * flag; ids without candidates survive with null neighbor.
+    *
+    * The argmin is a struct-MIN AGGREGATE, not a row_number window: the
+    * candidate table is the op's volume peak (duplicate-heavy corpora
+    * multiply pairs), and an aggregate partial-combines it map-side —
+    * each task shrinks its candidates to one row per doc_id before the
+    * shuffle, where a window would sort the full pair volume through one
+    * exchange. A pair agreeing on k blocks appears k times with the
+    * identical (hamming, nn_id) key — min() absorbs duplicates for free.
     */
   private[graft] def hammingNnReport(ids: DataFrame, cand: DataFrame,
                                      maxHamming: Int): DataFrame = {
-    // a pair agreeing on k blocks appears k times with identical sort
-    // keys — rn=1 picks the same winner, so no dedup pass is needed
-    val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("nn_id"))
-    val best = cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("nn_id"), col("hamming"))
+    val best = cand.groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("nn_id"))).as("m"))
+      .select(col("doc_id"), col("m.nn_id").as("nn_id"),
+        col("m.hamming").as("hamming"))
     ids.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nn_id"), col("hamming"),
         (col("hamming") <= maxHamming).as("is_dup"))
@@ -490,18 +496,22 @@ object Dedup {
     val a = e.select(col("vec_id"), col("embedding"), col("bucket"))
     val b = e.select(col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"), col("bucket"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("nn_id"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
-      // project the vectors away before the window: the top-1 shuffle then
-      // carries 24 bytes/candidate instead of two 256-byte embeddings
+      // project the vectors away the moment the cosine exists — the top-1
+      // reduce then rides 24 bytes/candidate, not two 256-byte embeddings.
+      // Argmax as a struct-MIN aggregate over (−cosine, nn_id): map-side
+      // partial combine collapses each task's candidates to one row per
+      // vec before the shuffle (a window would sort the full pair volume);
+      // negation is exact, so (−cosine asc, nn_id asc) ≡ (cosine desc,
+      // nn_id asc) — the oracle's ORDER BY, bit for bit.
       .select(col("vec_id"), col("nn_id"),
         graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("nn_id"), col("cosine"),
-        (col("cosine") >= threshold).as("is_dup"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cosine")).as("neg"), col("nn_id"))).as("m"))
+      .select(col("vec_id"), col("m.nn_id").as("nn_id"),
+        (-col("m.neg")).as("cosine"))
+      .withColumn("is_dup", col("cosine") >= threshold)
       .orderBy("vec_id")
   }
 
