@@ -104,13 +104,16 @@ object TextFuncs {
   val stopwordsEnSqlList: String = stopwordsEn.map(w => s"'$w'").mkString(", ")
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    // one tokenize pass serves word count AND stopword hits ([n, hits])
+    // one tokenize pass serves word count AND stopword hits ([n, hits]);
+    // one byte pass serves both char-class ratios (two regexp_replace
+    // scans replaced by the native CharClassCounts — same counts)
     val d = Tables.documents(s, dir)
       .withColumn("__c", Text.tokenProfileCounts(col("text"), Seq(stopwordsEn)))
+      .withColumn("__cc", Text.charClassCounts(col("text")))
     val nChars = length(col("text"))
     val nWords = col("__c").getItem(0)
-    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-    val nUpper = length(regexp_replace(col("text"), "[^A-Z]", ""))
+    val nPunct = col("__cc").getItem(0)
+    val nUpper = col("__cc").getItem(1)
     val nStop = col("__c").getItem(1)
     d.select(
         col("doc_id"),
@@ -146,8 +149,7 @@ object TextFuncs {
       .select(
         col("doc_id"),
         size(toks(col("text"))).as("n_ws_tokens"),
-        regexp_count(col("text"), lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"))
-          .as("n_bpe_est"),
+        Text.bpeEstCount(col("text")).as("n_bpe_est"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 

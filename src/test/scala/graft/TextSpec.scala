@@ -243,6 +243,31 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("*(") && !plan.contains("ScalaUDF"))
   }
 
+  test("char-class + bpe-est native counts equal their regex references") {
+    import graft.functions.Text
+    val tricky = Seq(
+      "", " ", "abc", "ABCDEFGHIJK lmnop 12345 !!  ??",
+      "tabs\tand\nnewlines\rform\ffeed",
+      "unicode é ü 漢字 𝔘𝔫𝔦 mix3d CASE",
+      "aaaaaaaaaaaaaaaaaaaaa", "a!b@c#d$e%f^g&h*i(j)k",
+      "....", "    leading and trailing   ")
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        Text.charClassCounts(col("text")).as("cc"),
+        Text.bpeEstCount(col("text")).as("bpe"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("punct_re"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).as("upper_re"),
+        regexp_count(col("text"),
+          lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]")).as("bpe_re"))
+    df.collect().foreach { r =>
+      val cc = r.getSeq[Int](1)
+      assert(cc(0) == r.getInt(3), s"punct for '${tricky(r.getLong(0).toInt)}'")
+      assert(cc(1) == r.getInt(4), s"upper for '${tricky(r.getLong(0).toInt)}'")
+      assert(r.getInt(2) == r.getInt(5), s"bpe for '${tricky(r.getLong(0).toInt)}'")
+    }
+  }
+
   test("topk sketch: exact top-k with a tight width, hot token never lost") {
     import graft.functions.TextFuncs
     val dir = Files.createTempDirectory("graft_topk").toString
