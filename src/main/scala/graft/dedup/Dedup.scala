@@ -1053,13 +1053,78 @@ object Dedup {
   def dedupSemanticQuery(s: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(s, dir), graft.ann.Ann.trainIvf(s, dir))
 
+  // --------------------------------------------------------------- C40
+  /** Semantic-dup CLUSTERS: the transitive closure of [[semanticDedup]]'s
+    * within-cell pairs (A≈B, B≈C ⇒ one cluster) through the SAME shared
+    * min-label propagation kernel every cc operator here rides
+    * ([[propagateLabels]]: checkpointed rounds, convergence exit).
+    * Pairs become 2-row hyper-edges keyed by the pair id; vectors with no
+    * ≥threshold neighbor stay singleton clusters of themselves. Cluster
+    * ids are min member ids — keep-first group representatives.
+    *
+    * Scale shape inherits from both parents: pair volume bounded by the
+    * cell partition (nCells ~ √N), propagation shuffle ∝ edges with the
+    * label table checkpointed per round.
+    */
+  def semanticDedupClusters(emb: DataFrame,
+                            centroids: Seq[(Long, Array[Float])],
+                            threshold: Double = SemThreshold,
+                            ccIterations: Int = CcIterations): DataFrame = {
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
+    val lower = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+      col("embedding").as("nn_emb"))
+    val pairs = assigned.join(lower, Seq("cell"))
+      .filter(col("nn_id") < col("vec_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val pkey = concat_ws(",", col("nn_id"), col("vec_id"))
+    val edges = pairs.select(col("vec_id").as("doc_id"), pkey.as("bkey"))
+      .union(pairs.select(col("nn_id").as("doc_id"), pkey.as("bkey")))
+    val labels = propagateLabels(edges, ccIterations)
+      .withColumnRenamed("doc_id", "vec_id")
+    assigned.select("vec_id", "cell")
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  def dedupSemanticCcQuery(s: SparkSession, dir: String): DataFrame =
+    semanticDedupClusters(Tables.embeddings(s, dir),
+      graft.ann.Ann.trainIvf(s, dir))
+
+  /** Literal-model oracle: cell CTEs + pair edges + the shared unrolled
+    * propagation ([[propagationUnrollSql]] — same MATERIALIZED contract).
+    */
+  def dedupSemanticCcOracleFor(centroids: Seq[(Long, Array[Float])]): String = {
+    val ctes = graft.ann.Ann.assignedSqlCte(centroids)
+    s"""WITH $ctes,
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nn_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                         CAST(b.embedding AS DOUBLE[])) >= $SemThreshold),
+       |edges AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id, CONCAT(nn_id, ',', vec_id) AS bkey FROM pairs
+       |  UNION ALL
+       |  SELECT nn_id AS doc_id, CONCAT(nn_id, ',', vec_id) AS bkey FROM pairs),
+       |${propagationUnrollSql(CcIterations)}
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  COALESCE(l.label, a.vec_id) AS cluster
+       |FROM assigned a LEFT JOIN l$CcIterations l ON l.doc_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Literal-model oracle (the ann_ivf trick): the trained centroids enter
     * as SQL literals, assignment/pairing/keep-first replayed relationally.
     * Generated at Verify time with the same (session, sfDir) — see
     * [[dynamicOracles]].
     */
-  def dedupSemanticOracleSql(s: SparkSession, dir: String): String = {
-    val ctes = graft.ann.Ann.assignedSqlCte(graft.ann.Ann.trainIvf(s, dir))
+  def dedupSemanticOracleFor(centroids: Seq[(Long, Array[Float])]): String = {
+    val ctes = graft.ann.Ann.assignedSqlCte(centroids)
     s"""WITH $ctes,
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS nn_id,
@@ -1084,14 +1149,25 @@ object Dedup {
     * graft.ann.Ann.dynamicOracles.
     */
   def dynamicOracles(s: SparkSession, dir: String,
-                     wanted: String => Boolean = _ => true): Map[String, String] =
-    if (wanted("dedup_semantic"))
-      Map("dedup_semantic" -> dedupSemanticOracleSql(s, dir))
-    else Map.empty
+                     wanted: String => Boolean = _ => true): Map[String, String] = {
+    val names = Seq("dedup_semantic", "dedup_semantic_cc").filter(wanted)
+    if (names.isEmpty) Map.empty
+    else {
+      // one shared training run (deterministic — both see one model)
+      lazy val centroids = graft.ann.Ann.trainIvf(s, dir)
+      names.map {
+        case n @ "dedup_semantic" =>
+          n -> dedupSemanticOracleFor(centroids)
+        case n @ "dedup_semantic_cc" =>
+          n -> dedupSemanticCcOracleFor(centroids)
+      }.toMap
+    }
+  }
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"      -> ((s: SparkSession, d: String) => dedupSemanticQuery(s, d)),
+    "dedup_semantic_cc"   -> ((s: SparkSession, d: String) => dedupSemanticCcQuery(s, d)),
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => dedupIncrementalQuery(s, d)),

@@ -382,6 +382,32 @@ class DedupSpec extends SparkSpec {
     assert(r1.getLong(2) == 0L && r1.getDouble(3) > 0.99)
   }
 
+  test("dedup_semantic_cc: transitive chain in one cell merges; " +
+    "cross-cell neighbors never do") {
+    def n(v: Array[Float]): Array[Float] = {
+      val s = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / s)
+    }
+    val centroids: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+    // chain in cell 0: v0~v1 (cos≈1) and v1~v2 (cos≈1) but cos(v0,v2)
+    // slightly lower — closure must still merge all three; v3/v4 are an
+    // identical pair in cell 1 (own cluster); v5 alone in cell 0
+    val emb = Seq(
+      (0L, n(Array(1f, 0f, 0f, 0f))),
+      (1L, n(Array(1f, 0.02f, 0.02f, 0f))),
+      (2L, n(Array(1f, 0.04f, 0.04f, 0f))),
+      (3L, n(Array(0f, 1f, 0f, 0f))),
+      (4L, n(Array(0f, 1f, 0f, 0f))),
+      (5L, n(Array(0.8f, 0f, -0.6f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupClusters(emb, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L) // chain merged
+    assert(got(3L) == 3L && got(4L) == 3L)                  // pair, min id
+    assert(got(5L) == 5L)                                   // singleton
+  }
+
   test("dedup_semantic: plan has no windows — assignment is a projection, " +
     "keep-first is an aggregate") {
     val plan = Dedup.dedupSemanticQuery(spark, sf)

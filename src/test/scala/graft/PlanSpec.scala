@@ -42,7 +42,8 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cc_exact",
       "dedup_embedding_cc_dense", // same kernel, denser buckets
       "mm_image_dedup",   // codec mapPartitions + checkpointed block table
-      "text_topk_sketch") // per-partition Misra-Gries pass is imperative
+      "text_topk_sketch", // per-partition Misra-Gries pass is imperative
+      "dedup_semantic_cc") // checkpointed label-propagation rounds
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
