@@ -321,13 +321,73 @@ object Curate {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C41
+  /** Per-source corpus quality report — the DBA-dashboard composition over
+    * the curation pipeline: document/token volumes, every curation-gate
+    * outcome count, and the mean unigram-LM token log-prob, one row per
+    * source. The reference's ETL lands per-run metric AGGREGATES the same
+    * way (ETL_dbstress_results.py: per-query latency rollups); this is
+    * that reporting verb over the LLM-pipeline signals.
+    *
+    * Exactness: reason counts ride the same gate chain as
+    * pipeline_curate; the LM mean divides two exact integer sums ONCE per
+    * source (micro-unit log-probs — the text_lm_score trick), so every
+    * column is hash-exact. Shuffle shape: the gate chain's one hash
+    * shuffle + a per-source aggregate of 5 longs — text never shuffles.
+    */
+  def corpusQualityReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnigramLm
+    val docs = Tables.documents(s, dir)
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_toks"),
+      UnigramLm.lp_sum(col("text")).as("lp"))
+    def reasonCount(r: String) =
+      sum(when(col("reason") === r, 1L).otherwise(0L)).as(s"n_$r")
+    scored.join(curate(docs).select("doc_id", "reason"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        reasonCount("kept"), reasonCount("dup"), reasonCount("short"),
+        reasonCount("lang_mismatch"), reasonCount("low_quality"),
+        (sum("lp").cast("double") /
+          (sum(col("n_toks").cast("long")).cast("double") * 1e6)).as("mean_lm"))
+      .orderBy("source")
+  }
+
+  val corpusQualityReportOracle: String = {
+    import graft.functions.UnigramLm
+    val vocabRows = UnigramLm.DefaultVocab
+      .map { case (t, lp) => s"('${t.replace("'", "''")}', ${lp}::BIGINT)" }
+      .mkString(",\n    ")
+    def rc(r: String) =
+      s"CAST(SUM(CASE WHEN reason = '$r' THEN 1 ELSE 0 END) AS BIGINT) AS n_$r"
+    s"""WITH ${curateSqlCtes(None)},
+       |v(tok, lp) AS (VALUES
+       |    $vocabRows),
+       |w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents),
+       |lm AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+       |         SUM(COALESCE(l.lp, ${UnigramLm.OovLogpMicro}::BIGINT)) AS lp
+       |       FROM w LEFT JOIN v l USING (tok) GROUP BY doc_id, source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  ${rc("kept")}, ${rc("dup")}, ${rc("short")},
+       |  ${rc("lang_mismatch")}, ${rc("low_quality")},
+       |  CAST(SUM(lp) AS DOUBLE) / (CAST(SUM(n_toks) AS DOUBLE) * 1000000.0)
+       |    AS mean_lm
+       |FROM lm JOIN r USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_report"   -> ((s: SparkSession, d: String) => corpusQualityReport(s, d)),
     "pipeline_curate"         -> (pipelineCurate _),
     "pipeline_curate_neardup" -> (pipelineCurateNearDup _),
     "contam_check"            -> ((s: SparkSession, d: String) => contamCheck(s, d)),
     "quality_budget"          -> ((s: SparkSession, d: String) => qualityBudgetQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "corpus_quality_report"   -> corpusQualityReportOracle,
     "pipeline_curate"         -> pipelineCurateOracle,
     "pipeline_curate_neardup" -> pipelineCurateNearDupOracle,
     "contam_check"            -> contamCheckOracle,

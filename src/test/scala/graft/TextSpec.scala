@@ -82,6 +82,32 @@ class TextSpec extends SparkSpec {
     assert(out(6L) == (("kept", true)))        // non-English content survives
   }
 
+  test("corpus quality report: per-source volumes, gate counts, exact LM mean") {
+    import graft.functions.UnigramLm
+    val dir = java.nio.file.Files.createTempDirectory("graft_cqr").toString
+    val good = (("the quick brown fox jumps over a lazy dog and " * 4) +
+      "it is done").trim // 43 words → kept
+    Seq(
+      (0L, good, "en", "srcA", 1L),
+      (1L, good, "en", "srcA", 1L),          // dup in srcA
+      (2L, "the a of to and in is it", "en", "srcB", 1L)) // short in srcB
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.pipeline.Curate.corpusQualityReport(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 86)         // docs, tokens
+    assert(a.getLong(3) == 1 && a.getLong(4) == 1)          // kept, dup
+    val b = rows("srcB")
+    assert(b.getLong(1) == 1 && b.getLong(5) == 1)          // docs, short
+    // LM mean replays exactly from the literal vocab
+    val vocab = UnigramLm.DefaultVocab.toMap
+    def lp(text: String) = text.split(" ", -1)
+      .map(t => vocab.getOrElse(t, UnigramLm.OovLogpMicro)).sum
+    val wantA = (lp(good) * 2).toDouble / (86 * 1e6)
+    assert(math.abs(a.getDouble(8) - wantA) < 1e-12)
+  }
+
   test("curate near-dup gate: exact dup beats near_dup, keep-first wins") {
     val dir = Files.createTempDirectory("graft_curnd").toString
     // 800-word docs: a 1-word edit flips ~1 simhash bit (margins ~√n),
