@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -50,18 +51,36 @@ object Tables {
     if (df.inputFiles.length >= math.min(4, target)) df
     else df.repartition(target)
   }
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * so it arrives as a nanos-since-epoch LONG. We keep the exact nanos in
-    * `ts_ns` (for order/compare parity with ns-capable engines) and expose
-    * `ts` as a µs-truncated proper timestamp for time arithmetic.
+  /** `events.ts` has shipped in three physical parquet encodings across
+    * testdata generations; normalize all of them to one invariant schema —
+    * `ts_ns` LONG (nanos since epoch, for bit-stable cross-engine
+    * order/compare) + `ts` TIMESTAMP (session-zoned, for time arithmetic):
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong` so it arrives as a
+    *    nanos-since-epoch LONG. `ts` is the µs truncation.
+    *  - TIMESTAMP(MICROS, adjustedToUTC=true): loads as TIMESTAMP;
+    *    `unix_micros` is exact.
+    *  - TIMESTAMP(MICROS, adjustedToUTC=false): loads as TIMESTAMP_NTZ —
+    *    a wall-clock datetime with no zone, which `unix_micros` rejects.
+    *    Sessions pin `spark.sql.session.timeZone=UTC`, so the cast to
+    *    session-zoned TIMESTAMP is value-preserving and the resulting
+    *    `ts_ns` is identical to what the same instants yield under the
+    *    other two encodings (oracle parity: DuckDB's `epoch_ns(ts)` on µs
+    *    data = `unix_micros*1000`).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   /** History of the fan-out decision: round 1 measured a blanket
     * repartition of these tables as SLOWER for the cheap projection-only
