@@ -27,6 +27,8 @@ object Ann {
   private[ann] val LshBits = 4
   private[ann] val LshProbeBits = 1
   private[ann] val IvfCells = 16
+  private[ann] val MaxIvfCells = 256
+  private[ann] val TargetCellSize = 128
   private[ann] val IvfProbe = 4
   private[ann] val LloydIters = 2
   private[ann] val MaxTrain = 4096
@@ -307,6 +309,38 @@ object Ann {
                             maxTrain: Int = MaxTrain): Seq[(Long, Array[Float])] = {
     val train = sampleTrain(Tables.embeddings(s, dir), maxTrain, "annIvf")
     lloydDot(train, nCells, iterations)
+  }
+
+  /** Count-sized cell budget for whole-corpus cell partitioning (SemDeDup):
+    * smallest power-of-two c in [IvfCells, MaxIvfCells] with
+    * n ≤ TargetCellSize·c, so expected cell occupancy stays ~TargetCellSize
+    * and in-cell all-pairs work is ~TargetCellSize²/2 per cell — total
+    * candidate volume grows ~n·TargetCellSize instead of n²/const. Same
+    * integer-arithmetic clamp shape as graft.dedup.Dedup.lshBitsFor; the
+    * min clamp preserves the historical 16-cell behavior at test SFs.
+    * The max clamp bounds the literal-centroid model that rides the plan
+    * (and the generated oracle SQL); past it, the hot-cell prune in the
+    * semantic-dedup kernel is the documented back-stop.
+    */
+  private[graft] def cellsFor(n: Long, targetCell: Int = TargetCellSize,
+                              minCells: Int = IvfCells,
+                              maxCells: Int = MaxIvfCells): Int = {
+    var c = minCells
+    while (c < maxCells && n > targetCell.toLong * c) c *= 2
+    c
+  }
+
+  /** [[trainIvf]] with nCells sized from a cheap count of the table —
+    * the SemDeDup √N-style regime with integer clamps. ONE extra count
+    * job (parquet metadata-only at scan level); shared by the
+    * dedup_semantic queries and their literal-model oracle generators, so
+    * both always train the identically-sized model.
+    */
+  private[graft] def trainIvfSized(s: SparkSession, dir: String,
+                                   iterations: Int = LloydIters,
+                                   maxTrain: Int = MaxTrain): Seq[(Long, Array[Float])] = {
+    val n = Tables.embeddings(s, dir).count()
+    trainIvf(s, dir, cellsFor(n), iterations, maxTrain)
   }
 
   def annIvf(s: SparkSession, dir: String,

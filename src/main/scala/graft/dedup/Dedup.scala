@@ -763,11 +763,12 @@ object Dedup {
     * shuffle every row WITH its embedding array; this shuffles map-combined
     * (bucket, count) pairs (≤ 2^bits rows) and prunes map-side.
     */
-  private[graft] def pruneHotBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
-    val keep = broadcast(bucketed.groupBy("bucket")
+  private[graft] def pruneHotBuckets(bucketed: DataFrame, cap: Int,
+                                     key: String = "bucket"): DataFrame = {
+    val keep = broadcast(bucketed.groupBy(key)
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
-      .select("bucket"))
-    bucketed.join(keep, "bucket")
+      .select(key))
+    bucketed.join(keep, key)
   }
 
   private def clusterReps(reps: DataFrame, bits: Int, threshold: Double,
@@ -1018,21 +1019,36 @@ object Dedup {
     * Scale shape: cell assignment is a pure scan-stage projection (nCells
     * literal dot products per row, no shuffle — the IVF trick); the one
     * shuffle is the cell-key join, and pairs are generated only INSIDE
-    * cells, so candidate volume is Σ|cell|² — governed by nCells, which at
-    * production scale is sized ~√N (SemDeDup's own regime) so cells stay
-    * bounded. The best-lower-neighbor reduce is a map-side-combinable
+    * cells, so candidate volume is Σ|cell|². Two bounds govern it, both by
+    * the C33 playbook:
+    *  1. **Count-sized cells** (graft.ann.Ann.cellsFor via trainIvfSized):
+    *     nCells grows with the corpus so expected occupancy stays
+    *     ~TargetCellSize — candidate volume ~n·TargetCellSize, not
+    *     n²/const. The oracle needs no SQL mirror of the sizing: it is
+    *     literal-model, and the literals come from the same sized trainer.
+    *  2. **Hot-cell cap** (`maxCell`, default [[MaxCellSize]], the
+    *     [[pruneHotBuckets]] kernel on the cell key): a cell holding more
+    *     vectors than the cap — adversarial concentration, or corpus
+    *     growth past the nCells max clamp — generates NO pairs, bounding
+    *     worst-case task cost at ≤ maxCell²/2 cosines. Its members simply
+    *     keep is_semdup=false (documented recall loss, the
+    *     MaxRepBucket/SimhashMaxBucket tradeoff). The prune shuffles only
+    *     map-combined (cell, count) pairs, never embeddings.
+    * The best-lower-neighbor reduce is a map-side-combinable
     * struct-max aggregation, not a window, so a hot cell splits across
     * tasks under AQE instead of pinning one.
     */
   def semanticDedup(emb: DataFrame, centroids: Seq[(Long, Array[Float])],
-                    threshold: Double = SemThreshold): DataFrame = {
+                    threshold: Double = SemThreshold,
+                    maxCell: Int = MaxCellSize): DataFrame = {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
-    val lower = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+    val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
+    val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
     // project embeddings away the moment the cosine exists: the aggregate
     // input carries 24 bytes/pair, not two 256-byte vectors
-    val best = assigned.join(lower, Seq("cell"))
+    val best = eligible.join(lower, Seq("cell"))
       .filter(col("nn_id") < col("vec_id"))
       .select(col("vec_id"),
         graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"),
@@ -1050,8 +1066,14 @@ object Dedup {
 
   private[graft] val SemThreshold = 0.93
 
+  /** Hot-cell cap for the semantic-dedup kernels — same magnitude and
+    * rationale as [[MaxRepBucket]]: worst-case in-cell pair work is
+    * ≤ cap²/2 cosines per cell regardless of corpus concentration.
+    */
+  private[graft] val MaxCellSize = 1024
+
   def dedupSemanticQuery(s: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(s, dir), graft.ann.Ann.trainIvf(s, dir))
+    semanticDedup(Tables.embeddings(s, dir), graft.ann.Ann.trainIvfSized(s, dir))
 
   // --------------------------------------------------------------- C40
   /** Semantic-dup CLUSTERS: the transitive closure of [[semanticDedup]]'s
@@ -1063,18 +1085,22 @@ object Dedup {
     * ids are min member ids — keep-first group representatives.
     *
     * Scale shape inherits from both parents: pair volume bounded by the
-    * cell partition (nCells ~ √N), propagation shuffle ∝ edges with the
-    * label table checkpointed per round.
+    * count-sized cell partition (Ann.cellsFor) AND the hot-cell cap
+    * (`maxCell` — capped cells contribute no edges, their members stay
+    * singleton clusters), propagation shuffle ∝ edges with the label
+    * table checkpointed per round.
     */
   def semanticDedupClusters(emb: DataFrame,
                             centroids: Seq[(Long, Array[Float])],
                             threshold: Double = SemThreshold,
-                            ccIterations: Int = CcIterations): DataFrame = {
+                            ccIterations: Int = CcIterations,
+                            maxCell: Int = MaxCellSize): DataFrame = {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
-    val lower = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+    val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
+    val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
-    val pairs = assigned.join(lower, Seq("cell"))
+    val pairs = eligible.join(lower, Seq("cell"))
       .filter(col("nn_id") < col("vec_id"))
       .select(col("vec_id"), col("nn_id"),
         graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"))
@@ -1093,7 +1119,7 @@ object Dedup {
 
   def dedupSemanticCcQuery(s: SparkSession, dir: String): DataFrame =
     semanticDedupClusters(Tables.embeddings(s, dir),
-      graft.ann.Ann.trainIvf(s, dir))
+      graft.ann.Ann.trainIvfSized(s, dir))
 
   /** Literal-model oracle: cell CTEs + pair edges + the shared unrolled
     * propagation ([[propagationUnrollSql]] — same MATERIALIZED contract).
@@ -1101,9 +1127,13 @@ object Dedup {
   def dedupSemanticCcOracleFor(centroids: Seq[(Long, Array[Float])]): String = {
     val ctes = graft.ann.Ann.assignedSqlCte(centroids)
     s"""WITH $ctes,
+       |elig AS (
+       |  SELECT a.* FROM assigned a
+       |  JOIN (SELECT cell FROM assigned GROUP BY cell
+       |        HAVING COUNT(*) <= $MaxCellSize) ok ON ok.cell = a.cell),
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS nn_id
-       |  FROM assigned a JOIN assigned b
+       |  FROM elig a JOIN elig b
        |    ON a.cell = b.cell AND b.vec_id < a.vec_id
        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
        |                         CAST(b.embedding AS DOUBLE[])) >= $SemThreshold),
@@ -1126,11 +1156,15 @@ object Dedup {
   def dedupSemanticOracleFor(centroids: Seq[(Long, Array[Float])]): String = {
     val ctes = graft.ann.Ann.assignedSqlCte(centroids)
     s"""WITH $ctes,
+       |elig AS (
+       |  SELECT a.* FROM assigned a
+       |  JOIN (SELECT cell FROM assigned GROUP BY cell
+       |        HAVING COUNT(*) <= $MaxCellSize) ok ON ok.cell = a.cell),
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS nn_id,
        |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
        |                     CAST(b.embedding AS DOUBLE[])) AS cosine
-       |  FROM assigned a JOIN assigned b
+       |  FROM elig a JOIN elig b
        |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
        |best AS (
        |  SELECT vec_id, nn_id, cosine AS nn_cos FROM (
@@ -1153,8 +1187,9 @@ object Dedup {
     val names = Seq("dedup_semantic", "dedup_semantic_cc").filter(wanted)
     if (names.isEmpty) Map.empty
     else {
-      // one shared training run (deterministic — both see one model)
-      lazy val centroids = graft.ann.Ann.trainIvf(s, dir)
+      // one shared training run (deterministic — both see one model,
+      // count-sized exactly like the query side)
+      lazy val centroids = graft.ann.Ann.trainIvfSized(s, dir)
       names.map {
         case n @ "dedup_semantic" =>
           n -> dedupSemanticOracleFor(centroids)

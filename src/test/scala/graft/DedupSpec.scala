@@ -416,4 +416,91 @@ class DedupSpec extends SparkSpec {
       "semantic dedup must not window: argmax cell via array_max, " +
         "best-neighbor via struct-max aggregate")
   }
+
+  test("cellsFor: min clamp at test SFs, doubles with the corpus, max clamp") {
+    import graft.ann.Ann
+    assert(Ann.cellsFor(500) == 16)   // historical 16-cell behavior kept
+    assert(Ann.cellsFor(2048) == 16)  // boundary: 128·16
+    assert(Ann.cellsFor(2049) == 32)
+    assert(Ann.cellsFor(5000) == 64)  // the 10×-replica decade
+    assert(Ann.cellsFor(1000000) == 256)  // max clamp
+    // power-of-two growth, monotone
+    val seq = Seq(100L, 3000L, 9000L, 40000L, 100000L).map(Ann.cellsFor(_))
+    assert(seq == seq.sorted && seq.forall(c => (c & (c - 1)) == 0))
+  }
+
+  test("dedup_semantic(+cc): hot cell over the cap generates no pairs but " +
+    "keeps every row; cool cells still pair") {
+    def n(v: Array[Float]): Array[Float] = {
+      val s = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / s)
+    }
+    val centroids: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+    // 12 near-identical vectors crowd cell 0 (over the cap of 8);
+    // cell 1 holds a cool identical pair that must still be found
+    val hot = (0L until 12L).map(i =>
+      (i, n(Array(1f, 0.001f * i, 0f, 0f))))
+    val cool = Seq((100L, n(Array(0f, 1f, 0f, 0f))),
+                   (101L, n(Array(0f, 1f, 0f, 0f))))
+    val emb = (hot ++ cool).toDF("vec_id", "embedding")
+
+    val sem = Dedup.semanticDedup(emb, centroids, maxCell = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(sem.size == 14, "capped cell's members must still be emitted")
+    assert(hot.forall { case (id, _) => !sem(id) },
+      "hot cell must contribute no pairs (cap prunes before pairing)")
+    assert(sem(101L) && !sem(100L), "cool cell still pairs keep-first")
+
+    val cc = Dedup.semanticDedupClusters(emb, centroids, maxCell = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cc.size == 14)
+    assert(hot.forall { case (id, _) => cc(id) == id },
+      "capped cell members stay singleton clusters")
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+  }
+
+  test("dedup_semantic: sized cells hold a recall floor vs brute force at " +
+    "the replica decade") {
+    // the AnnSpec decade shape: 5 near-replicas per vector (σ=0.03 jitter,
+    // renormalized — cosine ≈ 0.97 to the base, above SemThreshold), big
+    // enough (2500 > 128·16) that cellsFor actually sizes past the
+    // historical 16 — this test fails if the sizing regresses to a fixed
+    // nCells AND if the cell partition starts losing true neighbors.
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val stride = src.map(_._1).max + 1
+    val big = for { r <- 0 until 5; (id, v) <- src } yield {
+      if (r == 0) (id, v)
+      else {
+        val rnd = new scala.util.Random(id * 31 + r)
+        val p = v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(p.map(x => x.toDouble * x).sum)
+        (id + r * stride, p.map(x => (x / nn).toFloat))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf1eq_sem").toString
+    big.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    import graft.ann.Ann
+    assert(Ann.cellsFor(big.size) == 32, "decade corpus must size past 16 cells")
+    val flagged = Dedup.dedupSemanticQuery(spark, dir)
+      .filter(col("is_semdup")).select("vec_id").as[Long].collect().toSet
+
+    // brute-force truth: any lower-id neighbor with cosine ≥ threshold
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val truth = a.join(b, col("idb") < col("ida"))
+      .filter(graft.ann.Ann.dot(col("va"), col("vb")) >= Dedup.SemThreshold)
+      .select(col("ida")).distinct().as[Long].collect().toSet
+
+    assert(truth.nonEmpty, "decade corpus must contain true semantic dups")
+    val recall = (truth & flagged).size.toDouble / truth.size
+    info(s"semantic decade recall=$recall (truth=${truth.size}, flagged=${flagged.size})")
+    // flagged ⊆ truth: celled search can only miss pairs, never invent them
+    assert((flagged -- truth).isEmpty, "celled pairs must be a subset of brute force")
+    assert(recall >= 0.85, s"semantic recall $recall below floor at the decade")
+  }
 }
