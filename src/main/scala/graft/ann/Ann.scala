@@ -269,6 +269,66 @@ object Ann {
   private[graft] def assignCell(v: Column, cs: Seq[(Long, Array[Float])]): Column =
     array_max(cellScores(v, cs)).getField("cell")
 
+  /** Cell assignment as a broadcast join instead of a literal expression —
+    * the path for cell counts past [[MaxIvfCells]], where a √N-sized model
+    * (tens of thousands of centroids at 10⁹ vectors) would bloat the
+    * expression tree and the generated code. The centroid table broadcasts
+    * (cells × dim floats — MBs at √N scale), each row meets all centroids
+    * via BroadcastNestedLoopJoin in its own scan partition, and the argmax
+    * collapses MAP-SIDE: the partial max(struct(sim, cell)) aggregate sees
+    * every candidate for a vec_id inside one partition, so the one shuffle
+    * carries exactly n pre-collapsed (vec_id, best) rows — embeddings
+    * never ride it. Tie-break (sim, cell) lexicographic = [[assignCell]]'s
+    * struct-max, so both paths assign identically on any model where both
+    * are feasible (AnnSpec pins this).
+    *
+    * Returns (vec_id, cell) — re-attach embeddings by vec_id where the
+    * consumer needs them (the exact-group join shape dedupEmbeddingClusters
+    * already uses).
+    */
+  def assignCellsJoin(emb: DataFrame,
+                      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cent = broadcast(centroids.toDF("cell", "cv"))
+    emb.select(col("vec_id"), col("embedding")).crossJoin(cent)
+      .select(col("vec_id"),
+        struct(dot(col("embedding"), col("cv")).as("sim"),
+          col("cell").as("cell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max("sc").as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
+
+  /** Largest model the literal-expression assignment path should carry:
+    * past this, the generated CreateArray-of-256-structs code blows
+    * through JVM/codegen method limits and Spark silently falls back to
+    * INTERPRETED evaluation of every dot — measured at the 20k-vector
+    * decade (256 cells): the pair join's sides each paid ~8 s of
+    * interpreted argmax vs ~0.3 s codegen'd. 64 cells ≈ 2.5k generated
+    * lines, safely inside codegen.
+    */
+  private[graft] val LiteralAssignMaxCells = 64
+
+  /** (vec_id, embedding, cell) by whichever assignment path fits the
+    * model: the zero-shuffle literal expression for small models, the
+    * [[assignCellsJoin]] broadcast-argmax above [[LiteralAssignMaxCells]]
+    * followed by ONE n-row equi-join to re-attach embeddings. The n×cells
+    * candidate stream stays 16 bytes/row (embeddings must NOT ride the
+    * crossJoin — measured: attaching them to the argmax struct multiplied
+    * vector traffic by the cell count and cost more than the interpreted
+    * path it replaced); the re-attach join shuffles n (vec_id, embedding)
+    * rows once, the same weight any downstream pairing moves.
+    */
+  private[graft] def withCells(emb: DataFrame,
+                               centroids: Seq[(Long, Array[Float])]): DataFrame =
+    if (centroids.size <= LiteralAssignMaxCells)
+      emb.select(col("vec_id"), col("embedding"),
+        assignCell(col("embedding"), centroids).as("cell"))
+    else
+      emb.select(col("vec_id"), col("embedding"))
+        .join(assignCellsJoin(emb, centroids), "vec_id")
+
   /** The IVF query skeleton shared by [[annIvf]] and [[annIvfPq]]:
     * cell-assigned table plus each query's `nProbe` nearest cells (per-row
     * sort of the (sim, cell) array, top slice, explode).

@@ -1041,8 +1041,12 @@ object Dedup {
   def semanticDedup(emb: DataFrame, centroids: Seq[(Long, Array[Float])],
                     threshold: Double = SemThreshold,
                     maxCell: Int = MaxCellSize): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
+    // Assignment path picked by model size (Ann.withCells): literal
+    // expression ≤64 cells, broadcast-join argmax above — past 64 the
+    // generated literal code trips Spark's codegen limits and every
+    // consumer of `cell` pays interpreted dots (measured 8 s vs 0.3 s
+    // per evaluation at the 256-cell decade).
+    val assigned = graft.ann.Ann.withCells(emb, centroids)
     val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
     val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
@@ -1095,8 +1099,7 @@ object Dedup {
                             threshold: Double = SemThreshold,
                             ccIterations: Int = CcIterations,
                             maxCell: Int = MaxCellSize): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      graft.ann.Ann.assignCell(col("embedding"), centroids).as("cell"))
+    val assigned = graft.ann.Ann.withCells(emb, centroids) // see semanticDedup
     val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
     val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
@@ -1106,10 +1109,17 @@ object Dedup {
         graft.ann.Ann.dot(col("embedding"), col("nn_emb")).as("cosine"))
       .filter(col("cosine") >= threshold)
     val pkey = concat_ws(",", col("nn_id"), col("vec_id"))
+    // propagateLabels' contract: the caller checkpoints edges (and
+    // releases them after). Without this, every propagation round replays
+    // the whole assignment+pairing lineage — twice per round — which at
+    // the replica-heavy decade cost ~10× the pairing itself (measured
+    // 35 s → the checkpoint restores edge-proportional rounds).
     val edges = pairs.select(col("vec_id").as("doc_id"), pkey.as("bkey"))
       .union(pairs.select(col("nn_id").as("doc_id"), pkey.as("bkey")))
+      .localCheckpoint(true)
     val labels = propagateLabels(edges, ccIterations)
       .withColumnRenamed("doc_id", "vec_id")
+    org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
     assigned.select("vec_id", "cell")
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),

@@ -392,7 +392,11 @@ object TpchTail {
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("l_partkey").as("__pk"))
       .agg((asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("__avg"))
-    li.join(avgQty, col("l_partkey") === col("__pk"))
+    // avgQty has one row per QUALIFYING part (~1/300 of part after the
+    // brand+type slice) — broadcast it explicitly rather than trusting
+    // stats: at 100× a size misestimate would otherwise plan this
+    // fact-side join as a full shuffle of the filtered lineitem.
+    li.join(broadcast(avgQty), col("l_partkey") === col("__pk"))
       .filter(col("l_quantity") < lit(0.5) * col("__avg"))
       .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
   }

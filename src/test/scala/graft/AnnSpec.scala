@@ -168,6 +168,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("assignCellsJoin: matches the literal-expression assignment exactly; " +
+    "broadcast plan, argmax collapsed before the shuffle") {
+    val e = Tables.embeddings(spark, sf)
+    val centroids = Ann.trainIvf(spark, sf)
+    val viaLit = e.select(col("vec_id"),
+        Ann.assignCell(col("embedding"), centroids).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val joined = Ann.assignCellsJoin(e, centroids)
+    val viaJoin = joined.as[(Long, Long)].collect().toMap
+    assert(viaJoin == viaLit,
+      "the large-model join path must assign identically to the literal path")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "centroid table must broadcast — shuffling the corpus against it is " +
+        "the 100 TB failure mode")
+    assert(!plan.contains("SortMergeJoin"))
+    // the argmax must partially aggregate below the exchange, so the one
+    // shuffle carries n collapsed rows, never n×cells candidates (struct
+    // max is not hash-aggregable — it plans as SortAggregate, whose
+    // partial_max marker is what we pin)
+    val exIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.lastIndexOf("partial_max")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      "partial argmax aggregate missing below the shuffle")
+  }
+
+  test("withCells: the >64-cell join path agrees with the literal " +
+    "expression row for row (the decade path is not oracle-covered)") {
+    val e = Tables.embeddings(spark, sf)
+    // a model big enough to force the broadcast-join branch
+    val big = Ann.trainIvf(spark, sf, nCells = 128)
+    assert(big.size > Ann.LiteralAssignMaxCells)
+    val viaJoin = Ann.withCells(e, big)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val viaLit = e.select(col("vec_id"),
+        Ann.assignCell(col("embedding"), big).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaJoin == viaLit)
+    // embeddings survive the re-attach intact
+    val n = Ann.withCells(e, big)
+      .filter(size(col("embedding")) === 64).count()
+    assert(n == e.count())
+  }
+
   test("hyperplaneBucket: deterministic and within [0, 2^bits)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val b1 = e.select(Ann.hyperplaneBucket(col("embedding"), 4).as("b"))

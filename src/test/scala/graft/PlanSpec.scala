@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("contam_check").contains("BroadcastHashJoin"))
     // the merge-upsert key shuffle must be a single hash partitioning
     assert(plan("dba_merge_upsert").contains("hashpartitioning(o_orderkey"))
+    // q17: BOTH joins against the fact must broadcast — the part slice by
+    // hint, and the per-qualifying-part average (bounded ~1/300 of part)
+    // by explicit hint, so no stats misestimate can ever plan the avg
+    // re-join as a full shuffle of the filtered lineitem
+    val q17 = executedPlan("q17_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(q17).size >= 2,
+      "q17 must broadcast both the part slice and the avg-qty side")
+    assert(!q17.contains("SortMergeJoin"),
+      "q17 planned a shuffle join — the avg-qty broadcast hint is lost")
   }
 
   test("grouping sets expand in one scan; projection ops prune the scan") {
