@@ -1079,6 +1079,26 @@ object Dedup {
   def dedupSemanticQuery(s: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(s, dir), graft.ann.Ann.trainIvfSized(s, dir))
 
+  /** Cell count for [[dedupSemanticDenseQuery]] — anything past
+    * Ann.LiteralAssignMaxCells forces the broadcast-join assignment path
+    * at every test SF.
+    */
+  private[dedup] val DenseSemCells = 128
+
+  /** C36b: [[semanticDedup]] with a model big enough (128 cells) that the
+    * broadcast-join assignment path — the one the count-sizing picks at
+    * the decade and beyond — runs at the sf0.01 oracle gate. The C33c
+    * trick: the literal-model oracle takes the trained centroids as
+    * parameters, so the exact same 128-centroid model is replayed
+    * relationally in DuckDB and the join path's assignment, hot-cell
+    * prune, and keep-first reduce are all hash-verified cross-engine
+    * (the sized default exercises only the ≤64-cell literal path at test
+    * SFs).
+    */
+  def dedupSemanticDenseQuery(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir),
+      graft.ann.Ann.trainIvf(s, dir, nCells = DenseSemCells))
+
   // --------------------------------------------------------------- C40
   /** Semantic-dup CLUSTERS: the transitive closure of [[semanticDedup]]'s
     * within-cell pairs (A≈B, B≈C ⇒ one cluster) through the SAME shared
@@ -1194,17 +1214,22 @@ object Dedup {
     */
   def dynamicOracles(s: SparkSession, dir: String,
                      wanted: String => Boolean = _ => true): Map[String, String] = {
-    val names = Seq("dedup_semantic", "dedup_semantic_cc").filter(wanted)
+    val names = Seq("dedup_semantic", "dedup_semantic_cc",
+      "dedup_semantic_dense").filter(wanted)
     if (names.isEmpty) Map.empty
     else {
       // one shared training run (deterministic — both see one model,
-      // count-sized exactly like the query side)
+      // count-sized exactly like the query side); the dense variant
+      // trains its own fixed-128 model, again shared with its query
       lazy val centroids = graft.ann.Ann.trainIvfSized(s, dir)
+      lazy val dense = graft.ann.Ann.trainIvf(s, dir, nCells = DenseSemCells)
       names.map {
         case n @ "dedup_semantic" =>
           n -> dedupSemanticOracleFor(centroids)
         case n @ "dedup_semantic_cc" =>
           n -> dedupSemanticCcOracleFor(centroids)
+        case n @ "dedup_semantic_dense" =>
+          n -> dedupSemanticOracleFor(dense)
       }.toMap
     }
   }
@@ -1213,6 +1238,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"      -> ((s: SparkSession, d: String) => dedupSemanticQuery(s, d)),
     "dedup_semantic_cc"   -> ((s: SparkSession, d: String) => dedupSemanticCcQuery(s, d)),
+    "dedup_semantic_dense" -> ((s: SparkSession, d: String) => dedupSemanticDenseQuery(s, d)),
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => dedupIncrementalQuery(s, d)),

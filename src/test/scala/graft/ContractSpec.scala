@@ -38,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
     // (Verify merges dynamicOracleSql at dump time — trained centroids
     // become SQL literals), so they are excluded from the static-map diff
     val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall",
-      "dedup_semantic", "dedup_semantic_cc")
+      "dedup_semantic", "dedup_semantic_cc", "dedup_semantic_dense")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
     val declared = Set("dba_compaction_plan", "dba_describe_detail",
