@@ -562,6 +562,50 @@ object LakehouseOps {
   val dbaCsvImportOracle: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  // ---------------------------------------------------------------- B13
+  /** Transactional-table round trip through the native Delta-protocol
+    * log (graft.sources.DeltaLite — the reference lands every one of its
+    * ETL outputs in exactly this format via Databricks' engine, tasks/
+    * Query History API to Delta_withmetrics.py:196-230): three commits
+    * over the orders table (overwrite, append, overwrite-with-removes),
+    * then per-status rollups of BOTH a time-travel read (version 1) and
+    * the latest snapshot. Values are oracle-exact against DuckDB
+    * recomputing the same slices straight from orders — so log replay,
+    * remove-action masking, and version pinning are all hash-checked,
+    * not just spec-asserted. Scan cost: each read is an explicit-file
+    * parquet scan with pushdown intact (DeltaLiteSpec pins it).
+    */
+  def dbaDeltaRead(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_q")
+      .toString + "/orders_delta"
+    val o = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+    graft.sources.DeltaLite.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+    graft.sources.DeltaLite.commit(s, t,
+      o.filter(col("o_orderkey") % 3 === 2), overwrite = true)
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.DeltaLite.read(s, t, Some(1L)), 1L)
+      .unionByName(roll(graft.sources.DeltaLite.read(s, t), 2L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val dbaDeltaReadOracle: String =
+    """SELECT version, o_orderstatus, n, total FROM (
+      |  SELECT 1 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 2) t
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -621,7 +665,8 @@ object LakehouseOps {
     "dba_compaction_plan" -> (dbaCompactionPlan _),
     "dba_pricing_cost"    -> (dbaPricingCost _),
     "dba_csv_import"      -> (dbaCsvImport _),
-    "dba_json_ingest"     -> (dbaJsonIngest _))
+    "dba_json_ingest"     -> (dbaJsonIngest _),
+    "dba_delta_read"      -> (dbaDeltaRead _))
 
   val oracles: Map[String, String] = Map(
     "dba_skew_report"   -> dbaSkewReportOracle,
@@ -635,5 +680,6 @@ object LakehouseOps {
     "dba_zorder_key"    -> dbaZorderKeyOracle,
     "dba_pricing_cost"  -> dbaPricingCostOracle,
     "dba_csv_import"    -> dbaCsvImportOracle,
-    "dba_json_ingest"   -> dbaJsonIngestOracle)
+    "dba_json_ingest"   -> dbaJsonIngestOracle,
+    "dba_delta_read"    -> dbaDeltaReadOracle)
 }

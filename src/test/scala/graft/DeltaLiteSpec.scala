@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaLite
+
+class DeltaLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_deltalite").toString + "/t"
+
+  test("commit/read: overwrite removes prior files, append accumulates, " +
+    "time travel resolves every version") {
+    val t = newTable()
+    val v0 = DeltaLite.commit(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v1 = DeltaLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    val v2 = DeltaLite.commit(spark, t,
+      Seq((9L, "z")).toDF("k", "s"), overwrite = true)
+    assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
+
+    def keys(v: Option[Long]) =
+      DeltaLite.read(spark, t, v).select("k").as[Long].collect().toSet
+    assert(keys(Some(0L)) == Set(1L, 2L))
+    assert(keys(Some(1L)) == Set(1L, 2L, 3L))
+    assert(keys(None) == Set(9L), "overwrite must hide removed files")
+    // the removed data files still exist on disk — the LOG defines the
+    // table, exactly the protocol's contract
+    val s1 = DeltaLite.snapshot(spark, t, Some(1L))
+    assert(s1.files.size == DeltaLite.read(spark, t, Some(1L))
+      .inputFiles.length)
+  }
+
+  test("schema comes from metaData: an empty overwrite still reads with " +
+    "the committed schema") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, 2.5)).toDF("id", "v"))
+    DeltaLite.commit(spark, t,
+      Seq.empty[(Long, Double)].toDF("id", "v"), overwrite = true)
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(out.count() == 0)
+  }
+
+  test("checkpoint bootstraps the file list; JSON tail replays on top") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    val cpV = DeltaLite.checkpoint(spark, t)
+    assert(cpV == 1L)
+    // commits after the checkpoint replay as the JSON tail
+    DeltaLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    val got = DeltaLite.read(spark, t).select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+    // a time travel BEFORE the checkpoint must not use it
+    assert(DeltaLite.read(spark, t, Some(0L))
+      .select("k").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("reader refuses protocol versions it cannot honor") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // forge a commit demanding reader v3 (deletion vectors era)
+    val dir = new java.io.File(s"$t/_delta_log")
+    val f = new java.io.File(dir, f"${1L}%020d.json")
+    val w = new java.io.FileWriter(f)
+    w.write("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""" + "\n")
+    w.close()
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, t)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("snapshot scan keeps parquet pushdown on the resolved file list") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      spark.range(1000).select(col("id"), (col("id") % 7).as("m")))
+    val q = DeltaLite.read(spark, t).filter(col("id") > 990)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,990)"),
+      "explicit-file-list read lost scan pushdown")
+    assert(q.count() == 9)
+  }
+}
