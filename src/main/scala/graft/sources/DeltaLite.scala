@@ -158,7 +158,7 @@ object DeltaLite {
     * data files, which readers never see.
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             overwrite: Boolean = false): Long = {
+             overwrite: Boolean = false, operation: String = ""): Long = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -180,7 +180,11 @@ object DeltaLite {
     f.delete(staging, true)
 
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
+    val op = if (operation.nonEmpty) operation
+      else if (overwrite) "OVERWRITE" else "WRITE"
     val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
+      .append('\n')
     if (v == 0L || overwrite) {
       val schemaJson = mapper.writeValueAsString(df.schema.json)
       sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
@@ -205,6 +209,56 @@ object DeltaLite {
     finally out.close()
     require(f.rename(tmp, commitFile(table, v)), s"commit rename failed: v$v")
     v
+  }
+
+  /** DESCRIBE HISTORY over the log (reference:
+    * TPC-datagen-notebook.scala:2168): one row per commit — version,
+    * operation (from commitInfo; blank for logs other writers produced
+    * without one), files added/removed. Driver-side like replay, bounded
+    * by action count.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, logDir(table))
+    versions(spark, table).map { v =>
+      val as = readActions(f, commitFile(table, v))
+      val op = as.find(_.has("commitInfo"))
+        .map(_.get("commitInfo").get("operation").asText()).getOrElse("")
+      (v, op, as.count(_.has("add")).toLong, as.count(_.has("remove")).toLong)
+    }.toDF("version", "operation", "n_added", "n_removed")
+  }
+
+  /** OPTIMIZE (bin-packing compaction) as a protocol commit (reference:
+    * TPC-datagen-notebook.scala:1979-2029): rewrite the latest snapshot
+    * into `targetFiles` files and publish one commit removing every old
+    * file — readers at any moment see either the old file set or the new
+    * one, never a mix, and time travel to pre-OPTIMIZE versions still
+    * works until [[vacuum]]. The rewrite is one distributed pass; only
+    * the commit publish is driver-side.
+    */
+  def optimizeCompact(spark: SparkSession, table: String,
+                      targetFiles: Int = 1): Long =
+    commit(spark, table, read(spark, table).coalesce(targetFiles),
+      overwrite = true, operation = "OPTIMIZE")
+
+  /** VACUUM (reference: TPC-datagen-notebook.scala:2086): delete data
+    * files referenced by NONE of the last `retainVersions` snapshots.
+    * The log is never touched — history stays listable; time travel past
+    * the horizon fails at scan time (file gone), the protocol's own
+    * contract. Returns the deleted file names.
+    */
+  def vacuum(spark: SparkSession, table: String,
+             retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions(spark, table)
+    val keep: Set[String] = vs.takeRight(retainVersions)
+      .flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val victims = f.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !keep.contains(p.getName))
+    victims.foreach(p => f.delete(p, false))
+    victims.map(_.getName)
   }
 
   /** Compact the log at its latest version into a parquet checkpoint +

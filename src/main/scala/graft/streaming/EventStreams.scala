@@ -392,6 +392,36 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
       }
 
+  /** [[streamingUpsert]] landing in a real Delta-protocol table
+    * (graft.sources.DeltaLite) instead of the v=N snapshot dirs — the
+    * reference's exact production shape: CDC feed → MERGE → Delta table
+    * (tasks/Query History API to Delta_withmetrics.py:196-300). Each
+    * micro-batch merges against the table's latest snapshot and commits
+    * one new version (operation MERGE), so DESCRIBE HISTORY shows the
+    * batch trail and time travel replays any intermediate table state.
+    * Replay-idempotent: a restarted batch N finds the table already at
+    * ≥ N+1 commits and skips — exactly one commit per batch, ever.
+    */
+  def streamingDeltaUpsert(events: DataFrame, tablePath: String,
+                           keys: Seq[String], skewSafe: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = graft.sources.DeltaLite.versions(spark, tablePath).size
+        if (committed <= batchId) {
+          val target =
+            if (committed == 0) batch.limit(0)
+            else graft.sources.DeltaLite.read(spark, tablePath)
+          val merged = graft.operators.LakehouseOps
+            .mergeUpsert(target, batch, keys, skewSafe = skewSafe)
+          graft.sources.DeltaLite.commit(spark, tablePath, merged,
+            overwrite = true, operation = "MERGE")
+        }
+        ()
+      }
+
   /** Complete (committed) snapshot versions under a streamingUpsert target. */
   def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String): Seq[Long] = {

@@ -75,6 +75,66 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("history lists one row per commit with operation and file deltas") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((9L, "z")).toDF("k", "s"), overwrite = true)
+    val h = DeltaLite.history(spark, t)
+      .orderBy("version")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(0L, 1L, 2L))
+    assert(h.map(_._2) == Seq("WRITE", "WRITE", "OVERWRITE"))
+    assert(h(2)._4 == h(0)._3 + h(1)._3, "overwrite must remove every prior file")
+  }
+
+  test("optimizeCompact: one commit shrinks the file count, data identical, " +
+    "pre-OPTIMIZE version still time-travels; vacuum then reaps it") {
+    val t = newTable()
+    // many small files: one commit per row
+    (1L to 5L).foreach(k => DeltaLite.commit(spark, t, Seq((k, s"v$k")).toDF("k", "s")))
+    val before = DeltaLite.snapshot(spark, t).files
+    assert(before.size == 5)
+    val ov = DeltaLite.optimizeCompact(spark, t)
+    assert(ov == 5L)
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.files.size == 1, "compaction must bin-pack to the target")
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      (1L to 5L).map(k => (k, s"v$k")).toSet)
+    assert(DeltaLite.history(spark, t).filter(col("operation") === "OPTIMIZE")
+      .count() == 1)
+    // old files still on disk → time travel to v4 still reads
+    assert(DeltaLite.read(spark, t, Some(4L)).count() == 5)
+    // vacuum to the latest version: the 5 old files are unreferenced
+    val reaped = DeltaLite.vacuum(spark, t, retainVersions = 1)
+    assert(reaped.toSet == before.toSet)
+    assert(DeltaLite.read(spark, t).count() == 5, "latest unaffected by vacuum")
+  }
+
+  test("streamingDeltaUpsert: CDC micro-batches MERGE into a Delta table " +
+    "with one commit per batch and a time-travelable trail") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = newTable()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.streamingDeltaUpsert(
+        mem.toDF().toDF("k", "v"), t, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", t + "_ckpt")
+    mem.addData((1L, "a"), (2L, "b"))
+    q.start().awaitTermination()
+    mem.addData((2L, "B2"), (3L, "c"))
+    q.start().awaitTermination()
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // batch 0's state is a pinned version; every commit is a MERGE
+    val h = DeltaLite.history(spark, t)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h.size == 2 && h.forall(_._2 == "MERGE"))
+    assert(DeltaLite.read(spark, t, Some(0L)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("snapshot scan keeps parquet pushdown on the resolved file list") {
     val t = newTable()
     DeltaLite.commit(spark, t,
