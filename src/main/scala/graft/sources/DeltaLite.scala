@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * pushdown, pruning, and vectorized decode. Reference:
   * tasks/Query History API to Delta_withmetrics.py:1-264 writes its
   * results through exactly this protocol (via Databricks' engine).
+  *
+  * Writer concurrency: SINGLE writer per table, the assumption every
+  * log-structured writer makes absent a put-if-absent commit service
+  * (Delta proper requires one per storage system). Readers are always
+  * safe — they only see rename-published commits; two concurrent
+  * writers could race the same version number and last-rename-wins.
   */
 object DeltaLite {
 
