@@ -481,6 +481,91 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --------------------------------------------------------------- C42
+  /** Asymmetric shingle CONTAINMENT over the same posting-list kernel as
+    * C4: containment(pair) = |A∩B| / min(|A|,|B|) — the score that finds
+    * doc-in-doc relationships Jaccard structurally cannot (a 100-shingle
+    * boilerplate block embedded in a 10 000-shingle page has Jaccard
+    * ≈ 0.01 but containment 1.0). The standard subset/boilerplate
+    * detector in training-data curation (quotes, mirrored sections,
+    * template wrappers). Candidates ride the identical rare-shingle
+    * prefix filter (df ≤ maxDf), so shuffle stays ∝ Σ df² — the
+    * documented recall trade: a subset doc sharing ONLY ubiquitous
+    * shingles with its container is missed, exactly as in C4. Output
+    * orients each pair as (contained ⊆ container) by size, id-ascending
+    * on ties, so consumers can drop `doc_contained` directly.
+    */
+  def dedupContainment(s: SparkSession, dir: String,
+                       maxDf: Int = 5, minContainment: Double = 0.3): DataFrame = {
+    val posting = shingleHashes(Tables.documents(s, dir)).localCheckpoint(false)
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val wH = Window.partitionBy("h")
+    val pairs = posting
+      .withColumn("__df", count(lit(1)).over(wH))
+      .filter(col("__df").between(2, maxDf))
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val inter = pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= minContainment)
+      // orient: smaller shingle set = the contained side (id breaks ties)
+      .withColumn("__a_small", col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b")))
+      .select(
+        when(col("__a_small"), col("doc_a")).otherwise(col("doc_b")).as("doc_contained"),
+        when(col("__a_small"), col("doc_b")).otherwise(col("doc_a")).as("doc_container"),
+        col("containment"))
+      .orderBy("doc_contained", "doc_container")
+  }
+
+  /** C4's oracle skeleton with the containment math and size-orientation
+    * mirrored (same injective shingle-string ≡ shingle-hash argument).
+    */
+  val dedupContainmentOracle: String =
+    """WITH posting AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(t) < 3 THEN [text]
+      |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+      |        END) AS shingle
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d) u),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id),
+      |rare AS (SELECT shingle FROM posting GROUP BY shingle
+      |         HAVING COUNT(*) BETWEEN 2 AND 5),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM posting a JOIN posting b USING (shingle) JOIN rare USING (shingle)
+      |  WHERE a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      |  FROM pairs p
+      |  JOIN posting a ON a.doc_id = p.doc_a
+      |  JOIN posting b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_contained, doc_container, containment FROM (
+      |  SELECT
+      |    CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND doc_a < doc_b)
+      |      THEN doc_a ELSE doc_b END AS doc_contained,
+      |    CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND doc_a < doc_b)
+      |      THEN doc_b ELSE doc_a END AS doc_container,
+      |    CAST(n_inter AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b) t
+      |WHERE containment >= 0.3 ORDER BY doc_contained, doc_container""".stripMargin
+
   // --------------------------------------------------------------- C5
   /** Embedding-cosine near-dup: block vectors by a random-hyperplane LSH
     * bucket, take each vector's best cosine neighbor within its bucket,
@@ -1245,6 +1330,7 @@ object Dedup {
     "dedup_simhash"       -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_simhash_nn"    -> ((s: SparkSession, d: String) => dedupSimhashNn(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
+    "dedup_containment"   -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "dedup_span_cross"    -> ((s: SparkSession, d: String) =>
       crossDocSpans(Tables.documents(s, d))),
@@ -1261,6 +1347,7 @@ object Dedup {
     "dedup_incremental"   -> dedupIncrementalOracle,
     "dedup_embedding"     -> dedupEmbeddingOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_containment"   -> dedupContainmentOracle,
     "dedup_simhash"       -> dedupSimhashOracle,
     "dedup_simhash_nn"    -> dedupSimhashNnOracle,
     "dedup_span_cross"    -> crossDocSpansOracle,

@@ -614,6 +614,79 @@ object LakehouseOps {
       |  FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 2) t
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- B14
+  /** The same transactional contract as B13, hash-checked on the OTHER
+    * open table format (graft.sources.IcebergLite — Apache Iceberg v1
+    * metadata + Avro manifests, natively): identical three-commit plan
+    * over orders (append, append, overwrite), then per-status rollups of
+    * a time-travel read (snapshot 1) and the current snapshot. One
+    * oracle, two formats: any divergence between the Delta log-replay
+    * path and the Iceberg snapshot-graph path against the same DuckDB
+    * recomputation localizes the defect to the format layer, not the
+    * query. Scans stay explicit-file parquet with pushdown intact
+    * (IcebergLiteSpec pins it).
+    */
+  def dbaIcebergRead(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_q")
+      .toString + "/orders_iceberg"
+    val o = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergLite.commit(s, t, o.filter(col("o_orderkey") % 3 === 0))
+    graft.sources.IcebergLite.commit(s, t, o.filter(col("o_orderkey") % 3 === 1))
+    graft.sources.IcebergLite.commit(s, t,
+      o.filter(col("o_orderkey") % 3 === 2), overwrite = true)
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.IcebergLite.read(s, t, Some(1L)), 1L)
+      .unionByName(roll(graft.sources.IcebergLite.read(s, t), 2L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  // same slices, same rollups — deliberately shared with B13
+  val dbaIcebergReadOracle: String = dbaDeltaReadOracle
+
+  // ---------------------------------------------------------------- B15
+  /** The 100 TB MERGE shape end-to-end: orders lands in a DeltaLite table
+    * range-clustered on the merge key (8 files, disjoint key ranges —
+    * the layout OPTIMIZE/Z-ORDER maintains), then a key-bounded update
+    * batch (keys ≤ max/8, price bump ×1.1) merges via
+    * DeltaLite.selectiveMerge — add-stats data skipping rewrites ONLY the
+    * file(s) whose key range intersects the batch; the other ~7/8 of the
+    * table survives the commit byte-identical (DeltaLiteSpec pins the
+    * file economics; this query hash-checks the semantics: the final
+    * table must equal a full mergeUpsert, row for row, against DuckDB
+    * recomputing the merge from orders).
+    */
+  def dbaMergeSelective(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_sm")
+      .toString + "/orders_delta"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val cutoff = ord.agg(max("o_orderkey")).head().getLong(0) / 8
+    val updates = ord.filter(col("o_orderkey") <= cutoff)
+      .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
+    graft.sources.DeltaLite.selectiveMerge(s, t, updates, Seq("o_orderkey"))
+    graft.sources.DeltaLite.read(s, t).orderBy("o_orderkey")
+  }
+
+  val dbaMergeSelectiveOracle: String =
+    """WITH c AS (SELECT MAX(o_orderkey) // 8 AS cut FROM orders),
+      |src AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |  FROM orders, c WHERE o_orderkey <= cut)
+      |SELECT * FROM src
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+      |FROM orders, c WHERE o_orderkey > cut
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -674,7 +747,9 @@ object LakehouseOps {
     "dba_pricing_cost"    -> (dbaPricingCost _),
     "dba_csv_import"      -> (dbaCsvImport _),
     "dba_json_ingest"     -> (dbaJsonIngest _),
-    "dba_delta_read"      -> (dbaDeltaRead _))
+    "dba_delta_read"      -> (dbaDeltaRead _),
+    "dba_iceberg_read"    -> (dbaIcebergRead _),
+    "dba_merge_selective" -> (dbaMergeSelective _))
 
   val oracles: Map[String, String] = Map(
     "dba_skew_report"   -> dbaSkewReportOracle,
@@ -689,5 +764,7 @@ object LakehouseOps {
     "dba_pricing_cost"  -> dbaPricingCostOracle,
     "dba_csv_import"    -> dbaCsvImportOracle,
     "dba_json_ingest"   -> dbaJsonIngestOracle,
-    "dba_delta_read"    -> dbaDeltaReadOracle)
+    "dba_delta_read"    -> dbaDeltaReadOracle,
+    "dba_iceberg_read"  -> dbaIcebergReadOracle,
+    "dba_merge_selective" -> dbaMergeSelectiveOracle)
 }

@@ -1,0 +1,880 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native reader/writer for the (public) Apache Iceberg table format —
+  * the second open lakehouse-table protocol, alongside [[DeltaLite]],
+  * covered WITHOUT any format jars (none exist in this environment; see
+  * README "Table-format boundary"). The format is an open spec
+  * (iceberg.apache.org/spec): a table is a parquet-file directory plus
+  * `metadata/` holding one immutable JSON table-metadata file per commit
+  * (`v<N>.metadata.json`, discovered via `version-hint.text` — the spec's
+  * file-system-tables catalog), each naming a current snapshot whose
+  * *manifest list* (Avro) points at *manifest files* (Avro) that enumerate
+  * the data files. Where Delta is log-REPLAY (state = fold of actions),
+  * Iceberg is snapshot-ISOLATION (every commit materializes its complete
+  * file graph) — supporting both shapes natively is the point of having
+  * two implementations rather than one abstraction.
+  *
+  * Covered: format-version 1 and 2 metadata; snapshot resolution at the
+  * current or any retained snapshot id (time travel); manifest-list and
+  * manifest Avro decode (writer-schema driven, so extra v2 fields pass
+  * through); Iceberg↔Spark schema conversion (primitives, decimal,
+  * struct/list/map); a commit writer (append / overwrite) producing
+  * spec-shaped v1 metadata+manifests; DESCRIBE HISTORY; snapshot
+  * expiration (the format's GC verb) and bin-packing compaction.
+  * Out of scope (documented, not silently wrong): row-level deletes
+  * (v2 delete manifests / delete files) and format-version 3 — tables
+  * carrying them are REFUSED loudly rather than mis-read.
+  *
+  * Scale shape: metadata resolution is driver-side and bounded by the
+  * manifest count — exactly how the reference implementation plans scans
+  * (Iceberg's own value proposition is that planning never lists the
+  * directory). Manifest lists/manifests are a few KB per commit; the data
+  * is never touched during planning — the snapshot feeds Spark's parquet
+  * source as an explicit file list, so scans keep pushdown, pruning, and
+  * vectorized decode. At 100 TB the same structure holds: a snapshot
+  * with thousands of manifests resolves in one sequential pass over Avro
+  * headers, and per-manifest min/max pruning (not implemented here) is
+  * an additive optimization, never a correctness dependency.
+  *
+  * Writer concurrency: SINGLE writer per table (same contract and same
+  * reasoning as [[DeltaLite]] — the version-hint publish is
+  * last-rename-wins absent a CAS catalog). Readers are always safe:
+  * metadata files are immutable once named, and a torn commit leaves
+  * only unreferenced files that no published metadata names.
+  *
+  * Reference: the reference's ETL flows land transactional tables via a
+  * managed engine (tasks/Query History API to Delta_withmetrics.py:196-230);
+  * this re-expresses the same contract on the other open format.
+  */
+object IcebergLite {
+
+  private val mapper = new ObjectMapper()
+
+  private def metaDir(table: String)  = new Path(table, "metadata")
+  private def dataDir(table: String)  = new Path(table, "data")
+  private def hintFile(table: String) = new Path(metaDir(table), "version-hint.text")
+  private def metaFile(table: String, v: Int) =
+    new Path(metaDir(table), s"v$v.metadata.json")
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------ Avro I/O
+  /** Manifest-list entry (spec: `manifest_file`, field-ids 500+). Only
+    * the v1-required fields are written; reads are writer-schema driven
+    * so real tables' extra fields (content, sequence numbers, partition
+    * summaries) are visible when present.
+    */
+  private val ManifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  /** Manifest entry (spec: `manifest_entry` wrapping `data_file`,
+    * field-ids 0-2 / 100+). `block_size_in_bytes` is v1-required
+    * (dropped in v2) — written for v1 conformance, ignored on read.
+    */
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"block_size_in_bytes","type":"long","field-id":105}
+      |  ]}}
+      |]}""".stripMargin)
+
+  /** Field access tolerant of writer-schema variance (GenericRecord.get
+    * THROWS on a name the writer schema lacks — v1 files have no
+    * `content` field, v2 files do).
+    */
+  private def opt(r: GenericRecord, field: String): Option[AnyRef] =
+    Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+
+  private def readAvro(f: FileSystem, p: Path): Seq[GenericRecord] = {
+    val in = f.open(p)
+    val stream = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    try stream.iterator().asScala.toVector
+    finally { stream.close() } // closes the underlying FSDataInputStream
+  }
+
+  private def writeAvro(f: FileSystem, p: Path, schema: Schema,
+                        rows: Seq[GenericRecord],
+                        meta: Map[String, String] = Map.empty): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = f.create(p, true)
+    try {
+      w.create(schema, out)
+      rows.foreach(w.append)
+    } finally w.close()
+    f.getFileStatus(p).getLen
+  }
+
+  // -------------------------------------------- Iceberg ⇄ Spark schemas
+  /** Iceberg schema JSON → Spark StructType (spec "Schemas" — primitives
+    * plus struct/list/map; `required` maps to non-nullable).
+    */
+  private[graft] def icebergToSpark(schema: JsonNode): StructType = {
+    def convert(t: JsonNode): DataType =
+      if (t.isTextual) primitive(t.asText())
+      else t.get("type").asText() match {
+        case "struct" => StructType(t.get("fields").elements().asScala.map { f =>
+          StructField(f.get("name").asText(), convert(f.get("type")),
+            nullable = !f.get("required").asBoolean())
+        }.toSeq)
+        case "list" => ArrayType(convert(t.get("element")),
+          containsNull = !Option(t.get("element-required")).exists(_.asBoolean()))
+        case "map" => MapType(convert(t.get("key")), convert(t.get("value")),
+          valueContainsNull = !Option(t.get("value-required")).exists(_.asBoolean()))
+        case other => sys.error(s"iceberg type unsupported: $other")
+      }
+    def primitive(s: String): DataType = s match {
+      case "boolean"     => BooleanType
+      case "int"         => IntegerType
+      case "long"        => LongType
+      case "float"       => FloatType
+      case "double"      => DoubleType
+      case "date"        => DateType
+      case "string"      => StringType
+      case "uuid"        => StringType
+      case "binary"      => BinaryType
+      case "timestamp"   => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(p.trim.toInt, sc.trim.toInt)
+      case f if f.startsWith("fixed[") => BinaryType
+      case other => sys.error(s"iceberg primitive unsupported: $other")
+    }
+    convert(schema).asInstanceOf[StructType]
+  }
+
+  /** Spark StructType → Iceberg schema JSON with spec-conformant unique
+    * field ids (depth-first, 1-based — the id assignment real writers use
+    * for a fresh table). Returns (schemaNode, lastColumnId).
+    */
+  private[graft] def sparkToIceberg(st: StructType): (ObjectNode, Int) = {
+    var id = 0
+    def nextId(): Int = { id += 1; id }
+    def convert(dt: DataType): Either[String, ObjectNode] = dt match {
+      case BooleanType      => Left("boolean")
+      case IntegerType      => Left("int")
+      case ShortType        => Left("int")
+      case ByteType         => Left("int")
+      case LongType         => Left("long")
+      case FloatType        => Left("float")
+      case DoubleType       => Left("double")
+      case DateType         => Left("date")
+      case StringType       => Left("string")
+      case BinaryType       => Left("binary")
+      case TimestampNTZType => Left("timestamp")
+      case TimestampType    => Left("timestamptz")
+      case d: DecimalType   => Left(s"decimal(${d.precision}, ${d.scale})")
+      case s: StructType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val fields = n.putArray("fields")
+        s.fields.foreach(f => fields.add(fieldNode(f)))
+        Right(n)
+      case ArrayType(e, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", nextId())
+        setType(n, "element", convert(e))
+        n.put("element-required", !containsNull)
+        Right(n)
+      case MapType(k, v, valueNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", nextId())
+        setType(n, "key", convert(k))
+        n.put("value-id", nextId())
+        setType(n, "value", convert(v))
+        n.put("value-required", !valueNull)
+        Right(n)
+      case other => sys.error(s"spark type unsupported in iceberg: $other")
+    }
+    def setType(n: ObjectNode, key: String, t: Either[String, ObjectNode]): Unit =
+      t match {
+        case Left(s)     => n.put(key, s); ()
+        case Right(node) => n.set(key, node); ()
+      }
+    def fieldNode(f: StructField): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("id", nextId())
+      n.put("name", f.name)
+      n.put("required", !f.nullable)
+      setType(n, "type", convert(f.dataType))
+      n
+    }
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = root.putArray("fields")
+    st.fields.foreach(f => fields.add(fieldNode(f)))
+    (root, id)
+  }
+
+  // ------------------------------------------------------------ reading
+  /** Committed metadata versions, ascending (from `v<N>.metadata.json`
+    * names; `version-hint.text` is a convenience pointer, not the truth).
+    */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
+    val dir = metaDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json"))
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
+  }
+
+  private def readMetadata(f: FileSystem, p: Path): JsonNode = {
+    val in = f.open(p)
+    try mapper.readTree(new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Latest table metadata (or a pinned metadata version). */
+  def metadata(spark: SparkSession, table: String,
+               version: Option[Int] = None): JsonNode = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table: no iceberg metadata")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"$table: metadata version $v not in $vs")
+    val node = readMetadata(fs(spark, metaDir(table)), metaFile(table, v))
+    val fv = node.get("format-version").asInt()
+    require(fv <= 2, s"$table: iceberg format-version $fv unsupported " +
+      "(row lineage / v3) — refusing")
+    node
+  }
+
+  /** One live data file of a snapshot, as the manifests describe it. */
+  final case class FileInfo(path: String, recordCount: Long, sizeBytes: Long,
+                            partition: Map[String, String])
+
+  /** Resolved snapshot state: data files + the Spark-typed schema. */
+  final case class Snapshot(snapshotId: Long, schema: StructType,
+                            detail: Seq[FileInfo]) {
+    def files: Seq[String] = detail.map(_.path)
+  }
+
+  private def resolvePath(table: String, p: String): String = {
+    // manifests may store absolute URIs (real writers) or table-relative
+    // paths (ours); both resolve to a readable location
+    val path = new Path(p)
+    if (path.isAbsolute || p.contains(":/")) p
+    else new Path(table, p).toString
+  }
+
+  /** Resolve a snapshot (current, or pinned by snapshot id) to its data
+    * file list by walking manifest-list → manifests. Refuses v2 DELETE
+    * manifests and delete-content data files rather than returning rows
+    * that row-level deletes should have masked.
+    */
+  def snapshot(spark: SparkSession, table: String,
+               snapshotId: Option[Long] = None): Snapshot = {
+    val meta = metadata(spark, table)
+    val f = fs(spark, metaDir(table))
+    val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    require(snaps.nonEmpty, s"$table: no snapshots")
+    val targetId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val snap = snaps.find(_.get("snapshot-id").asLong() == targetId)
+      .getOrElse(sys.error(s"$table: snapshot $targetId not found " +
+        "(expired, or never committed)"))
+
+    // current schema: "schemas" list keyed by current-schema-id (v2) or
+    // the legacy single "schema" (v1 writers)
+    val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
+      val want = Option(snap.get("schema-id")).map(_.asInt())
+        .getOrElse(meta.get("current-schema-id").asInt())
+      arr.elements().asScala.find(_.get("schema-id").asInt() == want)
+    }.orElse(Option(meta.get("schema")))
+      .getOrElse(sys.error(s"$table: metadata has no schema"))
+    val schema = icebergToSpark(schemaNode)
+
+    // manifest list (normal) or legacy inline "manifests" array
+    val manifestPaths: Seq[String] =
+      Option(snap.get("manifest-list")) match {
+        case Some(ml) =>
+          readAvro(f, new Path(resolvePath(table, ml.asText()))).map { r =>
+            opt(r, "content").map(_.asInstanceOf[Int]).foreach(c =>
+              require(c == 0, s"$table: DELETE manifest (content=$c) — " +
+                "row-level deletes unsupported, refusing"))
+            r.get("manifest_path").toString
+          }
+        case None => Option(snap.get("manifests"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(sys.error(s"$table: snapshot $targetId has no manifest list"))
+      }
+
+    // a DELETED entry in any manifest of the snapshot masks the file's
+    // ADDED entry in an earlier manifest (the partial-rewrite shape:
+    // selective merges keep old manifests and tombstone replaced files
+    // in the new one)
+    val deleted = scala.collection.mutable.Set.empty[String]
+    val files = manifestPaths.flatMap { mp =>
+      readAvro(f, new Path(resolvePath(table, mp))).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        if (status == 2) { // DELETED: file dropped at this snapshot
+          deleted += df.get("file_path").toString
+          None
+        } else {
+          opt(df, "content").map(_.asInstanceOf[Int]).foreach(c =>
+            require(c == 0, s"$table: delete file (content=$c) — " +
+              "row-level deletes unsupported, refusing"))
+          val part = Option(df.get("partition"))
+            .map(_.asInstanceOf[GenericRecord]) match {
+              case Some(p) => p.getSchema.getFields.asScala.map(fl =>
+                fl.name() -> Option(p.get(fl.name())).map(_.toString).orNull)
+                .toMap
+              case None => Map.empty[String, String]
+            }
+          Some(FileInfo(df.get("file_path").toString,
+            opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L),
+            opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
+            part))
+        }
+      }
+    }.distinctBy(_.path).filterNot(fi => deleted.contains(fi.path))
+    Snapshot(targetId, schema, files)
+  }
+
+  /** Metadata-only scan planning (the format's 100 TB value proposition:
+    * the file set, sizes, row counts, and partition values come from
+    * manifests — the data and the directory listing are never touched).
+    * One row per live data file; filter this frame on `partition` and
+    * hand the surviving paths to [[readFiles]] for a manifest-pruned
+    * scan. Doubles as the DESCRIBE FILES inventory.
+    */
+  def planFiles(spark: SparkSession, table: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    snapshot(spark, table, snapshotId).detail
+      .map(fi => (fi.path, fi.recordCount, fi.sizeBytes, fi.partition))
+      .toDF("file_path", "record_count", "file_size_in_bytes", "partition")
+  }
+
+  /** Read an IcebergLite/Iceberg table as a DataFrame at the current or a
+    * pinned snapshot. The file list feeds Spark's parquet source with the
+    * metadata schema — an empty snapshot yields an empty frame WITH the
+    * committed schema, and scans keep pushdown + pruning (spec-pinned).
+    */
+  def read(spark: SparkSession, table: String,
+           snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, table, snapshotId)
+    readFileList(spark, table, s.schema, s.files)
+  }
+
+  /** Scan an explicit subset of a snapshot's files (the consumer half of
+    * [[planFiles]]-driven manifest pruning). Paths must come from the
+    * same table's manifests.
+    */
+  def readFiles(spark: SparkSession, table: String, files: Seq[String],
+                snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, table, snapshotId)
+    val live = s.files.toSet
+    require(files.forall(live.contains),
+      s"$table: readFiles paths must be manifest-listed data files")
+    readFileList(spark, table, s.schema, files)
+  }
+
+  private def readFileList(spark: SparkSession, table: String,
+                           schema: StructType, files: Seq[String]): DataFrame = {
+    val paths = files.map(p => resolvePath(table, p))
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val partitioned = paths.exists(_.matches(".*/[^/]+=[^/]*/[^/]+"))
+    if (!partitioned) spark.read.schema(schema).parquet(paths: _*)
+    else {
+      // hive-layout snapshot: partition columns live in the directory
+      // names, not the data files — basePath discovery re-attaches them
+      // (and gives Catalyst real PartitionFilters pruning). Discovery
+      // infers partition value types, so re-cast any drifted column to
+      // the committed schema and restore the declared column order.
+      val raw = spark.read.option("basePath", table).parquet(paths: _*)
+      val typed = schema.fields.foldLeft(raw) { (d, fld) =>
+        if (d.schema.fieldNames.contains(fld.name) &&
+            d.schema(fld.name).dataType != fld.dataType)
+          d.withColumn(fld.name, org.apache.spark.sql.functions
+            .col(fld.name).cast(fld.dataType))
+        else d
+      }
+      typed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    }
+  }
+
+  // ------------------------------------------------------------ writing
+  private def record(schema: Schema)(fields: (String, Any)*): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    fields.foreach { case (k, v) => r.put(k, v) }
+    r
+  }
+
+  /** Avro primitive for a partition column (identity transform keeps the
+    * source type; the manifest stores the typed value, spec "Partition
+    * Transforms").
+    */
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case LongType                           => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case StringType                         => "string"
+    case BooleanType                        => "boolean"
+    case DoubleType                         => "double"
+    case FloatType                          => "float"
+    case other => sys.error(s"partition column type unsupported: $other")
+  }
+
+  /** Manifest-entry schema with the r102 partition record carrying one
+    * nullable typed field per partition column (empty = the static
+    * unpartitioned schema).
+    */
+  private def manifestEntrySchema(partCols: Seq[StructField]): Schema =
+    if (partCols.isEmpty) ManifestEntrySchema
+    else {
+      val fields = partCols.zipWithIndex.map { case (c, i) =>
+        s"""{"name":${mapper.writeValueAsString(c.name)},"type":["null","${partitionAvroType(c.dataType)}"],"default":null,"field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |  {"name":"status","type":"int","field-id":0},
+           |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           |    {"name":"file_path","type":"string","field-id":100},
+           |    {"name":"file_format","type":"string","field-id":101},
+           |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fields]}},
+           |    {"name":"record_count","type":"long","field-id":103},
+           |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+           |    {"name":"block_size_in_bytes","type":"long","field-id":105}
+           |  ]}}
+           |]}""".stripMargin)
+    }
+
+  /** Reverse of Spark's partition-path escaping (%xx sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(ch =>
+            Character.digit(ch, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A hive dir value, typed for the manifest's partition record. */
+  private def typedPartitionValue(raw: String, dt: DataType): Any = {
+    val v = unescapePathName(raw)
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case LongType                           => java.lang.Long.valueOf(v)
+      case IntegerType | ShortType | ByteType => java.lang.Integer.valueOf(v)
+      case StringType                         => v
+      case BooleanType                        => java.lang.Boolean.valueOf(v)
+      case DoubleType                         => java.lang.Double.valueOf(v)
+      case FloatType                          => java.lang.Float.valueOf(v)
+      case other => sys.error(s"partition column type unsupported: $other")
+    }
+  }
+
+  /** Commit `df` as the next snapshot: land parquet parts under `data/`,
+    * write one ADDED-entry manifest (+ DELETED entries when overwriting),
+    * a manifest list, and a new immutable `v<N>.metadata.json`; publish
+    * by rewriting `version-hint.text` last. Snapshot ids are sequential
+    * (deterministic logs, like DeltaLite's ts=0 — wall-clock ids add
+    * nothing here and would break reproducible tests). Returns the new
+    * snapshot id.
+    */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+             overwrite: Boolean = false, operation: String = "",
+             partitionBy: Seq[String] = Nil,
+             replacing: Option[Seq[String]] = None): Long = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val vs = versions(spark, table)
+    val prevMeta = if (vs.isEmpty) None else Some(metadata(spark, table))
+    val prevSnaps: Seq[JsonNode] = prevMeta
+      .flatMap(m => Option(m.get("snapshots")))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val snapId: Long =
+      if (prevSnaps.isEmpty) 0L
+      else prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
+    val metaV = if (vs.isEmpty) 1 else vs.last + 1
+    val partCols: Seq[StructField] = partitionBy.map(df.schema(_))
+
+    // 1. data files: stage (hive layout when partitioned — identity
+    //    transform, the dir name carrying the value), then publish under
+    //    data/ with snapshot-stamped names (metadata, not the listing,
+    //    defines the table)
+    val staging = new Path(root, s".staging-s$snapId")
+    val w0 = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
+      .parquet(staging.toString)
+    def leaves(dir: Path, rel: String): Seq[(Path, String)] =
+      f.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("="))
+          leaves(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else if (n.startsWith("part-") && n.endsWith(".parquet"))
+          Seq((st.getPath, rel))
+        else Nil
+      }
+    f.mkdirs(dataDir(table))
+    val named = leaves(staging, "").zipWithIndex.map { case ((p, relDir), i) =>
+      val rel =
+        if (relDir.isEmpty) f"data/part-$snapId%05d-$i%05d.parquet"
+        else f"data/$relDir/part-$snapId%05d-$i%05d.parquet"
+      val target = new Path(root, rel)
+      f.mkdirs(target.getParent)
+      require(f.rename(p, target), s"rename failed: $p")
+      // spec-required record_count, from the parquet footer (driver-side,
+      // metadata-only — the row counts real planners prune with)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          target, spark.sparkContext.hadoopConfiguration))
+      val rows = try footer.getRecordCount finally footer.close()
+      (rel, f.getFileStatus(target).getLen, rows, relDir)
+    }
+    f.delete(staging, true)
+
+    // 2. manifest: ADDED entries for the new files (typed partition
+    //    values parsed back out of the hive dirs); on overwrite, DELETED
+    //    entries recording the prior snapshot's files dropping out
+    val removed: Seq[String] = replacing.getOrElse(
+      if (overwrite && prevSnaps.nonEmpty) snapshot(spark, table).files else Nil)
+    val entrySchema = manifestEntrySchema(partCols)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    def partRecord(relDir: String): GenericRecord = {
+      val r = new GenericData.Record(partSchema)
+      if (relDir.nonEmpty) {
+        val byName = relDir.split("/").toSeq.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> v
+        }.toMap
+        partCols.foreach(c => byName.get(c.name).foreach(v =>
+          r.put(c.name, typedPartitionValue(v, c.dataType))))
+      }
+      r
+    }
+    def entry(status: Int, path: String, size: Long, rows: Long,
+              relDir: String): GenericRecord =
+      record(entrySchema)(
+        "status" -> status, "snapshot_id" -> snapId,
+        "data_file" -> record(dataFileSchema)(
+          "file_path" -> path, "file_format" -> "PARQUET",
+          "partition" -> partRecord(relDir), "record_count" -> rows,
+          "file_size_in_bytes" -> size, "block_size_in_bytes" -> (128L << 20)))
+    val entries =
+      named.map { case (p, size, rows, relDir) => entry(1, p, size, rows, relDir) } ++
+        removed.map(p => entry(2, p, 0L, 0L, ""))
+    f.mkdirs(metaDir(table))
+    val manifestRel = f"metadata/m-$snapId%05d-0.avro"
+    val manifestLen = writeAvro(f, new Path(root, manifestRel),
+      entrySchema, entries,
+      Map("format-version" -> "1", "content" -> "data"))
+
+    // 3. manifest list: append keeps prior manifests; overwrite starts
+    //    fresh (the DELETED entries above record the transition)
+    val prevManifests: Seq[(String, Long)] =
+      if (overwrite || prevSnaps.isEmpty) Nil
+      else {
+        val cur = prevSnaps.find(_.get("snapshot-id").asLong() ==
+          prevMeta.get.get("current-snapshot-id").asLong())
+        cur.map { s =>
+          readAvro(f, new Path(resolvePath(table, s.get("manifest-list").asText())))
+            .map(r => (r.get("manifest_path").toString,
+              r.get("manifest_length").asInstanceOf[Long]))
+        }.getOrElse(Nil)
+      }
+    val listRel = f"metadata/snap-$snapId%05d.avro"
+    val listRows = (prevManifests :+ (manifestRel, manifestLen)).map {
+      case (p, len) => record(ManifestListSchema)(
+        "manifest_path" -> p, "manifest_length" -> len,
+        "partition_spec_id" -> 0, "added_snapshot_id" -> snapId)
+    }
+    writeAvro(f, new Path(root, listRel), ManifestListSchema, listRows,
+      Map("format-version" -> "1"))
+
+    // 4. new metadata version (immutable), then the version-hint publish
+    val (schemaNode, lastColId) = sparkToIceberg(df.schema)
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid", f"graft-iceberg-$metaV%08d")
+    meta.put("location", table)
+    meta.put("last-updated-ms", 0L)
+    meta.put("last-column-id", lastColId)
+    meta.set[ObjectNode]("schema", schemaNode)
+    val schemas = meta.putArray("schemas"); schemas.add(schemaNode.deepCopy())
+    meta.put("current-schema-id", 0)
+    // partition spec: identity transform per partition column, field-ids
+    // from 1000 (spec's reserved partition-field range), source-id = the
+    // column's schema field id
+    def specFieldNodes(target: ArrayNode): Unit =
+      partCols.zipWithIndex.foreach { case (c, i) =>
+        val sourceId = schemaNode.get("fields").elements().asScala
+          .find(_.get("name").asText() == c.name)
+          .map(_.get("id").asInt())
+          .getOrElse(sys.error(s"partition column not in schema: ${c.name}"))
+        val n = mapper.createObjectNode()
+        n.put("name", c.name)
+        n.put("transform", "identity")
+        n.put("source-id", sourceId)
+        n.put("field-id", 1000 + i)
+        target.add(n)
+      }
+    specFieldNodes(meta.putArray("partition-spec")) // v1 legacy form
+    val specs = meta.putArray("partition-specs")
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0)
+    specFieldNodes(spec0.putArray("fields"))
+    specs.add(spec0)
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + partCols.size)
+    meta.set[ObjectNode]("properties", mapper.createObjectNode())
+    meta.put("current-snapshot-id", snapId)
+    val op = if (operation.nonEmpty) operation
+      else if (overwrite) "overwrite" else "append"
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapId)
+    if (prevSnaps.nonEmpty)
+      snapNode.put("parent-snapshot-id",
+        prevMeta.get.get("current-snapshot-id").asLong())
+    snapNode.put("timestamp-ms", 0L)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", op)
+    summary.put("added-data-files", named.size.toString)
+    summary.put("removed-data-files", removed.size.toString)
+    snapNode.set[ObjectNode]("summary", summary)
+    snapNode.put("manifest-list", listRel)
+    snapNode.put("schema-id", 0)
+    val allSnaps = meta.putArray("snapshots")
+    prevSnaps.foreach(s => allSnaps.add(s.deepCopy[JsonNode]()))
+    allSnaps.add(snapNode)
+    val log = meta.putArray("snapshot-log")
+    prevMeta.flatMap(m => Option(m.get("snapshot-log")))
+      .foreach(_.elements().asScala.foreach(e => log.add(e.deepCopy[JsonNode]())))
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
+    log.add(logEntry)
+
+    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(meta))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)), s"metadata rename failed: v$metaV")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapId
+  }
+
+  /** What [[selectiveMerge]] did — `filesSkipped` is the table volume a
+    * full-rewrite MERGE would have paid for.
+    */
+  final case class MergeStats(snapshotId: Long, filesRewritten: Int,
+                              filesSkipped: Int)
+
+  /** Partition-pruned copy-on-write MERGE — data skipping by Iceberg's
+    * native mechanism (manifest partition values), the complement of
+    * DeltaLite.selectiveMerge's add-stats pruning: for a table
+    * identity-partitioned on `partitionCol`, only data files whose
+    * manifest partition value occurs in the update batch are read,
+    * merged through the SAME LakehouseOps.mergeUpsert kernel, and
+    * rewritten (tombstoned in the new manifest; untouched files' old
+    * manifests carry forward). Cost ∝ touched partitions + the batch,
+    * not table size. The pruning is metadata-only — planning never
+    * touches data or directory listings.
+    *
+    * Contract: `partitionCol` must be stable per merge key (the standard
+    * partitioned-MERGE requirement — a key that migrates partitions
+    * would dodge its old row). Unpartitioned files in the snapshot are
+    * rewritten conservatively. The update batch's distinct partition
+    * values are collected to the driver (CDC-bounded, like the Delta
+    * variant's key set).
+    */
+  def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
+                     keys: Seq[String], partitionCol: String,
+                     skewSafe: Boolean = false): MergeStats = {
+    val snap = snapshot(spark, table)
+    val updParts: Set[String] = updates.select(partitionCol).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    val (touched, skipped) = snap.detail.partition { fi =>
+      fi.partition.get(partitionCol) match {
+        case Some(v) if v != null => updParts.contains(v)
+        case _                    => true // unpartitioned/unknown: rewrite
+      }
+    }
+    val base =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else readFileList(spark, table, snap.schema, touched.map(_.path))
+    val merged = graft.operators.LakehouseOps
+      .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+    val sid = commit(spark, table, merged, operation = "merge",
+      partitionBy = Seq(partitionCol),
+      replacing = Some(touched.map(_.path)))
+    MergeStats(sid, touched.size, skipped.size)
+  }
+
+  /** Incremental consumption (the format's append-changelog surface):
+    * the rows added by snapshots in `(fromSnapshotId, toSnapshotId]`,
+    * read WITHOUT rescanning the table — under append-only history the
+    * added file set is exactly the snapshot file-set difference, so the
+    * scan touches only the new files. Every snapshot in the range must
+    * be an `append` (an overwrite/replace in range rewrites history and
+    * has no well-defined row delta — REFUSED loudly, matching the real
+    * reader's incremental-scan contract).
+    */
+  def incrementalRead(spark: SparkSession, table: String,
+                      fromSnapshotId: Long,
+                      toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = metadata(spark, table)
+    val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val ids = snaps.map(_.get("snapshot-id").asLong())
+    val toId = toSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    require(ids.contains(fromSnapshotId) && ids.contains(toId),
+      s"$table: snapshot range ($fromSnapshotId, $toId] not resolvable in $ids")
+    require(fromSnapshotId <= toId, "from must precede to")
+    val inRange = snaps.filter { s =>
+      val id = s.get("snapshot-id").asLong()
+      id > fromSnapshotId && id <= toId
+    }
+    inRange.foreach { s =>
+      val op = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+        .map(_.asText()).getOrElse("")
+      require(op == "append",
+        s"$table: snapshot ${s.get("snapshot-id").asLong()} is '$op' — " +
+          "incremental read requires an append-only range, refusing")
+    }
+    val to = snapshot(spark, table, Some(toId))
+    val fromFiles = snapshot(spark, table, Some(fromSnapshotId)).files.toSet
+    readFileList(spark, table, to.schema,
+      to.files.filterNot(fromFiles.contains))
+  }
+
+  /** DESCRIBE HISTORY over the snapshot log: one row per snapshot —
+    * id, parent, operation, files added/removed (from the summary the
+    * writer recorded). Driver-side, bounded by snapshot count.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val meta = metadata(spark, table)
+    Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).map { s =>
+        val sum = Option(s.get("summary"))
+        (s.get("snapshot-id").asLong(),
+          Option(s.get("parent-snapshot-id")).map(_.asLong()).getOrElse(-1L),
+          sum.flatMap(x => Option(x.get("operation"))).map(_.asText()).getOrElse(""),
+          sum.flatMap(x => Option(x.get("added-data-files"))).map(_.asText().toLong).getOrElse(-1L),
+          sum.flatMap(x => Option(x.get("removed-data-files"))).map(_.asText().toLong).getOrElse(-1L))
+      }.toDF("snapshot_id", "parent_id", "operation", "n_added", "n_removed")
+  }
+
+  /** Expire all but the last `retainSnapshots` snapshots (the format's GC
+    * verb): a NEW metadata version drops the expired snapshot entries,
+    * then data files / manifests / manifest lists referenced by no
+    * retained snapshot are deleted. Time travel to an expired id now
+    * fails at resolution (snapshot not found) — the format's own
+    * contract. Returns deleted file paths (relative).
+    */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      retainSnapshots: Int = 1): Seq[String] = {
+    require(retainSnapshots >= 1, "must retain at least the current snapshot")
+    val meta = metadata(spark, table)
+    val f = fs(spark, metaDir(table))
+    val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    if (snaps.size <= retainSnapshots) return Seq.empty
+    val keepIds = snaps.takeRight(retainSnapshots)
+      .map(_.get("snapshot-id").asLong()).toSet
+    require(keepIds.contains(meta.get("current-snapshot-id").asLong()),
+      "refusing to expire the current snapshot")
+
+    def reachable(ids: Set[Long]): (Set[String], Set[String]) = {
+      val (ls, ms, ds) = snaps.filter(s => ids.contains(s.get("snapshot-id").asLong()))
+        .foldLeft((Set.empty[String], Set.empty[String], Set.empty[String])) {
+          case ((lists, manifests, files), s) =>
+            val lp = s.get("manifest-list").asText()
+            val mps = readAvro(f, new Path(resolvePath(table, lp)))
+              .map(_.get("manifest_path").toString)
+            val fps = mps.flatMap(mp =>
+              readAvro(f, new Path(resolvePath(table, mp)))
+                .filter(_.get("status").asInstanceOf[Int] != 2)
+                .map(_.get("data_file").asInstanceOf[GenericRecord]
+                  .get("file_path").toString))
+            (lists + lp, manifests ++ mps, files ++ fps)
+        }
+      (ls ++ ms, ds)
+    }
+    val allIds = snaps.map(_.get("snapshot-id").asLong()).toSet
+    val (keepMeta, keepData) = reachable(keepIds)
+    val (dropMeta, dropData) = reachable(allIds -- keepIds)
+
+    // publish the pruned metadata FIRST — readers must stop resolving
+    // expired snapshots before their files disappear
+    val metaV = versions(spark, table).last + 1
+    val pruned = meta.deepCopy[ObjectNode]()
+    val arr = pruned.putArray("snapshots")
+    snaps.filter(s => keepIds.contains(s.get("snapshot-id").asLong()))
+      .foreach(s => arr.add(s.deepCopy[JsonNode]()))
+    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(pruned))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)), "expire metadata rename failed")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+
+    val victims = (dropMeta -- keepMeta) ++ (dropData -- keepData)
+    victims.toSeq.sorted.map { rel =>
+      f.delete(new Path(resolvePath(table, rel)), false); rel
+    }
+  }
+
+  /** Bin-packing compaction as a snapshot commit (OPTIMIZE): rewrite the
+    * current snapshot into `targetFiles` files in one distributed pass;
+    * readers see the old or new file set atomically, and time travel to
+    * pre-compaction snapshots works until [[expireSnapshots]].
+    */
+  def optimizeCompact(spark: SparkSession, table: String,
+                      targetFiles: Int = 1): Long =
+    commit(spark, table, read(spark, table).coalesce(targetFiles),
+      overwrite = true, operation = "replace")
+}

@@ -422,6 +422,34 @@ object EventStreams {
         ()
       }
 
+  /** [[streamingDeltaUpsert]]'s contract on the OTHER open table format
+    * (graft.sources.IcebergLite): CDC feed → MERGE → Iceberg table, one
+    * snapshot commit per micro-batch (summary operation `merge`), so the
+    * snapshot log shows the batch trail and any intermediate table state
+    * time-travels by snapshot id. Replay-idempotent through the same
+    * commit-count guard — Iceberg writes one metadata version per commit,
+    * so `versions.size` counts commits exactly as Delta's log does.
+    */
+  def streamingIcebergUpsert(events: DataFrame, tablePath: String,
+                             keys: Seq[String], skewSafe: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = graft.sources.IcebergLite.versions(spark, tablePath).size
+        if (committed <= batchId) {
+          val target =
+            if (committed == 0) batch.limit(0)
+            else graft.sources.IcebergLite.read(spark, tablePath)
+          val merged = graft.operators.LakehouseOps
+            .mergeUpsert(target, batch, keys, skewSafe = skewSafe)
+          graft.sources.IcebergLite.commit(spark, tablePath, merged,
+            overwrite = true, operation = "merge")
+        }
+        ()
+      }
+
   /** Complete (committed) snapshot versions under a streamingUpsert target. */
   def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String): Seq[Long] = {

@@ -135,6 +135,71 @@ class DeltaLiteSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("add actions carry footer stats; selectiveMerge rewrites only " +
+    "key-intersecting files and leaves the rest byte-identical") {
+    val t = newTable()
+    // 4 files with disjoint key ranges (range-clustered, the layout a
+    // Z-ORDER/OPTIMIZE maintains)
+    val base = spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k"))
+    DeltaLite.commit(spark, t, base)
+    val s0 = DeltaLite.snapshot(spark, t)
+    assert(s0.files.size == 4)
+    assert(s0.stats.size == 4, "every add must carry stats")
+    // stats are real min/max of the file contents
+    val statsOk = s0.files.forall { p =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s0.stats(p))
+      n.get("numRecords").asLong() == 100 &&
+        n.get("minValues").has("k") && n.get("maxValues").has("k")
+    }
+    assert(statsOk, s0.stats.values.headOption.getOrElse(""))
+
+    // updates hit ONE file's range (keys 10..19) + one brand-new key
+    val updates = (Seq.tabulate(10)(i => (10L + i, -1L)) :+ (9999L, -2L))
+      .toDF("k", "v")
+    val ms = DeltaLite.selectiveMerge(spark, t, updates, Seq("k"))
+    assert(ms.filesRewritten == 1 && ms.filesSkipped == 3,
+      s"expected 1 rewrite / 3 skips, got $ms")
+
+    // untouched files survive IN the new snapshot (no data movement)
+    val s1 = DeltaLite.snapshot(spark, t)
+    val survivors = s0.files.toSet.intersect(s1.files.toSet)
+    assert(survivors.size == 3)
+
+    // semantics identical to a full mergeUpsert
+    val got = DeltaLite.read(spark, t).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.operators.LakehouseOps
+      .mergeUpsert(base.toDF("k", "v"), updates, Seq("k"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // history shows exactly one MERGE commit
+    assert(DeltaLite.history(spark, t)
+      .filter(col("operation") === "MERGE").count() == 1)
+  }
+
+  test("selectiveMerge rewrites conservatively when stats are absent") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // strip the stats from the committed log (a foreign writer's add)
+    val logFile = java.nio.file.Paths.get(t, "_delta_log",
+      "00000000000000000000.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(logFile))
+    java.nio.file.Files.write(logFile,
+      txt.replaceAll(""","stats":"(?:[^"\\]|\\.)*"""", "").getBytes)
+    // the raw rewrite bypassed Hadoop's LocalFileSystem, so drop its now
+    // stale checksum sidecar
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t,
+      "_delta_log", ".00000000000000000000.json.crc"))
+    assert(DeltaLite.snapshot(spark, t).stats.isEmpty, "stats not stripped")
+    val ms = DeltaLite.selectiveMerge(spark, t,
+      Seq((99L, "z")).toDF("k", "s"), Seq("k"))
+    assert(ms.filesRewritten >= 1 && ms.filesSkipped == 0)
+    assert(DeltaLite.read(spark, t).count() == 3)
+  }
+
   test("snapshot scan keeps parquet pushdown on the resolved file list") {
     val t = newTable()
     DeltaLite.commit(spark, t,

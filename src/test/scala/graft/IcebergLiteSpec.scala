@@ -1,0 +1,290 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.IcebergLite
+
+class IcebergLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_iceberglite").toString + "/t"
+
+  test("commit/read: append accumulates manifests, overwrite starts a " +
+    "fresh file graph, time travel resolves every snapshot") {
+    val t = newTable()
+    val s0 = IcebergLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val s1 = IcebergLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    val s2 = IcebergLite.commit(spark, t,
+      Seq((9L, "z")).toDF("k", "s"), overwrite = true)
+    assert(Seq(s0, s1, s2) == Seq(0L, 1L, 2L))
+
+    def keys(sid: Option[Long]) =
+      IcebergLite.read(spark, t, sid).select("k").as[Long].collect().toSet
+    assert(keys(Some(0L)) == Set(1L, 2L))
+    assert(keys(Some(1L)) == Set(1L, 2L, 3L))
+    assert(keys(None) == Set(9L), "overwrite must hide prior files")
+    // the replaced data files still exist on disk — METADATA, not the
+    // directory listing, defines the table (the format's core contract)
+    val snap1 = IcebergLite.snapshot(spark, t, Some(1L))
+    assert(snap1.files.size ==
+      IcebergLite.read(spark, t, Some(1L)).inputFiles.length)
+  }
+
+  test("schema fidelity: decimal/struct/array round-trip through the " +
+    "iceberg schema JSON, and an empty overwrite keeps the schema") {
+    val t = newTable()
+    val df = Seq((1L, BigDecimal("12.34"), Seq(1, 2), ("x", 2.5)))
+      .toDF("id", "price", "xs", "nested")
+      .select(col("id"), col("price").cast(DecimalType(18, 2)).as("price"),
+        col("xs"), col("nested"))
+    IcebergLite.commit(spark, t, df)
+    val got = IcebergLite.read(spark, t)
+    assert(got.schema("price").dataType == DecimalType(18, 2))
+    assert(got.schema("xs").dataType.isInstanceOf[ArrayType])
+    assert(got.schema("nested").dataType.isInstanceOf[StructType])
+    assert(got.count() == 1)
+
+    IcebergLite.commit(spark, t, df.limit(0), overwrite = true)
+    val empty = IcebergLite.read(spark, t)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "price", "xs", "nested"))
+    assert(empty.count() == 0)
+  }
+
+  test("iceberg schema ids are spec-conformant: depth-first unique, " +
+    "last-column-id tracks the max") {
+    val st = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b", StructType(Seq(StructField("c", StringType)))),
+      StructField("d", ArrayType(IntegerType))))
+    val (node, lastId) = IcebergLite.sparkToIceberg(st)
+    // a=1, b=2, c=3, d=4, element-id=5
+    assert(lastId == 5)
+    val back = IcebergLite.icebergToSpark(node)
+    assert(back("a").dataType == LongType)
+    assert(back("b").dataType.asInstanceOf[StructType]("c").dataType == StringType)
+    assert(back("d").dataType == ArrayType(IntegerType, containsNull = true))
+  }
+
+  test("history lists every snapshot with operation and file deltas") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"), overwrite = true)
+    val h = IcebergLite.history(spark, t)
+      .orderBy("snapshot_id")
+      .select("snapshot_id", "parent_id", "operation")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(h == Seq((0L, -1L, "append"), (1L, 0L, "append"), (2L, 1L, "overwrite")))
+  }
+
+  test("expireSnapshots drops old snapshots from metadata and deletes " +
+    "their unreferenced files; retained snapshots still read") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"), overwrite = true)
+    IcebergLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    val deleted = IcebergLite.expireSnapshots(spark, t, retainSnapshots = 2)
+    // snapshot 0's lone data file is referenced by no retained snapshot
+    assert(deleted.exists(_.endsWith(".parquet")),
+      s"expected a data-file victim, got $deleted")
+    // current + parent still read correctly
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+      == Set(2L, 3L))
+    assert(IcebergLite.read(spark, t, Some(1L)).select("k").as[Long]
+      .collect().toSet == Set(2L))
+    // expired time travel now refuses at resolution, not mid-scan
+    val e = intercept[RuntimeException](IcebergLite.read(spark, t, Some(0L)))
+    assert(e.getMessage.contains("not found"))
+    // shared files survived: snapshot 1's file is also in snapshot 2
+    assert(IcebergLite.snapshot(spark, t, Some(1L)).files.forall(p =>
+      IcebergLite.snapshot(spark, t, Some(2L)).files.contains(p)))
+  }
+
+  test("optimizeCompact bin-packs to one file atomically; pre-compaction " +
+    "snapshots still time-travel") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      spark.range(100).select(col("id"), (col("id") % 7).as("g")).repartition(8))
+    IcebergLite.commit(spark, t,
+      spark.range(100, 150).select(col("id"), (col("id") % 7).as("g")))
+    val before = IcebergLite.snapshot(spark, t).files.size
+    assert(before > 1)
+    IcebergLite.optimizeCompact(spark, t)
+    val s = IcebergLite.snapshot(spark, t)
+    assert(s.files.size == 1)
+    assert(IcebergLite.read(spark, t).count() == 150)
+    assert(IcebergLite.read(spark, t, Some(1L)).count() == 150)
+    val h = IcebergLite.history(spark, t)
+    assert(h.filter(col("operation") === "replace").count() == 1)
+  }
+
+  test("snapshot scans keep predicate pushdown and column pruning") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      spark.range(1000).select(col("id"), (col("id") * 2).as("v"),
+        concat(lit("row"), col("id")).as("s")))
+    val q = IcebergLite.read(spark, t).filter(col("id") < 10).select("id", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,10)]"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"),
+      s"scan must prune to the referenced columns:\n$plan")
+    assert(q.count() == 10)
+  }
+
+  test("partitioned commit: typed partition values land in the manifests, " +
+    "planFiles prunes on metadata only, reads restore schema + types") {
+    val t = newTable()
+    val df = spark.range(100)
+      .select(col("id"), (col("id") % 4).as("g"),
+        concat(lit("v"), col("id")).as("s"))
+    IcebergLite.commit(spark, t, df, partitionBy = Seq("g"))
+
+    // full read: same rows, declared column order and types
+    val back = IcebergLite.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "g", "s"))
+    assert(back.schema("g").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.count() == 100)
+    assert(back.agg(sum("g")).as[Long].head() ==
+      df.agg(sum("g")).as[Long].head())
+
+    // manifest-level planning: partition values readable without touching
+    // data, one file set per partition value
+    val plan = IcebergLite.planFiles(spark, t)
+    assert(plan.count() >= 4)
+    val byG = plan.select(expr("partition['g']")).distinct()
+      .as[String].collect().toSet
+    assert(byG == Set("0", "1", "2", "3"))
+    val rowsTotal = plan.agg(sum("record_count")).as[Long].head()
+    assert(rowsTotal == 100, "footer record counts must sum to the table")
+
+    // manifest-pruned scan: filter planFiles, read the survivors
+    val g2files = plan.filter(expr("partition['g'] = '2'"))
+      .select("file_path").as[String].collect().toSeq
+    val g2 = IcebergLite.readFiles(spark, t, g2files)
+    assert(g2.select("g").distinct().as[Long].collect().toSeq == Seq(2L))
+    assert(g2.count() == 25)
+
+    // Catalyst-side pruning on the full read: the partition predicate
+    // must land in PartitionFilters, not as a post-scan filter
+    val q = IcebergLite.read(spark, t).filter(col("g") === 1)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(g"),
+      s"partition predicate must prune at the scan:\n$planStr")
+    assert(q.count() == 25)
+  }
+
+  test("partitioned append + overwrite interoperate with time travel") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      spark.range(10).select(col("id"), (col("id") % 2).as("g")),
+      partitionBy = Seq("g"))
+    IcebergLite.commit(spark, t,
+      spark.range(10, 16).select(col("id"), (col("id") % 2).as("g")),
+      partitionBy = Seq("g"))
+    assert(IcebergLite.read(spark, t).count() == 16)
+    assert(IcebergLite.read(spark, t, Some(0L)).count() == 10)
+    // overwrite back to unpartitioned — mixed manifest schemas replay fine
+    IcebergLite.commit(spark, t,
+      spark.range(3).select(col("id"), (col("id") % 2).as("g")),
+      overwrite = true)
+    assert(IcebergLite.read(spark, t).count() == 3)
+    assert(IcebergLite.read(spark, t, Some(1L)).count() == 16)
+  }
+
+  test("streamingIcebergUpsert: CDC micro-batches MERGE into an Iceberg " +
+    "table with one snapshot per batch and a time-travelable trail") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = newTable()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.streamingIcebergUpsert(
+        mem.toDF().toDF("k", "v"), t, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", t + "_ckpt")
+    mem.addData((1L, "a"), (2L, "b"))
+    q.start().awaitTermination()
+    mem.addData((2L, "B2"), (3L, "c"))
+    q.start().awaitTermination()
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // batch 0's state is a pinned snapshot; every commit is a merge
+    val h = IcebergLite.history(spark, t)
+      .select("snapshot_id", "operation")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(h.size == 2 && h.forall(_._2 == "merge"))
+    assert(IcebergLite.read(spark, t, Some(0L)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("selectiveMerge rewrites only the touched partitions' files; the " +
+    "rest carry forward through their old manifests") {
+    val t = newTable()
+    val base = spark.range(200)
+      .select(col("id").as("k"), (col("id") % 4).as("g"),
+        (col("id") * 10).as("v"))
+    IcebergLite.commit(spark, t, base, partitionBy = Seq("g"))
+    val before = IcebergLite.snapshot(spark, t)
+    assert(before.files.size >= 4)
+
+    // updates confined to partition g=2, plus one new key in g=2
+    val updates = Seq((2L, 2L, -1L), (6L, 2L, -1L), (999L, 2L, -2L))
+      .toDF("k", "g", "v")
+    val ms = IcebergLite.selectiveMerge(spark, t, updates, Seq("k"), "g")
+    assert(ms.filesSkipped > 0 && ms.filesRewritten > 0, s"got $ms")
+    assert(ms.filesRewritten < before.files.size,
+      "must not rewrite the whole table")
+
+    // untouched partitions' files survive in the new snapshot
+    val after = IcebergLite.snapshot(spark, t)
+    val survivors = before.files.toSet.intersect(after.files.toSet)
+    assert(survivors.size == ms.filesSkipped)
+
+    // semantics ≡ full mergeUpsert
+    val got = IcebergLite.read(spark, t).orderBy("k")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.LakehouseOps
+      .mergeUpsert(base.toDF("k", "g", "v"), updates, Seq("k"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("incrementalRead returns exactly the appended rows of a snapshot " +
+    "range and refuses ranges containing an overwrite") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((4L, "d")).toDF("k", "s"))
+    // (0, 2]: commits 1 and 2 only — and only their files are scanned
+    val inc = IcebergLite.incrementalRead(spark, t, 0L)
+    assert(inc.select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    assert(inc.inputFiles.length <
+      IcebergLite.snapshot(spark, t).files.size)
+    assert(IcebergLite.incrementalRead(spark, t, 1L, Some(2L))
+      .select("k").as[Long].collect().toSet == Set(4L))
+    // an overwrite in range has no well-defined row delta
+    IcebergLite.commit(spark, t, Seq((9L, "z")).toDF("k", "s"), overwrite = true)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.incrementalRead(spark, t, 0L))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("refusal paths: format-version 3 and delete manifests fail loudly") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // corrupt a copy of the metadata into v3 and publish it as the next
+    // version — the reader must refuse rather than guess
+    val metaPath = java.nio.file.Paths.get(t, "metadata")
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      metaPath.resolve("v1.metadata.json")))
+    java.nio.file.Files.write(metaPath.resolve("v2.metadata.json"),
+      v1.replace("\"format-version\" : 1", "\"format-version\" : 3").getBytes)
+    java.nio.file.Files.write(metaPath.resolve("version-hint.text"), "2".getBytes)
+    val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
+    assert(e.getMessage.contains("format-version 3"))
+  }
+}

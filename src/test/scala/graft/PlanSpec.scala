@@ -37,6 +37,7 @@ class PlanSpec extends SparkSpec {
     val exempt = Set("mm_binary_pipeline", "dba_csv_import", "dedup_minhash",
       "dba_compaction_plan", "dedup_simhash_nn", "pipeline_curate_neardup",
       "dedup_incremental", "dedup_ngram_jaccard", "ann_recall",
+      "dedup_containment", // checkpointed posting list (the C4 kernel)
       "dedup_span_cross", // checkpointed fingerprint posting list
       "dedup_embedding_cc", // checkpointed pair edges + label rounds
       "dedup_embedding_cc_exact",
