@@ -188,8 +188,27 @@ object DeltaLite {
     val f = fs(spark, root)
     val vs = versions(spark, table)
     val v = if (vs.isEmpty) 0L else vs.last + 1
+    val prev: Option[Snapshot] =
+      if (vs.isEmpty) None else Some(snapshot(spark, table))
     val removed: Seq[String] = replacing.getOrElse(
-      if (overwrite && vs.nonEmpty) snapshot(spark, table).files else Nil)
+      if (overwrite) prev.map(_.files).getOrElse(Nil) else Nil)
+    // append-time schema drift: ADDITIVE evolution (every existing column
+    // kept, same type) updates the table schema — old files read with
+    // nulls for the new columns; anything else is REFUSED (a silent
+    // accept would corrupt the schema contract). Overwrites may replace
+    // the schema freely.
+    val prevSchema: Option[StructType] = prev.flatMap(_.schemaJson)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val schemaChanged = prevSchema.exists(_.json != df.schema.json)
+    if (!overwrite && schemaChanged) {
+      val missing = prevSchema.get.fields.filterNot(pf =>
+        df.schema.fields.exists(nf =>
+          nf.name == pf.name && nf.dataType == pf.dataType))
+      require(missing.isEmpty,
+        s"$table: append schema drops/retypes columns " +
+          s"${missing.map(_.name).mkString(", ")} — only additive " +
+          "evolution is allowed on append (overwrite to replace the schema)")
+    }
 
     // land data under a staging dir, then move parts to uuid-named files
     // at the root (the log, not the directory listing, defines the table)
@@ -211,7 +230,7 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
       .append('\n')
-    if (v == 0L || overwrite) {
+    if (v == 0L || overwrite || schemaChanged) {
       val schemaJson = mapper.writeValueAsString(df.schema.json)
       sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         .append('\n')
@@ -342,44 +361,14 @@ object DeltaLite {
 
     // CDC-batch-bounded: the distinct first-key values drive the prune
     val keyRows = updates.select(keyCol).distinct().collect()
-    def touchedBy(lo: Comparable[Any], hi: Comparable[Any],
-                  sorted: Array[AnyRef]): Boolean = {
-      // first element ≥ lo, then check ≤ hi
-      var l = 0; var r = sorted.length
-      while (l < r) {
-        val m = (l + r) >>> 1
-        if (lo.compareTo(sorted(m)) > 0) l = m + 1 else r = m
-      }
-      l < sorted.length && hi.compareTo(sorted(l)) >= 0
-    }
     val sortedKeys: Array[AnyRef] =
       if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
         .sortBy(_.asInstanceOf[String])
       else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
-        .asInstanceOf[AnyRef]).sorted(
-          Ordering.by[AnyRef, java.math.BigDecimal](
-            _.asInstanceOf[java.math.BigDecimal]))
+        .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
 
-    def fileTouched(path: String): Boolean =
-      snap.stats.get(path) match {
-        case None => true // no stats — rewrite conservatively
-        case Some(js) =>
-          val n = mapper.readTree(js)
-          val (mnN, mxN) = (Option(n.get("minValues")).flatMap(m => Option(m.get(keyCol))),
-            Option(n.get("maxValues")).flatMap(m => Option(m.get(keyCol))))
-          (mnN, mxN) match {
-            case (Some(mn), Some(mx)) =>
-              val (lo, hi): (Comparable[Any], Comparable[Any]) =
-                if (isString) (mn.asText().asInstanceOf[Comparable[Any]],
-                  mx.asText().asInstanceOf[Comparable[Any]])
-                else (mn.decimalValue().asInstanceOf[Comparable[Any]],
-                  mx.decimalValue().asInstanceOf[Comparable[Any]])
-              touchedBy(lo, hi, sortedKeys)
-            case _ => true // key column unranged in this file
-          }
-      }
-
-    val (touched, skipped) = snap.files.partition(fileTouched)
+    val (touched, skipped) =
+      snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
     val base =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -391,6 +380,77 @@ object DeltaLite {
       replacing = Some(touched))
     MergeStats(v, touched.size, skipped.size)
   }
+
+  /** Copy-on-write DELETE by key (the GDPR/right-to-erasure verb at
+    * scale), with the same add-stats data skipping as [[selectiveMerge]]:
+    * files whose key range misses every delete key survive the commit
+    * byte-identical; intersecting files are rewritten WITHOUT the
+    * matching rows in one distributed anti-join pass. NOTE the format's
+    * own erasure caveat: deleted rows remain readable via time travel
+    * until [[vacuum]] drops the pre-delete files — a compliance delete is
+    * selectiveDelete + vacuum, exactly as with the reference engine.
+    */
+  def selectiveDelete(spark: SparkSession, table: String, keys: DataFrame,
+                      keyCols: Seq[String]): MergeStats = {
+    import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
+    import org.apache.spark.sql.functions.broadcast
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    val schema = SDT.fromJson(snap.schemaJson.get).asInstanceOf[SST]
+    val keyCol = keyCols.head
+    val isString = keys.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val keyRows = keys.select(keyCol).distinct().collect()
+    val sortedKeys: Array[AnyRef] =
+      if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
+        .sortBy(_.asInstanceOf[String])
+      else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
+        .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
+    val (touched, skipped) =
+      snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+    if (touched.isEmpty) return MergeStats(snap.version, 0, skipped.size)
+    val base = spark.read.schema(schema)
+      .parquet(touched.map(p => new Path(table, p).toString): _*)
+    val remaining = base.join(
+      broadcast(keys.select(keyCols.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*).distinct()),
+      keyCols, "left_anti")
+    val v = commit(spark, table, remaining, operation = "DELETE",
+      replacing = Some(touched))
+    MergeStats(v, touched.size, skipped.size)
+  }
+
+  /** Shared stats-pruning predicate: does `path`'s recorded [min,max] on
+    * `keyCol` intersect the sorted key set? Missing stats → true
+    * (rewrite conservatively).
+    */
+  private def statsIntersect(snap: Snapshot, keyCol: String,
+                             isString: Boolean, sortedKeys: Array[AnyRef])
+                            (path: String): Boolean =
+    snap.stats.get(path) match {
+      case None => true
+      case Some(js) =>
+        val n = mapper.readTree(js)
+        val bounds = for {
+          mn <- Option(n.get("minValues")).flatMap(m => Option(m.get(keyCol)))
+          mx <- Option(n.get("maxValues")).flatMap(m => Option(m.get(keyCol)))
+        } yield
+          if (isString) (mn.asText().asInstanceOf[Comparable[Any]],
+            mx.asText().asInstanceOf[Comparable[Any]])
+          else (mn.decimalValue().asInstanceOf[Comparable[Any]],
+            mx.decimalValue().asInstanceOf[Comparable[Any]])
+        bounds match {
+          case Some((lo, hi)) =>
+            // first element ≥ lo, then check ≤ hi
+            var l = 0; var r = sortedKeys.length
+            while (l < r) {
+              val m = (l + r) >>> 1
+              if (lo.compareTo(sortedKeys(m)) > 0) l = m + 1 else r = m
+            }
+            l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
+          case None => true
+        }
+    }
 
   /** DESCRIBE HISTORY over the log (reference:
     * TPC-datagen-notebook.scala:2168): one row per commit — version,

@@ -533,6 +533,24 @@ object IcebergLite {
       else prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
     val metaV = if (vs.isEmpty) 1 else vs.last + 1
     val partCols: Seq[StructField] = partitionBy.map(df.schema(_))
+    // append-time schema drift: additive evolution only (every existing
+    // column kept, same type) — the new metadata's schema governs the
+    // whole table, so old files read with nulls for added columns;
+    // dropped/retyped columns on append are refused loudly. Overwrites
+    // may replace the schema freely.
+    prevMeta.filter(_ => !overwrite && replacing.isEmpty).foreach { m =>
+      val prevSchema = icebergToSpark(
+        Option(m.get("schemas")).map(_.elements().asScala.toSeq.head)
+          .orElse(Option(m.get("schema")))
+          .getOrElse(sys.error(s"$table: metadata has no schema")))
+      val missing = prevSchema.fields.filterNot(pf =>
+        df.schema.fields.exists(nf =>
+          nf.name == pf.name && nf.dataType == pf.dataType))
+      require(missing.isEmpty,
+        s"$table: append schema drops/retypes columns " +
+          s"${missing.map(_.name).mkString(", ")} — only additive " +
+          "evolution is allowed on append (overwrite to replace the schema)")
+    }
 
     // 1. data files: stage (hive layout when partitioned — identity
     //    transform, the dir name carrying the value), then publish under

@@ -422,6 +422,35 @@ object EventStreams {
         ()
       }
 
+  /** [[streamingDeltaUpsert]] with per-batch cost ∝ the batch, not the
+    * table: after batch 0 seeds the table, every micro-batch lands via
+    * DeltaLite.selectiveMerge — add-stats data skipping reads and
+    * rewrites ONLY the files whose key range the batch touches, so a
+    * steady CDC trickle into a 100 TB table stops paying the
+    * full-rewrite price [[streamingDeltaUpsert]] pays per batch. Same
+    * replay-idempotence guard (one commit per batch, ever).
+    */
+  def streamingSelectiveUpsert(events: DataFrame, tablePath: String,
+                               keys: Seq[String], skewSafe: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = graft.sources.DeltaLite.versions(spark, tablePath).size
+        if (committed <= batchId) {
+          if (committed == 0) {
+            val seed = graft.operators.LakehouseOps
+              .mergeUpsert(batch.limit(0), batch, keys, skewSafe = skewSafe)
+            graft.sources.DeltaLite.commit(spark, tablePath, seed,
+              operation = "MERGE")
+          } else
+            graft.sources.DeltaLite.selectiveMerge(spark, tablePath, batch,
+              keys, skewSafe = skewSafe)
+        }
+        ()
+      }
+
   /** [[streamingDeltaUpsert]]'s contract on the OTHER open table format
     * (graft.sources.IcebergLite): CDC feed → MERGE → Iceberg table, one
     * snapshot commit per micro-batch (summary operation `merge`), so the

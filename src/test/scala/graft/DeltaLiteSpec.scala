@@ -200,6 +200,66 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.read(spark, t).count() == 3)
   }
 
+  test("selectiveDelete erases keys rewriting only intersecting files; " +
+    "time travel + vacuum complete the compliance story") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")))
+    val ms = DeltaLite.selectiveDelete(spark, t,
+      spark.range(10, 20).select(col("id").as("k")), Seq("k"))
+    assert(ms.filesRewritten == 1 && ms.filesSkipped == 3, s"got $ms")
+    val after = DeltaLite.read(spark, t)
+    assert(after.count() == 390)
+    assert(after.filter(col("k").between(10, 19)).count() == 0)
+    // deleted rows remain time-travelable until vacuum (the format's own
+    // erasure caveat — a compliance delete is delete + vacuum)
+    assert(DeltaLite.read(spark, t, Some(0L)).count() == 400)
+    DeltaLite.vacuum(spark, t, retainVersions = 1)
+    val e = intercept[Exception](DeltaLite.read(spark, t, Some(0L)).count())
+    assert(e != null) // pre-delete file gone: history past horizon unreadable
+    assert(DeltaLite.read(spark, t).count() == 390, "latest unaffected")
+  }
+
+  test("append schema evolution: additive columns update the schema and " +
+    "old files read as null; drops/retypes are refused") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((2L, "b", 7L)).toDF("k", "s", "extra"))
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s", "extra"))
+    assert(out.filter(col("k") === 1).select("extra")
+      .as[Option[Long]].head().isEmpty, "old rows must read null")
+    assert(out.filter(col("k") === 2).select("extra").as[Long].head() == 7L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.commit(spark, t, Seq(3L).toDF("k"))) // drops s, extra
+    assert(e.getMessage.contains("additive"))
+    // overwrite may replace the schema freely
+    DeltaLite.commit(spark, t, Seq(9L).toDF("k"), overwrite = true)
+    assert(DeltaLite.read(spark, t).schema.fieldNames.toSeq == Seq("k"))
+  }
+
+  test("streamingSelectiveUpsert: per-batch MERGE commits via data " +
+    "skipping, same semantics as the full-rewrite stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = newTable()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.streamingSelectiveUpsert(
+        mem.toDF().toDF("k", "v"), t, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", t + "_ckpt")
+    mem.addData((1L, "a"), (2L, "b"), (50L, "x"))
+    q.start().awaitTermination()
+    mem.addData((2L, "B2"), (3L, "c"))
+    q.start().awaitTermination()
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (50L, "x")))
+    val h = DeltaLite.history(spark, t)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h.size == 2 && h.forall(_._2 == "MERGE"))
+  }
+
   test("snapshot scan keeps parquet pushdown on the resolved file list") {
     val t = newTable()
     DeltaLite.commit(spark, t,

@@ -273,6 +273,23 @@ class IcebergLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("append schema evolution: additive columns update the table " +
+    "schema (old files read null); drops/retypes are refused") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((2L, "b", 7L)).toDF("k", "s", "extra"))
+    val out = IcebergLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s", "extra"))
+    assert(out.filter(col("k") === 1).select("extra")
+      .as[Option[Long]].head().isEmpty, "old rows must read null")
+    assert(out.filter(col("k") === 2).select("extra").as[Long].head() == 7L)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.commit(spark, t, Seq(3L).toDF("k")))
+    assert(e.getMessage.contains("additive"))
+    IcebergLite.commit(spark, t, Seq(9L).toDF("k"), overwrite = true)
+    assert(IcebergLite.read(spark, t).schema.fieldNames.toSeq == Seq("k"))
+  }
+
   test("refusal paths: format-version 3 and delete manifests fail loudly") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
