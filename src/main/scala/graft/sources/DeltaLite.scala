@@ -420,6 +420,166 @@ object DeltaLite {
     MergeStats(v, touched.size, skipped.size)
   }
 
+  /** What [[readWhere]] scanned: the pruned DataFrame plus the file
+    * economics ([[filesSkipped]] is the I/O a naive full scan would have
+    * paid — at 100 TB on a clustered table it is nearly all of it).
+    */
+  final case class SkippingScan(df: DataFrame, filesScanned: Int,
+                                filesSkipped: Int)
+
+  /** Stats-pruned READ — the protocol's data-skipping payload applied to
+    * the scan path (the reason `OPTIMIZE ZORDER` exists at all): files
+    * whose recorded add-stats [min,max] on `keyCol` cannot contain a row
+    * in `[lo, hi]` are dropped from the file list BEFORE Spark ever sees
+    * them; the surviving files scan as ordinary parquet with the range
+    * predicate applied (so Catalyst still pushes it into row-group and
+    * page skipping inside each file — two pruning layers, same
+    * predicate). Missing stats → scanned conservatively. On a
+    * range/Z-ORDER-clustered table, cost ∝ files overlapping the range,
+    * NOT table size; on an unclustered table every file overlaps and
+    * this degrades (harmlessly) to a full filtered scan — exactly when
+    * [[optimizeZorder]] pays.
+    */
+  def readWhere(spark: SparkSession, table: String, keyCol: String,
+                lo: Any, hi: Any): SkippingScan = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    val schema = SDT.fromJson(snap.schemaJson.get).asInstanceOf[SST]
+    val isString = lo.isInstanceOf[String]
+    def cmp(x: Any): Comparable[Any] =
+      (if (isString) x.toString
+       else new java.math.BigDecimal(x.toString)).asInstanceOf[Comparable[Any]]
+    val (scanned, skipped) = snap.files.partition { p =>
+      fileBounds(snap, p, keyCol, isString) match {
+        case Some((mn, mx)) =>
+          mx.compareTo(cmp(lo)) >= 0 && mn.compareTo(cmp(hi)) <= 0
+        case None => true
+      }
+    }
+    val base =
+      if (scanned.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(scanned.map(p => new Path(table, p).toString): _*)
+    SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
+      scanned.size, skipped.size)
+  }
+
+  /** OPTIMIZE ZORDER as a protocol commit (reference:
+    * TPC-datagen-notebook.scala:1979-2029 runs `OPTIMIZE ... ZORDER BY`
+    * on every table it lands): rewrite the latest snapshot range-
+    * partitioned on the Morton interleave of `cols`
+    * (graft.functions.ZOrder — codegen'd arithmetic, computed streaming
+    * in the scan stage), so each output file covers a tight rectangle in
+    * the multi-column key space and the add-stats [min,max] recorded at
+    * commit time become selective on EVERY interleaved column at once.
+    * This is the maintenance verb that keeps [[selectiveMerge]] /
+    * [[selectiveDelete]] / [[readWhere]] proportional to touched data as
+    * interleaved writes accumulate. One distributed range-shuffle pass;
+    * only the commit publish is driver-side.
+    */
+  def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
+                     targetFiles: Int, bits: Int = 12): Long = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty && targetFiles >= 1, "need z-cols and >=1 file")
+    val df = read(spark, table)
+    val z = graft.functions.ZOrder.zvalue(cols.map(col), bits)
+    val clustered = df.withColumn("__zkey", z)
+      .repartitionByRange(targetFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    commit(spark, table, clustered, overwrite = true,
+      operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})")
+  }
+
+  /** Net row-level CHANGE FEED between two committed versions — the
+    * protocol-level answer to Delta's Change Data Feed for copy-on-write
+    * tables (no `_change_data` files needed): diff the two snapshots'
+    * FILE sets (driver-side, metadata only), read ONLY the files that
+    * changed hands, and cancel the rows copy-on-write rewrites carried
+    * over unchanged (`exceptAll` both ways — byte-identical copies
+    * annihilate). What survives is classified per key:
+    * `update_preimage`/`update_postimage` (key present on both sides),
+    * `insert` (new side only), `delete` (old side only), in Delta CDF's
+    * own `_change_type` vocabulary. Cost ∝ data in changed files — a
+    * selectiveMerge touching 1 of 8 files diffs 1/8 of the table, never
+    * all of it.
+    *
+    * Semantics are the NET change `from → to` (intermediate versions
+    * that cancel out don't appear), and keys must be unique per snapshot
+    * (the merge-keyed table shape every upsert feed maintains). Additive
+    * schema evolution between the versions is handled by aligning the
+    * old side to the new schema (missing columns read null).
+    */
+  def changes(spark: SparkSession, table: String, fromVersion: Long,
+              toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
+    require(fromVersion < toVersion, "changes requires fromVersion < toVersion")
+    val from = snapshot(spark, table, Some(fromVersion))
+    val to = snapshot(spark, table, Some(toVersion))
+    require(to.schemaJson.nonEmpty, s"$table: no metaData in log")
+    val schema = SDT.fromJson(to.schemaJson.get).asInstanceOf[SST]
+    val dataCols = schema.fieldNames.toSeq
+    val addedFiles = to.files.filterNot(from.files.toSet)
+    val removedFiles = from.files.filterNot(to.files.toSet)
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(p => new Path(table, p).toString): _*)
+    val newSide = readFiles(addedFiles).select(dataCols.map(col): _*)
+    val oldSide = {
+      // align the old snapshot to the new schema: additive evolution
+      // means every old column survives; new columns read null
+      val fromSchema = from.schemaJson
+        .map(j => SDT.fromJson(j).asInstanceOf[SST]).getOrElse(schema)
+      val have = fromSchema.fieldNames.toSet
+      readFiles(removedFiles).select(dataCols.map(c =>
+        if (have(c)) col(c)
+        else lit(null).cast(schema(c).dataType).as(c)): _*)
+    }
+    val changedNew = newSide.exceptAll(oldSide)
+    val changedOld = oldSide.exceptAll(newSide)
+    val o = changedOld.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("_o"): _*)
+    val n = changedNew.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("_n"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val tagged = joined.select(explode(
+      when(col("_o").isNotNull && col("_n").isNotNull, array(
+        struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
+        struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
+      .when(col("_n").isNotNull, array(
+        struct(col("_n").as("row"), lit("insert").as("_change_type"))))
+      .otherwise(array(
+        struct(col("_o").as("row"), lit("delete").as("_change_type"))))
+    ).as("c"))
+    tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
+      col("c._change_type").as("_change_type"): _*)
+  }
+
+  /** `path`'s recorded add-stats [min,max] on `keyCol`, typed for
+    * comparison; None when stats are absent (consumers must be
+    * conservative).
+    */
+  private def fileBounds(snap: Snapshot, path: String, keyCol: String,
+                         isString: Boolean)
+      : Option[(Comparable[Any], Comparable[Any])] =
+    snap.stats.get(path).flatMap { js =>
+      val node = mapper.readTree(js)
+      for {
+        mn <- Option(node.get("minValues")).flatMap(m => Option(m.get(keyCol)))
+        mx <- Option(node.get("maxValues")).flatMap(m => Option(m.get(keyCol)))
+      } yield
+        if (isString) (mn.asText().asInstanceOf[Comparable[Any]],
+          mx.asText().asInstanceOf[Comparable[Any]])
+        else (mn.decimalValue().asInstanceOf[Comparable[Any]],
+          mx.decimalValue().asInstanceOf[Comparable[Any]])
+    }
+
   /** Shared stats-pruning predicate: does `path`'s recorded [min,max] on
     * `keyCol` intersect the sorted key set? Missing stats → true
     * (rewrite conservatively).
@@ -427,29 +587,16 @@ object DeltaLite {
   private def statsIntersect(snap: Snapshot, keyCol: String,
                              isString: Boolean, sortedKeys: Array[AnyRef])
                             (path: String): Boolean =
-    snap.stats.get(path) match {
-      case None => true
-      case Some(js) =>
-        val n = mapper.readTree(js)
-        val bounds = for {
-          mn <- Option(n.get("minValues")).flatMap(m => Option(m.get(keyCol)))
-          mx <- Option(n.get("maxValues")).flatMap(m => Option(m.get(keyCol)))
-        } yield
-          if (isString) (mn.asText().asInstanceOf[Comparable[Any]],
-            mx.asText().asInstanceOf[Comparable[Any]])
-          else (mn.decimalValue().asInstanceOf[Comparable[Any]],
-            mx.decimalValue().asInstanceOf[Comparable[Any]])
-        bounds match {
-          case Some((lo, hi)) =>
-            // first element ≥ lo, then check ≤ hi
-            var l = 0; var r = sortedKeys.length
-            while (l < r) {
-              val m = (l + r) >>> 1
-              if (lo.compareTo(sortedKeys(m)) > 0) l = m + 1 else r = m
-            }
-            l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
-          case None => true
+    fileBounds(snap, path, keyCol, isString) match {
+      case Some((lo, hi)) =>
+        // first element ≥ lo, then check ≤ hi
+        var l = 0; var r = sortedKeys.length
+        while (l < r) {
+          val m = (l + r) >>> 1
+          if (lo.compareTo(sortedKeys(m)) > 0) l = m + 1 else r = m
         }
+        l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
+      case None => true
     }
 
   /** DESCRIBE HISTORY over the log (reference:

@@ -260,6 +260,102 @@ class DeltaLiteSpec extends SparkSpec {
     assert(h.size == 2 && h.forall(_._2 == "MERGE"))
   }
 
+  test("readWhere prunes files on add-stats ranges and matches the " +
+    "unpruned filter row for row") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")))
+    val scan = DeltaLite.readWhere(spark, t, "k", 110L, 180L)
+    assert(scan.filesScanned == 1 && scan.filesSkipped == 3,
+      s"expected 1 scanned / 3 skipped, got " +
+        s"${scan.filesScanned}/${scan.filesSkipped}")
+    val got = scan.df.orderBy("k").as[(Long, Long)].collect().toSeq
+    val want = DeltaLite.read(spark, t).filter(col("k").between(110, 180))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == want && got.size == 71)
+    // an out-of-range predicate scans NOTHING — pure metadata answer
+    val empty = DeltaLite.readWhere(spark, t, "k", 5000L, 6000L)
+    assert(empty.filesScanned == 0 && empty.df.count() == 0)
+    // the residual predicate still reaches the pruned parquet scan
+    val plan = scan.df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(k,110)"),
+      "residual range filter lost scan pushdown")
+  }
+
+  test("optimizeZorder re-clusters an interleaved table so stats pruning " +
+    "bites again, data identical") {
+    val t = newTable()
+    // round-robin layout: every file spans the whole key range, so every
+    // file intersects any key batch — skipping is useless
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(4))
+    val before = DeltaLite.readWhere(spark, t, "k", 10L, 19L)
+    assert(before.filesScanned == 4 && before.filesSkipped == 0,
+      "interleaved layout should defeat pruning")
+    val zv = DeltaLite.optimizeZorder(spark, t, Seq("k"), targetFiles = 4)
+    assert(zv == 1L)
+    val after = DeltaLite.readWhere(spark, t, "k", 10L, 19L)
+    assert(after.filesScanned == 1 && after.filesSkipped == 3,
+      s"z-ordered layout must skip: got " +
+        s"${after.filesScanned}/${after.filesSkipped}")
+    // data unchanged, selectiveMerge economics restored too
+    assert(DeltaLite.read(spark, t).orderBy("k").as[(Long, Long)]
+      .collect().toSeq ==
+      spark.range(400).select(col("id"), col("id") * 10)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1))
+    val ms = DeltaLite.selectiveMerge(spark, t,
+      Seq((10L, -1L)).toDF("k", "v"), Seq("k"))
+    assert(ms.filesRewritten == 1 && ms.filesSkipped == 3, s"got $ms")
+    assert(DeltaLite.history(spark, t)
+      .filter(col("operation").startsWith("OPTIMIZE ZORDER")).count() == 1)
+  }
+
+  test("changes: net row-level diff between versions reads only changed " +
+    "files and classifies insert/update/delete") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")))
+    // one selectiveMerge: updates keys 10..14, inserts 1000..1002
+    val batch = (Seq.tabulate(5)(i => (10L + i, -1L)) ++
+      Seq.tabulate(3)(i => (1000L + i, -2L))).toDF("k", "v")
+    DeltaLite.selectiveMerge(spark, t, batch, Seq("k"))
+    // then a selectiveDelete of keys 20..24
+    DeltaLite.selectiveDelete(spark, t,
+      spark.range(20, 25).select(col("id").as("k")), Seq("k"))
+
+    val cdc = DeltaLite.changes(spark, t, 0L, 2L, Seq("k"))
+    val byType = cdc.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("update_preimage" -> 5L, "update_postimage" -> 5L,
+      "insert" -> 3L, "delete" -> 5L), s"got $byType")
+    val posts = cdc.filter(col("_change_type") === "update_postimage")
+      .select("k", "v").as[(Long, Long)].collect().toSeq.sorted
+    assert(posts == Seq.tabulate(5)(i => (10L + i, -1L)))
+    val dels = cdc.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(dels == Seq(20L, 21L, 22L, 23L, 24L))
+    // the diff reads only the files that changed hands, never the table:
+    // both snapshots hold 4+ files but only the rewritten ones are read
+    val s0 = DeltaLite.snapshot(spark, t, Some(0L))
+    val s2 = DeltaLite.snapshot(spark, t, Some(2L))
+    val changedHands = (s2.files.toSet -- s0.files.toSet) ++
+      (s0.files.toSet -- s2.files.toSet)
+    val readFiles = cdc.inputFiles.map(f =>
+      f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(readFiles.subsetOf(changedHands.map(p =>
+      p.substring(p.lastIndexOf('/') + 1))),
+      s"diff read untouched files: ${readFiles -- changedHands}")
+    assert(s0.files.toSet.intersect(s2.files.toSet).nonEmpty,
+      "test needs surviving files for the claim to mean anything")
+    // an adjacent single-version window isolates just the delete
+    val lastHop = DeltaLite.changes(spark, t, 1L, 2L, Seq("k"))
+    assert(lastHop.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap == Map("delete" -> 5L))
+  }
+
   test("snapshot scan keeps parquet pushdown on the resolved file list") {
     val t = newTable()
     DeltaLite.commit(spark, t,
