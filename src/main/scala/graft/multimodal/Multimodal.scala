@@ -218,6 +218,58 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** Real WAV decode via javax.sound's header parser → the signed
+      * PCM16 samples themselves (little-endian frames, mono).
+      */
+    def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected mono PCM16, got $fmt")
+        val bytes = in.readAllBytes()
+        val out = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          out(i / 2) = (bytes(i + 1).toInt << 8) | (bytes(i) & 0xFF)
+          i += 2
+        }
+        out
+      } finally in.close()
+    }
+
+    /** 64-bit energy-contour fingerprint over really-decoded PCM — the
+      * acoustic sibling of [[dhash]] (a pocket Chromaprint: coarse
+      * spectral/energy contour as bits): 65 integer-bounded frames tile
+      * the samples, bit j = frame j+1's absolute-amplitude energy rises
+      * over frame j's. Pure integer arithmetic end to end, so the hash is
+      * exact and SQL-replayable; constant gain shifts barely move the
+      * contour, re-encodes of the same audio collide — the property
+      * near-dup banding needs.
+      */
+    def audioFingerprint(samples: Array[Int]): Long = {
+      val nF = 65
+      val n = samples.length
+      require(n >= nF, s"need >= $nF samples, got $n")
+      val energy = new Array[Long](nF)
+      var f = 0
+      while (f < nF) {
+        var i = f * n / nF
+        val end = (f + 1) * n / nF
+        var e = 0L
+        while (i < end) { e += math.abs(samples(i)); i += 1 }
+        energy(f) = e
+        f += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (energy(j + 1) > energy(j)) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+
     /** Nearest-neighbor resize over really-decoded pixels, re-encoded as
       * PNG: target (x, y) reads source (x·sw/tw, y·sh/th). Deterministic
       * by construction (no platform-dependent interpolation).
@@ -480,12 +532,100 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  def audioFingerprints(s: SparkSession, dir: String,
+                        batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { id =>
+        (id, Codecs.audioFingerprint(
+          Codecs.decodeWavSamples(Codecs.encodeWav(id))))
+      }))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** C44: audio near-dup dedup — the acoustic member of the dedup family,
+    * completing the modality set (text simhash C3b, image dHash C38,
+    * audio energy-contour here) over ONE shared Manku block kernel.
+    * Fingerprints are computed from really-decoded PCM in the scan stage
+    * (audio bytes never shuffle — only 8-byte hashes and block keys do),
+    * then banded, hot-block-capped, and best-neighbor-reported exactly
+    * like the other two modalities.
+    *
+    * Exactly oracle-checked like C38: WAV payloads derive from the PCM
+    * sample formula, so DuckDB recomputes frame energies → contour bits →
+    * block join from the formula directly; a hash match proves the
+    * javax.sound round trip AND the banding plumbing bit-for-bit.
+    */
+  def mmAudioDedup(s: SparkSession, dir: String, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sigs = audioFingerprints(s, dir)
+    val ids = Tables.documents(s, dir).select("doc_id")
+      .filter(col("doc_id") % 3 === 1)
+    graft.dedup.Dedup.hammingNnReport(ids,
+      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket), maxHamming)
+  }
+
+  /** DuckDB replays the fingerprint from the generative PCM formula:
+    * n = 256 + id%64 samples of ((id·31 + i·17) mod 2¹⁶) − 2¹⁵, 65
+    * integer-bounded frames of Σ|sample|, rise bits through the shared
+    * two's-complement bit-weight VALUES, then the same Manku block join.
+    */
+  val mmAudioDedupOracle: String = {
+    val weights = graft.dedup.Dedup.bitWeightsSqlValues
+    s"""WITH d AS (
+       |  SELECT doc_id, 256 + doc_id % 64 AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |pw(j, w) AS (VALUES $weights),
+       |en AS (
+       |  SELECT doc_id, f.f AS f,
+       |    SUM(ABS(((doc_id * 31 + i.i * 17) % 65536) - 32768)) AS e
+       |  FROM d
+       |  CROSS JOIN range(65) f(f)
+       |  JOIN range(320) i(i)
+       |    ON i.i >= (f.f * n) // 65 AND i.i < ((f.f + 1) * n) // 65
+       |  GROUP BY doc_id, f.f),
+       |sig AS (
+       |  SELECT a.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN b.e > a.e THEN pw.w END), 0)
+       |      AS BIGINT) AS simhash
+       |  FROM en a
+       |  JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+       |  JOIN pw ON pw.j = a.f
+       |  GROUP BY a.doc_id),
+       |blocks AS (
+       |  SELECT doc_id, simhash, bk.block,
+       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
+       |  FROM sig CROSS JOIN range(4) bk(block)),
+       |pruned AS (
+       |  SELECT doc_id, simhash, block, bv FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
+       |    FROM blocks) t WHERE n <= 1000),
+       |cand AS (
+       |  SELECT a.doc_id, b.doc_id AS nn_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM pruned a JOIN pruned b USING (block, bv)
+       |  WHERE a.doc_id <> b.doc_id),
+       |best AS (
+       |  SELECT doc_id, nn_id, hamming FROM (
+       |    SELECT doc_id, nn_id, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY hamming, nn_id) AS rn
+       |    FROM cand) t WHERE rn = 1)
+       |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
+       |FROM d LEFT JOIN best b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_pipeline" -> ((s: SparkSession, d: String) => mmBinaryPipeline(s, d)),
-    "mm_image_dedup" -> ((s: SparkSession, d: String) => mmImageDedup(s, d)))
+    "mm_image_dedup" -> ((s: SparkSession, d: String) => mmImageDedup(s, d)),
+    "mm_audio_dedup" -> ((s: SparkSession, d: String) => mmAudioDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_pipeline" -> mmBinaryPipelineOracle,
-    "mm_image_dedup" -> mmImageDedupOracle)
+    "mm_image_dedup" -> mmImageDedupOracle,
+    "mm_audio_dedup" -> mmAudioDedupOracle)
 }

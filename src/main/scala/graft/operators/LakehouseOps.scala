@@ -687,6 +687,171 @@ object LakehouseOps {
       |FROM orders, c WHERE o_orderkey > cut
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- B16
+  /** File-skipping READ on the transactional table — the scan-side payoff
+    * of the clustering B15 merges against: orders lands range-clustered
+    * (8 files, disjoint key ranges), then a key-range slice reads through
+    * DeltaLite.readWhere, which drops every file whose add-stats
+    * [min,max] misses the range BEFORE Spark sees the file list (the
+    * residual predicate still pushes into the surviving scans, so
+    * row-group pruning stacks on top). DeltaLiteSpec pins the file
+    * economics (1 scanned / 3 skipped; 0 scanned off-range); this query
+    * hash-checks that the pruned path loses no rows and keeps exact
+    * aggregates against DuckDB filtering the full table.
+    */
+  def dbaDeltaSkipping(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_skip")
+      .toString + "/orders_delta"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val scan = graft.sources.DeltaLite.readWhere(
+      s, t, "o_orderkey", mx / 4, mx / 2)
+    scan.df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dbaDeltaSkippingOracle: String =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders, m
+      |WHERE o_orderkey >= mx // 4 AND o_orderkey <= mx // 2
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- B17
+  /** Net CHANGE FEED between two table versions — the CDC read path a
+    * downstream consumer replays instead of re-scanning the table: orders
+    * lands range-clustered, one selectiveMerge applies updates (keys ≤
+    * max/8, price ×1.1) plus brand-new keys (shifted past max), one
+    * selectiveDelete erases the next key band, then
+    * DeltaLite.changes(v0 → v2) reads ONLY the files that changed hands
+    * and classifies the net row diff into Delta CDF's _change_type
+    * vocabulary. Every preimage/postimage/insert/delete row is
+    * hash-checked against DuckDB recomputing the same diff from orders —
+    * so the exceptAll carry-over cancellation and the per-key
+    * classification are value-exact, not just spec-asserted.
+    */
+  def dbaDeltaChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_cdc")
+      .toString + "/orders_delta"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val cut = mx / 8
+    val updates = ord.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice",
+        asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
+    // shift past mx + 1: orders carries key 0, so a bare +mx shift would
+    // collide the k=0 insert with the existing max-key row
+    val inserts = ord.filter(col("o_orderkey") <= cut)
+      .select((col("o_orderkey") + mx + 1L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    graft.sources.DeltaLite.selectiveMerge(
+      s, t, updates.unionByName(inserts), Seq("o_orderkey"))
+    graft.sources.DeltaLite.selectiveDelete(s, t,
+      ord.filter(col("o_orderkey") > cut && col("o_orderkey") <= 2L * cut)
+        .select("o_orderkey"),
+      Seq("o_orderkey"))
+    graft.sources.DeltaLite.changes(s, t, 0L, 2L, Seq("o_orderkey"))
+      .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("_change_type", "o_orderkey")
+  }
+
+  val dbaDeltaChangesOracle: String =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx, MAX(o_orderkey) // 8 AS cut
+      |           FROM orders)
+      |SELECT _change_type, o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
+      |    o_totalprice
+      |  FROM orders, m WHERE o_orderkey <= cut
+      |  UNION ALL
+      |  SELECT 'update_postimage', o_orderkey, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+      |         CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE)
+      |  FROM orders, m WHERE o_orderkey <= cut
+      |  UNION ALL
+      |  SELECT 'insert', o_orderkey + mx + 1, o_custkey, o_totalprice
+      |  FROM orders, m WHERE o_orderkey <= cut
+      |  UNION ALL
+      |  SELECT 'delete', o_orderkey, o_custkey, o_totalprice
+      |  FROM orders, m
+      |  WHERE o_orderkey > cut AND o_orderkey <= 2 * cut) t
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- B18
+  /** Incremental consumption on the OTHER format — Iceberg's
+    * append-changelog surface, the B17 counterpart: orders lands as four
+    * append snapshots (quarter slices), then
+    * IcebergLite.incrementalRead(snap 0 → snap 2] returns exactly the
+    * rows snapshots 1 and 2 added, scanning ONLY their files (the
+    * snapshot file-set difference under the append-only contract; an
+    * overwrite in range is refused loudly — IcebergLiteSpec pins both).
+    * The rollup of the delta is hash-checked against DuckDB recomputing
+    * the two quarter slices from orders.
+    */
+  def dbaIcebergChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_inc")
+      .toString + "/orders_iceberg"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    (0 to 3).foreach { q =>
+      graft.sources.IcebergLite.commit(s, t,
+        ord.filter(col("o_orderkey") % 4 === q))
+    }
+    graft.sources.IcebergLite.incrementalRead(s, t, 0L, Some(2L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dbaIcebergChangesOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 4 IN (1, 2)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- B19
+  /** The Z-ORDER payoff end-to-end ON the transactional format: orders
+    * lands round-robin (every file spans every key range — the layout
+    * accumulated interleaved writes leave, where stats skipping is
+    * useless), then ONE `DeltaLite.optimizeZorder(o_custkey, o_orderkey)`
+    * commit re-clusters on the Morton interleave, and a range read on the
+    * SECOND z-column still skips files — the multi-column locality a
+    * linear sort on o_custkey cannot give (DeltaLiteSpec pins the file
+    * economics on both columns; this query hash-checks that the rewrite
+    * lost/duplicated nothing and the pruned read stays value-exact).
+    */
+  def dbaZorderSkipping(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_zs")
+      .toString + "/orders_delta"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t, ord.repartition(8))
+    // bits sized above the key range: a wrap (key mod 2^bits) would
+    // shred the locality the rewrite exists to create
+    graft.sources.DeltaLite.optimizeZorder(
+      s, t, Seq("o_custkey", "o_orderkey"), targetFiles = 8, bits = 28)
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val scan = graft.sources.DeltaLite.readWhere(
+      s, t, "o_orderkey", mx / 4, mx / 2)
+    scan.df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  // deliberately shares B16's slice + rollup: same answer through the
+  // interleave→Z-ORDER→skip path localizes any divergence to the rewrite
+  val dbaZorderSkippingOracle: String = dbaDeltaSkippingOracle
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -749,9 +914,17 @@ object LakehouseOps {
     "dba_json_ingest"     -> (dbaJsonIngest _),
     "dba_delta_read"      -> (dbaDeltaRead _),
     "dba_iceberg_read"    -> (dbaIcebergRead _),
-    "dba_merge_selective" -> (dbaMergeSelective _))
+    "dba_merge_selective" -> (dbaMergeSelective _),
+    "dba_delta_skipping"  -> (dbaDeltaSkipping _),
+    "dba_delta_changes"   -> (dbaDeltaChanges _),
+    "dba_iceberg_changes" -> (dbaIcebergChanges _),
+    "dba_zorder_skipping" -> (dbaZorderSkipping _))
 
   val oracles: Map[String, String] = Map(
+    "dba_delta_skipping" -> dbaDeltaSkippingOracle,
+    "dba_delta_changes"  -> dbaDeltaChangesOracle,
+    "dba_iceberg_changes" -> dbaIcebergChangesOracle,
+    "dba_zorder_skipping" -> dbaZorderSkippingOracle,
     "dba_skew_report"   -> dbaSkewReportOracle,
     "dba_query_metrics" -> dbaQueryMetricsOracle,
     "dba_merge_upsert"  -> dbaMergeUpsertOracle,

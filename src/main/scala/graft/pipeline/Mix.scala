@@ -478,8 +478,53 @@ object Mix {
        |""".stripMargin + packSql("mixed", s"$uOrd, doc_id")
   }
 
+  /** Deterministic train/validation/test split keyed on CONTENT, not
+    * doc id: the assignment hash is [[uniformOf]] over the document text,
+    * so byte-identical duplicates land in the SAME split no matter how
+    * many copies exist or which shard they arrive on — the basic
+    * eval-decontamination guarantee a random or id-keyed split cannot
+    * give (an id-keyed split puts two copies of one document on both
+    * sides of the train/test fence; near-dup leakage is contam_check's
+    * job downstream). Thresholding one uniform draw keeps the three
+    * splits exactly complementary: train `[0, trainFrac)`, validation
+    * `[trainFrac, trainFrac+valFrac)`, test the rest.
+    *
+    * Scale shape: a pure scan-stage projection — no shuffle, no state,
+    * no dependence on any other row — so membership is stable under
+    * corpus growth/reordering and the split composes under whatever else
+    * the pipeline does at 100 TB.
+    */
+  def corpusSplit(docs: DataFrame, trainFrac: Double = 0.96,
+                  valFrac: Double = 0.02, salt: String = "split",
+                  byCol: Column = col("text")): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"fractions must leave room for test: train=$trainFrac val=$valFrac")
+    docs
+      .withColumn("__u", uniformOf(byCol, salt))
+      .withColumn("split",
+        when(col("__u") < trainFrac, "train")
+          .when(col("__u") < trainFrac + valFrac, "validation")
+          .otherwise("test"))
+      .drop("__u")
+  }
+
+  def corpusSplitQuery(s: SparkSession, dir: String): DataFrame =
+    corpusSplit(Tables.documents(s, dir))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
+  val corpusSplitOracle: String = {
+    val u = uniformSql("text", "split")
+    s"""SELECT doc_id, source,
+       |  CASE WHEN $u < 0.96 THEN 'train'
+       |       WHEN $u < 0.98 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> ((s: SparkSession, d: String) => corpusSplitQuery(s, d)),
     "corpus_mix"   -> ((s: SparkSession, d: String) => corpusMixQuery(s, d)),
     "seq_pack"     -> ((s: SparkSession, d: String) => seqPackQuery(s, d)),
     "seq_pack_sharded" -> ((s: SparkSession, d: String) => seqPackShardedQuery(s, d)),
@@ -491,6 +536,7 @@ object Mix {
     "doc_chunk"    -> ((s: SparkSession, d: String) => docChunkQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitOracle,
     "corpus_mix"   -> corpusMixOracle,
     "seq_pack"     -> seqPackOracle,
     "seq_pack_sharded" -> seqPackShardedOracle,

@@ -249,12 +249,104 @@ object DeltaLite {
       sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":$ts,"dataChange":true$statsField}}""")
         .append('\n')
     }
-    val tmp = new Path(logDir(table), s".v$v.json.tmp")
+    publishCommit(spark, table, v, sb.toString)
+    v
+  }
+
+  /** Atomically publish one JSON actions file as version `v` (write to a
+    * dot-tmp, rename into place — readers never see a partial commit).
+    */
+  private def publishCommit(spark: SparkSession, table: String, v: Long,
+                            actionsNdjson: String): Unit = {
+    val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
+    val tmp = new Path(logDir(table), s".v$v.json.tmp")
     val out = f.create(tmp, true)
-    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(actionsNdjson.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, commitFile(table, v)), s"commit rename failed: v$v")
+  }
+
+  private def protocolAndMetaData(v: Long, schemaJson: String): String = {
+    val sj = mapper.writeValueAsString(schemaJson)
+    s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":[],"configuration":{}}}""" + "\n"
+  }
+
+  /** SHALLOW CLONE — the zero-copy table copy (Databricks' `CREATE TABLE
+    * ... SHALLOW CLONE`): the clone's first commit REFERENCES the source
+    * snapshot's data files in place via absolute paths (protocol-legal),
+    * so cloning a 100 TB table is a metadata-only driver operation.
+    * Copy-on-write divergence comes free: any later MERGE/DELETE/
+    * OPTIMIZE on the clone rewrites into the clone's own root and drops
+    * only REFERENCES — the source is never touched, and the clone's
+    * [[vacuum]] deletes only under its own root so it cannot reap source
+    * data. Add-stats carry over, so [[readWhere]]/[[selectiveMerge]]
+    * skipping works on the clone from commit 0. The format's own caveat,
+    * stated: the clone references rather than owns — vacuuming the
+    * SOURCE past the cloned snapshot breaks the clone, exactly as with
+    * the real implementation.
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+                   version: Option[Long] = None): Long = {
+    require(versions(spark, dst).isEmpty, s"$dst: already a table")
+    val s = snapshot(spark, src, version)
+    require(s.schemaJson.nonEmpty, s"$src: no metaData in log")
+    val srcRoot = fs(spark, new Path(src))
+      .makeQualified(new Path(src))
+    val f = fs(spark, srcRoot)
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":"CLONE","timestamp":0}}""")
+      .append('\n')
+    sb.append(protocolAndMetaData(0L, s.schemaJson.get))
+    s.files.foreach { p =>
+      val abs = new Path(srcRoot, p)
+      val pj = mapper.writeValueAsString(abs.toString)
+      val size = f.getFileStatus(abs).getLen
+      val statsField = s.stats.get(p).map(st =>
+        s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":false$statsField}}""")
+        .append('\n')
+    }
+    publishCommit(spark, dst, 0L, sb.toString)
+    0L
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF — metadata-only rollback (the
+    * reference engine's RESTORE): one commit whose remove/add actions
+    * swap the current file set for the target version's. No data is read
+    * or written — the old files are still on disk until [[vacuum]]
+    * passes them (the same retention-horizon contract as time travel),
+    * and history keeps moving FORWARD: the rollback is itself a
+    * versioned, auditable commit.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val vs = versions(spark, table)
+    val cur = snapshot(spark, table)
+    val tgt = snapshot(spark, table, Some(version))
+    require(tgt.schemaJson.nonEmpty, s"$table: no metaData at v$version")
+    val v = vs.last + 1
+    val f = fs(spark, new Path(table))
+    val curSet = cur.files.toSet
+    val tgtSet = tgt.files.toSet
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":"RESTORE","timestamp":0}}""")
+      .append('\n')
+    sb.append(protocolAndMetaData(v, tgt.schemaJson.get))
+    (curSet -- tgtSet).toSeq.sorted.foreach { p =>
+      val pj = mapper.writeValueAsString(p)
+      sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":0,"dataChange":true}}""")
+        .append('\n')
+    }
+    (tgtSet -- curSet).toSeq.sorted.foreach { p =>
+      val pj = mapper.writeValueAsString(p)
+      val size = f.getFileStatus(new Path(table, p)).getLen
+      val statsField = tgt.stats.get(p).map(st =>
+        s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField}}""")
+        .append('\n')
+    }
+    publishCommit(spark, table, v, sb.toString)
     v
   }
 

@@ -312,6 +312,30 @@ class DeltaLiteSpec extends SparkSpec {
       .filter(col("operation").startsWith("OPTIMIZE ZORDER")).count() == 1)
   }
 
+  test("optimizeZorder on two columns: range reads skip files on EITHER " +
+    "z-column — the locality a linear sort cannot give") {
+    val t = newTable()
+    // a 20×20 key grid, round-robin interleaved
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select((col("id") % 20).as("k1"), expr("id div 20").as("k2"),
+        col("id").as("v"))
+      .repartition(4))
+    assert(DeltaLite.readWhere(spark, t, "k2", 0L, 3L).filesSkipped == 0,
+      "interleaved layout should defeat pruning")
+    DeltaLite.optimizeZorder(spark, t, Seq("k1", "k2"), targetFiles = 4)
+    val onK1 = DeltaLite.readWhere(spark, t, "k1", 0L, 3L)
+    val onK2 = DeltaLite.readWhere(spark, t, "k2", 0L, 3L)
+    assert(onK1.filesSkipped >= 1,
+      s"no skip on leading z-column: ${onK1.filesScanned} scanned")
+    assert(onK2.filesSkipped >= 1,
+      s"no skip on second z-column: ${onK2.filesScanned} scanned")
+    // both pruned reads stay value-exact
+    assert(onK1.df.agg(sum("v")).head().getLong(0) ==
+      (0L until 400L).filter(_ % 20 <= 3).sum)
+    assert(onK2.df.agg(sum("v")).head().getLong(0) ==
+      (0L until 400L).filter(_ / 20 <= 3).sum)
+  }
+
   test("changes: net row-level diff between versions reads only changed " +
     "files and classifies insert/update/delete") {
     val t = newTable()
@@ -354,6 +378,65 @@ class DeltaLiteSpec extends SparkSpec {
     val lastHop = DeltaLite.changes(spark, t, 1L, 2L, Seq("k"))
     assert(lastHop.groupBy("_change_type").count()
       .as[(String, Long)].collect().toMap == Map("delete" -> 5L))
+  }
+
+  test("shallowClone: zero-copy clone reads the pinned snapshot with " +
+    "stats intact; writes diverge copy-on-write; vacuum stays in-root") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")))
+    val dst = newTable()
+    DeltaLite.shallowClone(spark, t, dst)
+    // identical reads, but NOT ONE data file under the clone root
+    assert(DeltaLite.read(spark, dst).orderBy("k").as[(Long, Long)]
+      .collect().toSeq ==
+      DeltaLite.read(spark, t).orderBy("k").as[(Long, Long)]
+        .collect().toSeq)
+    val dstFiles = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dstFiles.isEmpty, "shallow clone must not copy data")
+    // add-stats carried: skipping works on the clone from commit 0
+    val scan = DeltaLite.readWhere(spark, dst, "k", 110L, 180L)
+    assert(scan.filesScanned == 1 && scan.filesSkipped == 3, s"$scan")
+    // copy-on-write divergence: merge on the clone, source untouched
+    DeltaLite.selectiveMerge(spark, dst, Seq((10L, -1L)).toDF("k", "v"),
+      Seq("k"))
+    assert(DeltaLite.read(spark, dst).filter(col("k") === 10)
+      .head().getLong(1) == -1L)
+    assert(DeltaLite.read(spark, t).filter(col("k") === 10)
+      .head().getLong(1) == 100L, "clone write leaked into the source")
+    // the clone's vacuum reaps only under its own root
+    DeltaLite.vacuum(spark, dst, retainVersions = 1)
+    assert(DeltaLite.read(spark, t).count() == 400, "vacuum crossed roots")
+    assert(DeltaLite.read(spark, dst).count() == 400)
+  }
+
+  test("restore: metadata-only rollback — old files re-referenced, no " +
+    "data written, history keeps moving forward") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")))
+    DeltaLite.selectiveDelete(spark, t,
+      spark.range(10, 20).select(col("id").as("k")), Seq("k"))
+    assert(DeltaLite.read(spark, t).count() == 390)
+    def nDataFiles = new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nDataFiles
+    val rv = DeltaLite.restore(spark, t, 0L)
+    assert(rv == 2L)
+    assert(DeltaLite.read(spark, t).orderBy("k").as[(Long, Long)]
+      .collect().toSeq == (0L until 400L).map(i => (i, i * 10)))
+    assert(nDataFiles == before, "restore must not write data files")
+    // the rollback is itself an auditable commit; the rolled-back state
+    // is still time-travelable
+    assert(DeltaLite.history(spark, t)
+      .filter(col("operation") === "RESTORE").count() == 1)
+    assert(DeltaLite.read(spark, t, Some(1L)).count() == 390)
+    // restored stats still drive skipping
+    val scan = DeltaLite.readWhere(spark, t, "k", 110L, 180L)
+    assert(scan.filesSkipped >= 2, s"$scan")
   }
 
   test("snapshot scan keeps parquet pushdown on the resolved file list") {

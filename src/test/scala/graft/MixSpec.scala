@@ -24,6 +24,35 @@ class MixSpec extends SparkSpec {
       "sampling must not shuffle")
   }
 
+  test("corpusSplit: content-keyed splits co-assign exact duplicates, " +
+    "hold their fractions, and never shuffle") {
+    val docs = (0L until 6000L).map(i => (i, "web", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Mix.corpusSplit(docs)
+    val byjoin = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byjoin.keySet == Set("train", "validation", "test"))
+    assert(math.abs(byjoin("train") / 6000.0 - 0.96) < 0.02, s"$byjoin")
+    assert(math.abs(byjoin("validation") / 6000.0 - 0.02) < 0.01, s"$byjoin")
+    // exact duplicates land in the SAME split regardless of doc_id —
+    // the decontamination guarantee an id-keyed split cannot give
+    val dups = (0L until 500L).map(i => (900000L + i, "crawl2",
+      s"document body ${i * 7 % 6000}")).toDF("doc_id", "source", "text")
+    val both = Mix.corpusSplit(docs.unionByName(dups))
+      .groupBy("text").agg(countDistinct("split").as("n"))
+    assert(both.filter(col("n") > 1).count() == 0,
+      "duplicate texts split across the train/test fence")
+    // membership is per-row: a doc keeps its split in ANY corpus subset
+    val sub = Mix.corpusSplit(docs.filter(col("doc_id") % 3 === 0))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+    // scan-stage projection: no exchange anywhere
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must not shuffle")
+  }
+
   test("corpusMix salt decorrelates: different salts, different keep sets") {
     val docs = (0L until 2000L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
     val a = Mix.corpusMix(docs, Map("s" -> 0.5), salt = "mix")

@@ -102,6 +102,37 @@ class MultimodalSpec extends SparkSpec {
       "a brightness-style shift must move few dHash bits")
   }
 
+  test("audio fingerprint: deterministic, decode-true, and gain-robust " +
+    "contour bits") {
+    val fp = Codecs.audioFingerprint(
+      Codecs.decodeWavSamples(Codecs.encodeWav(4L)))
+    assert(fp == Codecs.audioFingerprint(
+      Codecs.decodeWavSamples(Codecs.encodeWav(4L))))
+    // decode-true: recompute straight from the sample formula
+    val n = Codecs.nSamples(4L)
+    val direct = Codecs.audioFingerprint(
+      Array.tabulate(n)(i => Codecs.sample(4L, i).toInt))
+    assert(fp == direct, "javax.sound round trip changed the samples")
+  }
+
+  test("mm_audio_dedup: identical formula audio pairs at hamming 0") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mmad").toString
+    // Δ = 3·65536: sample stream identical mod 2^16 AND n identical
+    // (3·65536 ≡ 0 mod 64) → identical WAV bytes → fingerprints equal
+    Seq((4L, "x", "en", "s", 1L), (196612L, "y", "en", "s", 1L),
+      (7L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.mmAudioDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2), r.getBoolean(3)))))
+      .toMap
+    assert(rows(4L).contains((196612L, 0, true)))
+    assert(rows(196612L).contains((4L, 0, true)))
+    assert(rows(7L).forall(_._2 > 0))
+  }
+
   test("mm_image_dedup: identical formula images pair at hamming 0") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_mmid").toString

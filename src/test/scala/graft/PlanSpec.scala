@@ -43,6 +43,7 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cc_exact",
       "dedup_embedding_cc_dense", // same kernel, denser buckets
       "mm_image_dedup",   // codec mapPartitions + checkpointed block table
+      "mm_audio_dedup",   // same: javax.sound decode runs in mapPartitions
       "text_topk_sketch", // per-partition Misra-Gries pass is imperative
       "dedup_semantic_cc") // checkpointed label-propagation rounds
     SparkEntry.queries.keys.foreach { name =>
