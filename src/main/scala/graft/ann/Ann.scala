@@ -804,8 +804,49 @@ object Ann {
       |      FROM embeddings) t
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** C46: int8 scalar-quantization audit — the storage-compression step a
+    * 100 TB embedding store runs before ANN serving (4× smaller than
+    * float32), with the error accounting that decides whether recall
+    * survives it. Per vector: the affine [min,max]/255 grid, round to
+    * nearest (spelled `floor(x + 0.5)` so both engines round identically
+    * — SQL ROUND ties-away vs banker's would diverge), and the MAX
+    * absolute reconstruction error. Max — not sum — keeps the metric
+    * associativity-order-free, so the oracle is exact under IEEE doubles
+    * with no tolerance. Pure per-row array arithmetic: zero shuffle,
+    * composes in the scan stage.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("q_min", array_min(col("embedding")).cast("double"))
+      .withColumn("q_max", array_max(col("embedding")).cast("double"))
+      .withColumn("__scale", (col("q_max") - col("q_min")) / lit(255.0))
+    val err = array_max(transform(col("embedding"), v => {
+      val x = v.cast("double")
+      val q = floor((x - col("q_min")) / col("__scale") + lit(0.5))
+      abs(x - (col("q_min") + q * col("__scale")))
+    }))
+    e.select(col("vec_id"), col("q_min"), col("q_max"),
+        when(col("__scale") === 0, lit(0.0)).otherwise(err)
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val embQuantizeOracle: String =
+    """SELECT vec_id, q_min, q_max,
+      |  CASE WHEN q_max = q_min THEN 0.0 ELSE
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> abs(x - (q_min + floor((x - q_min) / ((q_max - q_min) / 255.0) + 0.5)
+      |                           * ((q_max - q_min) / 255.0)))))
+      |  END AS max_abs_err
+      |FROM (SELECT vec_id, embedding,
+      |        CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS q_min,
+      |        CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS q_max
+      |      FROM embeddings) t
+      |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize"   -> (embQuantize _),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => annBruteforce(s, d)),
     "ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)),
@@ -814,6 +855,7 @@ object Ann {
     "emb_norm_stats" -> (embNormStats _))
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize"   -> embQuantizeOracle,
     "ann_bruteforce" -> annBruteforceOracle,
     "ann_lsh"        -> annLshOracle(),
     "emb_norm_stats" -> embNormStatsOracle)

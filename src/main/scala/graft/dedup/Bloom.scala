@@ -1,0 +1,160 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bloom-filter membership against a historical corpus — the sketch that
+  * makes CROSS-RUN dedup affordable at 100 TB: instead of joining today's
+  * batch against every key the pipeline has ever ingested (a shuffle of
+  * the full history), the history compresses into m bits (~2 bytes/key at
+  * the 16·n sizing) that ship to every executor once; each new document
+  * then answers "maybe seen / definitely new" with k cheap hash probes
+  * and NO shuffle at all. One-sided error, stated: false positives at a
+  * sized-for rate (a few ‰ here — those fall through to the exact
+  * [[Dedup.dedupIncremental]] path or are accepted as over-dropping),
+  * false negatives never.
+  *
+  * Engine-portable by construction: positions derive from the SAME
+  * md5-uniform primitive the Mix samplers use
+  * (graft.pipeline.Mix.uniformOf / uniformSql), so DuckDB replays the
+  * probe arithmetic exactly, and membership-in-bitmap ≡ membership in the
+  * distinct SET of history positions — which is how the oracle checks the
+  * filter bit for bit without building one.
+  *
+  * Scale shape: the build is per-partition bitmaps OR-folded (executor
+  * and driver state = m/8 bytes, shuffle = nPartitions × m/8 — never the
+  * keys); the probe side embeds the bitmap as a plan literal (fine to
+  * ~10⁷ history keys at the 2^26-bit clamp). Past that, shard the filter
+  * by key range — each executor tests against its shard — or promote the
+  * probe to a broadcast-variable native Expression; the probe arithmetic
+  * is unchanged either way.
+  */
+object Bloom {
+
+  private[graft] val BloomK = 4
+  private[graft] val MinBloomBits = 16
+  private[graft] val MaxBloomBits = 26
+
+  /** Smallest power-of-two m with m ≥ 16·n (load kn/m ≤ 0.25 at k=4 →
+    * ~0.2 % false positives), clamped to [2^min, 2^max] like
+    * [[Dedup.lshBitsFor]].
+    */
+  private[graft] def bloomBitsFor(n: Long, minBits: Int = MinBloomBits,
+                                  maxBits: Int = MaxBloomBits): Int = {
+    var b = minBits
+    while (b < maxBits && n > (1L << (b - 4))) b += 1
+    b
+  }
+
+  /** [[bloomBitsFor]] as a SQL CASE chain over a count expression —
+    * integer-for-integer the Scala sizing, so the oracle sizes the same
+    * filter from its own COUNT(*).
+    */
+  private[graft] def bloomBitsSqlCase(cnt: String,
+                                      minBits: Int = MinBloomBits,
+                                      maxBits: Int = MaxBloomBits): String = {
+    val whens = (minBits until maxBits)
+      .map(b => s"WHEN $cnt <= ${1L << (b - 4)} THEN $b").mkString(" ")
+    s"(CASE $whens ELSE $maxBits END)"
+  }
+
+  /** The k probe positions of `key` in an m-bit filter: k independent
+    * md5-uniform draws scaled to [0, m). Exact under IEEE doubles (u is
+    * x·2^-52 with integer x, m a power of two — the product is a pure
+    * exponent shift), so Spark and DuckDB floor identically.
+    */
+  private[graft] def positions(key: Column, mBits: Int, k: Int,
+                               salt: String): Seq[Column] =
+    (0 until k).map(i =>
+      floor(graft.pipeline.Mix.uniformOf(key, s"$salt:$i") * mBits)
+        .cast("long"))
+
+  /** Distributed filter build: per-partition bitmaps (one pass, local
+    * bit-sets), OR-folded to the driver. No distinct, no shuffle of
+    * positions — each task's state is exactly m/8 bytes.
+    */
+  def build(keys: DataFrame, key: Column, mBits: Int,
+            k: Int = BloomK, salt: String = "bloom"): Array[Long] = {
+    import keys.sparkSession.implicits._
+    val nWords = mBits >>> 6
+    val posDs = keys
+      .select(explode(array(positions(key, mBits, k, salt): _*)).as("p"))
+      .as[Long]
+    def orInto(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    posDs.rdd
+      .mapPartitions { it =>
+        val words = new Array[Long](nWords)
+        it.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+        Iterator.single(words)
+      }
+      .fold(new Array[Long](nWords))(orInto)
+  }
+
+  /** Membership probe as pure Column arithmetic against the plan-literal
+    * bitmap: k word-lookups + dynamic shifts, AND-folded. Codegen'd end
+    * to end — no UDF, no shuffle.
+    */
+  def contains(words: Array[Long], key: Column, mBits: Int,
+               k: Int = BloomK, salt: String = "bloom"): Column = {
+    val w = typedLit(words.toSeq)
+    positions(key, mBits, k, salt).map { p =>
+      val word = element_at(w, shiftrightunsigned(p, 6).cast("int") + 1)
+      call_function("shiftrightunsigned", word,
+        p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** C45: cross-run membership dedup — history (even doc ids) compressed
+    * into a count-sized Bloom filter, the new batch (odd ids) probed
+    * against it with zero shuffle. `maybe_seen` is the filter's verdict;
+    * `seen_exact` (one broadcast-side join on the text, present here to
+    * keep the false-positive accounting honest and oracle-checked) is
+    * what the sketch approximates. The oracle replays sizing, probes, and
+    * set-membership in DuckDB — false positives and all.
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val mBits = 1 << bloomBitsFor(hist.count())
+    val words = build(hist, col("text"), mBits)
+    val histTexts = hist.select("text").distinct()
+      .withColumn("__seen", lit(1))
+    batch
+      .join(broadcast(histTexts), Seq("text"), "left")
+      .select(col("doc_id"),
+        contains(words, col("text"), mBits).as("maybe_seen"),
+        col("__seen").isNotNull.as("seen_exact"))
+      .orderBy("doc_id")
+  }
+
+  val dedupBloomOracle: String = {
+    import graft.pipeline.Mix.uniformSql
+    val bits = bloomBitsSqlCase("(SELECT COUNT(*) FROM hist)")
+    def posSelects(src: String, cols: String): String =
+      (0 until BloomK).map { i =>
+        val u = uniformSql("text", s"bloom:$i")
+        s"SELECT $cols, $i AS i, CAST(floor($u * (SELECT m FROM mm)) AS BIGINT) AS pos FROM $src"
+      }.mkString(" UNION ALL ")
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       |mm AS (SELECT CAST(1 AS BIGINT) << $bits AS m),
+       |hp AS (SELECT DISTINCT pos FROM (${posSelects("hist", "doc_id")}) t),
+       |bp AS (${posSelects("batch", "doc_id")}),
+       |hits AS (
+       |  SELECT bp.doc_id, COUNT(hp.pos) AS nhit
+       |  FROM bp LEFT JOIN hp USING (pos)
+       |  GROUP BY bp.doc_id)
+       |SELECT b.doc_id, h.nhit = $BloomK AS maybe_seen,
+       |  EXISTS (SELECT 1 FROM hist WHERE hist.text = b.text) AS seen_exact
+       |FROM batch b JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

