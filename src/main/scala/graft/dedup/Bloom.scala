@@ -78,6 +78,7 @@ object Bloom {
   def build(keys: DataFrame, key: Column, mBits: Int,
             k: Int = BloomK, salt: String = "bloom"): Array[Long] = {
     import keys.sparkSession.implicits._
+    requireM(mBits)
     val nWords = mBits >>> 6
     val posDs = keys
       .select(explode(array(positions(key, mBits, k, salt): _*)).as("p"))
@@ -102,14 +103,28 @@ object Bloom {
     */
   def contains(words: Array[Long], key: Column, mBits: Int,
                k: Int = BloomK, salt: String = "bloom"): Column = {
+    requireM(mBits)
+    require(words.length == (mBits >>> 6),
+      s"bitmap has ${words.length} words, expected ${mBits >>> 6}")
     val w = typedLit(words.toSeq)
-    positions(key, mBits, k, salt).map { p =>
+    val hit = positions(key, mBits, k, salt).map { p =>
       val word = element_at(w, shiftrightunsigned(p, 6).cast("int") + 1)
       call_function("shiftrightunsigned", word,
         p.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+    // a null key hashes to null probes; report "not seen", never null —
+    // matching the oracle's join replay (0 matches ≠ k) and keeping both
+    // filter(maybe) and filter(!maybe) total
+    coalesce(hit, lit(false))
   }
+
+  /** positions()' exactness argument (power-of-two scaling) and the
+    * word indexing both require m = 2^b with at least one word.
+    */
+  private def requireM(mBits: Int): Unit =
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1,
+      s"mBits must be a power of two >= 64, got $mBits")
 
   /** C45: cross-run membership dedup — history (even doc ids) compressed
     * into a count-sized Bloom filter, the new batch (odd ids) probed

@@ -225,8 +225,14 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"expected mono PCM16, got $fmt")
+        // javax.sound also parses AIFF/AU — refuse anything that isn't
+        // little-endian signed PCM16 mono, or the hand-rolled frame
+        // reassembly below would byte-swap every sample silently
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            !fmt.isBigEndian,
+          s"expected little-endian mono signed PCM16, got $fmt")
         val bytes = in.readAllBytes()
         val out = new Array[Int](bytes.length / 2)
         var i = 0

@@ -835,10 +835,11 @@ object LakehouseOps {
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     graft.sources.DeltaLite.commit(s, t, ord.repartition(8))
-    // bits sized above the key range: a wrap (key mod 2^bits) would
-    // shred the locality the rewrite exists to create
+    // bit width auto-sizes from the data (optimizeZorder probes each
+    // column's max) — a wrap (key mod 2^bits) would shred the locality
+    // the rewrite exists to create
     graft.sources.DeltaLite.optimizeZorder(
-      s, t, Seq("o_custkey", "o_orderkey"), targetFiles = 8, bits = 28)
+      s, t, Seq("o_custkey", "o_orderkey"), targetFiles = 8)
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
     val scan = graft.sources.DeltaLite.readWhere(
       s, t, "o_orderkey", mx / 4, mx / 2)

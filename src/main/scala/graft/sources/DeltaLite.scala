@@ -230,13 +230,8 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
       .append('\n')
-    if (v == 0L || overwrite || schemaChanged) {
-      val schemaJson = mapper.writeValueAsString(df.schema.json)
-      sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-        .append('\n')
-      sb.append(s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""")
-        .append('\n')
-    }
+    if (v == 0L || overwrite || schemaChanged)
+      sb.append(protocolAndMetaData(v, df.schema.json))
     removed.foreach { p =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":$ts,"dataChange":true}}""")
@@ -539,7 +534,16 @@ object DeltaLite {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
     val schema = SDT.fromJson(snap.schemaJson.get).asInstanceOf[SST]
-    val isString = lo.isInstanceOf[String]
+    // key type comes from the TABLE schema, never from the bound's
+    // runtime class — a mistyped bound must not flip the comparison
+    // into lexicographic space and silently mis-prune
+    val isString = schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    require(isString == lo.isInstanceOf[String] &&
+        isString == hi.isInstanceOf[String],
+      s"$table.$keyCol is ${schema(keyCol).dataType.simpleString}; " +
+        s"bounds (${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName}) " +
+        "must match the column type")
     def cmp(x: Any): Comparable[Any] =
       (if (isString) x.toString
        else new java.math.BigDecimal(x.toString)).asInstanceOf[Comparable[Any]]
@@ -573,11 +577,36 @@ object DeltaLite {
     * only the commit publish is driver-side.
     */
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
-                     targetFiles: Int, bits: Int = 12): Long = {
-    import org.apache.spark.sql.functions.col
+                     targetFiles: Int, bits: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, max, shiftrightunsigned}
     require(cols.nonEmpty && targetFiles >= 1, "need z-cols and >=1 file")
+    require(bits * cols.size <= 63, s"bits=$bits × ${cols.size} cols > 63")
     val df = read(spark, table)
-    val z = graft.functions.ZOrder.zvalue(cols.map(col), bits)
+    // Size the interleave from the DATA, not a caller guess: zvalue masks
+    // each input to its low `bits` bits, so a value past 2^bits would
+    // wrap and shred the very locality this verb exists to create.
+    // One cheap agg probes each column's max; columns wider than their
+    // bit budget are right-SHIFTED first (drop low bits, keep high) —
+    // coarser rectangles, never wrapped ones. `bits > 0` overrides the
+    // per-column budget, with the same shift protection.
+    val maxima: Seq[Long] = {
+      val row = df.agg(max(col(cols.head)),
+        cols.tail.map(c => max(col(c))): _*).head()
+      cols.indices.map(i => if (row.isNullAt(i)) 0L
+        else math.max(0L, row.get(i) match {
+          case n: Number => n.longValue()
+          case _ => 0L
+        }))
+    }
+    def widthOf(m: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L)))
+    val perCol = if (bits > 0) bits
+      else math.min(63 / cols.size, maxima.map(widthOf).max)
+    val zCols = cols.zip(maxima).map { case (c, m) =>
+      val drop = math.max(0, widthOf(m) - perCol)
+      if (drop == 0) col(c) else shiftrightunsigned(col(c).cast("long"), drop)
+    }
+    val z = graft.functions.ZOrder.zvalue(zCols, perCol)
     val clustered = df.withColumn("__zkey", z)
       .repartitionByRange(targetFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
@@ -622,17 +651,11 @@ object DeltaLite {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(files.map(p => new Path(table, p).toString): _*)
+    // both sides read with the TO schema — parquet scans null-fill
+    // columns the old files don't carry, which is exactly the additive-
+    // evolution alignment the net diff needs
     val newSide = readFiles(addedFiles).select(dataCols.map(col): _*)
-    val oldSide = {
-      // align the old snapshot to the new schema: additive evolution
-      // means every old column survives; new columns read null
-      val fromSchema = from.schemaJson
-        .map(j => SDT.fromJson(j).asInstanceOf[SST]).getOrElse(schema)
-      val have = fromSchema.fieldNames.toSet
-      readFiles(removedFiles).select(dataCols.map(c =>
-        if (have(c)) col(c)
-        else lit(null).cast(schema(c).dataType).as(c)): _*)
-    }
+    val oldSide = readFiles(removedFiles).select(dataCols.map(col): _*)
     val changedNew = newSide.exceptAll(oldSide)
     val changedOld = oldSide.exceptAll(newSide)
     val o = changedOld.select(keys.map(col) :+

@@ -27,6 +27,22 @@ class BloomSpec extends SparkSpec {
     assert(words.toSeq == words1.toSeq)
   }
 
+  test("bloom guards: non-power-of-two m refused on both ends; a null " +
+    "key probes to false, never null") {
+    val keys = Seq("a", "b").toDF("text")
+    intercept[IllegalArgumentException](
+      Bloom.build(keys, col("text"), mBits = 100))
+    intercept[IllegalArgumentException](
+      Bloom.contains(new Array[Long](2), col("text"), mBits = 100))
+    intercept[IllegalArgumentException](
+      Bloom.contains(new Array[Long](1), col("text"), mBits = 128))
+    val words = Bloom.build(keys, col("text"), 1 << 16)
+    val out = Seq(Some("a"), None).toDF("text")
+      .select(Bloom.contains(words, col("text"), 1 << 16).as("m"))
+      .as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false))
+  }
+
   test("bloom sizing: power-of-two m >= 16n within clamps, SQL CASE " +
     "mirrors the Scala thresholds at every boundary") {
     assert(Bloom.bloomBitsFor(1L) == Bloom.MinBloomBits)

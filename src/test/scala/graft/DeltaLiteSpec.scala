@@ -336,6 +336,25 @@ class DeltaLiteSpec extends SparkSpec {
       (0L until 400L).filter(_ / 20 <= 3).sum)
   }
 
+  test("optimizeZorder auto-sizes the interleave from the data: keys far " +
+    "past any fixed bit budget still cluster instead of wrapping") {
+    val t = newTable()
+    // max key ~6.5M (23 bits) — a fixed 12-bit mask would wrap every
+    // value and leave all files spanning the whole range
+    DeltaLite.commit(spark, t, spark.range(400)
+      .select((col("id") * 16384L).as("k"), col("id").as("v"))
+      .repartition(4))
+    DeltaLite.optimizeZorder(spark, t, Seq("k"), targetFiles = 4)
+    val scan = DeltaLite.readWhere(spark, t, "k", 0L, 99L * 16384L)
+    assert(scan.filesSkipped >= 2,
+      s"wide keys wrapped: ${scan.filesScanned} scanned")
+    assert(scan.df.count() == 100)
+    // a mistyped bound is refused, not silently compared lexicographically
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.readWhere(spark, t, "k", "0", "99"))
+    assert(e.getMessage.contains("must match the column type"))
+  }
+
   test("changes: net row-level diff between versions reads only changed " +
     "files and classifies insert/update/delete") {
     val t = newTable()
