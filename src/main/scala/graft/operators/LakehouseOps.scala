@@ -853,6 +853,36 @@ object LakehouseOps {
   // interleave→Z-ORDER→skip path localizes any divergence to the rewrite
   val dbaZorderSkippingOracle: String = dbaDeltaSkippingOracle
 
+  // ---------------------------------------------------------------- B20
+  /** File-skipping READ on the OTHER format — B16's contract through
+    * Iceberg's spec `lower_bounds`/`upper_bounds` manifest maps instead
+    * of Delta's add-stats JSON: orders lands range-clustered in an
+    * IcebergLite table (commit writes per-column bounds from the parquet
+    * footers), then the same key-range slice reads via
+    * IcebergLite.readWhere — pruning decided from MANIFEST metadata
+    * alone, residual predicate pushed into the surviving scans. Shares
+    * B16's oracle: one DuckDB recomputation checks both formats' bounds
+    * encode/decode + prune paths, so a divergence localizes to the
+    * format layer.
+    */
+  def dbaIcebergSkipping(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_skip")
+      .toString + "/orders_iceberg"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val scan = graft.sources.IcebergLite.readWhere(
+      s, t, "o_orderkey", mx / 4, mx / 2)
+    scan.df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dbaIcebergSkippingOracle: String = dbaDeltaSkippingOracle
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -919,13 +949,15 @@ object LakehouseOps {
     "dba_delta_skipping"  -> (dbaDeltaSkipping _),
     "dba_delta_changes"   -> (dbaDeltaChanges _),
     "dba_iceberg_changes" -> (dbaIcebergChanges _),
-    "dba_zorder_skipping" -> (dbaZorderSkipping _))
+    "dba_zorder_skipping" -> (dbaZorderSkipping _),
+    "dba_iceberg_skipping" -> (dbaIcebergSkipping _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
     "dba_delta_changes"  -> dbaDeltaChangesOracle,
     "dba_iceberg_changes" -> dbaIcebergChangesOracle,
     "dba_zorder_skipping" -> dbaZorderSkippingOracle,
+    "dba_iceberg_skipping" -> dbaIcebergSkippingOracle,
     "dba_skew_report"   -> dbaSkewReportOracle,
     "dba_query_metrics" -> dbaQueryMetricsOracle,
     "dba_merge_upsert"  -> dbaMergeUpsertOracle,

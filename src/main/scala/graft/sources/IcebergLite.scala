@@ -90,8 +90,16 @@ object IcebergLite {
     * field-ids 0-2 / 100+). `block_size_in_bytes` is v1-required
     * (dropped in v2) — written for v1 conformance, ignored on read.
     */
+  /** The spec's `map<int, binary>` bound maps (field-ids 125/128) encode
+    * as Avro arrays of key/value records with `logicalType: map` — Avro
+    * maps only key on strings.
+    */
+  private val BoundsFieldsJson: String =
+    """{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}""".stripMargin
+
   private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int","field-id":0},
       |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
@@ -100,7 +108,8 @@ object IcebergLite {
       |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |    {"name":"record_count","type":"long","field-id":103},
       |    {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |    {"name":"block_size_in_bytes","type":"long","field-id":105}
+      |    {"name":"block_size_in_bytes","type":"long","field-id":105},
+      |    $BoundsFieldsJson
       |  ]}}
       |]}""".stripMargin)
 
@@ -275,7 +284,9 @@ object IcebergLite {
 
   /** One live data file of a snapshot, as the manifests describe it. */
   final case class FileInfo(path: String, recordCount: Long, sizeBytes: Long,
-                            partition: Map[String, String])
+                            partition: Map[String, String],
+                            lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+                            upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Resolved snapshot state: data files + the Spark-typed schema. */
   final case class Snapshot(snapshotId: Long, schema: StructType,
@@ -356,10 +367,22 @@ object IcebergLite {
                 .toMap
               case None => Map.empty[String, String]
             }
+          def boundsOf(field: String): Map[Int, Array[Byte]] =
+            opt(df, field) match {
+              case Some(arr: java.util.Collection[_]) =>
+                arr.asScala.collect { case r: GenericRecord =>
+                  val bb = r.get("value")
+                    .asInstanceOf[java.nio.ByteBuffer].duplicate()
+                  val bytes = new Array[Byte](bb.remaining())
+                  bb.get(bytes)
+                  r.get("key").asInstanceOf[Int] -> bytes
+                }.toMap
+              case _ => Map.empty
+            }
           Some(FileInfo(df.get("file_path").toString,
             opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L),
             opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
-            part))
+            part, boundsOf("lower_bounds"), boundsOf("upper_bounds")))
         }
       }
     }.distinctBy(_.path).filterNot(fi => deleted.contains(fi.path))
@@ -390,6 +413,62 @@ object IcebergLite {
            snapshotId: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, table, snapshotId)
     readFileList(spark, table, s.schema, s.files)
+  }
+
+  /** What [[readWhere]] scanned — same economics contract as
+    * DeltaLite.SkippingScan.
+    */
+  final case class SkippingScan(df: DataFrame, filesScanned: Int,
+                                filesSkipped: Int)
+
+  /** Stats-pruned READ on the Iceberg side — the manifests' spec
+    * `lower_bounds`/`upper_bounds` maps applied to scan planning, the
+    * Delta [[DeltaLite.readWhere]] counterpart: files whose recorded
+    * bound range on `keyCol` cannot contain a row in `[lo, hi]` are
+    * dropped from the plan using MANIFEST METADATA ONLY (no data or
+    * listing I/O — planFiles' 100 TB planning story, now per column, not
+    * just per partition); survivors scan with the residual predicate
+    * pushed down. Files from writers that recorded no bounds scan
+    * conservatively. The key's type comes from the table schema, and a
+    * mistyped bound is refused rather than silently compared in the
+    * wrong domain.
+    */
+  def readWhere(spark: SparkSession, table: String, keyCol: String,
+                lo: Any, hi: Any): SkippingScan = {
+    import org.apache.spark.sql.functions.col
+    val meta = metadata(spark, table)
+    val schemaNode = Option(meta.get("schemas"))
+      .map(_.elements().asScala.toSeq.head)
+      .orElse(Option(meta.get("schema")))
+      .getOrElse(sys.error(s"$table: metadata has no schema"))
+    val fieldNode = schemaNode.get("fields").elements().asScala
+      .find(_.get("name").asText() == keyCol)
+      .getOrElse(sys.error(s"$table: no column $keyCol"))
+    require(fieldNode.get("type").isTextual,
+      s"$table.$keyCol: bounds pruning needs a primitive column")
+    val tpe = fieldNode.get("type").asText()
+    val fid = fieldNode.get("id").asInt()
+    val isString = tpe == "string"
+    require(isString == lo.isInstanceOf[String] &&
+        isString == hi.isInstanceOf[String],
+      s"$table.$keyCol is $tpe; bounds " +
+        s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName}) " +
+        "must match the column type")
+    def cmp(x: Any): Comparable[Any] =
+      (if (isString) x.toString
+       else new java.math.BigDecimal(x.toString)).asInstanceOf[Comparable[Any]]
+    val snap = snapshot(spark, table)
+    val (scanned, skipped) = snap.detail.partition { fi =>
+      (fi.lowerBounds.get(fid), fi.upperBounds.get(fid)) match {
+        case (Some(lb), Some(ub)) =>
+          decodeBound(tpe, ub).compareTo(cmp(lo)) >= 0 &&
+            decodeBound(tpe, lb).compareTo(cmp(hi)) <= 0
+        case _ => true // no recorded bounds: scan conservatively
+      }
+    }
+    val base = readFileList(spark, table, snap.schema, scanned.map(_.path))
+    SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
+      scanned.size, skipped.size)
   }
 
   /** Scan an explicit subset of a snapshot's files (the consumer half of
@@ -473,10 +552,98 @@ object IcebergLite {
            |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fields]}},
            |    {"name":"record_count","type":"long","field-id":103},
            |    {"name":"file_size_in_bytes","type":"long","field-id":104},
-           |    {"name":"block_size_in_bytes","type":"long","field-id":105}
+           |    {"name":"block_size_in_bytes","type":"long","field-id":105},
+           |    $BoundsFieldsJson
            |  ]}}
            |]}""".stripMargin)
     }
+
+  /** Per-column [min, max] from a parquet footer as the spec's
+    * single-value binary (little-endian numerics, UTF-8 strings), keyed
+    * by Iceberg field id — the payload of the manifest's
+    * `lower_bounds`/`upper_bounds` maps. Only unambiguous top-level
+    * primitives are recorded (int/long/float/double, UTF-8 strings);
+    * anything else is skipped rather than mis-ranged, and consumers
+    * treat a missing bound conservatively — the same contract as
+    * DeltaLite's add-stats. Any footer trouble degrades to no bounds,
+    * never a failed commit.
+    */
+  private def footerBounds(
+      reader: org.apache.parquet.hadoop.ParquetFileReader,
+      topFields: Map[String, (Int, DataType)])
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
+    try {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Comparable[Any], Comparable[Any])]
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala) {
+        val parts = c.getPath.toArray
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          c.getStatistics
+        if (parts.length == 1 && topFields.contains(parts(0)) &&
+            st != null && !st.isEmpty && st.hasNonNullValue) {
+          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+          val isString = logical != null &&
+            logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          if (logical == null || isString) {
+            def v(x: Any): Comparable[Any] = (x match {
+              case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+              case other => other
+            }).asInstanceOf[Comparable[Any]]
+            val (mn, mx) = (v(st.genericGetMin(): Any),
+              v(st.genericGetMax(): Any))
+            acc.get(parts(0)) match {
+              case Some((lo, hi)) => acc(parts(0)) = (
+                if (mn.compareTo(lo) < 0) mn else lo,
+                if (mx.compareTo(hi) > 0) mx else hi)
+              case None => acc(parts(0)) = (mn, mx)
+            }
+          }
+        }
+      }
+      val lower = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+      val upper = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+      acc.foreach { case (name, (mn, mx)) =>
+        for (lb <- singleValueBytes(mn); ub <- singleValueBytes(mx)) {
+          lower(topFields(name)._1) = lb
+          upper(topFields(name)._1) = ub
+        }
+      }
+      (lower.toMap, upper.toMap)
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty, Map.empty)
+    }
+
+  /** Spec "Binary single-value serialization": little-endian numerics,
+    * UTF-8 strings.
+    */
+  private def singleValueBytes(v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    v match {
+      case i: java.lang.Integer => Some(le(4).putInt(i).array())
+      case l: java.lang.Long    => Some(le(8).putLong(l).array())
+      case f: java.lang.Float   => Some(le(4).putFloat(f).array())
+      case d: java.lang.Double  => Some(le(8).putDouble(d).array())
+      case s: String            => Some(s.getBytes(StandardCharsets.UTF_8))
+      case _                    => None
+    }
+  }
+
+  /** Decode a spec single-value bound for comparison, by Iceberg type. */
+  private def decodeBound(tpe: String, b: Array[Byte]): Comparable[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    (tpe match {
+      case "string" => new String(b, StandardCharsets.UTF_8)
+      case "int"    => new java.math.BigDecimal(le.getInt)
+      case "long"   => java.math.BigDecimal.valueOf(le.getLong)
+      case "float"  => new java.math.BigDecimal(le.getFloat.toDouble)
+      case "double" => new java.math.BigDecimal(le.getDouble)
+      case other    => sys.error(s"bounds unsupported for type $other")
+    }).asInstanceOf[Comparable[Any]]
+  }
 
   /** Reverse of Spark's partition-path escaping (%xx sequences). */
   private def unescapePathName(s: String): String = {
@@ -570,6 +737,15 @@ object IcebergLite {
         else Nil
       }
     f.mkdirs(dataDir(table))
+    // top-level field ids for the bound maps, from the SAME deterministic
+    // id assignment the metadata write below will use
+    val topFields: Map[String, (Int, DataType)] = {
+      val (node, _) = sparkToIceberg(df.schema)
+      node.get("fields").elements().asScala.filter(_.get("type").isTextual)
+        .map(fn => fn.get("name").asText() ->
+          (fn.get("id").asInt(), df.schema(fn.get("name").asText()).dataType))
+        .toMap
+    }
     val named = leaves(staging, "").zipWithIndex.map { case ((p, relDir), i) =>
       val rel =
         if (relDir.isEmpty) f"data/part-$snapId%05d-$i%05d.parquet"
@@ -577,13 +753,17 @@ object IcebergLite {
       val target = new Path(root, rel)
       f.mkdirs(target.getParent)
       require(f.rename(p, target), s"rename failed: $p")
-      // spec-required record_count, from the parquet footer (driver-side,
-      // metadata-only — the row counts real planners prune with)
+      // spec-required record_count + the spec's lower/upper bound maps
+      // (field-ids 125/128), from the parquet footer (driver-side,
+      // metadata-only — the stats real planners prune with)
       val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           target, spark.sparkContext.hadoopConfiguration))
-      val rows = try footer.getRecordCount finally footer.close()
-      (rel, f.getFileStatus(target).getLen, rows, relDir)
+      val (rows, bounds) =
+        try (footer.getRecordCount, footerBounds(footer, topFields))
+        finally footer.close()
+      (rel, f.getFileStatus(target).getLen, rows, relDir,
+        bounds._1, bounds._2)
     }
     f.delete(staging, true)
 
@@ -607,17 +787,35 @@ object IcebergLite {
       }
       r
     }
+    def boundsArray(fieldName: String,
+                    m: Map[Int, Array[Byte]]): AnyRef =
+      if (m.isEmpty) null
+      else {
+        // union [null, array-with-map-logicalType]
+        val arrSchema = dataFileSchema.getField(fieldName).schema()
+          .getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          arr.add(record(arrSchema.getElementType)(
+            "key" -> k, "value" -> java.nio.ByteBuffer.wrap(v)))
+        }
+        arr
+      }
     def entry(status: Int, path: String, size: Long, rows: Long,
-              relDir: String): GenericRecord =
+              relDir: String, lower: Map[Int, Array[Byte]],
+              upper: Map[Int, Array[Byte]]): GenericRecord =
       record(entrySchema)(
         "status" -> status, "snapshot_id" -> snapId,
         "data_file" -> record(dataFileSchema)(
           "file_path" -> path, "file_format" -> "PARQUET",
           "partition" -> partRecord(relDir), "record_count" -> rows,
-          "file_size_in_bytes" -> size, "block_size_in_bytes" -> (128L << 20)))
+          "file_size_in_bytes" -> size, "block_size_in_bytes" -> (128L << 20),
+          "lower_bounds" -> boundsArray("lower_bounds", lower),
+          "upper_bounds" -> boundsArray("upper_bounds", upper)))
     val entries =
-      named.map { case (p, size, rows, relDir) => entry(1, p, size, rows, relDir) } ++
-        removed.map(p => entry(2, p, 0L, 0L, ""))
+      named.map { case (p, size, rows, relDir, lower, upper) =>
+        entry(1, p, size, rows, relDir, lower, upper) } ++
+        removed.map(p => entry(2, p, 0L, 0L, "", Map.empty, Map.empty))
     f.mkdirs(metaDir(table))
     val manifestRel = f"metadata/m-$snapId%05d-0.avro"
     val manifestLen = writeAvro(f, new Path(root, manifestRel),

@@ -290,6 +290,42 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.read(spark, t).schema.fieldNames.toSeq == Seq("k"))
   }
 
+  test("readWhere prunes on manifest lower/upper bounds — metadata-only " +
+    "planning per column, value-exact results") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"),
+        concat(lit("u"), format_string("%05d", col("id"))).as("s"))
+      .repartitionByRange(4, col("k")))
+    val scan = IcebergLite.readWhere(spark, t, "k", 110L, 180L)
+    assert(scan.filesScanned == 1 && scan.filesSkipped == 3,
+      s"expected 1/3, got ${scan.filesScanned}/${scan.filesSkipped}")
+    val got = scan.df.select("k", "v").orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (110L to 180L).map(i => (i, i * 10)))
+    // string bounds prune too (UTF-8 byte order = lexicographic)
+    val sScan = IcebergLite.readWhere(spark, t, "s", "u00110", "u00180")
+    assert(sScan.filesSkipped == 3 && sScan.df.count() == 71)
+    // off-range: pure metadata answer, nothing scanned
+    assert(IcebergLite.readWhere(spark, t, "k", 5000L, 6000L)
+      .filesScanned == 0)
+    // a mistyped bound is refused, not compared in the wrong domain
+    val e = intercept[RuntimeException](
+      IcebergLite.readWhere(spark, t, "k", "110", "180"))
+    assert(e.getMessage.contains("must match the column type"))
+    // bounds survive the DELETED-masking replay of a selective merge:
+    // the rewritten partition keeps pruning on its NEW bounds
+    val t2 = newTable()
+    IcebergLite.commit(spark, t2, spark.range(100)
+      .select((col("id") % 4).as("p"), col("id").as("v")),
+      partitionBy = Seq("p"))
+    IcebergLite.selectiveMerge(spark, t2,
+      Seq((1L, -5L)).toDF("p", "v"), Seq("p", "v"), partitionCol = "p")
+    val vScan = IcebergLite.readWhere(spark, t2, "v", -5L, -5L)
+    assert(vScan.df.count() == 1, "merged row must be findable via bounds")
+    assert(vScan.filesSkipped >= 3, s"got ${vScan.filesSkipped} skipped")
+  }
+
   test("refusal paths: format-version 3 and delete manifests fail loudly") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
