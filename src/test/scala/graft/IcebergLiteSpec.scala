@@ -326,6 +326,24 @@ class IcebergLiteSpec extends SparkSpec {
     assert(vScan.filesSkipped >= 3, s"got ${vScan.filesSkipped} skipped")
   }
 
+  test("optimizeZorder restores bounds pruning on an interleaved table, " +
+    "data identical, one replace snapshot") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(4))
+    assert(IcebergLite.readWhere(spark, t, "k", 10L, 19L).filesSkipped == 0,
+      "interleaved layout should defeat pruning")
+    IcebergLite.optimizeZorder(spark, t, Seq("k"), targetFiles = 4)
+    val after = IcebergLite.readWhere(spark, t, "k", 10L, 19L)
+    assert(after.filesScanned == 1 && after.filesSkipped == 3,
+      s"got ${after.filesScanned}/${after.filesSkipped}")
+    assert(IcebergLite.read(spark, t).orderBy("k").as[(Long, Long)]
+      .collect().toSeq == (0L until 400L).map(i => (i, i * 10)))
+    assert(IcebergLite.history(spark, t)
+      .filter(col("operation") === "replace").count() == 1)
+  }
+
   test("refusal paths: format-version 3 and delete manifests fail loudly") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
