@@ -433,21 +433,28 @@ object IcebergLite {
     * mistyped bound is refused rather than silently compared in the
     * wrong domain.
     */
-  def readWhere(spark: SparkSession, table: String, keyCol: String,
-                lo: Any, hi: Any): SkippingScan = {
-    import org.apache.spark.sql.functions.col
+  /** Resolve a top-level primitive column's (iceberg type, field id)
+    * from the table metadata — the key for the manifest bound maps.
+    */
+  private def topField(spark: SparkSession, table: String,
+                       name: String): (String, Int) = {
     val meta = metadata(spark, table)
     val schemaNode = Option(meta.get("schemas"))
       .map(_.elements().asScala.toSeq.head)
       .orElse(Option(meta.get("schema")))
       .getOrElse(sys.error(s"$table: metadata has no schema"))
     val fieldNode = schemaNode.get("fields").elements().asScala
-      .find(_.get("name").asText() == keyCol)
-      .getOrElse(sys.error(s"$table: no column $keyCol"))
+      .find(_.get("name").asText() == name)
+      .getOrElse(sys.error(s"$table: no column $name"))
     require(fieldNode.get("type").isTextual,
-      s"$table.$keyCol: bounds pruning needs a primitive column")
-    val tpe = fieldNode.get("type").asText()
-    val fid = fieldNode.get("id").asInt()
+      s"$table.$name: bounds pruning needs a primitive column")
+    (fieldNode.get("type").asText(), fieldNode.get("id").asInt())
+  }
+
+  def readWhere(spark: SparkSession, table: String, keyCol: String,
+                lo: Any, hi: Any): SkippingScan = {
+    import org.apache.spark.sql.functions.col
+    val (tpe, fid) = topField(spark, table, keyCol)
     val isString = tpe == "string"
     require(isString == lo.isInstanceOf[String] &&
         isString == hi.isInstanceOf[String],
@@ -943,17 +950,52 @@ object IcebergLite {
     * variant's key set).
     */
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
-                     keys: Seq[String], partitionCol: String,
+                     keys: Seq[String], partitionCol: String = "",
                      skewSafe: Boolean = false): MergeStats = {
     val snap = snapshot(spark, table)
-    val updParts: Set[String] = updates.select(partitionCol).distinct()
-      .collect().map(r => String.valueOf(r.get(0))).toSet
-    val (touched, skipped) = snap.detail.partition { fi =>
-      fi.partition.get(partitionCol) match {
-        case Some(v) if v != null => updParts.contains(v)
-        case _                    => true // unpartitioned/unknown: rewrite
+    val (touched, skipped) =
+      if (partitionCol.nonEmpty) {
+        // partitioned table: prune whole partitions on the manifests'
+        // typed partition values
+        val updParts: Set[String] = updates.select(partitionCol).distinct()
+          .collect().map(r => String.valueOf(r.get(0))).toSet
+        snap.detail.partition { fi =>
+          fi.partition.get(partitionCol) match {
+            case Some(v) if v != null => updParts.contains(v)
+            case _                    => true // unknown: rewrite
+          }
+        }
+      } else {
+        // unpartitioned table: prune on the manifests' column bound maps
+        // for the first merge key — the DeltaLite add-stats shape, so a
+        // range-clustered (Z-ORDERed) Iceberg table merges ∝ touched
+        // files too. CDC-bounded: the batch's distinct first-key values
+        // drive the prune. Bound-less files rewrite conservatively.
+        val keyCol = keys.head
+        val (tpe, fid) = topField(spark, table, keyCol)
+        val isString = tpe == "string"
+        val keyRows = updates.select(keyCol).distinct().collect()
+        val sortedKeys: Array[AnyRef] =
+          if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
+            .sortBy(_.asInstanceOf[String])
+          else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
+            .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
+        snap.detail.partition { fi =>
+          (fi.lowerBounds.get(fid), fi.upperBounds.get(fid)) match {
+            case (Some(lb), Some(ub)) =>
+              val lo = decodeBound(tpe, lb)
+              val hi = decodeBound(tpe, ub)
+              // first key ≥ lo, then check ≤ hi
+              var l = 0; var r = sortedKeys.length
+              while (l < r) {
+                val m = (l + r) >>> 1
+                if (lo.compareTo(sortedKeys(m)) > 0) l = m + 1 else r = m
+              }
+              l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
+            case _ => true
+          }
+        }
       }
-    }
     val base =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -961,7 +1003,7 @@ object IcebergLite {
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
     val sid = commit(spark, table, merged, operation = "merge",
-      partitionBy = Seq(partitionCol),
+      partitionBy = if (partitionCol.isEmpty) Nil else Seq(partitionCol),
       replacing = Some(touched.map(_.path)))
     MergeStats(sid, touched.size, skipped.size)
   }

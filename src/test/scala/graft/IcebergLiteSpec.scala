@@ -326,6 +326,25 @@ class IcebergLiteSpec extends SparkSpec {
     assert(vScan.filesSkipped >= 3, s"got ${vScan.filesSkipped} skipped")
   }
 
+  test("selectiveMerge without a partition column prunes on manifest " +
+    "bounds — the Delta add-stats shape on an unpartitioned table") {
+    val t = newTable()
+    val base = spark.range(400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k"))
+    IcebergLite.commit(spark, t, base)
+    val updates = (Seq.tabulate(10)(i => (10L + i, -1L)) :+ (9999L, -2L))
+      .toDF("k", "v")
+    val ms = IcebergLite.selectiveMerge(spark, t, updates, Seq("k"))
+    assert(ms.filesRewritten == 1 && ms.filesSkipped == 3, s"got $ms")
+    val got = IcebergLite.read(spark, t).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.operators.LakehouseOps
+      .mergeUpsert(base.toDF("k", "v"), updates, Seq("k"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("optimizeZorder restores bounds pruning on an interleaved table, " +
     "data identical, one replace snapshot") {
     val t = newTable()
