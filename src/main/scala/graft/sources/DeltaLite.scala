@@ -377,17 +377,25 @@ object DeltaLite {
             val isString = logical != null &&
               logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             if (logical == null || isString) {
-              def v(x: Any): Comparable[Any] = (x match {
-                case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-                case other => other
-              }).asInstanceOf[Comparable[Any]]
-              val (mn, mx) = (v(st.genericGetMin(): Any),
-                v(st.genericGetMax(): Any))
-              acc.get(parts(0)) match {
-                case Some((lo, hi)) => acc(parts(0)) = (
-                  if (mn.compareTo(lo) < 0) mn else lo,
-                  if (mx.compareTo(hi) > 0) mx else hi)
-                case None => acc(parts(0)) = (mn, mx)
+              // a RAW binary column also has a null annotation — its
+              // Binary min/max must NOT round-trip through UTF-8 into
+              // string stats ("skipped rather than mis-ranged"); only
+              // string-annotated binaries are recorded, folded in UTF-8
+              // byte order (parquet's own stats order — Java String
+              // compareTo would pick the wrong extreme past the BMP)
+              def v(x: Any): Option[Comparable[Any]] = (x match {
+                case b: org.apache.parquet.io.api.Binary =>
+                  if (isString) Some(new Utf8Bytes(b.getBytes)) else None
+                case other => Some(other)
+              }).map(_.asInstanceOf[Comparable[Any]])
+              for (mn <- v(st.genericGetMin(): Any);
+                   mx <- v(st.genericGetMax(): Any)) {
+                acc.get(parts(0)) match {
+                  case Some((lo, hi)) => acc(parts(0)) = (
+                    if (mn.compareTo(lo) < 0) mn else lo,
+                    if (mx.compareTo(hi) > 0) mx else hi)
+                  case None => acc(parts(0)) = (mn, mx)
+                }
               }
             }
           }
@@ -397,6 +405,8 @@ object DeltaLite {
         val mins = node.putObject("minValues")
         val maxs = node.putObject("maxValues")
         def put(o: ObjectNode, k: String, x: Any): Unit = x match {
+          case u: Utf8Bytes         =>
+            o.put(k, new String(u.bytes, StandardCharsets.UTF_8)); ()
           case s: String            => o.put(k, s); ()
           case i: java.lang.Integer => o.put(k, i.intValue()); ()
           case l: java.lang.Long    => o.put(k, l.longValue()); ()
@@ -446,13 +456,11 @@ object DeltaLite {
     val isString = updates.schema(keyCol).dataType ==
       org.apache.spark.sql.types.StringType
 
-    // CDC-batch-bounded: the distinct first-key values drive the prune
-    val keyRows = updates.select(keyCol).distinct().collect()
-    val sortedKeys: Array[AnyRef] =
-      if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
-        .sortBy(_.asInstanceOf[String])
-      else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
-        .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
+    // CDC-batch-bounded: the distinct first-key values drive the prune.
+    // Null keys never equi-join an existing row (they land as inserts),
+    // so they don't drive it — and must not NPE it.
+    val keyRows = updates.select(keyCol).na.drop().distinct().collect()
+    val sortedKeys: Array[AnyRef] = sortKeys(keyRows, isString)
 
     val (touched, skipped) =
       snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
@@ -487,12 +495,8 @@ object DeltaLite {
     val keyCol = keyCols.head
     val isString = keys.schema(keyCol).dataType ==
       org.apache.spark.sql.types.StringType
-    val keyRows = keys.select(keyCol).distinct().collect()
-    val sortedKeys: Array[AnyRef] =
-      if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
-        .sortBy(_.asInstanceOf[String])
-      else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
-        .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
+    val keyRows = keys.select(keyCol).na.drop().distinct().collect()
+    val sortedKeys: Array[AnyRef] = sortKeys(keyRows, isString)
     val (touched, skipped) =
       snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
     if (touched.isEmpty) return MergeStats(snap.version, 0, skipped.size)
@@ -545,8 +549,8 @@ object DeltaLite {
         s"bounds (${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName}) " +
         "must match the column type")
     def cmp(x: Any): Comparable[Any] =
-      (if (isString) x.toString
-       else new java.math.BigDecimal(x.toString)).asInstanceOf[Comparable[Any]]
+      if (isString) utf8(x.toString)
+      else new java.math.BigDecimal(x.toString).asInstanceOf[Comparable[Any]]
     val (scanned, skipped) = snap.files.partition { p =>
       fileBounds(snap, p, keyCol, isString) match {
         case Some((mn, mx)) =>
@@ -648,9 +652,45 @@ object DeltaLite {
       col("c._change_type").as("_change_type"): _*)
   }
 
+  /** UTF-8 bytes under unsigned lexicographic order — the domain parquet
+    * stats and Spark's binary string comparison use; Java
+    * String.compareTo (UTF-16 code units) diverges for
+    * supplementary-plane characters, so string bounds compare HERE.
+    */
+  private final class Utf8Bytes(val bytes: Array[Byte])
+      extends Comparable[Utf8Bytes] {
+    def compareTo(o: Utf8Bytes): Int = {
+      val n = math.min(bytes.length, o.bytes.length)
+      var i = 0
+      while (i < n) {
+        val c = (bytes(i) & 0xFF) - (o.bytes(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      bytes.length - o.bytes.length
+    }
+  }
+
+  private def utf8(s: String): Comparable[Any] =
+    new Utf8Bytes(s.getBytes(StandardCharsets.UTF_8))
+      .asInstanceOf[Comparable[Any]]
+
+  /** Distinct key rows → sorted comparables in the prune domain (UTF-8
+    * bytes for strings, decimal for numerics) — shared by
+    * selectiveMerge and selectiveDelete.
+    */
+  private def sortKeys(keyRows: Array[org.apache.spark.sql.Row],
+                       isString: Boolean): Array[AnyRef] = {
+    val cs: Array[Comparable[Any]] =
+      if (isString) keyRows.map(r => utf8(r.get(0).toString))
+      else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
+        .asInstanceOf[Comparable[Any]])
+    cs.sortWith(_.compareTo(_) < 0).map(_.asInstanceOf[AnyRef])
+  }
+
   /** `path`'s recorded add-stats [min,max] on `keyCol`, typed for
-    * comparison; None when stats are absent (consumers must be
-    * conservative).
+    * comparison (strings in UTF-8 byte order); None when stats are
+    * absent (consumers must be conservative).
     */
   private def fileBounds(snap: Snapshot, path: String, keyCol: String,
                          isString: Boolean)
@@ -661,8 +701,7 @@ object DeltaLite {
         mn <- Option(node.get("minValues")).flatMap(m => Option(m.get(keyCol)))
         mx <- Option(node.get("maxValues")).flatMap(m => Option(m.get(keyCol)))
       } yield
-        if (isString) (mn.asText().asInstanceOf[Comparable[Any]],
-          mx.asText().asInstanceOf[Comparable[Any]])
+        if (isString) (utf8(mn.asText()), utf8(mx.asText()))
         else (mn.decimalValue().asInstanceOf[Comparable[Any]],
           mx.decimalValue().asInstanceOf[Comparable[Any]])
     }

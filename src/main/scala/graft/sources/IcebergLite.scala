@@ -434,13 +434,23 @@ object IcebergLite {
     * wrong domain.
     */
   /** Resolve a top-level primitive column's (iceberg type, field id)
-    * from the table metadata — the key for the manifest bound maps.
+    * from already-parsed table metadata — the key for the manifest bound
+    * maps. Resolves the CURRENT schema by `current-schema-id` (an
+    * evolved external table's `schemas` array holds every historical
+    * schema; head would be the oldest).
     */
-  private def topField(spark: SparkSession, table: String,
+  private def topField(meta: JsonNode, table: String,
                        name: String): (String, Int) = {
-    val meta = metadata(spark, table)
     val schemaNode = Option(meta.get("schemas"))
-      .map(_.elements().asScala.toSeq.head)
+      .map(_.elements().asScala.toSeq)
+      .flatMap { seq =>
+        Option(meta.get("current-schema-id")).map(_.asInt()) match {
+          case Some(id) =>
+            seq.find(s => Option(s.get("schema-id")).exists(_.asInt() == id))
+              .orElse(seq.headOption)
+          case None => seq.headOption
+        }
+      }
       .orElse(Option(meta.get("schema")))
       .getOrElse(sys.error(s"$table: metadata has no schema"))
     val fieldNode = schemaNode.get("fields").elements().asScala
@@ -451,25 +461,60 @@ object IcebergLite {
     (fieldNode.get("type").asText(), fieldNode.get("id").asInt())
   }
 
+  /** UTF-8 bytes under unsigned lexicographic order — the domain parquet
+    * stats, Iceberg bound truncation, and Spark's binary string
+    * comparison all agree on. Java String.compareTo (UTF-16 code units)
+    * diverges for supplementary-plane characters, so string bounds are
+    * compared HERE, never as Strings.
+    */
+  private final class Utf8Bytes(val bytes: Array[Byte])
+      extends Comparable[Utf8Bytes] {
+    def compareTo(o: Utf8Bytes): Int = {
+      val n = math.min(bytes.length, o.bytes.length)
+      var i = 0
+      while (i < n) {
+        val c = (bytes(i) & 0xFF) - (o.bytes(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      bytes.length - o.bytes.length
+    }
+  }
+
+  /** A query key in the column's comparison domain: UTF-8 bytes for
+    * strings, exact IEEE doubles for float/double (matching what the
+    * residual `col >= lit(x)` filter compares — a decimal-string
+    * BigDecimal of 0.3 is NOT the double 0.3), integer BigDecimal for
+    * int/long.
+    */
+  private def keyComparable(tpe: String, x: Any): Comparable[Any] =
+    (tpe match {
+      case "string" => new Utf8Bytes(
+        x.toString.getBytes(StandardCharsets.UTF_8))
+      case "float" | "double" =>
+        java.lang.Double.valueOf(x.toString.toDouble)
+      case _ => new java.math.BigDecimal(x.toString)
+    }).asInstanceOf[Comparable[Any]]
+
   def readWhere(spark: SparkSession, table: String, keyCol: String,
                 lo: Any, hi: Any): SkippingScan = {
     import org.apache.spark.sql.functions.col
-    val (tpe, fid) = topField(spark, table, keyCol)
+    val (tpe, fid) = topField(metadata(spark, table), table, keyCol)
+    require(Set("int", "long", "float", "double", "string")(tpe),
+      s"$table.$keyCol: bounds pruning unsupported for type $tpe")
     val isString = tpe == "string"
     require(isString == lo.isInstanceOf[String] &&
         isString == hi.isInstanceOf[String],
       s"$table.$keyCol is $tpe; bounds " +
         s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName}) " +
         "must match the column type")
-    def cmp(x: Any): Comparable[Any] =
-      (if (isString) x.toString
-       else new java.math.BigDecimal(x.toString)).asInstanceOf[Comparable[Any]]
+    val (cmpLo, cmpHi) = (keyComparable(tpe, lo), keyComparable(tpe, hi))
     val snap = snapshot(spark, table)
     val (scanned, skipped) = snap.detail.partition { fi =>
       (fi.lowerBounds.get(fid), fi.upperBounds.get(fid)) match {
         case (Some(lb), Some(ub)) =>
-          decodeBound(tpe, ub).compareTo(cmp(lo)) >= 0 &&
-            decodeBound(tpe, lb).compareTo(cmp(hi)) <= 0
+          decodeBound(tpe, ub).compareTo(cmpLo) >= 0 &&
+            decodeBound(tpe, lb).compareTo(cmpHi) <= 0
         case _ => true // no recorded bounds: scan conservatively
       }
     }
@@ -593,9 +638,24 @@ object IcebergLite {
           val logical = c.getPrimitiveType.getLogicalTypeAnnotation
           val isString = logical != null &&
             logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-          if (logical == null || isString) {
+          // gate on the TABLE type, not just the parquet annotation: a
+          // raw BinaryType column also has a null annotation, and
+          // round-tripping arbitrary bytes through UTF-8 would mis-range
+          // it ("skipped rather than mis-ranged", like DeltaLite)
+          val wantType = topFields(parts(0))._2
+          val supported = wantType match {
+            case StringType => isString
+            case IntegerType | LongType | FloatType | DoubleType =>
+              logical == null
+            case _ => false
+          }
+          if (supported) {
+            // strings fold in UTF-8 BYTE order — the order parquet stats
+            // and the bound truncation contract use; UTF-16 String
+            // compare would pick the wrong extreme past the BMP
             def v(x: Any): Comparable[Any] = (x match {
-              case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+              case bin: org.apache.parquet.io.api.Binary =>
+                new Utf8Bytes(bin.getBytes)
               case other => other
             }).asInstanceOf[Comparable[Any]]
             val (mn, mx) = (v(st.genericGetMin(): Any),
@@ -633,21 +693,26 @@ object IcebergLite {
       case l: java.lang.Long    => Some(le(8).putLong(l).array())
       case f: java.lang.Float   => Some(le(4).putFloat(f).array())
       case d: java.lang.Double  => Some(le(8).putDouble(d).array())
+      case u: Utf8Bytes         => Some(u.bytes)
       case s: String            => Some(s.getBytes(StandardCharsets.UTF_8))
       case _                    => None
     }
   }
 
-  /** Decode a spec single-value bound for comparison, by Iceberg type. */
+  /** Decode a spec single-value bound into [[keyComparable]]'s domain for
+    * the type: UTF-8 bytes for strings, IEEE doubles for float/double
+    * (infinities compare fine as doubles; a decimal constructor would
+    * throw on them), integer BigDecimal for int/long.
+    */
   private def decodeBound(tpe: String, b: Array[Byte]): Comparable[Any] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     (tpe match {
-      case "string" => new String(b, StandardCharsets.UTF_8)
+      case "string" => new Utf8Bytes(b)
       case "int"    => new java.math.BigDecimal(le.getInt)
       case "long"   => java.math.BigDecimal.valueOf(le.getLong)
-      case "float"  => new java.math.BigDecimal(le.getFloat.toDouble)
-      case "double" => new java.math.BigDecimal(le.getDouble)
+      case "float"  => java.lang.Double.valueOf(le.getFloat.toDouble)
+      case "double" => java.lang.Double.valueOf(le.getDouble)
       case other    => sys.error(s"bounds unsupported for type $other")
     }).asInstanceOf[Comparable[Any]]
   }
@@ -724,6 +789,15 @@ object IcebergLite {
         s"$table: append schema drops/retypes columns " +
           s"${missing.map(_.name).mkString(", ")} — only additive " +
           "evolution is allowed on append (overwrite to replace the schema)")
+      // field ids are assigned positionally (sparkToIceberg, depth-first)
+      // and old manifests keep bounds under the OLD ids — a reordered
+      // append would silently re-key every surviving file's bounds, so
+      // existing columns must stay a prefix in their original order
+      val prefix = df.schema.fields.take(prevSchema.fields.length)
+        .map(f => (f.name, f.dataType)).toSeq
+      require(prefix == prevSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"$table: append must keep existing columns in their original " +
+          "order (field ids are positional; new columns go at the end)")
     }
 
     // 1. data files: stage (hive layout when partitioned — identity
@@ -972,14 +1046,12 @@ object IcebergLite {
         // files too. CDC-bounded: the batch's distinct first-key values
         // drive the prune. Bound-less files rewrite conservatively.
         val keyCol = keys.head
-        val (tpe, fid) = topField(spark, table, keyCol)
-        val isString = tpe == "string"
-        val keyRows = updates.select(keyCol).distinct().collect()
-        val sortedKeys: Array[AnyRef] =
-          if (isString) keyRows.map(_.get(0).toString.asInstanceOf[AnyRef])
-            .sortBy(_.asInstanceOf[String])
-          else keyRows.map(r => new java.math.BigDecimal(r.get(0).toString)
-            .asInstanceOf[AnyRef]).sortBy(_.asInstanceOf[java.math.BigDecimal])
+        val (tpe, fid) = topField(metadata(spark, table), table, keyCol)
+        // null keys never equi-join an existing row (they land as
+        // inserts), so they don't drive the prune — and must not NPE it
+        val keyRows = updates.select(keyCol).na.drop().distinct().collect()
+        val sortedKeys: Array[Comparable[Any]] = keyRows
+          .map(r => keyComparable(tpe, r.get(0))).sortWith(_.compareTo(_) < 0)
         snap.detail.partition { fi =>
           (fi.lowerBounds.get(fid), fi.upperBounds.get(fid)) match {
             case (Some(lb), Some(ub)) =>

@@ -363,6 +363,38 @@ class IcebergLiteSpec extends SparkSpec {
       .filter(col("operation") === "replace").count() == 1)
   }
 
+  test("bounds edge cases: IEEE-double domain (not decimal strings), " +
+    "infinities survive, binary columns record no bounds, reordered " +
+    "appends are refused") {
+    val t = newTable()
+    // doubles: 0.3's decimal expansion != the double 0.3 — pruning must
+    // compare in the filter's own IEEE domain or this file gets skipped
+    IcebergLite.commit(spark, t, Seq(
+      (1L, 0.3, Array[Byte](1, 2)),
+      (2L, Double.PositiveInfinity, Array[Byte](3))).toDF("k", "d", "b"))
+    val scan = IcebergLite.readWhere(spark, t, "d", 0.3, 1.0)
+    assert(scan.filesScanned == 1)
+    assert(scan.df.count() == 1, "double bound compared in the wrong domain")
+    // infinity bound decodes (a BigDecimal constructor would throw)
+    assert(IcebergLite.readWhere(spark, t, "d", 5.0, 6.0).df.count() == 0)
+    // binary column: no bounds recorded, pruning refused loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.readWhere(spark, t, "b", 1.0, 2.0))
+    assert(e.getMessage.contains("unsupported for type binary"))
+    // a reordered append would silently re-key old files' bounds
+    val e2 = intercept[IllegalArgumentException](
+      IcebergLite.commit(spark, t,
+        Seq((0.5, 9L, Array[Byte](9))).toDF("d", "k", "b")))
+    assert(e2.getMessage.contains("original order"))
+    // null merge keys don't NPE the bounds prune
+    val ms = IcebergLite.selectiveMerge(spark, t,
+      Seq((Some(1L), 0.7, Array[Byte](7)), (None, 0.8, Array[Byte](8)))
+        .toDF("k", "d", "b"), Seq("k"))
+    // k=1 updated in place, null-key row lands as an insert: 2 + 1 rows
+    assert(IcebergLite.read(spark, t).count() == 3)
+    assert(ms.filesRewritten >= 1)
+  }
+
   test("refusal paths: format-version 3 and delete manifests fail loudly") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
