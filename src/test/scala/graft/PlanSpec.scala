@@ -121,6 +121,14 @@ class PlanSpec extends SparkSpec {
       "q17 must broadcast both the part slice and the avg-qty side")
     assert(!q17.contains("SortMergeJoin"),
       "q17 planned a shuffle join — the avg-qty broadcast hint is lost")
+    // the keyless range join must hash on grid cells, never fall back to
+    // the nested-loop plan the raw inequality condition would get
+    val rj = executedPlan("q_range_join")
+    assert(rj.contains("BroadcastHashJoin"),
+      "range join must probe the binned window side as a hash join")
+    assert(!rj.contains("BroadcastNestedLoopJoin") &&
+      !rj.contains("SortMergeJoin"),
+      "range join fell back to a non-equi plan — the cell key is lost")
   }
 
   test("grouping sets expand in one scan; projection ops prune the scan") {
