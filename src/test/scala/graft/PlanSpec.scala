@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
     assert(!rj.contains("BroadcastNestedLoopJoin") &&
       !rj.contains("SortMergeJoin"),
       "range join fell back to a non-equi plan — the cell key is lost")
+    // and the fact scan must read ONLY the probe column — at 100 TB a
+    // one-column projection that drags the full lineitem width is a
+    // 10x-I/O bug the result can't reveal
+    val liScan = rj.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("l_shipdate"))
+      .mkString
+    assert(liScan.nonEmpty && !liScan.contains("l_extendedprice") &&
+      !liScan.contains("l_quantity"),
+      "range join's lineitem scan reads more than l_shipdate")
   }
 
   test("grouping sets expand in one scan; projection ops prune the scan") {
