@@ -14,8 +14,9 @@ import graft.pipeline.Mix
   * all. Spark's optimizer has nothing to hash on for a pure inequality
   * condition and plans BroadcastNestedLoopJoin (or a cartesian) — per-point
   * work ∝ |intervals|, the r7 interval-join quadratic all over again. The
-  * classic fix (Spark's own range-join hints on Delta runtimes, DuckDB's
-  * IEJoin literature) is binning: overlay a fixed grid, explode each
+  * classic fix (the grid/bucketing family of the inequality-join
+  * literature, e.g. Khayyat et al.'s IEJoin paper) is binning: overlay a
+  * fixed grid, explode each
   * interval to the grid cells it touches, hash-join points to cells, then
   * re-check exact containment as a residual predicate. Equi-join + bounded
   * explosion ⇒ shuffle ∝ data, per-point work ∝ intervals per cell.
