@@ -59,19 +59,30 @@ object RangeJoin {
   def rangeJoinPairs(points: DataFrame, point: Column,
                      intervals: DataFrame, start: Column, end: Column,
                      binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // end is exclusive: an interval's last occupied cell is the one
-    // holding end-1; empty intervals (end ≤ start) vanish here rather
-    // than exploding to a negative-length sequence.
-    val ivl = intervals
-      .filter(end > start)
-      .withColumn("__cell",
-        explode(sequence(floorDiv(start, binWidth),
-          floorDiv(end - 1, binWidth))))
+    val ivl = cellsOf(intervals, start, end, binWidth)
     val pts = points.withColumn("__cell", floorDiv(point, binWidth))
     pts.join(ivl,
         pts("__cell") === ivl("__cell") && point >= start && point < end)
       .drop("__cell")
+  }
+
+  /** One row per (interval, touched grid cell) — the replication whose
+    * volume IS the kernel's shuffle cost, so it is exposed for the spec
+    * to pin: exactly `floor((end-1)/W) - floor(start/W) + 1` cells per
+    * interval, no more (a superfluous cell would never change results —
+    * the residual filter eats it — only silently inflate every join's
+    * shuffle). `end` is exclusive: the last occupied cell is the one
+    * holding `end-1`, and empty intervals (end ≤ start) vanish here
+    * rather than exploding to a negative-length sequence.
+    */
+  private[graft] def cellsOf(intervals: DataFrame, start: Column,
+                             end: Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    intervals
+      .filter(end > start)
+      .withColumn("__cell",
+        explode(sequence(floorDiv(start, binWidth),
+          floorDiv(end - 1, binWidth))))
   }
 
   /** Epoch micros of a timestamp column under the session zone (UTC,

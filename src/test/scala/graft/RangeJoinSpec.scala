@@ -43,6 +43,23 @@ class RangeJoinSpec extends SparkSpec {
       assert(pairsWith(w) == expected, s"binWidth=$w diverged")
   }
 
+  test("cell expansion is exactly the closed form — no silent cost bloat") {
+    // a superfluous cell per interval would leave every RESULT identical
+    // (the residual filter discards it) while inflating the join's
+    // replicated volume — only this count can catch that class of bug
+    val ivl = Seq((0L, 10L), (5L, 5L), (17L, 18L), (-10L, 1L),
+      (90L, 101L), (-1000L, 1000L)).toDF("s", "e")
+    for (w <- Seq(1L, 3L, 7L, 64L, 1000000L)) {
+      val expected = Seq((0L, 10L), (17L, 18L), (-10L, 1L),
+        (90L, 101L), (-1000L, 1000L)) // the empty interval contributes 0
+        .map { case (s, e) =>
+          Math.floorDiv(e - 1, w) - Math.floorDiv(s, w) + 1
+        }.sum
+      val got = RangeJoin.cellsOf(ivl, col("s"), col("e"), w).count()
+      assert(got == expected, s"binWidth=$w exploded $got != $expected")
+    }
+  }
+
   test("q_range_join: per-day rollup equals the naive inequality join") {
     val got = SparkEntry.queries("q_range_join")(spark, sf)
     // same windows, joined by raw inequality (Spark plans this as a
