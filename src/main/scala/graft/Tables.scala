@@ -39,17 +39,51 @@ object Tables {
     * Any file-inventory consumer must read via [[load]] raw, never
     * through a fanned-out table (see dbaDescribeDetail).
     *
-    * The split decision reads the scan's file listing (`inputFiles`, a
-    * FileIndex lookup) rather than `df.rdd.getNumPartitions`, which would
-    * build the full physical plan + RDD lineage per table load just to
-    * count splits. File count under-estimates splits for multi-row-group
-    * files — the only consequence is a redundant (cheap) repartition on a
-    * single-file multi-row-group input, a degenerate layout at scale.
+    * The split decision: file count first (`inputFiles`, a FileIndex
+    * lookup — cheap, and ≥4 files always split), then, for few-file
+    * inputs only, actual ROW-GROUP count from the parquet footers. File
+    * count alone under-counts splits for multi-row-group single files —
+    * exactly the regenerated sf1-equiv layout (6M rows, ONE file, six
+    * row groups), where the old heuristic round-robin-shuffled the
+    * entire fact before every aggregate: a data-proportional exchange
+    * that was the round-11 q18 decade regression (2.5 → 5.7 s with zero
+    * code change — the data's file layout changed under the heuristic).
+    * Row groups are parquet's real unit of scan parallelism: Spark's
+    * byte-range splits assign each row group to the task holding its
+    * midpoint, so a 1-file/6-row-group input scans 6-way natively and
+    * needs no shuffle, while a 1-row-group file scans 1-way no matter
+    * how many byte ranges it splits into — and still needs the fan-out.
+    * The footer reads are driver-side metadata (≤3 files × ~ms) and only
+    * happen on the few-file path.
     */
   private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= math.min(4, target)) df
+    val need = math.min(4, target)
+    val files = df.inputFiles
+    if (files.length >= need) df
+    else if (rowGroupCount(s, files, need) >= need) df
     else df.repartition(target)
+  }
+
+  /** Total row groups across `files`, short-circuiting once `enough` is
+    * reached; any footer trouble counts the file as one group
+    * (conservative: under-counting only risks a redundant repartition).
+    */
+  private def rowGroupCount(s: SparkSession, files: Array[String],
+                            enough: Int): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    var total = 0
+    val it = files.iterator
+    while (it.hasNext && total < enough) {
+      val f = it.next()
+      total += (try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try r.getFooter.getBlocks.size finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => 1 })
+    }
+    total
   }
   /** `events.ts` has shipped in three physical parquet encodings across
     * testdata generations; normalize all of them to one invariant schema —

@@ -28,13 +28,13 @@ object RangeJoin {
 
   /** Floor division for long coordinates as a Column. `pmod` makes the
     * numerator an exact multiple of `w` (correct for NEGATIVE coordinates
-    * too, where truncating `div` would mis-bin), so the double divide is
-    * exact whenever |coordinate| ≤ 2^53 — epoch-µs is ~2^50; callers in
-    * exotic units own that bound, like every other double-domain kernel
-    * here.
+    * too, where truncating `div` would mis-bin); the division itself is
+    * integral (`div` = Catalyst's IntegralDivide on longs), so the result
+    * is exact over the FULL long range — a caller binning epoch-ns
+    * (~2^60) coordinates gets correct cells, not silently-rounded ones.
     */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** All (point, interval) pairs with `start ≤ point < end`, as an
     * equi-join on grid cells of `binWidth`.
@@ -55,16 +55,31 @@ object RangeJoin {
     * `broadcast(intervals)`) — the hint rides the subtree through the
     * explode, turning the whole join into a map-side probe with zero
     * shuffle of the point side.
+    *
+    * Precondition: the two inputs must have DISJOINT column names (the
+    * residual predicate's columns resolve by name against the joined
+    * plan — a shared name is an ambiguous reference, refused here rather
+    * than left to throw mid-plan), and neither side may already carry the
+    * kernel's internal `__rj_cell` routing column.
     */
   def rangeJoinPairs(points: DataFrame, point: Column,
                      intervals: DataFrame, start: Column, end: Column,
                      binWidth: Long): DataFrame = {
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"rangeJoinPairs: sides share column name(s) ${shared.mkString(", ")} " +
+        "— rename one side; the residual predicate resolves by name")
+    require(!(points.columns ++ intervals.columns).contains(CellCol),
+      s"rangeJoinPairs: $CellCol is the kernel's internal routing column")
     val ivl = cellsOf(intervals, start, end, binWidth)
-    val pts = points.withColumn("__cell", floorDiv(point, binWidth))
+    val pts = points.withColumn(CellCol, floorDiv(point, binWidth))
     pts.join(ivl,
-        pts("__cell") === ivl("__cell") && point >= start && point < end)
-      .drop("__cell")
+        pts(CellCol) === ivl(CellCol) && point >= start && point < end)
+      .drop(CellCol)
   }
+
+  /** Collision-resistant internal routing-column name. */
+  private[graft] val CellCol = "__rj_cell"
 
   /** One row per (interval, touched grid cell) — the replication whose
     * volume IS the kernel's shuffle cost, so it is exposed for the spec
@@ -80,7 +95,7 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     intervals
       .filter(end > start)
-      .withColumn("__cell",
+      .withColumn(CellCol,
         explode(sequence(floorDiv(start, binWidth),
           floorDiv(end - 1, binWidth))))
   }

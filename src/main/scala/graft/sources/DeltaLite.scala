@@ -438,16 +438,20 @@ object DeltaLite {
     * to Delta_withmetrics.py:196-230): stats-pruned file scan, rewrite
     * matched files, one atomic commit (remove touched + add rewritten).
     *
-    * Assumptions, stated: the update batch is CDC-sized (its distinct
-    * first-key values are collected to the driver for pruning — bound it
-    * upstream); files without recorded stats (foreign writers, skipped
-    * types) are rewritten conservatively; key containment is judged on
-    * the [min,max] interval, so interleaved key ranges degrade toward
-    * full rewrite — exactly when a Z-ORDER/range re-cluster
-    * ([[optimizeCompact]], TableMaintenance.zorderVersioned) pays.
+    * Assumptions, stated: files without recorded stats (foreign writers,
+    * skipped types) are rewritten conservatively; key containment is
+    * judged on the [min,max] interval, so interleaved key ranges degrade
+    * toward full rewrite — exactly when a Z-ORDER/range re-cluster
+    * ([[optimizeCompact]], TableMaintenance.zorderVersioned) pays. The
+    * batch's distinct first-key values drive the prune and are collected
+    * to the driver — BOUNDED: at most `maxPruneKeys + 1` rows ever reach
+    * the driver (a `limit`, not a full collect), and a batch past the
+    * bound degrades gracefully to a full-file-set merge (correct, just
+    * unpruned) instead of OOMing the driver on a 10⁸-key backfill.
     */
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
-                     keys: Seq[String], skewSafe: Boolean = false): MergeStats = {
+                     keys: Seq[String], skewSafe: Boolean = false,
+                     maxPruneKeys: Int = DefaultMaxPruneKeys): MergeStats = {
     import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
@@ -456,14 +460,16 @@ object DeltaLite {
     val isString = updates.schema(keyCol).dataType ==
       org.apache.spark.sql.types.StringType
 
-    // CDC-batch-bounded: the distinct first-key values drive the prune.
     // Null keys never equi-join an existing row (they land as inserts),
-    // so they don't drive it — and must not NPE it.
-    val keyRows = updates.select(keyCol).na.drop().distinct().collect()
-    val sortedKeys: Array[AnyRef] = sortKeys(keyRows, isString)
+    // so they don't drive the prune — and must not NPE it.
+    val keyRows = boundedKeys(updates, keyCol, maxPruneKeys)
 
-    val (touched, skipped) =
-      snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+    val (touched, skipped) = keyRows match {
+      case None => (snap.files, Seq.empty[String]) // over bound: no prune
+      case Some(rows) =>
+        val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
+        snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+    }
     val base =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -486,7 +492,8 @@ object DeltaLite {
     * selectiveDelete + vacuum, exactly as with the reference engine.
     */
   def selectiveDelete(spark: SparkSession, table: String, keys: DataFrame,
-                      keyCols: Seq[String]): MergeStats = {
+                      keyCols: Seq[String],
+                      maxPruneKeys: Int = DefaultMaxPruneKeys): MergeStats = {
     import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
     import org.apache.spark.sql.functions.broadcast
     val snap = snapshot(spark, table)
@@ -495,10 +502,12 @@ object DeltaLite {
     val keyCol = keyCols.head
     val isString = keys.schema(keyCol).dataType ==
       org.apache.spark.sql.types.StringType
-    val keyRows = keys.select(keyCol).na.drop().distinct().collect()
-    val sortedKeys: Array[AnyRef] = sortKeys(keyRows, isString)
-    val (touched, skipped) =
-      snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+    val (touched, skipped) = boundedKeys(keys, keyCol, maxPruneKeys) match {
+      case None => (snap.files, Seq.empty[String]) // over bound: no prune
+      case Some(rows) =>
+        val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
+        snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+    }
     if (touched.isEmpty) return MergeStats(snap.version, 0, skipped.size)
     val base = spark.read.schema(schema)
       .parquet(touched.map(p => new Path(table, p).toString): _*)
@@ -674,6 +683,28 @@ object DeltaLite {
   private def utf8(s: String): Comparable[Any] =
     new Utf8Bytes(s.getBytes(StandardCharsets.UTF_8))
       .asInstanceOf[Comparable[Any]]
+
+  /** Driver-collect bound for stats pruning: past this many distinct
+    * first-key values, selectiveMerge/selectiveDelete skip pruning
+    * (correct, just unpruned) rather than collect unboundedly. ~4M keys
+    * ≈ tens of MB of driver heap — the CDC-batch shape with headroom.
+    */
+  private[graft] val DefaultMaxPruneKeys: Int = 4 << 20
+
+  /** The batch's distinct non-null `keyCol` values, collected through a
+    * `limit(max + 1)` so at most max+1 rows EVER reach the driver; None
+    * when the batch exceeds the bound (caller must fall back to the
+    * unpruned path). Shared by selectiveMerge/selectiveDelete (and the
+    * IcebergLite twins).
+    */
+  private[graft] def boundedKeys(batch: DataFrame, keyCol: String,
+                                 maxPruneKeys: Int)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    require(maxPruneKeys > 0, s"maxPruneKeys must be positive: $maxPruneKeys")
+    val rows = batch.select(keyCol).na.drop().distinct()
+      .limit(maxPruneKeys + 1).collect()
+    if (rows.length > maxPruneKeys) None else Some(rows)
+  }
 
   /** Distinct key rows → sorted comparables in the prune domain (UTF-8
     * bytes for strings, decimal for numerics) — shared by

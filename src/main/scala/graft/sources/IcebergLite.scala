@@ -1020,36 +1020,45 @@ object IcebergLite {
     * partitioned-MERGE requirement — a key that migrates partitions
     * would dodge its old row). Unpartitioned files in the snapshot are
     * rewritten conservatively. The update batch's distinct partition
-    * values are collected to the driver (CDC-bounded, like the Delta
-    * variant's key set).
+    * values / first-key values drive the prune and are collected to the
+    * driver BOUNDED (at most `maxPruneKeys + 1` rows via `limit`; a
+    * batch past the bound falls back to an unpruned full-file-set merge
+    * — same guard as DeltaLite.selectiveMerge).
     */
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
                      keys: Seq[String], partitionCol: String = "",
-                     skewSafe: Boolean = false): MergeStats = {
+                     skewSafe: Boolean = false,
+                     maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys): MergeStats = {
     val snap = snapshot(spark, table)
+    val noPrune = (snap.detail, Seq.empty[FileInfo])
     val (touched, skipped) =
       if (partitionCol.nonEmpty) {
         // partitioned table: prune whole partitions on the manifests'
         // typed partition values
-        val updParts: Set[String] = updates.select(partitionCol).distinct()
-          .collect().map(r => String.valueOf(r.get(0))).toSet
-        snap.detail.partition { fi =>
-          fi.partition.get(partitionCol) match {
-            case Some(v) if v != null => updParts.contains(v)
-            case _                    => true // unknown: rewrite
-          }
+        DeltaLite.boundedKeys(updates, partitionCol, maxPruneKeys) match {
+          case None => noPrune
+          case Some(rows) =>
+            val updParts: Set[String] =
+              rows.map(r => String.valueOf(r.get(0))).toSet
+            snap.detail.partition { fi =>
+              fi.partition.get(partitionCol) match {
+                case Some(v) if v != null => updParts.contains(v)
+                case _                    => true // unknown: rewrite
+              }
+            }
         }
       } else {
         // unpartitioned table: prune on the manifests' column bound maps
         // for the first merge key — the DeltaLite add-stats shape, so a
         // range-clustered (Z-ORDERed) Iceberg table merges ∝ touched
-        // files too. CDC-bounded: the batch's distinct first-key values
-        // drive the prune. Bound-less files rewrite conservatively.
+        // files too. Bound-less files rewrite conservatively.
         val keyCol = keys.head
         val (tpe, fid) = topField(metadata(spark, table), table, keyCol)
         // null keys never equi-join an existing row (they land as
         // inserts), so they don't drive the prune — and must not NPE it
-        val keyRows = updates.select(keyCol).na.drop().distinct().collect()
+        DeltaLite.boundedKeys(updates, keyCol, maxPruneKeys) match {
+          case None => noPrune
+          case Some(keyRows) =>
         val sortedKeys: Array[Comparable[Any]] = keyRows
           .map(r => keyComparable(tpe, r.get(0))).sortWith(_.compareTo(_) < 0)
         snap.detail.partition { fi =>
@@ -1066,6 +1075,7 @@ object IcebergLite {
               l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
             case _ => true
           }
+        }
         }
       }
     val base =

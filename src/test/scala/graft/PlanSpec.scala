@@ -131,13 +131,20 @@ class PlanSpec extends SparkSpec {
       "range join fell back to a non-equi plan — the cell key is lost")
     // and the fact scan must read ONLY the probe column — at 100 TB a
     // one-column projection that drags the full lineitem width is a
-    // 10x-I/O bug the result can't reveal
+    // 10x-I/O bug the result can't reveal. Assert the schema EXACTLY
+    // (struct<l_shipdate:...> and nothing else): a blacklist of two named
+    // columns would still pass if the scan widened with any of the other
+    // fourteen
     val liScan = rj.linesIterator
       .filter(l => l.contains("ReadSchema") && l.contains("l_shipdate"))
       .mkString
-    assert(liScan.nonEmpty && !liScan.contains("l_extendedprice") &&
-      !liScan.contains("l_quantity"),
-      "range join's lineitem scan reads more than l_shipdate")
+    val readStruct = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(liScan).map(_.group(1)).getOrElse("")
+    val readCols = readStruct.split(",").map(_.trim.takeWhile(_ != ':'))
+      .filter(_.nonEmpty).toSet
+    assert(readCols == Set("l_shipdate"),
+      s"range join's lineitem scan reads ${readCols.mkString(", ")} — " +
+        "expected exactly l_shipdate")
   }
 
   test("grouping sets expand in one scan; projection ops prune the scan") {
