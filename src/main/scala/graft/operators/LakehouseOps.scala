@@ -883,6 +883,54 @@ object LakehouseOps {
 
   val dbaIcebergSkippingOracle: String = dbaDeltaSkippingOracle
 
+  // ---------------------------------------------------------------- B21
+  /** Deletion vectors + column mapping end to end — the table shape
+    * current Delta engines write BY DEFAULT (the reference's own MERGE
+    * feeds land DV-enabled tables, tasks/Query History API to
+    * Delta_withmetrics.py:196-230), which rounds 1-11 refused at the
+    * protocol gate: orders lands in a COLUMN-MAPPED DeltaLite table
+    * (physical `col-<id>` parquet names, logical schema in metaData),
+    * then a merge-on-read DELETE records every `o_orderkey ≡ 3 (mod 7)`
+    * row in roaring-bitmap deletion vectors — data files untouched, the
+    * commit is kilobytes of sidecar. The query rolls up BOTH the
+    * pre-delete version (time travel — DVs not yet applied) and the
+    * current snapshot (DV-masked scan through the broadcast probe
+    * expression), so the oracle hash-checks the full chain: mapped
+    * write, physical→logical relabel, bitmap round trip, and row-index
+    * masking against DuckDB recomputing both slices from orders.
+    */
+  def dbaDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_dv")
+      .toString + "/orders_dv"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.repartitionByRange(4, col("o_orderkey")), columnMapping = true)
+    graft.sources.DeltaLite.deleteVectors(s, t,
+      ord.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+      Seq("o_orderkey"))
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.DeltaLite.read(s, t, Some(0L)), 0L)
+      .unionByName(roll(graft.sources.DeltaLite.read(s, t), 1L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val dbaDeltaDvOracle: String =
+    """SELECT version, o_orderstatus, n, total FROM (
+      |  SELECT 0 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 2) t
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -950,7 +998,8 @@ object LakehouseOps {
     "dba_delta_changes"   -> (dbaDeltaChanges _),
     "dba_iceberg_changes" -> (dbaIcebergChanges _),
     "dba_zorder_skipping" -> (dbaZorderSkipping _),
-    "dba_iceberg_skipping" -> (dbaIcebergSkipping _))
+    "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
+    "dba_delta_dv"        -> (dbaDeltaDv _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -972,5 +1021,6 @@ object LakehouseOps {
     "dba_json_ingest"   -> dbaJsonIngestOracle,
     "dba_delta_read"    -> dbaDeltaReadOracle,
     "dba_iceberg_read"  -> dbaIcebergReadOracle,
-    "dba_merge_selective" -> dbaMergeSelectiveOracle)
+    "dba_merge_selective" -> dbaMergeSelectiveOracle,
+    "dba_delta_dv"      -> dbaDeltaDvOracle)
 }

@@ -2,11 +2,13 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Native reader/writer for the (public) Delta Lake transaction-log
   * protocol — the minimal core that makes transactional parquet tables
@@ -58,10 +60,16 @@ object DeltaLite {
     * maxValues — the protocol's data-skipping payload) when the writer
     * recorded one; files from checkpoint bootstraps or foreign writers
     * may be absent (consumers must treat missing stats conservatively).
+    * `dvs` maps a live file to its `deletionVector` descriptor (raw
+    * JSON, re-emitted verbatim by metadata-only commits); `configuration`
+    * is the metaData action's table configuration (column-mapping mode
+    * lives here).
     */
   final case class Snapshot(version: Long, schemaJson: Option[String],
                             files: Seq[String],
-                            stats: Map[String, String] = Map.empty)
+                            stats: Map[String, String] = Map.empty,
+                            dvs: Map[String, String] = Map.empty,
+                            configuration: Map[String, String] = Map.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -106,71 +114,277 @@ object DeltaLite {
     var schemaJson: Option[String] = None
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
+    val dvs = scala.collection.mutable.Map.empty[String, String]
+    var configuration = Map.empty[String, String]
     var minReader = 1
+    var readerFeatures = Set.empty[String]
+
+    def confOf(n: JsonNode): Map[String, String] =
+      Option(n.get("configuration")).map { c =>
+        c.properties().iterator().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
 
     cpVersion.foreach { cv =>
       val cp = spark.read.parquet(checkpointFile(table, cv).toString)
       val cols = cp.columns.toSet
-      if (cols.contains("metaData"))
+      if (cols.contains("metaData")) {
         cp.select("metaData.schemaString").collect()
           .flatMap(r => Option(r.getString(0))).lastOption
           .foreach(s => schemaJson = Some(s))
-      if (cols.contains("protocol"))
+        // foreign checkpoints carry the full metaData incl. configuration
+        try cp.selectExpr("to_json(metaData.configuration)").collect()
+          .flatMap(r => Option(r.getString(0))).lastOption.foreach { js =>
+            configuration = mapper.readTree(js).properties().iterator().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          }
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      if (cols.contains("protocol")) {
         cp.select("protocol.minReaderVersion").collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
           .foreach(v => minReader = math.max(minReader, v))
+        try cp.selectExpr("protocol.readerFeatures").collect().foreach { r =>
+          if (!r.isNullAt(0))
+            readerFeatures ++= r.getSeq[String](0)
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
       // a checkpoint holds the net state: adds only (removes are
-      // tombstones for VACUUM, not part of the live file set)
-      if (cols.contains("add"))
-        cp.select("add.path").collect()
-          .flatMap(r => Option(r.getString(0))).foreach(files += _)
+      // tombstones for VACUUM, not part of the live file set). Foreign
+      // checkpoints may carry per-file deletionVector structs.
+      if (cols.contains("add")) {
+        val hasDv = cp.schema("add").dataType match {
+          case st: StructType => st.fieldNames.contains("deletionVector")
+          case _              => false
+        }
+        if (hasDv)
+          cp.selectExpr("add.path", "to_json(add.deletionVector)").collect()
+            .foreach { r =>
+              Option(r.getString(0)).foreach { p =>
+                files += p
+                Option(r.getString(1)).foreach(dvs(p) = _)
+              }
+            }
+        else
+          cp.select("add.path").collect()
+            .flatMap(r => Option(r.getString(0))).foreach(files += _)
+      }
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
     vs.filter(v => v >= replayFrom && v <= target).foreach { v =>
       readActions(f, commitFile(table, v)).foreach { a =>
-        if (a.has("protocol"))
-          minReader = math.max(minReader,
-            a.get("protocol").get("minReaderVersion").asInt())
-        if (a.has("metaData"))
+        if (a.has("protocol")) {
+          val pr = a.get("protocol")
+          minReader = math.max(minReader, pr.get("minReaderVersion").asInt())
+          if (pr.has("readerFeatures"))
+            readerFeatures ++= pr.get("readerFeatures").elements().asScala
+              .map(_.asText())
+        }
+        if (a.has("metaData")) {
           schemaJson = Some(a.get("metaData").get("schemaString").asText())
+          configuration = confOf(a.get("metaData"))
+        }
         if (a.has("add")) {
           val add = a.get("add")
           val p = add.get("path").asText()
           files += p
           if (add.has("stats")) stats(p) = add.get("stats").asText()
+          else stats -= p
+          if (add.has("deletionVector") && !add.get("deletionVector").isNull)
+            dvs(p) = add.get("deletionVector").toString
+          else dvs -= p
         }
         if (a.has("remove")) {
           val p = a.get("remove").get("path").asText()
           files -= p
           stats -= p
+          dvs -= p
         }
       }
     }
-    require(minReader <= 1,
-      s"$table: requires Delta reader protocol v$minReader " +
-        "(column mapping / deletion vectors) — unsupported, refusing")
+    // Reader-protocol gate: v1 plain, v2 adds column mapping (supported),
+    // v3 is table features — supported iff every listed reader feature is
+    // one this reader implements. Anything else is REFUSED loudly rather
+    // than mis-read.
+    if (minReader >= 3) {
+      require(readerFeatures.nonEmpty,
+        s"$table: reader protocol v$minReader without a readerFeatures " +
+          "list — malformed table-features protocol, unsupported")
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"$table: requires reader features ${unsupported.mkString(", ")} " +
+          "— unsupported, refusing")
+    } else require(minReader <= 2,
+      s"$table: requires Delta reader protocol v$minReader — unsupported")
     Snapshot(target, schemaJson, files.toSeq,
-      stats.view.filterKeys(files.contains).toMap)
+      stats.view.filterKeys(files.contains).toMap,
+      dvs.view.filterKeys(files.contains).toMap,
+      configuration)
   }
+
+  /** Reader features this implementation actually honors (protocol v3
+    * table-features vocabulary): deletion vectors (merge-on-read row
+    * masks, applied by [[read]]), column mapping (physical→logical name
+    * resolution), and timestampNtz (a pure type capability — scans read
+    * TIMESTAMP_NTZ natively).
+    */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   /** Read a DeltaLite/Delta table as a DataFrame at latest or a pinned
     * version. The snapshot's relative paths resolve against the table
     * root and feed Spark's parquet source directly — an empty snapshot
-    * yields an empty frame WITH the committed schema.
+    * yields an empty frame WITH the committed schema. Column-mapped
+    * tables (mode `name`/`id`) read under their PHYSICAL parquet names
+    * and are relabeled to the logical schema; files carrying deletion
+    * vectors are masked by row index (see [[readSnapshot]]).
     */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, table, version)
-    val schema = s.schemaJson.map(j =>
-      DataType.fromJson(j).asInstanceOf[StructType])
-    val paths = s.files.map(p => new Path(table, p).toString)
-    (schema, paths) match {
-      case (Some(sc), Nil) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-      case (Some(sc), ps)  => spark.read.schema(sc).parquet(ps: _*)
-      case (None, ps)      => spark.read.parquet(ps: _*)
+    readSnapshot(spark, table, s, s.files)
+  }
+
+  // ----------------------------------------------------- column mapping
+  private val MappingModeKey = "delta.columnMapping.mode"
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val ColumnIdKey = "delta.columnMapping.id"
+
+  private def mappingMode(conf: Map[String, String]): String =
+    conf.getOrElse(MappingModeKey, "none")
+
+  /** A field's parquet name under column mapping. Delta writes the
+    * physicalName into every mapped table's schema metadata in BOTH
+    * `name` and `id` modes (in `id` mode the parquet field-id is the
+    * normative match, but the physical name is present and consistent
+    * for Delta-written files — the class this reader targets).
+    */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** The schema as the parquet files spell it: every mapped name swapped
+    * in, recursively (struct fields at any depth carry their own
+    * mapping metadata).
+    */
+  private[sources] def physicalSchema(logical: StructType): StructType =
+    StructType(logical.fields.map { f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType))
+    })
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType    => physicalSchema(st)
+    case ArrayType(e, n)   => ArrayType(physicalType(e), n)
+    case MapType(k, v, n)  => MapType(physicalType(k), physicalType(v), n)
+    case other             => other
+  }
+
+  /** Rebuild a physically-named column as its logical shape — identity
+    * for leaves, a struct/array rebuild where mapped names nest. Map
+    * values with mapped struct names inside are refused (no lossless
+    * rebuild exists for map keys); Delta's own writers don't produce
+    * them under mapping for the shapes this library lands.
+    */
+  private def toLogical(c: Column, phys: DataType, logical: DataType): Column =
+    (phys, logical) match {
+      case (ps: StructType, ls: StructType) =>
+        org.apache.spark.sql.functions.struct(
+          ps.fields.zip(ls.fields).map { case (pf, lf) =>
+            toLogical(c.getField(pf.name), pf.dataType, lf.dataType)
+              .as(lf.name)
+          }.toIndexedSeq: _*)
+      case (ArrayType(pe, _), ArrayType(le, _)) if pe != le =>
+        org.apache.spark.sql.functions.transform(c, x => toLogical(x, pe, le))
+      case (pm: MapType, lm: MapType) =>
+        require(pm == lm,
+          "column mapping inside map types is unsupported — refusing")
+        c
+      case _ => c
     }
+
+  private def relabel(df: DataFrame, phys: StructType,
+                      logical: StructType): DataFrame =
+    df.select(phys.fields.zip(logical.fields).map { case (pf, lf) =>
+      toLogical(df(s"`${pf.name}`"), pf.dataType, lf.dataType).as(lf.name)
+    }.toIndexedSeq: _*)
+
+  /** The physical parquet name of logical column `name` in `snap`'s
+    * schema — the translation every stats consumer (readWhere,
+    * selectiveMerge) applies before touching add-stats keys, which are
+    * recorded in physical names on mapped tables.
+    */
+  private def physicalNameOf(snap: Snapshot, name: String): String =
+    if (mappingMode(snap.configuration) == "none") name
+    else snap.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).flatMap(
+      _.fields.find(_.name == name).map(physicalName)).getOrElse(name)
+
+  // ------------------------------------------------------------ DV reads
+  private def parseDv(json: String): DeletionVectors.DvDescriptor = {
+    val n = mapper.readTree(json)
+    DeletionVectors.DvDescriptor(
+      n.get("storageType").asText(), n.get("pathOrInlineDv").asText(),
+      Option(n.get("offset")).map(_.asInt()).getOrElse(0),
+      n.get("sizeInBytes").asInt(), n.get("cardinality").asLong())
+  }
+
+  /** Read a subset of `snap`'s live files with full semantics: deletion
+    * vectors applied (files with a DV scan with `_metadata.row_index`
+    * and anti-filter through the broadcast [[DvProbe]] — zero shuffle,
+    * bitmap bytes ∝ deleted rows), then physical→logical relabel for
+    * column-mapped tables. DV-free files take the plain scan path with
+    * no metadata columns at all. Pushdown/pruning survive both paths
+    * (explicit file lists into Spark's parquet source).
+    */
+  private[sources] def readSnapshot(spark: SparkSession, table: String,
+                                    snap: Snapshot,
+                                    files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val logical = snap.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    val mapped = mappingMode(snap.configuration) != "none"
+    require(logical.nonEmpty || (!mapped && snap.dvs.isEmpty),
+      s"$table: mapped/DV table without metaData in log")
+    val readSchema = logical.map(l => if (mapped) physicalSchema(l) else l)
+    val (dvFiles, plainFiles) = files.partition(snap.dvs.contains)
+    def paths(fs: Seq[String]) = fs.map(p => new Path(table, p).toString)
+    val plainDf: Option[DataFrame] =
+      if (plainFiles.isEmpty) None
+      else Some(readSchema match {
+        case Some(sc) => spark.read.schema(sc).parquet(paths(plainFiles): _*)
+        case None     => spark.read.parquet(paths(plainFiles): _*)
+      })
+    val dvDf: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else {
+        val root = new Path(table)
+        val f = fs(spark, root)
+        // driver holds only the COMPRESSED bitmap bytes (∝ deleted rows),
+        // broadcast once; keyed by data-file NAME (unique within a table
+        // — Delta part names carry UUIDs, ours carry version+index)
+        val bitmaps: Map[String, Array[Byte]] = dvFiles.map { p =>
+          new Path(table, p).getName ->
+            DeletionVectors.readBitmapBytes(f, root, parseDv(snap.dvs(p)))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        val base = spark.read.schema(readSchema.get)
+          .parquet(paths(dvFiles): _*)
+        val masked = base.filter(!DeletionVectors.dvDeleted(bc,
+          substring_index(col("_metadata.file_path"), "/", -1),
+          col("_metadata.row_index")))
+        Some(masked.select(readSchema.get.fieldNames.toIndexedSeq
+          .map(n => col(s"`$n`")): _*))
+      }
+    val physDf = (plainDf.toSeq ++ dvDf.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse {
+        val sc = readSchema.getOrElse(
+          sys.error(s"$table: empty snapshot without metaData"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      }
+    if (mapped) relabel(physDf, readSchema.get, logical.get) else physDf
   }
 
   /** Commit `df` as the next version: write its rows as parquet part
@@ -183,7 +397,8 @@ object DeltaLite {
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              overwrite: Boolean = false, operation: String = "",
-             replacing: Option[Seq[String]] = None): Long = {
+             replacing: Option[Seq[String]] = None,
+             columnMapping: Boolean = false): Long = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -192,28 +407,56 @@ object DeltaLite {
       if (vs.isEmpty) None else Some(snapshot(spark, table))
     val removed: Seq[String] = replacing.getOrElse(
       if (overwrite) prev.map(_.files).getOrElse(Nil) else Nil)
+    // Column mapping is sticky: once a table is mapped, every later
+    // commit keeps writing physical names (a mixed table would be
+    // unreadable); `columnMapping = true` turns it on at creation/
+    // overwrite. The logical schema carries the mapping metadata
+    // (physicalName + id per field, spec keys), data files are written
+    // under the physical names, and metaData gains the mode + maxColumnId
+    // configuration.
+    val prevConf = prev.map(_.configuration).getOrElse(Map.empty)
+    val prevMapped = mappingMode(prevConf) != "none"
+    val mapped = prevMapped || columnMapping
+    val prevSchema: Option[StructType] = prev.flatMap(_.schemaJson)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     // append-time schema drift: ADDITIVE evolution (every existing column
     // kept, same type) updates the table schema — old files read with
     // nulls for the new columns; anything else is REFUSED (a silent
     // accept would corrupt the schema contract). Overwrites may replace
-    // the schema freely.
-    val prevSchema: Option[StructType] = prev.flatMap(_.schemaJson)
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    val schemaChanged = prevSchema.exists(_.json != df.schema.json)
+    // the schema freely. Mapped tables compare LOGICAL shape (names +
+    // types; the incoming frame never carries mapping metadata).
+    val schemaChanged = prevSchema.exists(ps =>
+      stripMapping(ps).json != df.schema.json)
     if (!overwrite && schemaChanged) {
       val missing = prevSchema.get.fields.filterNot(pf =>
         df.schema.fields.exists(nf =>
-          nf.name == pf.name && nf.dataType == pf.dataType))
+          nf.name == pf.name && nf.dataType == stripMappingType(pf.dataType)))
       require(missing.isEmpty,
         s"$table: append schema drops/retypes columns " +
           s"${missing.map(_.name).mkString(", ")} — only additive " +
           "evolution is allowed on append (overwrite to replace the schema)")
     }
+    // the schema that lands in metaData (mapping metadata attached), the
+    // frame actually written (physical names), and the configuration
+    val (tableSchema, writeDf, conf): (StructType, DataFrame, Map[String, String]) =
+      if (!mapped) (df.schema, df, Map.empty)
+      else {
+        val startId = prevConf.get(MaxColumnIdKey).map(_.toInt).getOrElse(0)
+        val keepPrev = prevSchema.filter(_ => !overwrite || replacing.isDefined)
+        val (ls, maxId) = mappedLogicalSchema(df.schema, keepPrev, startId)
+        val ps = physicalSchema(ls)
+        val physDf = df.select(ls.fields.zip(ps.fields).map {
+          case (lf, pf) => toLogical(df(s"`${lf.name}`"), lf.dataType,
+            pf.dataType).as(pf.name)
+        }.toIndexedSeq: _*)
+        (ls, physDf, Map(MappingModeKey -> "name",
+          MaxColumnIdKey -> maxId.toString))
+      }
 
     // land data under a staging dir, then move parts to uuid-named files
     // at the root (the log, not the directory listing, defines the table)
     val staging = new Path(root, s".staging-v$v")
-    df.write.mode("overwrite").parquet(staging.toString)
+    writeDf.write.mode("overwrite").parquet(staging.toString)
     val parts = f.listStatus(staging).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val named = parts.zipWithIndex.map { case (p, i) =>
@@ -231,7 +474,7 @@ object DeltaLite {
     sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
       .append('\n')
     if (v == 0L || overwrite || schemaChanged)
-      sb.append(protocolAndMetaData(v, df.schema.json))
+      sb.append(protocolAndMetaData(v, tableSchema.json, conf))
     removed.foreach { p =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":$ts,"dataChange":true}}""")
@@ -262,10 +505,84 @@ object DeltaLite {
     require(f.rename(tmp, commitFile(table, v)), s"commit rename failed: v$v")
   }
 
-  private def protocolAndMetaData(v: Long, schemaJson: String): String = {
+  private val MaxColumnIdKey = "delta.columnMapping.maxColumnId"
+
+  /** Strip column-mapping metadata from a schema (for logical-shape
+    * comparison against an incoming frame, which never carries it).
+    */
+  private def stripMapping(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(
+      dataType = stripMappingType(f.dataType),
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  private def stripMappingType(dt: DataType): DataType = dt match {
+    case st: StructType   => stripMapping(st)
+    case ArrayType(e, n)  => ArrayType(stripMappingType(e), n)
+    case MapType(k, v, n) => MapType(stripMappingType(k), stripMappingType(v), n)
+    case o                => o
+  }
+
+  /** The logical schema with mapping metadata: fields present in the
+    * previous table schema KEEP their ids/physical names (stability is
+    * the whole point of mapping — renames must not touch data); new
+    * fields get fresh ids (`col-<id>` physical names) past the table's
+    * maxColumnId. Nested struct fields are numbered too, spec-style.
+    */
+  private def mappedLogicalSchema(incoming: StructType,
+                                  prev: Option[StructType],
+                                  startId: Int): (StructType, Int) = {
+    var nextId = startId
+    def freshMeta(base: org.apache.spark.sql.types.Metadata) = {
+      nextId += 1
+      new org.apache.spark.sql.types.MetadataBuilder().withMetadata(base)
+        .putLong(ColumnIdKey, nextId.toLong)
+        .putString(PhysicalNameKey, s"col-$nextId").build()
+    }
+    def assign(dt: DataType, prevDt: Option[DataType]): DataType = (dt, prevDt) match {
+      case (st: StructType, p) =>
+        val prevFields = p.collect { case ps: StructType => ps }
+          .map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty)
+        StructType(st.fields.map { f =>
+          prevFields.get(f.name) match {
+            case Some(pf) if pf.metadata.contains(PhysicalNameKey) =>
+              f.copy(metadata = pf.metadata,
+                dataType = assign(f.dataType, Some(pf.dataType)))
+            case other =>
+              f.copy(metadata = freshMeta(f.metadata),
+                dataType = assign(f.dataType, other.map(_.dataType)))
+          }
+        })
+      case (ArrayType(e, n), p) =>
+        ArrayType(assign(e, p.collect { case ArrayType(pe, _) => pe }), n)
+      case (MapType(k, vv, n), p) =>
+        MapType(assign(k, p.collect { case MapType(pk, _, _) => pk }),
+          assign(vv, p.collect { case MapType(_, pv, _) => pv }), n)
+      case (o, _) => o
+    }
+    val out = assign(incoming, prev).asInstanceOf[StructType]
+    (out, nextId)
+  }
+
+  private def protocolAndMetaData(v: Long, schemaJson: String,
+                                  conf: Map[String, String] = Map.empty,
+                                  withDvFeature: Boolean = false): String = {
     val sj = mapper.writeValueAsString(schemaJson)
-    s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
-      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":[],"configuration":{}}}""" + "\n"
+    val mapped = conf.get(MappingModeKey).exists(_ != "none")
+    val protocol =
+      if (withDvFeature) {
+        val feats = (Seq("deletionVectors") ++
+          (if (mapped) Seq("columnMapping") else Nil))
+          .map(mapper.writeValueAsString).mkString(",")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
+      } else if (mapped)
+        s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val confJson = "{" + conf.toSeq.sortBy(_._1).map { case (k, vv) =>
+      s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(vv)}"
+    }.mkString(",") + "}"
+    protocol + "\n" +
+      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":[],"configuration":$confJson}}""" + "\n"
   }
 
   /** SHALLOW CLONE — the zero-copy table copy (Databricks' `CREATE TABLE
@@ -293,19 +610,36 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":"CLONE","timestamp":0}}""")
       .append('\n')
-    sb.append(protocolAndMetaData(0L, s.schemaJson.get))
+    sb.append(protocolAndMetaData(0L, s.schemaJson.get, s.configuration,
+      withDvFeature = s.dvs.nonEmpty))
     s.files.foreach { p =>
       val abs = new Path(srcRoot, p)
       val pj = mapper.writeValueAsString(abs.toString)
       val size = f.getFileStatus(abs).getLen
       val statsField = s.stats.get(p).map(st =>
         s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":false$statsField}}""")
+      // DV descriptors carry over: table-root-relative ("u") descriptors
+      // re-anchor to the SOURCE root as absolute ("p") references —
+      // protocol-legal, and the only reading that keeps the clone's
+      // masked rows masked (inline "i" carries verbatim)
+      val dvField = s.dvs.get(p).map { dj =>
+        val d = parseDv(dj)
+        val rebased =
+          if (d.storageType == "u") d.copy(storageType = "p",
+            pathOrInlineDv =
+              DeletionVectors.dvFilePath(srcRoot, d).toString)
+          else d
+        s""","deletionVector":${dvJson(rebased)}"""
+      }.getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":false$statsField$dvField}}""")
         .append('\n')
     }
     publishCommit(spark, dst, 0L, sb.toString)
     0L
   }
+
+  private def dvJson(d: DeletionVectors.DvDescriptor): String =
+    s"""{"storageType":${mapper.writeValueAsString(d.storageType)},"pathOrInlineDv":${mapper.writeValueAsString(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
 
   /** RESTORE TABLE ... TO VERSION AS OF — metadata-only rollback (the
     * reference engine's RESTORE): one commit whose remove/add actions
@@ -322,23 +656,31 @@ object DeltaLite {
     require(tgt.schemaJson.nonEmpty, s"$table: no metaData at v$version")
     val v = vs.last + 1
     val f = fs(spark, new Path(table))
-    val curSet = cur.files.toSet
-    val tgtSet = tgt.files.toSet
+    // file identity = (path, deletion vector): a file whose DV changed
+    // between the versions must be re-added with the TARGET's descriptor
+    // — a path-only diff would silently keep rows deleted (or undeleted)
+    // that the target version masks differently
+    def ident(s: Snapshot): Set[(String, String)] =
+      s.files.map(p => (p, s.dvs.getOrElse(p, ""))).toSet
+    val curSet = ident(cur)
+    val tgtSet = ident(tgt)
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":"RESTORE","timestamp":0}}""")
       .append('\n')
-    sb.append(protocolAndMetaData(v, tgt.schemaJson.get))
-    (curSet -- tgtSet).toSeq.sorted.foreach { p =>
+    sb.append(protocolAndMetaData(v, tgt.schemaJson.get, tgt.configuration,
+      withDvFeature = tgt.dvs.nonEmpty))
+    (curSet -- tgtSet).toSeq.sorted.foreach { case (p, _) =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":0,"dataChange":true}}""")
         .append('\n')
     }
-    (tgtSet -- curSet).toSeq.sorted.foreach { p =>
+    (tgtSet -- curSet).toSeq.sorted.foreach { case (p, dv) =>
       val pj = mapper.writeValueAsString(p)
       val size = f.getFileStatus(new Path(table, p)).getLen
       val statsField = tgt.stats.get(p).map(st =>
         s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField}}""")
+      val dvField = if (dv.isEmpty) "" else s""","deletionVector":$dv"""
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField$dvField}}""")
         .append('\n')
     }
     publishCommit(spark, table, v, sb.toString)
@@ -468,13 +810,14 @@ object DeltaLite {
       case None => (snap.files, Seq.empty[String]) // over bound: no prune
       case Some(rows) =>
         val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
-        snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+        // mapped tables record stats under PHYSICAL names
+        snap.files.partition(statsIntersect(snap,
+          physicalNameOf(snap, keyCol), isString, sortedKeys))
     }
-    val base =
-      if (touched.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.map(p => new Path(table, p).toString): _*)
+    // readSnapshot: DV masking + physical→logical relabel ride along —
+    // rewriting a DV-carrying file folds its mask in (the rewrite has
+    // no DV, same live rows)
+    val base = readSnapshot(spark, table, snap, touched)
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
     val v = commit(spark, table, merged, operation = "MERGE",
@@ -506,11 +849,11 @@ object DeltaLite {
       case None => (snap.files, Seq.empty[String]) // over bound: no prune
       case Some(rows) =>
         val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
-        snap.files.partition(statsIntersect(snap, keyCol, isString, sortedKeys))
+        snap.files.partition(statsIntersect(snap,
+          physicalNameOf(snap, keyCol), isString, sortedKeys))
     }
     if (touched.isEmpty) return MergeStats(snap.version, 0, skipped.size)
-    val base = spark.read.schema(schema)
-      .parquet(touched.map(p => new Path(table, p).toString): _*)
+    val base = readSnapshot(spark, table, snap, touched)
     val remaining = base.join(
       broadcast(keys.select(keyCols.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*).distinct()),
@@ -518,6 +861,116 @@ object DeltaLite {
     val v = commit(spark, table, remaining, operation = "DELETE",
       replacing = Some(touched))
     MergeStats(v, touched.size, skipped.size)
+  }
+
+  /** What [[deleteVectors]] did: the committed version, the files that
+    * gained/extended a DV, and the newly-deleted row count.
+    */
+  final case class DvDeleteStats(version: Long, filesTouched: Int,
+                                 rowsDeleted: Long)
+
+  /** MERGE-ON-READ DELETE by key — the deletion-vector write path (the
+    * default DELETE of current Delta engines, and the reason
+    * [[SupportedReaderFeatures]] exists): instead of rewriting every file
+    * containing a matching row ([[selectiveDelete]]'s copy-on-write), the
+    * matching rows' ROW INDICES are recorded in one roaring bitmap per
+    * file, written to a single DV sidecar, and each touched file is
+    * re-added with its `deletionVector` descriptor — data files are
+    * never rewritten, the commit is metadata plus kilobytes of bitmap.
+    * Existing DVs extend (old ∪ new — a second delete on the same file
+    * unions in); already-deleted rows are masked out of the victim scan
+    * so they are neither re-counted nor re-marked. Readers at this or any
+    * later version see the rows gone; time travel before it still sees
+    * them (the format's own contract — a compliance erasure is
+    * copy-on-write [[selectiveDelete]] + [[vacuum]]).
+    *
+    * Scale shape: the victim scan is one distributed pass with the
+    * delete-key set broadcast; the (file, rowIndex) victims are collected
+    * to the driver to build bitmaps — bounded by `maxDeleteRows`
+    * (REFUSED past it, with the copy-on-write path named in the error:
+    * past ~tens of millions of rows per batch, rewriting files is the
+    * right verb anyway, exactly the heuristic real engines apply).
+    */
+  def deleteVectors(spark: SparkSession, table: String, keys: DataFrame,
+                    keyCols: Seq[String],
+                    maxDeleteRows: Int = 16 << 20): DvDeleteStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    val logical = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val mapped = mappingMode(snap.configuration) != "none"
+    val readSchema = if (mapped) physicalSchema(logical) else logical
+    val physKeyCols = keyCols.map(k => physicalNameOf(snap, k))
+    val root = new Path(table)
+    val f = fs(spark, root)
+    if (snap.files.isEmpty) return DvDeleteStats(snap.version, 0, 0L)
+
+    val base = spark.read.schema(readSchema)
+      .parquet(snap.files.map(p => new Path(table, p).toString): _*)
+      .withColumn("__dv_key",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    // mask rows an existing DV already hides — they must not re-mark
+    val existing: Map[String, Array[Byte]] = snap.dvs.map { case (p, dj) =>
+      new Path(table, p).getName ->
+        DeletionVectors.readBitmapBytes(f, root, parseDv(dj))
+    }
+    val masked =
+      if (existing.isEmpty) base
+      else {
+        val bc = spark.sparkContext.broadcast(existing)
+        base.filter(!DeletionVectors.dvDeleted(bc, col("__dv_key"),
+          col("__dv_pos")))
+      }
+    val keySel = keys.select(keyCols.zip(physKeyCols).map { case (k, pk) =>
+      keys(s"`$k`").as(pk) }.toIndexedSeq: _*).distinct()
+    val victims = masked
+      .join(broadcast(keySel), physKeyCols, "left_semi")
+      .select("__dv_key", "__dv_pos")
+      .limit(maxDeleteRows + 1)
+      .collect()
+    require(victims.length <= maxDeleteRows,
+      s"$table: delete batch exceeds $maxDeleteRows rows — use the " +
+        "copy-on-write selectiveDelete for bulk erasure")
+    if (victims.isEmpty) return DvDeleteStats(snap.version, 0, 0L)
+
+    val byFile: Map[String, Array[Long]] = victims
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val nameToPath: Map[String, String] =
+      snap.files.map(p => new Path(table, p).getName -> p).toMap
+    val touched = byFile.keys.toSeq.sorted.map(nameToPath)
+    // per-file bitmap = existing DV (if any) ∪ new victims
+    val bitmapsOut: Seq[(String, Array[Byte], Long)] = touched.map { p =>
+      val name = new Path(table, p).getName
+      val fresh = DeletionVectors.Bitmap64(byFile(name).toSeq)
+      val merged = existing.get(name)
+        .map(b => DeletionVectors.Bitmap64.deserialize(b).or(fresh))
+        .getOrElse(fresh)
+      (p, merged.serialize(), merged.cardinality)
+    }
+    val (pathOrInline, offsets) =
+      DeletionVectors.writeDvFile(f, root, bitmapsOut.map(_._2))
+
+    val v = snap.version + 1
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""")
+      .append('\n')
+    // first DV on the table upgrades the protocol to table features
+    sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+      .append('\n')
+    bitmapsOut.zip(offsets).foreach { case ((p, bytes, card), (off, size)) =>
+      val pj = mapper.writeValueAsString(p)
+      sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":0,"dataChange":true}}""")
+        .append('\n')
+      val fileSize = f.getFileStatus(new Path(table, p)).getLen
+      val statsField = snap.stats.get(p).map(s =>
+        s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
+      val dvj = s"""{"storageType":"u","pathOrInlineDv":${mapper.writeValueAsString(pathOrInline)},"offset":$off,"sizeInBytes":$size,"cardinality":$card}"""
+      sb.append(s"""{"add":{"path":$pj,"size":$fileSize,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField,"deletionVector":$dvj}}""")
+        .append('\n')
+    }
+    publishCommit(spark, table, v, sb.toString)
+    DvDeleteStats(v, touched.size, victims.length.toLong)
   }
 
   /** What [[readWhere]] scanned: the pruned DataFrame plus the file
@@ -560,18 +1013,15 @@ object DeltaLite {
     def cmp(x: Any): Comparable[Any] =
       if (isString) utf8(x.toString)
       else new java.math.BigDecimal(x.toString).asInstanceOf[Comparable[Any]]
+    val physKey = physicalNameOf(snap, keyCol)
     val (scanned, skipped) = snap.files.partition { p =>
-      fileBounds(snap, p, keyCol, isString) match {
+      fileBounds(snap, p, physKey, isString) match {
         case Some((mn, mx)) =>
           mx.compareTo(cmp(lo)) >= 0 && mn.compareTo(cmp(hi)) <= 0
         case None => true
       }
     }
-    val base =
-      if (scanned.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(scanned.map(p => new Path(table, p).toString): _*)
+    val base = readSnapshot(spark, table, snap, scanned)
     SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
       scanned.size, skipped.size)
   }
@@ -627,20 +1077,32 @@ object DeltaLite {
     val from = snapshot(spark, table, Some(fromVersion))
     val to = snapshot(spark, table, Some(toVersion))
     require(to.schemaJson.nonEmpty, s"$table: no metaData in log")
-    val schema = SDT.fromJson(to.schemaJson.get).asInstanceOf[SST]
+    val schema = stripMapping(
+      SDT.fromJson(to.schemaJson.get).asInstanceOf[SST])
     val dataCols = schema.fieldNames.toSeq
-    val addedFiles = to.files.filterNot(from.files.toSet)
-    val removedFiles = from.files.filterNot(to.files.toSet)
-    def readFiles(files: Seq[String]): DataFrame =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(p => new Path(table, p).toString): _*)
-    // both sides read with the TO schema — parquet scans null-fill
-    // columns the old files don't carry, which is exactly the additive-
-    // evolution alignment the net diff needs
-    val newSide = readFiles(addedFiles).select(dataCols.map(col): _*)
-    val oldSide = readFiles(removedFiles).select(dataCols.map(col): _*)
+    // file identity = (path, deletion vector): a merge-on-read DELETE
+    // re-adds the SAME path with a new DV — a path-only diff would read
+    // it on neither side and the deletes would vanish from the feed.
+    // Each side reads through its OWN snapshot (its own DV masks), and
+    // the exceptAll cancellation then nets out exactly the rows whose
+    // visibility changed.
+    def ident(s: Snapshot): Set[(String, String)] =
+      s.files.map(p => (p, s.dvs.getOrElse(p, ""))).toSet
+    val addedFiles = to.files.filter(p =>
+      !ident(from).contains((p, to.dvs.getOrElse(p, ""))))
+    val removedFiles = from.files.filter(p =>
+      !ident(to).contains((p, from.dvs.getOrElse(p, ""))))
+    // additive-evolution alignment: project each side to the TO schema,
+    // null-filling columns the old snapshot doesn't carry
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.toSeq.map { fld =>
+        if (have.contains(fld.name)) col(s"`${fld.name}`")
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    }
+    val newSide = aligned(readSnapshot(spark, table, to, addedFiles))
+    val oldSide = aligned(readSnapshot(spark, table, from, removedFiles))
     val changedNew = newSide.exceptAll(oldSide)
     val changedOld = oldSide.exceptAll(newSide)
     val o = changedOld.select(keys.map(col) :+
@@ -796,12 +1258,26 @@ object DeltaLite {
              retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions(spark, table)
-    val keep: Set[String] = vs.takeRight(retainVersions)
-      .flatMap(v => snapshot(spark, table, Some(v)).files).toSet
     val root = new Path(table)
+    val retained = vs.takeRight(retainVersions)
+      .map(v => snapshot(spark, table, Some(v)))
+    val keep: Set[String] = retained.flatMap(_.files).toSet
+    // DV sidecars referenced by any retained snapshot survive too; a
+    // superseded DV (extended by a later delete) is reapable like a
+    // superseded data file
+    val keepDv: Set[String] = retained.flatMap(_.dvs.values).flatMap { dj =>
+      val d = parseDv(dj)
+      if (d.storageType == "i") None
+      else Some(DeletionVectors.dvFilePath(root, d).getName)
+    }.toSet
     val f = fs(spark, root)
     val victims = f.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !keep.contains(p.getName))
+      .filter { p =>
+        val n = p.getName
+        (n.endsWith(".parquet") && !keep.contains(n)) ||
+          (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !keepDv.contains(n))
+      }
     victims.foreach(p => f.delete(p, false))
     victims.map(_.getName)
   }
@@ -813,6 +1289,14 @@ object DeltaLite {
   def checkpoint(spark: SparkSession, table: String): Long = {
     import spark.implicits._
     val s = snapshot(spark, table)
+    // the minimal checkpoint schema written here carries neither
+    // deletionVector structs nor configuration — checkpointing would
+    // silently UNDELETE masked rows / lose the mapping mode on the next
+    // bootstrap. Refused until those columns are written; log replay
+    // (bounded by action count) covers such tables meanwhile.
+    require(s.dvs.isEmpty && mappingMode(s.configuration) == "none",
+      s"$table: checkpointing a deletion-vector/column-mapped table is " +
+        "unsupported — the minimal checkpoint schema cannot express it")
     val f = fs(spark, logDir(table))
     val schemaJson = s.schemaJson.getOrElse(
       sys.error(s"$table: no metaData in log"))
