@@ -931,6 +931,44 @@ object LakehouseOps {
       |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 2) t
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- B22
+  /** Iceberg v2 merge-on-read deletes end to end — B21's contract on the
+    * OTHER open format: orders lands in an IcebergLite table, a
+    * POSITIONAL delete file (spec content=1, file_path + pos rows,
+    * routed through a DELETE manifest with explicit sequence numbers)
+    * records every `o_orderkey ≡ 3 (mod 7)` row — no data file is
+    * rewritten — then BOTH the pre-delete snapshot (time travel) and the
+    * delete-masked current snapshot roll up. Shares B21's oracle: one
+    * DuckDB recomputation checks both formats' merge-on-read channels
+    * (Delta roaring-bitmap DVs vs Iceberg delete files), so a
+    * divergence localizes to the format layer, not the query.
+    */
+  def dbaIcebergDv(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_dv")
+      .toString + "/orders_dv"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergLite.commit(s, t,
+      ord.repartitionByRange(4, col("o_orderkey")))
+    val preId = graft.sources.IcebergLite.snapshot(s, t).snapshotId
+    graft.sources.IcebergLite.deleteRows(s, t,
+      ord.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+      Seq("o_orderkey"))
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.IcebergLite.read(s, t, Some(preId)), 0L)
+      .unionByName(roll(graft.sources.IcebergLite.read(s, t), 1L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  // same slices, same rollups — deliberately shared with B21 (two
+  // formats, one recomputation)
+  val dbaIcebergDvOracle: String = dbaDeltaDvOracle
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -999,7 +1037,8 @@ object LakehouseOps {
     "dba_iceberg_changes" -> (dbaIcebergChanges _),
     "dba_zorder_skipping" -> (dbaZorderSkipping _),
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
-    "dba_delta_dv"        -> (dbaDeltaDv _))
+    "dba_delta_dv"        -> (dbaDeltaDv _),
+    "dba_iceberg_dv"      -> (dbaIcebergDv _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -1022,5 +1061,6 @@ object LakehouseOps {
     "dba_delta_read"    -> dbaDeltaReadOracle,
     "dba_iceberg_read"  -> dbaIcebergReadOracle,
     "dba_merge_selective" -> dbaMergeSelectiveOracle,
-    "dba_delta_dv"      -> dbaDeltaDvOracle)
+    "dba_delta_dv"      -> dbaDeltaDvOracle,
+    "dba_iceberg_dv"    -> dbaIcebergDvOracle)
 }

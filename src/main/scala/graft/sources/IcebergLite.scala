@@ -33,10 +33,14 @@ import org.apache.spark.sql.types._
   * through); Iceberg↔Spark schema conversion (primitives, decimal,
   * struct/list/map); a commit writer (append / overwrite) producing
   * spec-shaped v1 metadata+manifests; DESCRIBE HISTORY; snapshot
-  * expiration (the format's GC verb) and bin-packing compaction.
-  * Out of scope (documented, not silently wrong): row-level deletes
-  * (v2 delete manifests / delete files) and format-version 3 — tables
-  * carrying them are REFUSED loudly rather than mis-read.
+  * expiration (the format's GC verb) and bin-packing compaction; v2
+  * ROW-LEVEL DELETES both ways — position and equality delete files
+  * read via [[readWithDeletes]] (sequence-number applicability: ≤ for
+  * positional, strict < for equality) and written via [[deleteRows]]
+  * (merge-on-read DELETE: one delete file + DELETE manifest, no data
+  * rewrite). Out of scope (documented, not silently wrong):
+  * format-version 3 (row lineage) — REFUSED loudly rather than
+  * mis-read.
   *
   * Scale shape: metadata resolution is driver-side and bounded by the
   * manifest count — exactly how the reference implementation plans scans
@@ -110,6 +114,45 @@ object IcebergLite {
       |    {"name":"file_size_in_bytes","type":"long","field-id":104},
       |    {"name":"block_size_in_bytes","type":"long","field-id":105},
       |    $BoundsFieldsJson
+      |  ]}}
+      |]}""".stripMargin)
+
+  /** v2 manifest-list entry: the v1 fields plus `content` (0 = data,
+    * 1 = deletes; field-id 517) and `sequence_number` (field-id 515) —
+    * what a delete commit writes so readers can route delete manifests
+    * and order applicability. Reads stay writer-schema driven, so v1
+    * lists (no such fields) and richer real-writer lists both decode.
+    */
+  private val ManifestListSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"sequence_number","type":"long","field-id":515},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  /** Manifest entry for DELETE manifests (spec v2 "Delete Manifests"):
+    * the data_file struct gains `content` (1 = position deletes, 2 =
+    * equality deletes; field-id 134) and `equality_ids` (the schema
+    * field ids an equality delete matches on; field-id 135), and the
+    * entry carries an explicit `sequence_number` (field-id 3) governing
+    * which data files the deletes apply to.
+    */
+  private val DeleteManifestEntrySchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2d","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102d","fields":[]}},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |  ]}}
       |]}""".stripMargin)
 
@@ -282,15 +325,32 @@ object IcebergLite {
     node
   }
 
-  /** One live data file of a snapshot, as the manifests describe it. */
+  /** One live data file of a snapshot, as the manifests describe it.
+    * `seq` is the v2 data sequence number (0 for v1 tables) — the
+    * ordering key delete-file applicability is decided on.
+    */
   final case class FileInfo(path: String, recordCount: Long, sizeBytes: Long,
                             partition: Map[String, String],
                             lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-                            upperBounds: Map[Int, Array[Byte]] = Map.empty)
+                            upperBounds: Map[Int, Array[Byte]] = Map.empty,
+                            seq: Long = 0L)
 
-  /** Resolved snapshot state: data files + the Spark-typed schema. */
+  /** One delete file of a v2 snapshot: `content` 1 = position deletes
+    * (file_path + pos rows), 2 = equality deletes (rows of the columns
+    * named by `equalityIds`); `seq` is the delete's sequence number —
+    * position deletes apply to data files with dataSeq ≤ seq, equality
+    * deletes to dataSeq < seq (the spec's strict ordering, which lets a
+    * row re-inserted AFTER the delete survive it).
+    */
+  final case class DeleteFileInfo(path: String, content: Int, seq: Long,
+                                  equalityIds: Seq[Int])
+
+  /** Resolved snapshot state: data files + delete files + the
+    * Spark-typed schema.
+    */
   final case class Snapshot(snapshotId: Long, schema: StructType,
-                            detail: Seq[FileInfo]) {
+                            detail: Seq[FileInfo],
+                            deletes: Seq[DeleteFileInfo] = Seq.empty) {
     def files: Seq[String] = detail.map(_.path)
   }
 
@@ -329,18 +389,21 @@ object IcebergLite {
       .getOrElse(sys.error(s"$table: metadata has no schema"))
     val schema = icebergToSpark(schemaNode)
 
-    // manifest list (normal) or legacy inline "manifests" array
-    val manifestPaths: Seq[String] =
+    // manifest list (normal) or legacy inline "manifests" array. v2
+    // lists route by `content`: 0 = data manifests, 1 = DELETE manifests
+    // (position/equality delete files) — both read here; per-manifest
+    // sequence numbers carry into applicability ordering.
+    val manifestEntries: Seq[(String, Int, Long)] =
       Option(snap.get("manifest-list")) match {
         case Some(ml) =>
           readAvro(f, new Path(resolvePath(table, ml.asText()))).map { r =>
-            opt(r, "content").map(_.asInstanceOf[Int]).foreach(c =>
-              require(c == 0, s"$table: DELETE manifest (content=$c) — " +
-                "row-level deletes unsupported, refusing"))
-            r.get("manifest_path").toString
+            val content = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+            val seq = opt(r, "sequence_number")
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            (r.get("manifest_path").toString, content, seq)
           }
         case None => Option(snap.get("manifests"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .map(_.elements().asScala.map(a => (a.asText(), 0, 0L)).toSeq)
           .getOrElse(sys.error(s"$table: snapshot $targetId has no manifest list"))
       }
 
@@ -349,17 +412,32 @@ object IcebergLite {
     // selective merges keep old manifests and tombstone replaced files
     // in the new one)
     val deleted = scala.collection.mutable.Set.empty[String]
-    val files = manifestPaths.flatMap { mp =>
+    val deleteFiles = Seq.newBuilder[DeleteFileInfo]
+    val files = manifestEntries.flatMap { case (mp, mContent, mSeq) =>
       readAvro(f, new Path(resolvePath(table, mp))).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val entrySeq = opt(e, "sequence_number")
+          .collect { case l: java.lang.Long => l.longValue() }.getOrElse(mSeq)
+        val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
         if (status == 2) { // DELETED: file dropped at this snapshot
           deleted += df.get("file_path").toString
           None
+        } else if (mContent == 1 || content > 0) {
+          require(content == 1 || content == 2,
+            s"$table: delete file with content=$content — not in the v2 " +
+              "vocabulary, refusing")
+          val eqIds = opt(df, "equality_ids") match {
+            case Some(arr: java.util.Collection[_]) =>
+              arr.asScala.map(_.asInstanceOf[Int]).toSeq
+            case _ => Seq.empty[Int]
+          }
+          require(content == 1 || eqIds.nonEmpty,
+            s"$table: equality delete file without equality_ids — refusing")
+          deleteFiles += DeleteFileInfo(df.get("file_path").toString,
+            content, entrySeq, eqIds)
+          None
         } else {
-          opt(df, "content").map(_.asInstanceOf[Int]).foreach(c =>
-            require(c == 0, s"$table: delete file (content=$c) — " +
-              "row-level deletes unsupported, refusing"))
           val part = Option(df.get("partition"))
             .map(_.asInstanceOf[GenericRecord]) match {
               case Some(p) => p.getSchema.getFields.asScala.map(fl =>
@@ -382,11 +460,14 @@ object IcebergLite {
           Some(FileInfo(df.get("file_path").toString,
             opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L),
             opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
-            part, boundsOf("lower_bounds"), boundsOf("upper_bounds")))
+            part, boundsOf("lower_bounds"), boundsOf("upper_bounds"),
+            entrySeq))
         }
       }
     }.distinctBy(_.path).filterNot(fi => deleted.contains(fi.path))
-    Snapshot(targetId, schema, files)
+    Snapshot(targetId, schema, files,
+      deleteFiles.result().distinctBy(_.path)
+        .filterNot(d => deleted.contains(d.path)))
   }
 
   /** Metadata-only scan planning (the format's 100 TB value proposition:
@@ -412,7 +493,66 @@ object IcebergLite {
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, table, snapshotId)
-    readFileList(spark, table, s.schema, s.files)
+    readWithDeletes(spark, table, s, s.detail)
+  }
+
+  /** Scan `subset` of a snapshot's data files with v2 row-level deletes
+    * applied (merge-on-read): POSITION deletes anti-join on (data file
+    * name, `_metadata.row_index`) — applicable when dataSeq ≤ deleteSeq;
+    * EQUALITY deletes anti-join on the columns their `equality_ids`
+    * name — applicable strictly dataSeq < deleteSeq, so a row
+    * re-inserted after the delete survives it (the spec's ordering).
+    * Data files are grouped by sequence number (group count ∝ snapshot
+    * history, not data) so each group joins only the delete files that
+    * govern it. Cost ∝ data scanned + delete rows; the delete sides are
+    * small CDC-shaped files and broadcast under AQE.
+    */
+  private def readWithDeletes(spark: SparkSession, table: String,
+                              s: Snapshot, subset: Seq[FileInfo],
+                              keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    if (s.deletes.isEmpty && !keepMeta)
+      return readFileList(spark, table, s.schema, subset.map(_.path))
+    val dataCols = s.schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) ++
+      (if (keepMeta) Seq(col("__if"), col("__ip")) else Nil)
+    val fieldNames: Map[Int, String] = {
+      val meta = metadata(spark, table)
+      val schemaNode = Option(meta.get("schemas"))
+        .map(_.elements().asScala.toSeq.last)
+        .orElse(Option(meta.get("schema")))
+        .getOrElse(sys.error(s"$table: metadata has no schema"))
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    }
+    def nameCol(c: org.apache.spark.sql.Column) = substring_index(c, "/", -1)
+    val groups = subset.groupBy(_.seq).toSeq.sortBy(_._1)
+    val parts = groups.map { case (seq, files) =>
+      var df = readFileList(spark, table, s.schema, files.map(_.path))
+        .withColumn("__if", nameCol(col("_metadata.file_path")))
+        .withColumn("__ip", col("_metadata.row_index"))
+      val pos = s.deletes.filter(d => d.content == 1 && d.seq >= seq)
+      if (pos.nonEmpty) {
+        val posDf = spark.read
+          .parquet(pos.map(d => resolvePath(table, d.path)): _*)
+          .select(nameCol(col("file_path")).as("__if"),
+            col("pos").as("__ip"))
+        df = df.join(posDf, Seq("__if", "__ip"), "left_anti")
+      }
+      val eqGroups = s.deletes.filter(d => d.content == 2 && d.seq > seq)
+        .groupBy(_.equalityIds)
+      eqGroups.foreach { case (ids, dels) =>
+        val cols = ids.map(id => fieldNames.getOrElse(id,
+          sys.error(s"$table: equality_ids references unknown field $id")))
+        val eqDf = spark.read
+          .parquet(dels.map(d => resolvePath(table, d.path)): _*)
+          .select(cols.map(n => col(s"`$n`")): _*).distinct()
+        df = df.join(eqDf, cols, "left_anti")
+      }
+      df.select(dataCols: _*)
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema))
   }
 
   /** What [[readWhere]] scanned — same economics contract as
@@ -518,7 +658,7 @@ object IcebergLite {
         case _ => true // no recorded bounds: scan conservatively
       }
     }
-    val base = readFileList(spark, table, snap.schema, scanned.map(_.path))
+    val base = readWithDeletes(spark, table, snap, scanned)
     SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
       scanned.size, skipped.size)
   }
@@ -533,7 +673,8 @@ object IcebergLite {
     val live = s.files.toSet
     require(files.forall(live.contains),
       s"$table: readFiles paths must be manifest-listed data files")
-    readFileList(spark, table, s.schema, files)
+    val want = files.toSet
+    readWithDeletes(spark, table, s, s.detail.filter(fi => want(fi.path)))
   }
 
   private def readFileList(spark: SparkSession, table: String,
@@ -903,9 +1044,11 @@ object IcebergLite {
       entrySchema, entries,
       Map("format-version" -> "1", "content" -> "data"))
 
-    // 3. manifest list: append keeps prior manifests; overwrite starts
-    //    fresh (the DELETED entries above record the transition)
-    val prevManifests: Seq[(String, Long)] =
+    // 3. manifest list: append keeps prior manifests (their content kind
+    //    and sequence numbers preserved — a carried DELETE manifest must
+    //    not be re-listed as data); overwrite starts fresh (the DELETED
+    //    entries above record the transition)
+    val prevManifests: Seq[(String, Long, Int, Long)] =
       if (overwrite || prevSnaps.isEmpty) Nil
       else {
         val cur = prevSnaps.find(_.get("snapshot-id").asLong() ==
@@ -913,22 +1056,28 @@ object IcebergLite {
         cur.map { s =>
           readAvro(f, new Path(resolvePath(table, s.get("manifest-list").asText())))
             .map(r => (r.get("manifest_path").toString,
-              r.get("manifest_length").asInstanceOf[Long]))
+              r.get("manifest_length").asInstanceOf[Long],
+              opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+              opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
         }.getOrElse(Nil)
       }
     val listRel = f"metadata/snap-$snapId%05d.avro"
-    val listRows = (prevManifests :+ (manifestRel, manifestLen)).map {
-      case (p, len) => record(ManifestListSchema)(
+    val listRows = (prevManifests :+ (manifestRel, manifestLen, 0, snapId))
+      .map { case (p, len, content, seq) => record(ManifestListSchemaV2)(
         "manifest_path" -> p, "manifest_length" -> len,
-        "partition_spec_id" -> 0, "added_snapshot_id" -> snapId)
-    }
-    writeAvro(f, new Path(root, listRel), ManifestListSchema, listRows,
-      Map("format-version" -> "1"))
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "added_snapshot_id" -> snapId)
+      }
+    writeAvro(f, new Path(root, listRel), ManifestListSchemaV2, listRows,
+      Map("format-version" -> "2"))
 
     // 4. new metadata version (immutable), then the version-hint publish
     val (schemaNode, lastColId) = sparkToIceberg(df.schema)
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    // v2 metadata (sequence numbers are the delete-applicability
+    // ordering); v1 tables written by older rounds still read fine
+    meta.put("format-version", 2)
+    meta.put("last-sequence-number", snapId)
     meta.put("table-uuid", f"graft-iceberg-$metaV%08d")
     meta.put("location", table)
     meta.put("last-updated-ms", 0L)
@@ -966,6 +1115,7 @@ object IcebergLite {
       else if (overwrite) "overwrite" else "append"
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", snapId)
     if (prevSnaps.nonEmpty)
       snapNode.put("parent-snapshot-id",
         prevMeta.get.get("current-snapshot-id").asLong())
@@ -1081,13 +1231,181 @@ object IcebergLite {
     val base =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else readFileList(spark, table, snap.schema, touched.map(_.path))
+      else readWithDeletes(spark, table, snap, touched)
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
     val sid = commit(spark, table, merged, operation = "merge",
       partitionBy = if (partitionCol.isEmpty) Nil else Seq(partitionCol),
       replacing = Some(touched.map(_.path)))
     MergeStats(sid, touched.size, skipped.size)
+  }
+
+  /** What [[deleteRows]] did: the new snapshot id, delete files written,
+    * and (for positional) victim rows recorded / (for equality) data
+    * rows currently matched.
+    */
+  final case class DeleteStats(snapshotId: Long, deleteFiles: Int,
+                               rowsDeleted: Long)
+
+  /** v2 MERGE-ON-READ row deletion — the write half of the delete-file
+    * support (spec "Row-level deletes"), mirroring
+    * DeltaLite.deleteVectors on the other format: no data file is
+    * rewritten; the commit adds ONE delete file + a DELETE manifest +
+    * a new manifest list and metadata version.
+    *
+    *  - `equality = false` (default): POSITION deletes. Matching rows
+    *    are located in one distributed pass (existing deletes applied
+    *    first — already-dead rows are neither re-marked nor re-counted),
+    *    their (file_path, pos) pairs collected BOUNDED by
+    *    `maxDeleteRows` (refused past it — bulk erasure should rewrite
+    *    files via selectiveMerge/compaction) and written sorted, the
+    *    spec's ordering for efficient merge-on-read.
+    *  - `equality = true`: EQUALITY deletes. The distinct key rows
+    *    themselves are the delete file (columns = `keyCols`, declared
+    *    via `equality_ids` field ids); no data scan is needed to WRITE
+    *    the delete — the spec's O(batch) streaming-CDC shape — and the
+    *    strict `dataSeq < deleteSeq` rule at read time lets later
+    *    re-inserts of the same key survive.
+    *
+    * Readers at this snapshot see the rows gone ([[readWithDeletes]]);
+    * time travel to earlier snapshots still sees them; compaction
+    * (optimizeCompact/optimizeZorder — they read THROUGH the masks and
+    * rewrite) folds deletes into data files and drops the delete
+    * manifests from the new snapshot.
+    */
+  def deleteRows(spark: SparkSession, table: String, keys: DataFrame,
+                 keyCols: Seq[String], equality: Boolean = false,
+                 maxDeleteRows: Int = 16 << 20): DeleteStats = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val meta = metadata(spark, table)
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    require(prevSnaps.nonEmpty, s"$table: no snapshots")
+    val snapId = prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
+    val metaV = versions(spark, table).last + 1
+    val snap = snapshot(spark, table)
+    if (snap.detail.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+
+    val keySel = keys.select(keyCols.map(k => keys(s"`$k`")).toIndexedSeq: _*)
+      .distinct()
+    // build the delete-file rows
+    val (deleteRowsDf, nRows, eqIds): (DataFrame, Long, Seq[Int]) =
+      if (!equality) {
+        val scan = readWithDeletes(spark, table, snap, snap.detail,
+          keepMeta = true)
+        val victims = scan.join(broadcast(keySel), keyCols, "left_semi")
+          .select("__if", "__ip").limit(maxDeleteRows + 1).collect()
+        require(victims.length <= maxDeleteRows,
+          s"$table: delete batch exceeds $maxDeleteRows rows — rewrite " +
+            "files (selectiveMerge / compaction) for bulk erasure")
+        if (victims.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+        val nameToPath = snap.detail.map(fi =>
+          new Path(resolvePath(table, fi.path)).getName -> fi.path).toMap
+        import spark.implicits._
+        val rows = victims.map(r =>
+          (nameToPath(r.getString(0)), r.getLong(1))).toSeq.sorted
+        (rows.toDF("file_path", "pos"), victims.length.toLong, Seq.empty)
+      } else {
+        val ids = keyCols.map(k => topField(meta, table, k)._2)
+        val matched = readWithDeletes(spark, table, snap, snap.detail)
+          .join(broadcast(keySel), keyCols, "left_semi").count()
+        (keySel, matched, ids)
+      }
+
+    // 1. the delete file (parquet, spec-allowed), via stage-and-rename
+    val staging = new Path(root, s".staging-del-s$snapId")
+    deleteRowsDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = f.listStatus(staging).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("delete-file write produced no part file"))
+    val delRel = f"data/delete-$snapId%05d-0.parquet"
+    f.mkdirs(dataDir(table))
+    require(f.rename(part, new Path(root, delRel)), "delete-file rename failed")
+    f.delete(staging, true)
+    val delLen = f.getFileStatus(new Path(root, delRel)).getLen
+
+    // 2. the DELETE manifest (content routed at the list level AND the
+    //    entry level, sequence number explicit)
+    val dfSchema = DeleteManifestEntrySchema.getField("data_file").schema()
+    val eqArr: AnyRef =
+      if (eqIds.isEmpty) null
+      else {
+        val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+        val a = new GenericData.Array[Integer](eqIds.size, arrSchema)
+        eqIds.foreach(i => a.add(Int.box(i)))
+        a
+      }
+    val entry = record(DeleteManifestEntrySchema)(
+      "status" -> 1, "snapshot_id" -> snapId, "sequence_number" -> snapId,
+      "data_file" -> record(dfSchema)(
+        "content" -> (if (equality) 2 else 1),
+        "file_path" -> delRel, "file_format" -> "PARQUET",
+        "partition" -> record(dfSchema.getField("partition").schema())(),
+        "record_count" -> (if (equality) nRows else nRows),
+        "file_size_in_bytes" -> delLen,
+        "equality_ids" -> eqArr))
+    val manifestRel = f"metadata/m-$snapId%05d-del.avro"
+    val manifestLen = writeAvro(f, new Path(root, manifestRel),
+      DeleteManifestEntrySchema, Seq(entry),
+      Map("format-version" -> "2", "content" -> "deletes"))
+
+    // 3. new manifest list: every prior manifest carried (content/seq
+    //    preserved) + the delete manifest
+    val curList = prevSnaps.find(_.get("snapshot-id").asLong() ==
+      meta.get("current-snapshot-id").asLong())
+      .map(_.get("manifest-list").asText())
+      .getOrElse(sys.error(s"$table: current snapshot has no manifest list"))
+    val carried = readAvro(f, new Path(resolvePath(table, curList))).map(r =>
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
+    val listRel = f"metadata/snap-$snapId%05d.avro"
+    val listRows = (carried :+ (manifestRel, manifestLen, 1, snapId)).map {
+      case (p, len, content, seq) => record(ManifestListSchemaV2)(
+        "manifest_path" -> p, "manifest_length" -> len,
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "added_snapshot_id" -> snapId)
+    }
+    writeAvro(f, new Path(root, listRel), ManifestListSchemaV2, listRows,
+      Map("format-version" -> "2"))
+
+    // 4. new metadata: the previous version with a delete snapshot
+    //    appended (schema untouched — a delete never evolves it)
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("format-version", 2)
+    newMeta.put("last-sequence-number", snapId)
+    newMeta.put("current-snapshot-id", snapId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", snapId)
+    snapNode.put("parent-snapshot-id", snap.snapshotId)
+    snapNode.put("timestamp-ms", 0L)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "delete")
+    summary.put("added-delete-files", "1")
+    snapNode.set[ObjectNode]("summary", summary)
+    snapNode.put("manifest-list", listRel)
+    Option(meta.get("current-schema-id"))
+      .foreach(id => snapNode.put("schema-id", id.asInt()))
+    newMeta.withArray[ArrayNode]("snapshots").add(snapNode)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L)
+    logEntry.put("snapshot-id", snapId)
+    newMeta.withArray[ArrayNode]("snapshot-log").add(logEntry)
+    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(newMeta))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)),
+      s"metadata rename failed: v$metaV")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    DeleteStats(snapId, 1, nRows)
   }
 
   /** Incremental consumption (the format's append-changelog surface):

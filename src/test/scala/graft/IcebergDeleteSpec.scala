@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.IcebergLite
+
+/** Iceberg v2 row-level deletes (position + equality delete files) — the
+  * r11 verdict's #3 gap: DELETE manifests are now a read path, not a
+  * refusal. Covers write→read round trips for both delete kinds,
+  * sequence-number applicability (late inserts survive earlier equality
+  * deletes), merge-on-read ≡ copy-on-write parity, interaction with
+  * time travel, bounds-pruned reads, compaction fold-in, and snapshot
+  * expiration of delete files.
+  */
+class IcebergDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_iceberg_del").toString + "/t"
+
+  test("positional deleteRows hides rows without touching data files; " +
+    "time travel still sees them; repeat delete doesn't re-count") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 60L).map(k => (k, s"r$k")).toDF("k", "s").repartition(2))
+    val before = IcebergLite.snapshot(spark, t)
+    val sizes = before.detail.map(_.sizeBytes)
+
+    val st = IcebergLite.deleteRows(spark, t,
+      Seq(5L, 17L, 40L).toDF("k"), Seq("k"))
+    assert(st.rowsDeleted == 3L && st.deleteFiles == 1)
+    val after = IcebergLite.snapshot(spark, t)
+    assert(after.files.toSet == before.files.toSet,
+      "data file set must be untouched")
+    assert(after.detail.map(_.sizeBytes) == sizes)
+    assert(after.deletes.size == 1 && after.deletes.head.content == 1)
+
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+      == (0L until 60L).toSet -- Set(5L, 17L, 40L))
+    // time travel to the pre-delete snapshot
+    assert(IcebergLite.read(spark, t, Some(before.snapshotId)).count() == 60L)
+    // deleting an already-dead row counts only the live one
+    val st2 = IcebergLite.deleteRows(spark, t, Seq(5L, 6L).toDF("k"), Seq("k"))
+    assert(st2.rowsDeleted == 1L)
+    assert(IcebergLite.read(spark, t).count() == 56L)
+  }
+
+  test("positional deleteRows refuses past maxDeleteRows, table untouched") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, (0L until 50L).toDF("k"))
+    val v = IcebergLite.snapshot(spark, t).snapshotId
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.deleteRows(spark, t, (0L until 40L).toDF("k"), Seq("k"),
+        maxDeleteRows = 8)
+    }
+    assert(e.getMessage.contains("selectiveMerge"))
+    assert(IcebergLite.snapshot(spark, t).snapshotId == v)
+    assert(IcebergLite.read(spark, t).count() == 50L)
+  }
+
+  test("equality deleteRows: O(batch) write, strict-ordering semantics — " +
+    "a key re-inserted AFTER the delete survives it") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "s"))
+    val st = IcebergLite.deleteRows(spark, t,
+      Seq(3L, 9L).toDF("k"), Seq("k"), equality = true)
+    assert(st.rowsDeleted == 2L, "matched-row accounting")
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+      == (0L until 20L).toSet -- Set(3L, 9L))
+    // re-insert key 3 in a LATER append: its data sequence number is
+    // larger than the delete's, so the strict < rule keeps it
+    IcebergLite.commit(spark, t, Seq((3L, "reborn")).toDF("k", "s"))
+    val out = IcebergLite.read(spark, t)
+      .filter(col("k") === 3L).select("s").as[String].collect().toSeq
+    assert(out == Seq("reborn"),
+      s"late insert must survive the earlier equality delete, got $out")
+    assert(IcebergLite.read(spark, t).count() == 19L)
+  }
+
+  test("merge-on-read parity: positional delete ≡ copy-on-write rewrite " +
+    "of the same table, row for row") {
+    val src = (0L until 200L).map(k => (k, k % 7, s"p$k"))
+      .toDF("id", "grp", "payload")
+    val victims = Seq(8L, 64L, 125L, 199L).toDF("id")
+    // merge-on-read
+    val t1 = newTable()
+    IcebergLite.commit(spark, t1, src.repartitionByRange(4, col("id")))
+    IcebergLite.deleteRows(spark, t1, victims, Seq("id"))
+    // copy-on-write (rewrite files without the rows, via selectiveMerge
+    // of the surviving slice — here simply a fresh table minus victims)
+    val t2 = newTable()
+    IcebergLite.commit(spark, t2,
+      src.join(broadcast(victims), Seq("id"), "left_anti")
+        .repartitionByRange(4, col("id")))
+    val a = IcebergLite.read(spark, t1).orderBy("id").collect().toSeq
+    val b = IcebergLite.read(spark, t2).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("deletes compose with bounds-pruned reads and fold into " +
+    "compaction; expired delete files are reaped") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 80L).map(k => (k, s"x$k")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    IcebergLite.deleteRows(spark, t, Seq(10L, 30L, 70L).toDF("k"), Seq("k"))
+    // bounds pruning still skips files AND applies the masks
+    val scan = IcebergLite.readWhere(spark, t, "k", 0L, 19L)
+    assert(scan.filesSkipped > 0)
+    assert(scan.df.select("k").as[Long].collect().toSet
+      == (0L until 20L).toSet - 10L)
+    // compaction reads THROUGH the masks and drops the delete manifest
+    IcebergLite.optimizeCompact(spark, t, targetFiles = 1)
+    val s = IcebergLite.snapshot(spark, t)
+    assert(s.deletes.isEmpty, "compaction must fold deletes in")
+    assert(IcebergLite.read(spark, t).count() == 77L)
+    // expire history: the delete file (now unreferenced) is reaped
+    val victims = IcebergLite.expireSnapshots(spark, t, retainSnapshots = 1)
+    assert(victims.exists(_.contains("delete-")),
+      s"expected the delete file among $victims")
+    assert(IcebergLite.read(spark, t).count() == 77L)
+  }
+
+  test("selectiveMerge on a table with live deletes folds the masks " +
+    "into the rewritten files only") {
+    val t = newTable()
+    val src = (0L until 100L).map(k => (k, k.toDouble)).toDF("k", "v")
+    IcebergLite.commit(spark, t, src.repartitionByRange(4, col("k")))
+    IcebergLite.deleteRows(spark, t, Seq(2L, 98L).toDF("k"), Seq("k"))
+    val updates = Seq((3L, 333.0)).toDF("k", "v")
+    val ms = IcebergLite.selectiveMerge(spark, t, updates, Seq("k"))
+    assert(ms.filesSkipped > 0)
+    val out = IcebergLite.read(spark, t)
+    assert(out.count() == 98L, "deleted rows must not resurrect")
+    assert(out.filter(col("k") === 3L).select("v").as[Double].head() == 333.0)
+    assert(out.filter(col("k") === 2L).count() == 0L)
+  }
+}

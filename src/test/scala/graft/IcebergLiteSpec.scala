@@ -395,16 +395,18 @@ class IcebergLiteSpec extends SparkSpec {
     assert(ms.filesRewritten >= 1)
   }
 
-  test("refusal paths: format-version 3 and delete manifests fail loudly") {
+  test("refusal path: format-version 3 (row lineage) fails loudly") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
     // corrupt a copy of the metadata into v3 and publish it as the next
-    // version — the reader must refuse rather than guess
+    // version — the reader must refuse rather than guess (commits write
+    // v2 since r12; delete manifests are a READ path now, see
+    // IcebergDeleteSpec)
     val metaPath = java.nio.file.Paths.get(t, "metadata")
     val v1 = new String(java.nio.file.Files.readAllBytes(
       metaPath.resolve("v1.metadata.json")))
     java.nio.file.Files.write(metaPath.resolve("v2.metadata.json"),
-      v1.replace("\"format-version\" : 1", "\"format-version\" : 3").getBytes)
+      v1.replace("\"format-version\" : 2", "\"format-version\" : 3").getBytes)
     java.nio.file.Files.write(metaPath.resolve("version-hint.text"), "2".getBytes)
     val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
     assert(e.getMessage.contains("format-version 3"))
