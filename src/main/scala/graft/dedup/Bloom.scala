@@ -25,17 +25,29 @@ import graft.Tables
   *
   * Scale shape: the build is per-partition bitmaps OR-folded (executor
   * and driver state = m/8 bytes, shuffle = nPartitions × m/8 — never the
-  * keys); the probe side embeds the bitmap as a plan literal (fine to
-  * ~10⁷ history keys at the 2^26-bit clamp). Past that, shard the filter
-  * by key range — each executor tests against its shard — or promote the
-  * probe to a broadcast-variable native Expression; the probe arithmetic
-  * is unchanged either way.
+  * keys). Two probe paths, same arithmetic:
+  *  - [[contains]] embeds the bitmap as a plan LITERAL — fine to the
+  *    2^26-bit clamp (~10⁷ history keys) where codegen'd literals stay
+  *    cheap to compile;
+  *  - [[containsBroadcast]] ships the SAME words as a broadcast variable
+  *    probed by a native expression ([[BitsetAllSet]]) — the bitmap
+  *    crosses the wire once per executor, never enters the plan text,
+  *    and the ceiling moves to executor memory: 2^30 bits = 128 MB
+  *    serves ~10⁸ history keys at the 16·n sizing, ~10⁹ at load 2
+  *    (k=4 → ~6 % false positives — still usable as a pre-filter).
+  * [[dedupBloom]] (C45) rides the broadcast path, so the production
+  * probe is the oracle-gated one.
   */
 object Bloom {
 
   private[graft] val BloomK = 4
   private[graft] val MinBloomBits = 16
   private[graft] val MaxBloomBits = 26
+  /** The broadcast-probe clamp: per-executor bitmap memory = 2^b/8
+    * bytes (128 MB at 30) — the build's per-task OR-fold state is the
+    * same size, which is the real bound at 1000-executor scale.
+    */
+  private[graft] val MaxBroadcastBloomBits = 30
 
   /** Smallest power-of-two m with m ≥ 16·n (load kn/m ≤ 0.25 at k=4 →
     * ~0.2 % false positives), clamped to [2^min, 2^max] like
@@ -119,6 +131,27 @@ object Bloom {
     coalesce(hit, lit(false))
   }
 
+  /** [[contains]] with the bitmap as a BROADCAST VARIABLE instead of a
+    * plan literal — the probe path past the literal clamp: positions stay
+    * the identical codegen'd md5-uniform Columns (so the DuckDB oracle
+    * replays unchanged), and the word lookups happen inside
+    * [[BitsetAllSet]], a native expression that resolves the broadcast
+    * once per task. Null keys read "not seen", matching [[contains]].
+    */
+  def containsBroadcast(words: Array[Long], key: Column, mBits: Int,
+                        k: Int = BloomK, salt: String = "bloom")
+                       (implicit spark: SparkSession): Column = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1 &&
+      mBits <= (1 << MaxBroadcastBloomBits),
+      s"mBits must be a power of two in [64, 2^$MaxBroadcastBloomBits], got $mBits")
+    require(words.length == (mBits >>> 6),
+      s"bitmap has ${words.length} words, expected ${mBits >>> 6}")
+    val bc = spark.sparkContext.broadcast(words)
+    org.apache.spark.sql.GraftColumnBridge.column(BitsetAllSet(
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        array(positions(key, mBits, k, salt): _*)), bc))
+  }
+
   /** positions()' exactness argument (power-of-two scaling) and the
     * word indexing both require m = 2^b with at least one word.
     */
@@ -135,24 +168,29 @@ object Bloom {
     * set-membership in DuckDB — false positives and all.
     */
   def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
     val docs = Tables.documents(s, dir)
     val hist = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
-    val mBits = 1 << bloomBitsFor(hist.count())
+    // sized under the BROADCAST clamp (the production path since r12 —
+    // the plan-literal clamp only governs [[contains]] callers)
+    val mBits = 1 << bloomBitsFor(hist.count(),
+      maxBits = MaxBroadcastBloomBits)
     val words = build(hist, col("text"), mBits)
     val histTexts = hist.select("text").distinct()
       .withColumn("__seen", lit(1))
     batch
       .join(broadcast(histTexts), Seq("text"), "left")
       .select(col("doc_id"),
-        contains(words, col("text"), mBits).as("maybe_seen"),
+        containsBroadcast(words, col("text"), mBits).as("maybe_seen"),
         col("__seen").isNotNull.as("seen_exact"))
       .orderBy("doc_id")
   }
 
   val dedupBloomOracle: String = {
     import graft.pipeline.Mix.uniformSql
-    val bits = bloomBitsSqlCase("(SELECT COUNT(*) FROM hist)")
+    val bits = bloomBitsSqlCase("(SELECT COUNT(*) FROM hist)",
+      maxBits = MaxBroadcastBloomBits)
     def posSelects(src: String, cols: String): String =
       (0 until BloomK).map { i =>
         val u = uniformSql("text", s"bloom:$i")
@@ -172,4 +210,62 @@ object Bloom {
        |FROM batch b JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+}
+
+/** Native expression behind [[Bloom.containsBroadcast]]: true iff EVERY
+  * position in the child long-array is a set bit of the broadcast
+  * bitmap. The words array resolves from the broadcast once per task (a
+  * reference-object call inside the whole-stage span — the BpeTokenCount
+  * pattern), so the bitmap never appears in the plan text and compiles
+  * in O(1) regardless of filter size. A null array or null element (a
+  * null key's probes) reads "not seen" (false), matching the literal
+  * path's `coalesce(hit, false)`.
+  */
+case class BitsetAllSet(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                        bits: org.apache.spark.broadcast.Broadcast[Array[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+
+  def allSet(arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val words = bits.value
+    val m = words.length.toLong << 6
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return false
+      val p = arr.getLong(i)
+      if (p < 0 || p >= m) return false
+      if ((words((p >>> 6).toInt) >>> (p & 63) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) false
+    else allSet(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bitset", this)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+             |${c.code}
+             |boolean ${ev.value} = false;
+             |if (!${c.isNull}) {
+             |  ${ev.value} = $ref.allSet(${c.value});
+             |}
+             |""".stripMargin)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BitsetAllSet =
+    copy(child = newChild)
 }

@@ -78,4 +78,44 @@ class BloomSpec extends SparkSpec {
     // the planted duplicates are all found
     assert(out.count(_._3) == 200)
   }
+
+  test("broadcast probe agrees with the literal probe bit for bit at " +
+    "literal-feasible sizes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val keys = (0L until 3000L).map(k => s"key-$k").toDF("k")
+    val hist = keys.filter(length(col("k")) % 3 =!= 0)
+    val mBits = 1 << 16
+    val words = Bloom.build(hist, col("k"), mBits)
+    val both = keys.select(col("k"),
+        Bloom.contains(words, col("k"), mBits).as("lit"),
+        Bloom.containsBroadcast(words, col("k"), mBits).as("bc"))
+      .as[(String, Boolean, Boolean)].collect()
+    assert(both.forall { case (_, l, b) => l == b },
+      "the two probe paths must be the same function")
+    assert(both.exists(_._2) && both.exists(!_._2))
+  }
+
+  test("a build PAST the 2^26 literal clamp probes correctly through " +
+    "the broadcast expression (no false negatives, sane FP rate)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val mBits = 1 << 27 // 2x the literal clamp; 16 MB of words
+    val n = 20000
+    val hist = (0 until n).map(k => s"seen-$k").toDF("k")
+    val words = Bloom.build(hist, col("k"), mBits)
+    val probes = ((0 until n).map(k => (s"seen-$k", true)) ++
+      (0 until n).map(k => (s"fresh-$k", false))).toDF("k", "inserted")
+    val got = probes.select(col("inserted"),
+        Bloom.containsBroadcast(words, col("k"), mBits).as("maybe"))
+      .as[(Boolean, Boolean)].collect()
+    assert(got.filter(_._1).forall(_._2), "false negative — impossible")
+    val fp = got.filterNot(_._1).count(_._2).toDouble / n
+    // at 2^27 bits / 2·10^4 keys the filter is almost empty — any real
+    // FP rate means the probe or build is broken
+    assert(fp < 0.001, s"false-positive rate $fp at near-zero load")
+    // and the clamp itself is enforced on the probe side (2^31 is past
+    // the broadcast ceiling)
+    intercept[IllegalArgumentException] {
+      Bloom.containsBroadcast(new Array[Long](1 << 25), col("k"), 1 << 31)
+    }
+  }
 }
