@@ -417,6 +417,29 @@ object DeltaLite {
     val prevConf = prev.map(_.configuration).getOrElse(Map.empty)
     val prevMapped = mappingMode(prevConf) != "none"
     val mapped = prevMapped || columnMapping
+    val (tableSchema, writeDf, conf) = resolveWriteFrame(
+      table, df, prev, overwrite, replacing, mapped)
+    val schemaChanged = prev.flatMap(_.schemaJson).exists(j =>
+      stripMapping(DataType.fromJson(j).asInstanceOf[StructType]).json
+        != df.schema.json)
+
+    val named = stageParts(spark, table, writeDf, s"v$v", f"part-$v%05d")
+    publishCommit(spark, table, v, actionsFor(
+      v, overwrite, operation,
+      emitMeta = v == 0L || overwrite || schemaChanged,
+      tableSchema, conf, removed, named))
+    v
+  }
+
+  /** Validation + the (metaData schema, physically-named frame,
+    * configuration) triple shared by [[commit]] and [[commitContended]].
+    */
+  private def resolveWriteFrame(table: String, df: DataFrame,
+                                prev: Option[Snapshot], overwrite: Boolean,
+                                replacing: Option[Seq[String]],
+                                mapped: Boolean)
+      : (StructType, DataFrame, Map[String, String]) = {
+    val prevConf = prev.map(_.configuration).getOrElse(Map.empty)
     val prevSchema: Option[StructType] = prev.flatMap(_.schemaJson)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     // append-time schema drift: ADDITIVE evolution (every existing column
@@ -436,44 +459,58 @@ object DeltaLite {
           s"${missing.map(_.name).mkString(", ")} — only additive " +
           "evolution is allowed on append (overwrite to replace the schema)")
     }
-    // the schema that lands in metaData (mapping metadata attached), the
-    // frame actually written (physical names), and the configuration
-    val (tableSchema, writeDf, conf): (StructType, DataFrame, Map[String, String]) =
-      if (!mapped) (df.schema, df, Map.empty)
-      else {
-        val startId = prevConf.get(MaxColumnIdKey).map(_.toInt).getOrElse(0)
-        val keepPrev = prevSchema.filter(_ => !overwrite || replacing.isDefined)
-        val (ls, maxId) = mappedLogicalSchema(df.schema, keepPrev, startId)
-        val ps = physicalSchema(ls)
-        val physDf = df.select(ls.fields.zip(ps.fields).map {
-          case (lf, pf) => toLogical(df(s"`${lf.name}`"), lf.dataType,
-            pf.dataType).as(pf.name)
-        }.toIndexedSeq: _*)
-        (ls, physDf, Map(MappingModeKey -> "name",
-          MaxColumnIdKey -> maxId.toString))
-      }
+    if (!mapped) (df.schema, df, Map.empty)
+    else {
+      val startId = prevConf.get(MaxColumnIdKey).map(_.toInt).getOrElse(0)
+      val keepPrev = prevSchema.filter(_ => !overwrite || replacing.isDefined)
+      val (ls, maxId) = mappedLogicalSchema(df.schema, keepPrev, startId)
+      val ps = physicalSchema(ls)
+      val physDf = df.select(ls.fields.zip(ps.fields).map {
+        case (lf, pf) => toLogical(df(s"`${lf.name}`"), lf.dataType,
+          pf.dataType).as(pf.name)
+      }.toIndexedSeq: _*)
+      (ls, physDf, Map(MappingModeKey -> "name",
+        MaxColumnIdKey -> maxId.toString))
+    }
+  }
 
-    // land data under a staging dir, then move parts to uuid-named files
-    // at the root (the log, not the directory listing, defines the table)
-    val staging = new Path(root, s".staging-v$v")
+  /** Land `writeDf` under a staging dir, then move parts to
+    * `namePrefix`-named files at the root (the log, not the directory
+    * listing, defines the table). Returns (name, size, statsJson) per
+    * part.
+    */
+  private def stageParts(spark: SparkSession, table: String,
+                         writeDf: DataFrame, stageId: String,
+                         namePrefix: String)
+      : Seq[(String, Long, Option[String])] = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val staging = new Path(root, s".staging-$stageId")
     writeDf.write.mode("overwrite").parquet(staging.toString)
     val parts = f.listStatus(staging).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"part-$v%05d-$i%05d.parquet"
+      val name = f"$namePrefix-$i%05d.parquet"
       require(f.rename(p, new Path(root, name)), s"rename failed: $p")
       (name, f.getFileStatus(new Path(root, name)).getLen,
         fileStatsJson(spark, new Path(root, name)))
     }
     f.delete(staging, true)
+    named
+  }
 
+  /** One commit's NDJSON action block. */
+  private def actionsFor(v: Long, overwrite: Boolean, operation: String,
+                         emitMeta: Boolean, tableSchema: StructType,
+                         conf: Map[String, String], removed: Seq[String],
+                         named: Seq[(String, Long, Option[String])]): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
       .append('\n')
-    if (v == 0L || overwrite || schemaChanged)
+    if (emitMeta)
       sb.append(protocolAndMetaData(v, tableSchema.json, conf))
     removed.foreach { p =>
       val pj = mapper.writeValueAsString(p)
@@ -487,8 +524,125 @@ object DeltaLite {
       sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":$ts,"dataChange":true$statsField}}""")
         .append('\n')
     }
-    publishCommit(spark, table, v, sb.toString)
-    v
+    sb.toString
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit — the multi-writer publish loop the
+    * single-writer contract (object scaladoc) deferred to a commit
+    * service: stage data ONCE (part names carry a writer-unique token,
+    * so two racing writers can never clobber each other's files), then
+    * publish at the current tip + 1 via PUT-IF-ABSENT; on losing the
+    * race, read what the winner(s) committed and decide:
+    *
+    *  - blind APPEND (no `replacing`, no overwrite): always safe —
+    *    rebase to the new tip and re-publish; no data is re-written.
+    *  - OVERWRITE: semantically "replace whatever is current" — rebase
+    *    recomputes the remove set against the new tip and re-publishes;
+    *    the winner's files are explicitly removed, nothing is silently
+    *    lost from the log's perspective.
+    *  - READ-MODIFY-WRITE (`replacing` defined — the selectiveMerge/
+    *    selectiveDelete shape): our rewrite was derived from a snapshot
+    *    that is no longer the tip; if any winning commit CHANGED DATA
+    *    (added or removed files with dataChange), the merge result may
+    *    be stale → ConcurrentModificationException, and the CALLER
+    *    re-runs the read-modify-write against the new tip (the standard
+    *    OCC contract, conflict-checked at file level like Delta's own
+    *    disjoint-files rule). Metadata-only winners (protocol upgrades)
+    *    rebase fine.
+    *
+    * The put-if-absent primitive is [[publishCommitIfAbsent]]:
+    * FileContext.rename with Rename.NONE — atomic no-overwrite on
+    * HDFS-class stores; check-then-rename on the raw local FS, the same
+    * per-store trade the real implementation makes.
+    */
+  def commitContended(spark: SparkSession, table: String, df: DataFrame,
+                      overwrite: Boolean = false, operation: String = "",
+                      replacing: Option[Seq[String]] = None,
+                      columnMapping: Boolean = false,
+                      maxRetries: Int = 5): Long = {
+    val vs0 = versions(spark, table)
+    val prev0: Option[Snapshot] =
+      if (vs0.isEmpty) None else Some(snapshot(spark, table))
+    val mapped = columnMapping ||
+      prev0.exists(p => mappingMode(p.configuration) != "none")
+    val (tableSchema, writeDf, conf) = resolveWriteFrame(
+      table, df, prev0, overwrite, replacing, mapped)
+    // writer-unique part names: content cannot collide across racers
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val named = stageParts(spark, table, writeDf, s"c-$token", s"part-$token")
+
+    var attempt = 0
+    var base = prev0
+    while (attempt <= maxRetries) {
+      val v = base.map(_.version + 1).getOrElse(0L)
+      // read-modify-write liveness: every file this commit replaces must
+      // still be live at the tip — a winner that slipped in BEFORE our
+      // base read (or between retries) invalidates the rewrite even
+      // without a version collision
+      replacing.foreach { r =>
+        val live = base.map(_.files.toSet).getOrElse(Set.empty)
+        if (!r.forall(live.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"$table: files this rewrite replaces are no longer live — " +
+              "re-run the read-modify-write against the new tip")
+      }
+      val removed: Seq[String] = replacing.getOrElse(
+        if (overwrite) base.map(_.files).getOrElse(Nil) else Nil)
+      val schemaChanged = base.flatMap(_.schemaJson).exists(j =>
+        stripMapping(DataType.fromJson(j).asInstanceOf[StructType]).json
+          != df.schema.json)
+      val actions = actionsFor(v, overwrite, operation,
+        emitMeta = v == 0L || overwrite || schemaChanged,
+        tableSchema, conf, removed, named)
+      if (publishCommitIfAbsent(spark, table, v, actions)) return v
+      // lost the race: inspect every commit that beat us
+      val f = fs(spark, logDir(table))
+      val tip = versions(spark, table).last
+      val winnersChangedData = ((v to tip).flatMap { wv =>
+        readActions(f, commitFile(table, wv))
+      }).exists(a =>
+        (a.has("add") && a.get("add").path("dataChange").asBoolean(true)) ||
+          (a.has("remove") && a.get("remove").path("dataChange").asBoolean(true)))
+      if (replacing.isDefined && winnersChangedData)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: version $v was committed concurrently with data " +
+            "changes — re-run the read-modify-write against the new tip")
+      base = Some(snapshot(spark, table))
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: lost the publish race $maxRetries times — giving up")
+  }
+
+  /** Publish version `v` only if no writer has taken it: write to a
+    * writer-unique dot-tmp, then rename WITHOUT overwrite
+    * (FileContext + Rename.NONE — the primitive a filesystem commit
+    * service is built on). Returns false when `v` already exists.
+    */
+  private[graft] def publishCommitIfAbsent(spark: SparkSession, table: String,
+                                           v: Long, actionsNdjson: String): Boolean = {
+    val f = fs(spark, logDir(table))
+    f.mkdirs(logDir(table))
+    val target = commitFile(table, v)
+    if (f.exists(target)) return false
+    val tmp = new Path(logDir(table),
+      s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(actionsNdjson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+      case e: java.io.IOException if f.exists(target) =>
+        f.delete(tmp, false); false
+    }
   }
 
   /** Atomically publish one JSON actions file as version `v` (write to a

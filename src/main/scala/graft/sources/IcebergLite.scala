@@ -900,7 +900,17 @@ object IcebergLite {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              overwrite: Boolean = false, operation: String = "",
              partitionBy: Seq[String] = Nil,
-             replacing: Option[Seq[String]] = None): Long = {
+             replacing: Option[Seq[String]] = None): Long =
+    commitAttempt(spark, table, df, overwrite, operation, partitionBy,
+      replacing, nameToken = None, ifAbsent = false)
+      .getOrElse(sys.error("unreachable: non-contended publish cannot lose"))
+
+  private def commitAttempt(spark: SparkSession, table: String, df: DataFrame,
+                            overwrite: Boolean, operation: String,
+                            partitionBy: Seq[String],
+                            replacing: Option[Seq[String]],
+                            nameToken: Option[String],
+                            ifAbsent: Boolean): Option[Long] = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -912,6 +922,16 @@ object IcebergLite {
       if (prevSnaps.isEmpty) 0L
       else prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
     val metaV = if (vs.isEmpty) 1 else vs.last + 1
+    // contended read-modify-write liveness: the files this commit
+    // replaces must still be live at the tip (a winner landing before
+    // our base read invalidates the rewrite without a CAS collision)
+    if (ifAbsent) replacing.foreach { r =>
+      val live = snapshot(spark, table).files.toSet
+      if (!r.forall(live.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"$table: files this rewrite replaces are no longer live — " +
+            "re-run the read-modify-write against the new tip")
+    }
     val partCols: Seq[StructField] = partitionBy.map(df.schema(_))
     // append-time schema drift: additive evolution only (every existing
     // column kept, same type) — the new metadata's schema governs the
@@ -945,7 +965,8 @@ object IcebergLite {
     //    transform, the dir name carrying the value), then publish under
     //    data/ with snapshot-stamped names (metadata, not the listing,
     //    defines the table)
-    val staging = new Path(root, s".staging-s$snapId")
+    val staging = new Path(root,
+      s".staging-s${nameToken.getOrElse(snapId.toString)}")
     val w0 = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
       .parquet(staging.toString)
@@ -968,10 +989,14 @@ object IcebergLite {
           (fn.get("id").asInt(), df.schema(fn.get("name").asText()).dataType))
         .toMap
     }
+    // contended writers stamp a writer-unique token into part names so
+    // two racers at the same prospective snapshot id can never clobber
+    // each other's data files
+    val partTag = nameToken.getOrElse(f"$snapId%05d")
     val named = leaves(staging, "").zipWithIndex.map { case ((p, relDir), i) =>
       val rel =
-        if (relDir.isEmpty) f"data/part-$snapId%05d-$i%05d.parquet"
-        else f"data/$relDir/part-$snapId%05d-$i%05d.parquet"
+        if (relDir.isEmpty) f"data/part-$partTag-$i%05d.parquet"
+        else f"data/$relDir/part-$partTag-$i%05d.parquet"
       val target = new Path(root, rel)
       f.mkdirs(target.getParent)
       require(f.rename(p, target), s"rename failed: $p")
@@ -1039,7 +1064,7 @@ object IcebergLite {
         entry(1, p, size, rows, relDir, lower, upper) } ++
         removed.map(p => entry(2, p, 0L, 0L, "", Map.empty, Map.empty))
     f.mkdirs(metaDir(table))
-    val manifestRel = f"metadata/m-$snapId%05d-0.avro"
+    val manifestRel = s"metadata/m-$partTag-0.avro"
     val manifestLen = writeAvro(f, new Path(root, manifestRel),
       entrySchema, entries,
       Map("format-version" -> "1", "content" -> "data"))
@@ -1061,7 +1086,7 @@ object IcebergLite {
               opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
         }.getOrElse(Nil)
       }
-    val listRel = f"metadata/snap-$snapId%05d.avro"
+    val listRel = s"metadata/snap-$partTag.avro"
     val listRows = (prevManifests :+ (manifestRel, manifestLen, 0, snapId))
       .map { case (p, len, content, seq) => record(ManifestListSchemaV2)(
         "manifest_path" -> p, "manifest_length" -> len,
@@ -1137,16 +1162,89 @@ object IcebergLite {
     logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
     log.add(logEntry)
 
-    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val tmp = new Path(metaDir(table),
+      s".v$metaV-${nameToken.getOrElse("0")}.metadata.json.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(meta))
     finally out.close()
-    require(f.rename(tmp, metaFile(table, metaV)), s"metadata rename failed: v$metaV")
+    if (ifAbsent) {
+      // the CAS point of the file-system-tables catalog: the immutable
+      // metadata file name IS the version — claim it without overwrite
+      if (!renameIfAbsent(spark, f, tmp, metaFile(table, metaV)))
+        return None
+    } else
+      require(f.rename(tmp, metaFile(table, metaV)),
+        s"metadata rename failed: v$metaV")
     val hint = f.create(hintFile(table), true)
     try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
-    snapId
+    Some(snapId)
+  }
+
+  /** Rename WITHOUT overwrite (FileContext + Rename.NONE — atomic
+    * no-overwrite on HDFS-class stores; check-then-rename on the raw
+    * local FS). False when the destination already exists.
+    */
+  private def renameIfAbsent(spark: SparkSession, f: FileSystem,
+                             src: Path, dst: Path): Boolean = {
+    if (f.exists(dst)) { f.delete(src, false); return false }
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(src), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(src, false); false
+      case _: java.io.IOException if f.exists(dst) =>
+        f.delete(src, false); false
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit for the file-system-tables catalog —
+    * the multi-writer loop the single-writer contract (object scaladoc)
+    * deferred: every attempt stamps a writer-unique token into data,
+    * manifest, and list names (racers can never clobber each other's
+    * files), and the immutable `v<N>.metadata.json` claim is the CAS —
+    * [[renameIfAbsent]]. On losing:
+    *  - blind APPEND / OVERWRITE: rebase — metadata is rebuilt against
+    *    the new tip and re-published (appends keep the winner's
+    *    manifests; overwrite tombstones the winner's files explicitly).
+    *    Data written by the lost attempt is re-staged (Iceberg commits
+    *    derive manifests during staging; conflicts are rare, and the
+    *    orphaned parts of a lost attempt are unreferenced debris no
+    *    snapshot names).
+    *  - READ-MODIFY-WRITE (`replacing` defined): the rewrite was
+    *    computed against a stale tip — ConcurrentModificationException;
+    *    the caller re-runs the merge (the same file-level OCC contract
+    *    as DeltaLite.commitContended).
+    */
+  def commitContended(spark: SparkSession, table: String, df: DataFrame,
+                      overwrite: Boolean = false, operation: String = "",
+                      partitionBy: Seq[String] = Nil,
+                      replacing: Option[Seq[String]] = None,
+                      maxRetries: Int = 5): Long = {
+    val baseV: Option[Int] = versions(spark, table).lastOption
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      commitAttempt(spark, table, df, overwrite, operation, partitionBy,
+        replacing, nameToken = Some(token), ifAbsent = true) match {
+        case Some(id) => return id
+        case None =>
+          if (replacing.isDefined)
+            throw new java.util.ConcurrentModificationException(
+              s"$table: a concurrent commit won the race — re-run the " +
+                "read-modify-write against the new tip")
+          attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: lost the publish race $maxRetries times (base " +
+        s"version $baseV) — giving up")
   }
 
   /** What [[selectiveMerge]] did — `filesSkipped` is the table volume a
