@@ -153,21 +153,23 @@ object DeltaLite {
       // tombstones for VACUUM, not part of the live file set). Foreign
       // checkpoints may carry per-file deletionVector structs.
       if (cols.contains("add")) {
-        val hasDv = cp.schema("add").dataType match {
-          case st: StructType => st.fieldNames.contains("deletionVector")
-          case _              => false
+        val addFields = cp.schema("add").dataType match {
+          case st: StructType => st.fieldNames.toSet
+          case _              => Set.empty[String]
         }
-        if (hasDv)
-          cp.selectExpr("add.path", "to_json(add.deletionVector)").collect()
-            .foreach { r =>
-              Option(r.getString(0)).foreach { p =>
-                files += p
-                Option(r.getString(1)).foreach(dvs(p) = _)
-              }
-            }
-        else
-          cp.select("add.path").collect()
-            .flatMap(r => Option(r.getString(0))).foreach(files += _)
+        val statsSel =
+          if (addFields.contains("stats")) "add.stats"
+          else "CAST(NULL AS STRING)"
+        val dvSel =
+          if (addFields.contains("deletionVector")) "to_json(add.deletionVector)"
+          else "CAST(NULL AS STRING)"
+        cp.selectExpr("add.path", statsSel, dvSel).collect().foreach { r =>
+          Option(r.getString(0)).foreach { p =>
+            files += p
+            Option(r.getString(1)).foreach(stats(p) = _)
+            Option(r.getString(2)).foreach(dvs(p) = _)
+          }
+        }
       }
     }
 
@@ -1443,25 +1445,47 @@ object DeltaLite {
   def checkpoint(spark: SparkSession, table: String): Long = {
     import spark.implicits._
     val s = snapshot(spark, table)
-    // the minimal checkpoint schema written here carries neither
-    // deletionVector structs nor configuration — checkpointing would
-    // silently UNDELETE masked rows / lose the mapping mode on the next
-    // bootstrap. Refused until those columns are written; log replay
-    // (bounded by action count) covers such tables meanwhile.
-    require(s.dvs.isEmpty && mappingMode(s.configuration) == "none",
-      s"$table: checkpointing a deletion-vector/column-mapped table is " +
-        "unsupported — the minimal checkpoint schema cannot express it")
     val f = fs(spark, logDir(table))
     val schemaJson = s.schemaJson.getOrElse(
       sys.error(s"$table: no metaData in log"))
-    // one row per action, null-struct elsewhere — the checkpoint schema
-    val rows = s.files.map(p => (Option(p), Option.empty[String])) :+
-      ((Option.empty[String], Option(schemaJson)))
-    val cp = rows.toDF("addPath", "schemaString")
+    // one row per action, null-struct elsewhere. The add struct carries
+    // stats AND the deletionVector descriptor; metaData carries the
+    // configuration (column-mapping mode); protocol carries the reader
+    // version + features the snapshot requires — so a bootstrap loses
+    // nothing: masked rows stay masked, mapped names stay mapped,
+    // skipping stats survive.
+    val confJson = "{" + s.configuration.toSeq.sortBy(_._1).map {
+      case (k, v) => s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+    }.mkString(",") + "}"
+    val needsDv = s.dvs.nonEmpty
+    val mapped = mappingMode(s.configuration) != "none"
+    val minReader = if (needsDv) 3 else if (mapped) 2 else 1
+    val features: Seq[String] =
+      if (needsDv) Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil)
+      else Nil
+    val rows = s.files.map(p => (Option(p), s.stats.get(p), s.dvs.get(p),
+        Option.empty[String], Option.empty[String])) :+
+      ((Option.empty[String], Option.empty[String], Option.empty[String],
+        Option(schemaJson), Option(confJson)))
+    val cp = rows
+      .toDF("addPath", "addStats", "dvJson", "schemaString", "confJson")
       .selectExpr(
-        "CASE WHEN addPath IS NOT NULL THEN named_struct('path', addPath) END AS add",
-        "CASE WHEN schemaString IS NOT NULL THEN named_struct('schemaString', schemaString) END AS metaData",
-        "CAST(NULL AS STRUCT<minReaderVersion: INT>) AS protocol")
+        """CASE WHEN addPath IS NOT NULL THEN named_struct(
+          |  'path', addPath, 'stats', addStats,
+          |  'deletionVector', from_json(dvJson,
+          |    'storageType STRING, pathOrInlineDv STRING, offset INT, sizeInBytes INT, cardinality BIGINT'))
+          |END AS add""".stripMargin,
+        """CASE WHEN schemaString IS NOT NULL THEN named_struct(
+          |  'schemaString', schemaString,
+          |  'configuration', from_json(confJson, 'MAP<STRING, STRING>'))
+          |END AS metaData""".stripMargin,
+        s"""CASE WHEN schemaString IS NOT NULL THEN named_struct(
+           |  'minReaderVersion', $minReader,
+           |  'readerFeatures', ${
+          if (features.isEmpty) "CAST(NULL AS ARRAY<STRING>)"
+          else features.map(x => s"'$x'").mkString("array(", ", ", ")")
+        })
+           |END AS protocol""".stripMargin)
     val target = checkpointFile(table, s.version)
     val staging = new Path(logDir(table), s".cp-staging-${s.version}")
     cp.coalesce(1).write.mode("overwrite").parquet(staging.toString)

@@ -141,10 +141,34 @@ class DeletionVectorSpec extends SparkSpec {
       "superseded DV sidecar should be reaped")
     assert(DeltaLite.read(spark, t).count() == 28L,
       "vacuum must not break the live snapshot's DV")
-    // checkpoint refuses while DVs are live (the minimal checkpoint
-    // schema cannot express them)
-    val e = intercept[IllegalArgumentException](DeltaLite.checkpoint(spark, t))
-    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("checkpoint round-trips DV masks, column mapping, protocol " +
+    "features, and add-stats — a bootstrap loses nothing") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      (0L until 50L).map(k => (k, s"v$k")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")), columnMapping = true)
+    DeltaLite.deleteVectors(spark, t, Seq(7L, 8L).toDF("id"), Seq("id"))
+    DeltaLite.checkpoint(spark, t)
+    // bootstrap proof: the JSON commits BEFORE the checkpoint version
+    // are not needed anymore — delete them and read again (the
+    // checkpoint version's own JSON stays as the version marker, the
+    // protocol's retention shape)
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    java.nio.file.Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "payload"),
+      "mapping must survive the checkpoint")
+    assert(out.select("id").as[Long].collect().toSet
+      == (0L until 50L).toSet -- Set(7L, 8L),
+      "DV masks must survive the checkpoint")
+    // add-stats survive too: a key-range read still skips files
+    val scan = DeltaLite.readWhere(spark, t, "id", 0L, 9L)
+    assert(scan.filesSkipped > 0, "bootstrapped stats must still prune")
+    // appends replay on top of the bootstrap
+    DeltaLite.commit(spark, t, Seq((100L, "tail")).toDF("id", "payload"))
+    assert(DeltaLite.read(spark, t).count() == 49L)
   }
 
   test("shallowClone carries DV masks (u-descriptors re-anchor to the " +
