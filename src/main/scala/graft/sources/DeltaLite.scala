@@ -617,9 +617,8 @@ object DeltaLite {
   }
 
   /** Publish version `v` only if no writer has taken it: write to a
-    * writer-unique dot-tmp, then rename WITHOUT overwrite
-    * (FileContext + Rename.NONE — the primitive a filesystem commit
-    * service is built on). Returns false when `v` already exists.
+    * writer-unique dot-tmp, then claim the final name atomically —
+    * [[atomicClaim]]. Returns false when `v` already exists.
     */
   private[graft] def publishCommitIfAbsent(spark: SparkSession, table: String,
                                            v: Long, actionsNdjson: String): Boolean = {
@@ -632,17 +631,43 @@ object DeltaLite {
     val out = f.create(tmp, true)
     try out.write(actionsNdjson.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    atomicClaim(spark, f, tmp, target)
+  }
+
+  /** Atomically give `tmp`'s content the name `dst`, failing (false) if
+    * `dst` exists — the put-if-absent primitive a filesystem commit
+    * service is built on. On `file:` stores this is a HARD LINK
+    * (link(2) fails EEXIST atomically — a check-then-rename would race,
+    * which a latch-aligned spec actually caught); on HDFS-class stores
+    * it is FileContext rename with Rename.NONE, atomic no-overwrite by
+    * the store's own contract. `tmp` is always removed.
+    */
+  private[graft] def atomicClaim(spark: SparkSession, f: FileSystem,
+                                 tmp: Path, dst: Path): Boolean = {
+    val qualified = f.makeQualified(dst)
+    val isLocal = qualified.toUri.getScheme match {
+      case null | "file" => true
+      case _             => false
+    }
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        target.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.NONE)
+      if (isLocal) {
+        val srcNio = java.nio.file.Paths.get(
+          f.makeQualified(tmp).toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(qualified.toUri.getPath)
+        java.nio.file.Files.createLink(dstNio, srcNio)
+        f.delete(tmp, false)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          qualified.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.NONE)
+      }
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
         f.delete(tmp, false); false
-      case e: java.io.IOException if f.exists(target) =>
+      case _: java.io.IOException if f.exists(dst) =>
         f.delete(tmp, false); false
     }
   }

@@ -1182,26 +1182,14 @@ object IcebergLite {
     Some(snapId)
   }
 
-  /** Rename WITHOUT overwrite (FileContext + Rename.NONE — atomic
-    * no-overwrite on HDFS-class stores; check-then-rename on the raw
-    * local FS). False when the destination already exists.
+  /** Atomic put-if-absent claim of `dst` — shared primitive with
+    * DeltaLite ([[DeltaLite.atomicClaim]]: hard link on `file:` stores,
+    * Rename.NONE elsewhere). False when the destination already exists.
     */
   private def renameIfAbsent(spark: SparkSession, f: FileSystem,
                              src: Path, dst: Path): Boolean = {
     if (f.exists(dst)) { f.delete(src, false); return false }
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(src), fc.makeQualified(dst),
-        org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        f.delete(src, false); false
-      case _: java.io.IOException if f.exists(dst) =>
-        f.delete(src, false); false
-    }
+    DeltaLite.atomicClaim(spark, f, src, dst)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for the file-system-tables catalog —
