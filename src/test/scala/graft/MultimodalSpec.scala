@@ -152,4 +152,81 @@ class MultimodalSpec extends SparkSpec {
     // a far-off one — never a 0-distance pair
     assert(rows(3L).forall(_._2 > 0))
   }
+
+  test("AVI round trip: real RIFF write -> chunk-walk read recovers " +
+    "header fields and every frame's formula pixels") {
+    val id = 11L
+    val avi = Multimodal.Codecs.decodeAvi(Multimodal.Codecs.encodeAvi(id))
+    val (w, h) = Multimodal.Codecs.imageDims(id)
+    assert((avi.width, avi.height) == (w, h))
+    assert(avi.totalFrames == Multimodal.Codecs.nVideoFrames(id))
+    assert(avi.frames.size == avi.totalFrames)
+    avi.frames.zipWithIndex.foreach { case (fb, f) =>
+      val seed = Multimodal.Codecs.frameSeed(id, f)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb))
+      assert((img.getWidth, img.getHeight) == (w, h),
+        "frames render at the VIDEO's dims, not the seed's")
+      val rgb = img.getRGB(3, 2)
+      val (r, g, b) = Multimodal.Codecs.pixel(seed, 3, 2)
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) == (r, g, b))
+    }
+  }
+
+  test("AVI reader is index-independent and refuses non-AVI bytes") {
+    val id = 7L
+    val full = Multimodal.Codecs.encodeAvi(id)
+    // drop the trailing idx1 chunk (16·nf + 8 bytes): stream order is
+    // normative, the index is a player optimization
+    val nf = Multimodal.Codecs.nVideoFrames(id)
+    val truncated = full.dropRight(16 * nf + 8)
+    val avi = Multimodal.Codecs.decodeAvi(truncated)
+    assert(avi.frames.size == nf)
+    intercept[IllegalArgumentException] {
+      Multimodal.Codecs.decodeAvi("definitely not a RIFF".getBytes)
+    }
+  }
+
+  test("video fingerprint: stride sampling arithmetic, determinism, and " +
+    "majority-vote robustness to a minority of swapped frames") {
+    val id = 14L // nf = 6 + 14%4 = 8 -> samples frames 0,2,4,6
+    val frames = Multimodal.Codecs.decodeAvi(
+      Multimodal.Codecs.encodeAvi(id)).frames
+    val fp = Multimodal.Codecs.videoFingerprint(frames)
+    assert(fp == Multimodal.Codecs.videoFingerprint(frames), "deterministic")
+    // stride 2 ignores odd frames entirely: corrupting one changes nothing
+    val oddSwapped = frames.updated(1, frames(3))
+    assert(Multimodal.Codecs.videoFingerprint(oddSwapped) == fp)
+    // replacing ONE sampled frame of four moves at most the bits where
+    // the vote was 2-2 or 3-1 around that frame — strictly fewer than a
+    // full re-hash; an unrelated video's fingerprint is far away
+    val oneSampledSwapped = frames.updated(2,
+      Multimodal.Codecs.encodePngSized(999999L, 16, 16))
+    val moved = java.lang.Long.bitCount(
+      fp ^ Multimodal.Codecs.videoFingerprint(oneSampledSwapped))
+    assert(moved < 32, s"one frame of four moved $moved bits")
+    val other = Multimodal.Codecs.videoFingerprint(
+      Multimodal.Codecs.decodeAvi(Multimodal.Codecs.encodeAvi(900L)).frames)
+    assert(java.lang.Long.bitCount(fp ^ other) > 3,
+      "unrelated videos must not collide within the dup threshold")
+  }
+
+  test("mm_video_dedup: identical formula videos pair at hamming 0") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mmvd").toString
+    // Δ = 3·4·lcm(256,17,13) = 678912: same dims, same frame count,
+    // every per-frame seed shifted by a multiple of 256 -> identical
+    // pixels -> identical fingerprints (doc_id % 3 == 2 both)
+    Seq((2L, "x", "en", "s", 1L), (2L + 678912L, "y", "en", "s", 1L),
+      (5L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.mmVideoDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2), r.getBoolean(3)))))
+      .toMap
+    assert(rows(2L).contains((2L + 678912L, 0, true)))
+    assert(rows(2L + 678912L).contains((2L, 0, true)))
+    assert(rows(5L).forall(_._2 > 0))
+  }
 }

@@ -44,6 +44,8 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cc_dense", // same kernel, denser buckets
       "mm_image_dedup",   // codec mapPartitions + checkpointed block table
       "mm_audio_dedup",   // same: javax.sound decode runs in mapPartitions
+      "mm_video_dedup",   // same: AVI parse + frame dHash in mapPartitions
+      "mm_video_frames",  // same codec rung, per-sampled-frame features
       "text_topk_sketch", // per-partition Misra-Gries pass is imperative
       "dedup_semantic_cc") // checkpointed label-propagation rounds
     SparkEntry.queries.keys.foreach { name =>
