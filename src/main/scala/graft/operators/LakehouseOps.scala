@@ -969,6 +969,52 @@ object LakehouseOps {
   // formats, one recomputation)
   val dbaIcebergDvOracle: String = dbaDeltaDvOracle
 
+  // ---------------------------------------------------------------- B23
+  /** Zero-copy format conversion BOTH ways (the `CONVERT TO` / UniForm
+    * verb, graft.sources.FormatConvert): orders lands in a DeltaLite
+    * table and is converted — metadata only, not a byte of data moved —
+    * to an Iceberg table whose manifests reference the SAME parquet
+    * files; the mirror leg lands orders in IcebergLite and converts to
+    * Delta the same way. The query rolls up each CONVERTED table
+    * through the DESTINATION format's reader, so the oracle hash-checks
+    * both conversion directions end to end: schema translation, file
+    * referencing, and the destination reader's scan of foreign-written
+    * files. Skipping stats are recomputed from the footers at
+    * conversion (spec pins that readWhere still prunes on both
+    * converted tables).
+    */
+  def dbaConvertRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_convert").toString
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, s"$base/d1",
+      ord.repartitionByRange(4, col("o_orderkey")))
+    graft.sources.FormatConvert.deltaToIceberg(s, s"$base/d1", s"$base/i1")
+    graft.sources.IcebergLite.commit(s, s"$base/i2",
+      ord.repartitionByRange(4, col("o_orderkey")))
+    graft.sources.FormatConvert.icebergToDelta(s, s"$base/i2", s"$base/d2")
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("direction", lit(v))
+    roll(graft.sources.IcebergLite.read(s, s"$base/i1"), 0L)
+      .unionByName(roll(graft.sources.DeltaLite.read(s, s"$base/d2"), 1L))
+      .select("direction", "o_orderstatus", "n", "total")
+      .orderBy("direction", "o_orderstatus")
+  }
+
+  val dbaConvertRoundtripOracle: String =
+    """SELECT direction, o_orderstatus, n, total FROM (
+      |  SELECT 0 AS direction, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1 AS direction, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2) t
+      |ORDER BY direction, o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1038,7 +1084,8 @@ object LakehouseOps {
     "dba_zorder_skipping" -> (dbaZorderSkipping _),
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
     "dba_delta_dv"        -> (dbaDeltaDv _),
-    "dba_iceberg_dv"      -> (dbaIcebergDv _))
+    "dba_iceberg_dv"      -> (dbaIcebergDv _),
+    "dba_convert_roundtrip" -> (dbaConvertRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -1062,5 +1109,6 @@ object LakehouseOps {
     "dba_iceberg_read"  -> dbaIcebergReadOracle,
     "dba_merge_selective" -> dbaMergeSelectiveOracle,
     "dba_delta_dv"      -> dbaDeltaDvOracle,
-    "dba_iceberg_dv"    -> dbaIcebergDvOracle)
+    "dba_iceberg_dv"    -> dbaIcebergDvOracle,
+    "dba_convert_roundtrip" -> dbaConvertRoundtripOracle)
 }

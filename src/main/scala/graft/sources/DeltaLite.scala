@@ -819,6 +819,34 @@ object DeltaLite {
     0L
   }
 
+  /** METADATA-ONLY table creation over EXISTING parquet files — the
+    * Delta half of zero-copy format conversion ([[FormatConvert]]):
+    * commit 0 of a NEW table whose `add` actions reference `files` in
+    * place via absolute paths (the shallowClone referencing shape), with
+    * full add-stats computed from the parquet FOOTERS so data skipping
+    * works on the converted table from version 0. No data moves.
+    */
+  def addFilesCommit(spark: SparkSession, table: String,
+                     schema: StructType, files: Seq[String]): Long = {
+    require(versions(spark, table).isEmpty, s"$table: already a table")
+    val f = fs(spark, new Path(table))
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":"CONVERT","timestamp":0}}""")
+      .append('\n')
+    sb.append(protocolAndMetaData(0L, schema.json))
+    files.foreach { p =>
+      val qualified = f.makeQualified(new Path(p))
+      val pj = mapper.writeValueAsString(qualified.toString)
+      val size = f.getFileStatus(qualified).getLen
+      val statsField = fileStatsJson(spark, qualified).map(s =>
+        s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField}}""")
+        .append('\n')
+    }
+    publishCommit(spark, table, 0L, sb.toString)
+    0L
+  }
+
   private def dvJson(d: DeletionVectors.DvDescriptor): String =
     s"""{"storageType":${mapper.writeValueAsString(d.storageType)},"pathOrInlineDv":${mapper.writeValueAsString(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
 

@@ -354,6 +354,10 @@ object IcebergLite {
     def files: Seq[String] = detail.map(_.path)
   }
 
+  /** [[resolvePath]] for FormatConvert's file handoff. */
+  private[sources] def resolveDataPath(table: String, p: String): String =
+    resolvePath(table, p)
+
   private def resolvePath(table: String, p: String): String = {
     // manifests may store absolute URIs (real writers) or table-relative
     // paths (ours); both resolve to a readable location
@@ -1324,6 +1328,124 @@ object IcebergLite {
       partitionBy = if (partitionCol.isEmpty) Nil else Seq(partitionCol),
       replacing = Some(touched.map(_.path)))
     MergeStats(sid, touched.size, skipped.size)
+  }
+
+  /** METADATA-ONLY table creation over EXISTING parquet files — the
+    * kernel behind zero-copy format conversion ([[FormatConvert]], the
+    * `CONVERT TO` / UniForm verb): commit 0 of a NEW Iceberg table whose
+    * manifests reference `files` in place (absolute paths,
+    * protocol-legal — the same referencing shape as
+    * DeltaLite.shallowClone). No data moves; per-file record counts and
+    * the spec's `lower_bounds`/`upper_bounds` come from the parquet
+    * FOOTERS (driver-side metadata, ~ms/file), so stats-pruned reads and
+    * merges work on the converted table from snapshot 0. Unpartitioned
+    * identity spec; the caller owns schema fidelity (the files must
+    * actually carry these columns).
+    */
+  def addFilesCommit(spark: SparkSession, table: String,
+                     schema: StructType, files: Seq[String]): Long = {
+    require(versions(spark, table).isEmpty, s"$table: already a table")
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val snapId = 0L
+    val metaV = 1
+    val topFields: Map[String, (Int, DataType)] = {
+      val (node, _) = sparkToIceberg(schema)
+      node.get("fields").elements().asScala.filter(_.get("type").isTextual)
+        .map(fn => fn.get("name").asText() ->
+          (fn.get("id").asInt(), schema(fn.get("name").asText()).dataType))
+        .toMap
+    }
+    val entrySchema = manifestEntrySchema(Nil)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    def boundsArray(fieldName: String, m: Map[Int, Array[Byte]]): AnyRef =
+      if (m.isEmpty) null
+      else {
+        val arrSchema = dataFileSchema.getField(fieldName).schema()
+          .getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          arr.add(record(arrSchema.getElementType)(
+            "key" -> k, "value" -> java.nio.ByteBuffer.wrap(v)))
+        }
+        arr
+      }
+    val entries = files.map { p =>
+      val qualified = f.makeQualified(new Path(p))
+      val size = f.getFileStatus(qualified).getLen
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          qualified, spark.sparkContext.hadoopConfiguration))
+      val (rows, bounds) =
+        try (footer.getRecordCount, footerBounds(footer, topFields))
+        finally footer.close()
+      record(entrySchema)(
+        "status" -> 1, "snapshot_id" -> snapId,
+        "data_file" -> record(dataFileSchema)(
+          "file_path" -> qualified.toString, "file_format" -> "PARQUET",
+          "partition" -> new GenericData.Record(partSchema),
+          "record_count" -> rows, "file_size_in_bytes" -> size,
+          "block_size_in_bytes" -> (128L << 20),
+          "lower_bounds" -> boundsArray("lower_bounds", bounds._1),
+          "upper_bounds" -> boundsArray("upper_bounds", bounds._2)))
+    }
+    f.mkdirs(metaDir(table))
+    val manifestRel = f"metadata/m-$snapId%05d-0.avro"
+    val manifestLen = writeAvro(f, new Path(root, manifestRel),
+      entrySchema, entries, Map("format-version" -> "1", "content" -> "data"))
+    val listRel = f"metadata/snap-$snapId%05d.avro"
+    writeAvro(f, new Path(root, listRel), ManifestListSchemaV2,
+      Seq(record(ManifestListSchemaV2)(
+        "manifest_path" -> manifestRel, "manifest_length" -> manifestLen,
+        "partition_spec_id" -> 0, "content" -> 0,
+        "sequence_number" -> snapId, "added_snapshot_id" -> snapId)),
+      Map("format-version" -> "2"))
+    val (schemaNode, lastColId) = sparkToIceberg(schema)
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("last-sequence-number", snapId)
+    meta.put("table-uuid", f"graft-iceberg-$metaV%08d")
+    meta.put("location", table)
+    meta.put("last-updated-ms", 0L)
+    meta.put("last-column-id", lastColId)
+    meta.set[ObjectNode]("schema", schemaNode)
+    val schemas = meta.putArray("schemas"); schemas.add(schemaNode.deepCopy())
+    meta.put("current-schema-id", 0)
+    meta.putArray("partition-spec")
+    val specs = meta.putArray("partition-specs")
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0); spec0.putArray("fields"); specs.add(spec0)
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999)
+    meta.set[ObjectNode]("properties", mapper.createObjectNode())
+    meta.put("current-snapshot-id", snapId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", snapId)
+    snapNode.put("timestamp-ms", 0L)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "append")
+    summary.put("added-data-files", files.size.toString)
+    snapNode.set[ObjectNode]("summary", summary)
+    snapNode.put("manifest-list", listRel)
+    snapNode.put("schema-id", 0)
+    meta.putArray("snapshots").add(snapNode)
+    val log = meta.putArray("snapshot-log")
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
+    log.add(logEntry)
+    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(meta))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)),
+      s"metadata rename failed: v$metaV")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapId
   }
 
   /** What [[deleteRows]] did: the new snapshot id, delete files written,

@@ -451,6 +451,30 @@ object EventStreams {
         ()
       }
 
+  /** Streaming CDC DELETE feed → merge-on-read deletion vectors: each
+    * micro-batch of delete keys lands via DeltaLite.deleteVectors — no
+    * data file is rewritten, the per-batch commit is kilobytes of
+    * roaring-bitmap sidecar, and per-batch cost ∝ matching rows (the
+    * scan is one pass with existing DVs masked). Replay-idempotence is
+    * VALUE-level, stronger than the other writers' commit-count guard:
+    * a replayed batch's victims are already masked by the existing DVs,
+    * so it finds zero rows and commits NOTHING — the table state and
+    * version history are unchanged under any replay. The table must
+    * exist (deletes need something to delete from); a compliance
+    * erasure still requires the copy-on-write path + vacuum, as
+    * documented on deleteVectors.
+    */
+  def streamingDvDelete(deletes: DataFrame, tablePath: String,
+                        keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.DeltaLite.deleteVectors(
+          batch.sparkSession, tablePath, batch, keyCols)
+        ()
+      }
+
   /** [[streamingDeltaUpsert]]'s contract on the OTHER open table format
     * (graft.sources.IcebergLite): CDC feed → MERGE → Iceberg table, one
     * snapshot commit per micro-batch (summary operation `merge`), so the

@@ -219,6 +219,39 @@ class DeletionVectorSpec extends SparkSpec {
       == "N1")
   }
 
+  test("streamingDvDelete: a CDC delete feed lands as per-batch DV " +
+    "commits, and replaying the same keys changes NOTHING (value-level " +
+    "idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = newTable()
+    DeltaLite.commit(spark, t, (0L until 40L).toDF("k"))
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.EventStreams.streamingDvDelete(
+        mem.toDF().toDF("k"), t, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", t + "_ckpt")
+    mem.addData(3L, 9L)
+    q.start().awaitTermination()
+    assert(DeltaLite.read(spark, t).count() == 38L)
+    mem.addData(9L, 21L) // 9 is already dead — only 21 should land
+    q.start().awaitTermination()
+    assert(DeltaLite.read(spark, t).count() == 37L)
+    val versionsAfter = DeltaLite.versions(spark, t)
+    // replay the SAME keys (a new un-checkpointed feed — the harsher
+    // replay than the engine's own): zero victims, zero new commits
+    val mem2 = MemoryStream[Long]
+    val q2 = graft.streaming.EventStreams.streamingDvDelete(
+        mem2.toDF().toDF("k"), t, Seq("k"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", t + "_ckpt2")
+    mem2.addData(3L, 9L, 21L)
+    q2.start().awaitTermination()
+    assert(DeltaLite.read(spark, t).count() == 37L)
+    assert(DeltaLite.versions(spark, t) == versionsAfter,
+      "a replayed delete batch must not commit")
+  }
+
   test("column mapping + deletion vectors compose (the current-engine " +
     "default table shape)") {
     val t = newTable()
