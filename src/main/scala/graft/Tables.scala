@@ -56,6 +56,14 @@ object Tables {
     * The footer reads are driver-side metadata (≤3 files × ~ms) and only
     * happen on the few-file path.
     */
+  /** Opt-in fan-out for operators whose PER-ROW work is heavy enough to
+    * out-cost the shuffle (JSON parsing, codecs) over a table that
+    * doesn't fan out by default — same decision rule as the table-level
+    * wrapping, caller-chosen.
+    */
+  private[graft] def fanOutFor(s: SparkSession, df: DataFrame): DataFrame =
+    fanOut(s, df)
+
   private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     val need = math.min(4, target)
@@ -104,6 +112,12 @@ object Tables {
     *    data = `unix_micros*1000`).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // NOT fanned out by default: the events consumers are almost all
+    // cheap aggregations where the round-2 finding holds (shuffle
+    // round-trip > parallelism gain — re-measured r12: a blanket
+    // fan-out cost +0.2–0.35 s on each of five cheap events queries at
+    // sf0.1). The one heavy per-row stage (dba_json_ingest's from_json)
+    // opts in via [[fanOutFor]].
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

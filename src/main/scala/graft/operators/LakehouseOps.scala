@@ -203,7 +203,11 @@ object LakehouseOps {
     * struct, then aggregate the extracted metric.
     */
   def dbaJsonIngest(s: SparkSession, dir: String): DataFrame = {
-    val parsed = Tables.events(s, dir)
+    // from_json is the heaviest per-row stage on events — a 1-row-group
+    // decade file would parse single-threaded without the opt-in fan-out
+    // (3.2 → 2.0 s at sf1-equiv; the cheap events aggregations stay on
+    // the raw scan, where the shuffle costs more than it buys)
+    val parsed = Tables.fanOutFor(s, Tables.events(s, dir))
       .withColumn("payload",
         from_json(col("props"), StructType.fromDDL("k INT")))
     flattenStructs(parsed.select(col("event_type"), col("value"), col("payload")))

@@ -118,6 +118,12 @@ object DeletionVectors {
     def add(v: Long): Unit = {
       require(v >= 0, s"row index must be non-negative: $v")
       val hi = (v >>> 32).toInt
+      // the buffer holds one 32-bit bitmap per high word, CONSECUTIVELY
+      // (the portable format's rule) — an absurd index must fail fast,
+      // not allocate 2^k empty bitmaps. 2^12 words = 2^44 row indices,
+      // orders of magnitude past any parquet file's row count.
+      require(hi < (1 << 12),
+        s"row index $v implausible for a per-file deletion vector")
       while (maps.length <= hi) maps += new RoaringBitmap()
       maps(hi).add((v & 0xFFFFFFFFL).toInt)
     }
