@@ -1182,6 +1182,34 @@ object DeltaLite {
     DvDeleteStats(v, touched.size, victims.length.toLong)
   }
 
+  /** What [[purgeDvs]] did: the committed version (unchanged when no DV
+    * was live), files rewritten (the DV carriers), files untouched.
+    */
+  final case class PurgeStats(version: Long, filesRewritten: Int,
+                              filesUntouched: Int)
+
+  /** REORG TABLE ... APPLY (PURGE) — materialize deletion vectors into
+    * plain parquet: rewrite ONLY the files carrying a DV (their masked
+    * rows dropped physically), leave every other file byte-identical.
+    * Cost ∝ DV-carrying data, not table size — the middle ground between
+    * merge-on-read reads forever and a full compaction. After the purge
+    * + [[vacuum]] past the pre-purge versions, the deleted rows' bytes
+    * are GONE from storage — the step that turns a merge-on-read DELETE
+    * into a compliance-grade erasure (deleteVectors' documented caveat).
+    * Also the conversion unblocker: FormatConvert refuses live DVs;
+    * purge clears them without touching the clean files.
+    */
+  def purgeDvs(spark: SparkSession, table: String): PurgeStats = {
+    val snap = snapshot(spark, table)
+    val touched = snap.files.filter(snap.dvs.contains)
+    if (touched.isEmpty)
+      return PurgeStats(snap.version, 0, snap.files.size)
+    val rewritten = readSnapshot(spark, table, snap, touched)
+    val v = commit(spark, table, rewritten, operation = "PURGE",
+      replacing = Some(touched))
+    PurgeStats(v, touched.size, snap.files.size - touched.size)
+  }
+
   /** What [[readWhere]] scanned: the pruned DataFrame plus the file
     * economics ([[filesSkipped]] is the I/O a naive full scan would have
     * paid — at 100 TB on a clustered table it is nearly all of it).

@@ -1616,6 +1616,52 @@ object IcebergLite {
     DeleteStats(snapId, 1, nRows)
   }
 
+  /** What [[purgeDeletes]] did. */
+  final case class PurgeStats(snapshotId: Long, filesRewritten: Int,
+                              filesUntouched: Int)
+
+  /** REORG / PURGE on the Iceberg side — materialize row-level deletes
+    * into plain parquet by rewriting ONLY the GOVERNED data files:
+    * those referenced by a position delete file, plus those whose data
+    * sequence number any equality delete's strict ordering covers.
+    * Untouched files survive byte-identical through their old
+    * manifests. The carried delete manifests then apply to NOTHING
+    * (positional references point at retired paths; the rewrite's
+    * sequence number exceeds every delete's), so reads are delete-free;
+    * [[expireSnapshots]] past the pre-purge snapshots reaps the delete
+    * files themselves — together the compliance-erasure completion of
+    * [[deleteRows]], and the [[FormatConvert]] unblocker that doesn't
+    * pay a full compaction.
+    */
+  def purgeDeletes(spark: SparkSession, table: String): PurgeStats = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, table)
+    if (snap.deletes.isEmpty)
+      return PurgeStats(snap.snapshotId, 0, snap.detail.size)
+    val eqMaxSeq = snap.deletes.filter(_.content == 2).map(_.seq)
+      .maxOption.getOrElse(Long.MinValue)
+    val posFiles = snap.deletes.filter(_.content == 1)
+    // file names a position delete references: metadata-scale collect
+    // (delete files are CDC-sized by deleteRows' own bound)
+    val posNames: Set[String] =
+      if (posFiles.isEmpty) Set.empty
+      else spark.read
+        .parquet(posFiles.map(d => resolvePath(table, d.path)): _*)
+        .select(org.apache.spark.sql.functions
+          .substring_index(col("file_path"), "/", -1).as("n"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = snap.detail.partition { fi =>
+      fi.seq < eqMaxSeq ||
+        posNames.contains(new Path(resolvePath(table, fi.path)).getName)
+    }
+    if (touched.isEmpty)
+      return PurgeStats(snap.snapshotId, 0, untouched.size)
+    val rewritten = readWithDeletes(spark, table, snap, touched)
+    val sid = commit(spark, table, rewritten, operation = "merge",
+      replacing = Some(touched.map(_.path)))
+    PurgeStats(sid, touched.size, untouched.size)
+  }
+
   /** Incremental consumption (the format's append-changelog surface):
     * the rows added by snapshots in `(fromSnapshotId, toSnapshotId]`,
     * read WITHOUT rescanning the table — under append-only history the

@@ -219,6 +219,38 @@ class DeletionVectorSpec extends SparkSpec {
       == "N1")
   }
 
+  test("purgeDvs (REORG APPLY PURGE): only DV-carrying files rewrite, " +
+    "clean files stay byte-identical, vacuum then completes the erasure") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      (0L until 80L).toDF("k").repartitionByRange(4, col("k")))
+    DeltaLite.deleteVectors(spark, t, Seq(3L, 77L).toDF("k"), Seq("k"))
+    val before = DeltaLite.snapshot(spark, t)
+    val cleanSizes = before.files.filterNot(before.dvs.contains)
+      .map(p => p -> java.nio.file.Files.size(java.nio.file.Paths.get(t, p)))
+    val st = DeltaLite.purgeDvs(spark, t)
+    assert(st.filesRewritten == before.dvs.size &&
+      st.filesRewritten + st.filesUntouched == before.files.size)
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.dvs.isEmpty, "no DV survives a purge")
+    cleanSizes.foreach { case (p, sz) =>
+      assert(after.files.contains(p) &&
+        java.nio.file.Files.size(java.nio.file.Paths.get(t, p)) == sz,
+        s"clean file $p must survive byte-identical")
+    }
+    assert(DeltaLite.read(spark, t).count() == 78L)
+    // idempotent: a second purge is a no-op commit-wise
+    assert(DeltaLite.purgeDvs(spark, t).filesRewritten == 0)
+    // purge + vacuum = compliance erasure: sidecars and pre-purge data gone
+    val victims = DeltaLite.vacuum(spark, t, retainVersions = 1)
+    assert(victims.exists(_.endsWith(".bin")))
+    assert(DeltaLite.read(spark, t).count() == 78L)
+    // and the conversion refusal is cleared
+    val dst = newTable()
+    graft.sources.FormatConvert.deltaToIceberg(spark, t, dst)
+    assert(graft.sources.IcebergLite.read(spark, dst).count() == 78L)
+  }
+
   test("streamingDvDelete: a CDC delete feed lands as per-batch DV " +
     "commits, and replaying the same keys changes NOTHING (value-level " +
     "idempotence)") {

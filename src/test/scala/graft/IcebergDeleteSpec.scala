@@ -124,6 +124,42 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergLite.read(spark, t).count() == 77L)
   }
 
+  test("purgeDeletes: only governed files rewrite (positional " +
+    "references + equality-seq coverage), untouched files survive, and " +
+    "reads are delete-free afterward") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 100L).map(k => (k, s"p$k")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    IcebergLite.deleteRows(spark, t, Seq(2L).toDF("k"), Seq("k"))
+    // a LATER append is not governed by the earlier deletes
+    IcebergLite.commit(spark, t, Seq((500L, "late")).toDF("k", "s"))
+    val before = IcebergLite.snapshot(spark, t)
+    val st = IcebergLite.purgeDeletes(spark, t)
+    // positional delete referenced exactly one file; the late append and
+    // the three clean ranged files stay untouched
+    assert(st.filesRewritten == 1, s"got $st")
+    val after = IcebergLite.snapshot(spark, t)
+    assert(before.files.toSet.intersect(after.files.toSet).size
+      == before.files.size - 1)
+    assert(IcebergLite.read(spark, t).count() == 100L)
+    // the carried delete manifest applies to nothing; a second purge
+    // finds no governed files
+    assert(IcebergLite.purgeDeletes(spark, t).filesRewritten == 0)
+    // equality flavor: strict-seq coverage governs the pre-delete files
+    val t2 = newTable()
+    IcebergLite.commit(spark, t2,
+      (0L until 40L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    IcebergLite.deleteRows(spark, t2, Seq(1L).toDF("k"), Seq("k"),
+      equality = true)
+    IcebergLite.commit(spark, t2, Seq((1000L, 0L)).toDF("k", "v"))
+    val st2 = IcebergLite.purgeDeletes(spark, t2)
+    assert(st2.filesRewritten == 2 && st2.filesUntouched == 1,
+      s"equality governs the two pre-delete files only, got $st2")
+    assert(IcebergLite.read(spark, t2).count() == 40L)
+  }
+
   test("selectiveMerge on a table with live deletes folds the masks " +
     "into the rewritten files only") {
     val t = newTable()
