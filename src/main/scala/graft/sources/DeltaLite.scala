@@ -248,6 +248,36 @@ object DeltaLite {
     readSnapshot(spark, table, s, s.files)
   }
 
+  /** TIMESTAMP AS OF — resolve the snapshot a reader at `tsMillis` would
+    * have seen: the LATEST version whose commitInfo timestamp is ≤ the
+    * bound (the same rule as the real syntax). Commit timestamps come
+    * from the log (this library's own writer zeroes them for
+    * deterministic tests — version pinning is the precise instrument
+    * there; this verb exists for FOREIGN logs, which carry wall-clock
+    * stamps). Versions without a commitInfo timestamp inherit the
+    * previous version's (monotonic resolution never goes backward);
+    * a bound before the first commit is refused, like the real reader.
+    */
+  def readAsOf(spark: SparkSession, table: String,
+               tsMillis: Long): DataFrame = {
+    val f = fs(spark, logDir(table))
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table: no _delta_log commits")
+    var last = Long.MinValue
+    val stamped = vs.map { v =>
+      val ts = readActions(f, commitFile(table, v))
+        .find(_.has("commitInfo"))
+        .flatMap(a => Option(a.get("commitInfo").get("timestamp")))
+        .map(_.asLong()).getOrElse(last)
+      last = math.max(last, ts)
+      (v, last)
+    }
+    val target = stamped.filter(_._2 <= tsMillis).lastOption.getOrElse(
+      sys.error(s"$table: no version at or before timestamp $tsMillis " +
+        s"(earliest commit is at ${stamped.head._2})"))
+    read(spark, table, Some(target._1))
+  }
+
   // ----------------------------------------------------- column mapping
   private val MappingModeKey = "delta.columnMapping.mode"
   private val PhysicalNameKey = "delta.columnMapping.physicalName"

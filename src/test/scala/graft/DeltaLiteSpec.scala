@@ -60,6 +60,42 @@ class DeltaLiteSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(1L))
   }
 
+  test("readAsOf resolves TIMESTAMP AS OF on a foreign-stamped log: " +
+    "latest version at-or-before the bound, monotonic through missing " +
+    "stamps, refused before the first commit") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    // forge foreign wall-clock stamps: v0@1000, v1 unstamped, v2@3000
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    def restamp(v: Long, ts: Option[Long]): Unit = {
+      val p = dir.resolve(f"$v%020d.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(p))
+      val out = ts match {
+        case Some(x) => txt.replace("\"timestamp\":0", s""""timestamp":$x""")
+        case None => txt.linesIterator
+          .filterNot(_.contains("commitInfo")).mkString("\n") + "\n"
+      }
+      java.nio.file.Files.write(p, out.getBytes)
+      // the Hadoop local FS keeps checksum sidecars; a byte-level forge
+      // must drop them or reads fail on the stale crc
+      java.nio.file.Files.deleteIfExists(
+        dir.resolve(f".$v%020d.json.crc"))
+    }
+    restamp(0L, Some(1000L)); restamp(1L, Some(2000L)); restamp(2L, None)
+    def keys(ts: Long) =
+      DeltaLite.readAsOf(spark, t, ts).select("k").as[Long].collect().toSet
+    assert(keys(1000L) == Set(1L), "exact stamp resolves inclusively")
+    assert(keys(1999L) == Set(1L))
+    // v2 is unstamped and inherits v1's 2000 (monotonic): the latest
+    // version at-or-before 2000 is therefore v2
+    assert(keys(2000L) == Set(1L, 2L, 3L))
+    assert(keys(Long.MaxValue) == Set(1L, 2L, 3L))
+    val e = intercept[RuntimeException](DeltaLite.readAsOf(spark, t, 999L))
+    assert(e.getMessage.contains("no version at or before"))
+  }
+
   test("reader refuses protocol versions it cannot honor") {
     val t = newTable()
     DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
