@@ -566,8 +566,11 @@ object DeltaLite {
     * publish at the current tip + 1 via PUT-IF-ABSENT; on losing the
     * race, read what the winner(s) committed and decide:
     *
-    *  - blind APPEND (no `replacing`, no overwrite): always safe —
-    *    rebase to the new tip and re-publish; no data is re-written.
+    *  - blind APPEND (no `replacing`, no overwrite): safe to rebase to
+    *    the new tip and re-publish (no data is re-written) — UNLESS a
+    *    winner changed table metaData (schema/config), which invalidates
+    *    our schema resolution → ConcurrentModificationException, caller
+    *    re-runs against the new tip (MetadataChangedException-style).
     *  - OVERWRITE: semantically "replace whatever is current" — rebase
     *    recomputes the remove set against the new tip and re-publishes;
     *    the winner's files are explicitly removed, nothing is silently
@@ -591,7 +594,8 @@ object DeltaLite {
                       overwrite: Boolean = false, operation: String = "",
                       replacing: Option[Seq[String]] = None,
                       columnMapping: Boolean = false,
-                      maxRetries: Int = 5): Long = {
+                      maxRetries: Int = 5,
+                      raceSeam: () => Unit = () => ()): Long = {
     val vs0 = versions(spark, table)
     val prev0: Option[Snapshot] =
       if (vs0.isEmpty) None else Some(snapshot(spark, table))
@@ -602,6 +606,10 @@ object DeltaLite {
     // writer-unique part names: content cannot collide across racers
     val token = java.util.UUID.randomUUID().toString.take(8)
     val named = stageParts(spark, table, writeDf, s"c-$token", s"part-$token")
+    // test seam: deterministic race injection — fires after the base
+    // snapshot is resolved and data staged, before the publish loop (the
+    // window a concurrent winner lands in). No-op in production.
+    raceSeam()
 
     var attempt = 0
     var base = prev0
@@ -630,15 +638,34 @@ object DeltaLite {
       // lost the race: inspect every commit that beat us
       val f = fs(spark, logDir(table))
       val tip = versions(spark, table).last
-      val winnersChangedData = ((v to tip).flatMap { wv =>
+      val winnerActions = (v to tip).flatMap { wv =>
         readActions(f, commitFile(table, wv))
-      }).exists(a =>
+      }
+      val winnersChangedData = winnerActions.exists(a =>
         (a.has("add") && a.get("add").path("dataChange").asBoolean(true)) ||
           (a.has("remove") && a.get("remove").path("dataChange").asBoolean(true)))
       if (replacing.isDefined && winnersChangedData)
         throw new java.util.ConcurrentModificationException(
           s"$table: version $v was committed concurrently with data " +
             "changes — re-run the read-modify-write against the new tip")
+      // MetadataChanged conflict: our schema/config was resolved against
+      // the base we started from; a winner that published a DIFFERENT
+      // metaData (e.g. additive evolution) invalidates that resolution —
+      // a blind rebase would re-emit the stale schema on any retry where
+      // emitMeta fires, silently reverting the winner's change and hiding
+      // its column's data. Identical metaData (two racers creating the
+      // same table) rebases fine, and an OVERWRITE is exempt — replacing
+      // the current schema is exactly its contract, not a silent revert.
+      val winnerMetaConflicts = !overwrite && winnerActions.exists { a =>
+        a.has("metaData") && {
+          val m = a.get("metaData")
+          m.path("schemaString").asText("") != tableSchema.json
+        }
+      }
+      if (winnerMetaConflicts)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: version $v lost the race to a commit that changed " +
+            "table metadata — re-resolve against the new tip and retry")
       base = Some(snapshot(spark, table))
       attempt += 1
     }
@@ -1194,8 +1221,15 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""")
       .append('\n')
-    // first DV on the table upgrades the protocol to table features
-    sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    // first DV on the table upgrades the protocol to table features; a
+    // mapped table must keep advertising columnMapping in the feature
+    // lists (a features-protocol action REPLACES the previous protocol —
+    // dropping the feature would make a conformant reader see physical
+    // col-<id> names as logical)
+    val dvFeats = (Seq("deletionVectors") ++
+      (if (mapped) Seq("columnMapping") else Nil))
+      .map(mapper.writeValueAsString).mkString(",")
+    sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$dvFeats],"writerFeatures":[$dvFeats]}}""")
       .append('\n')
     bitmapsOut.zip(offsets).foreach { case ((p, bytes, card), (off, size)) =>
       val pj = mapper.writeValueAsString(p)

@@ -32,7 +32,8 @@ import org.apache.spark.sql.types._
   * manifest Avro decode (writer-schema driven, so extra v2 fields pass
   * through); Iceberg↔Spark schema conversion (primitives, decimal,
   * struct/list/map); a commit writer (append / overwrite) producing
-  * spec-shaped v1 metadata+manifests; DESCRIBE HISTORY; snapshot
+  * spec-shaped v2 metadata + v2-encoded manifests (explicit per-entry
+  * sequence numbers, data_file.content); DESCRIBE HISTORY; snapshot
   * expiration (the format's GC verb) and bin-packing compaction; v2
   * ROW-LEVEL DELETES both ways — position and equality delete files
   * read via [[readWithDeletes]] (sequence-number applicability: ≤ for
@@ -50,14 +51,19 @@ import org.apache.spark.sql.types._
   * source as an explicit file list, so scans keep pushdown, pruning, and
   * vectorized decode. At 100 TB the same structure holds: a snapshot
   * with thousands of manifests resolves in one sequential pass over Avro
-  * headers, and per-manifest min/max pruning (not implemented here) is
-  * an additive optimization, never a correctness dependency.
+  * headers, and per-column min/max pruning over the manifests' recorded
+  * `lower_bounds`/`upper_bounds` is implemented in [[readWhere]] —
+  * metadata-only file skipping with the residual predicate pushed to the
+  * surviving scans.
   *
-  * Writer concurrency: SINGLE writer per table (same contract and same
-  * reasoning as [[DeltaLite]] — the version-hint publish is
-  * last-rename-wins absent a CAS catalog). Readers are always safe:
-  * metadata files are immutable once named, and a torn commit leaves
-  * only unreferenced files that no published metadata names.
+  * Writer concurrency: [[commit]] is the plain single-writer path (the
+  * version-hint publish is last-rename-wins absent a CAS catalog);
+  * [[commitContended]] layers optimistic concurrency on top — stage
+  * once under a writer-unique token, claim the next metadata version via
+  * put-if-absent, and on a lost race rebase appends / conflict
+  * read-modify-writes, same contract as DeltaLite's. Readers are always
+  * safe: metadata files are immutable once named, and a torn commit
+  * leaves only unreferenced files that no published metadata names.
   *
   * Reference: the reference's ETL flows land transactional tables via a
   * managed engine (tasks/Query History API to Delta_withmetrics.py:196-230);
@@ -102,11 +108,20 @@ object IcebergLite {
     """{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}""".stripMargin
 
+  /** DATA-manifest entry, v2 encoding: the entry carries an explicit
+    * nullable `sequence_number` (field-id 3) and data_file carries
+    * `content` (field-id 134, always 0 = data here) — what real v2
+    * readers expect when the table metadata says format-version 2.
+    * Reads stay writer-schema driven ([[opt]]), so v1 manifests from
+    * foreign/legacy writers still decode with list-level inheritance.
+    */
   private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int","field-id":0},
       |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
       |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","field-id":134,"default":0},
       |    {"name":"file_path","type":"string","field-id":100},
       |    {"name":"file_format","type":"string","field-id":101},
       |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
@@ -366,6 +381,40 @@ object IcebergLite {
     else new Path(table, p).toString
   }
 
+  /** Canonical file-path form for position-delete matching: the spec
+    * mandates matching on the FULL `file_path`, not the base name — two
+    * files with identical base names in different directories (foreign
+    * partitioned layouts, converted tables mixing sources) must not
+    * cross-apply deletes. Scheme prefix and redundant slashes are
+    * stripped (`file:///x`, `file:/x` and a scan's `_metadata.file_path`
+    * all canonicalize alike); relative paths resolve against the table
+    * root. Driver twin of [[canonCol]].
+    */
+  private def canonPath(tableAbs: String, p: String): String = {
+    val noScheme = p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/*", "/")
+      .replaceFirst("^/+", "/")
+    if (noScheme.startsWith("/")) noScheme else s"$tableAbs/$p"
+  }
+
+  /** Scheme-and-slash-stripped table root, the base [[canonPath]] and
+    * [[canonCol]] resolve relative manifest paths against.
+    */
+  private def canonTableRoot(spark: SparkSession, table: String): String =
+    canonPath("", fs(spark, new Path(table))
+      .makeQualified(new Path(table)).toString)
+
+  /** Column twin of [[canonPath]] — runs per row on the scan/delete
+    * sides, pure string ops (stays in codegen).
+    */
+  private def canonCol(tableAbs: String,
+                       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
+    val noScheme = regexp_replace(
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/*", "/"), "^/+", "/")
+    when(noScheme.startsWith("/"), noScheme)
+      .otherwise(concat(lit(tableAbs + "/"), c))
+  }
+
   /** Resolve a snapshot (current, or pinned by snapshot id) to its data
     * file list by walking manifest-list → manifests. Refuses v2 DELETE
     * manifests and delete-content data files rather than returning rows
@@ -501,8 +550,10 @@ object IcebergLite {
   }
 
   /** Scan `subset` of a snapshot's data files with v2 row-level deletes
-    * applied (merge-on-read): POSITION deletes anti-join on (data file
-    * name, `_metadata.row_index`) — applicable when dataSeq ≤ deleteSeq;
+    * applied (merge-on-read): POSITION deletes anti-join on (canonical
+    * full data-file path, `_metadata.row_index`) — the spec matches on
+    * `file_path`, and [[canonPath]] keeps identically-named files in
+    * different directories apart; applicable when dataSeq ≤ deleteSeq;
     * EQUALITY deletes anti-join on the columns their `equality_ids`
     * name — applicable strictly dataSeq < deleteSeq, so a row
     * re-inserted after the delete survives it (the spec's ordering).
@@ -514,7 +565,7 @@ object IcebergLite {
   private def readWithDeletes(spark: SparkSession, table: String,
                               s: Snapshot, subset: Seq[FileInfo],
                               keepMeta: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.functions.col
     if (s.deletes.isEmpty && !keepMeta)
       return readFileList(spark, table, s.schema, subset.map(_.path))
     val dataCols = s.schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) ++
@@ -528,17 +579,17 @@ object IcebergLite {
       schemaNode.get("fields").elements().asScala
         .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     }
-    def nameCol(c: org.apache.spark.sql.Column) = substring_index(c, "/", -1)
+    val tableAbs = canonTableRoot(spark, table)
     val groups = subset.groupBy(_.seq).toSeq.sortBy(_._1)
     val parts = groups.map { case (seq, files) =>
       var df = readFileList(spark, table, s.schema, files.map(_.path))
-        .withColumn("__if", nameCol(col("_metadata.file_path")))
+        .withColumn("__if", canonCol(tableAbs, col("_metadata.file_path")))
         .withColumn("__ip", col("_metadata.row_index"))
       val pos = s.deletes.filter(d => d.content == 1 && d.seq >= seq)
       if (pos.nonEmpty) {
         val posDf = spark.read
           .parquet(pos.map(d => resolvePath(table, d.path)): _*)
-          .select(nameCol(col("file_path")).as("__if"),
+          .select(canonCol(tableAbs, col("file_path")).as("__if"),
             col("pos").as("__ip"))
         df = df.join(posDf, Seq("__if", "__ip"), "left_anti")
       }
@@ -743,7 +794,9 @@ object IcebergLite {
         s"""{"type":"record","name":"manifest_entry","fields":[
            |  {"name":"status","type":"int","field-id":0},
            |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
            |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           |    {"name":"content","type":"int","field-id":134,"default":0},
            |    {"name":"file_path","type":"string","field-id":100},
            |    {"name":"file_format","type":"string","field-id":101},
            |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fields]}},
@@ -1057,7 +1110,9 @@ object IcebergLite {
               upper: Map[Int, Array[Byte]]): GenericRecord =
       record(entrySchema)(
         "status" -> status, "snapshot_id" -> snapId,
+        "sequence_number" -> snapId,
         "data_file" -> record(dataFileSchema)(
+          "content" -> 0,
           "file_path" -> path, "file_format" -> "PARQUET",
           "partition" -> partRecord(relDir), "record_count" -> rows,
           "file_size_in_bytes" -> size, "block_size_in_bytes" -> (128L << 20),
@@ -1071,7 +1126,7 @@ object IcebergLite {
     val manifestRel = s"metadata/m-$partTag-0.avro"
     val manifestLen = writeAvro(f, new Path(root, manifestRel),
       entrySchema, entries,
-      Map("format-version" -> "1", "content" -> "data"))
+      Map("format-version" -> "2", "content" -> "data"))
 
     // 3. manifest list: append keeps prior manifests (their content kind
     //    and sequence numbers preserved — a carried DELETE manifest must
@@ -1382,7 +1437,9 @@ object IcebergLite {
         finally footer.close()
       record(entrySchema)(
         "status" -> 1, "snapshot_id" -> snapId,
+        "sequence_number" -> snapId,
         "data_file" -> record(dataFileSchema)(
+          "content" -> 0,
           "file_path" -> qualified.toString, "file_format" -> "PARQUET",
           "partition" -> new GenericData.Record(partSchema),
           "record_count" -> rows, "file_size_in_bytes" -> size,
@@ -1393,7 +1450,7 @@ object IcebergLite {
     f.mkdirs(metaDir(table))
     val manifestRel = f"metadata/m-$snapId%05d-0.avro"
     val manifestLen = writeAvro(f, new Path(root, manifestRel),
-      entrySchema, entries, Map("format-version" -> "1", "content" -> "data"))
+      entrySchema, entries, Map("format-version" -> "2", "content" -> "data"))
     val listRel = f"metadata/snap-$snapId%05d.avro"
     writeAvro(f, new Path(root, listRel), ManifestListSchemaV2,
       Seq(record(ManifestListSchemaV2)(
@@ -1498,8 +1555,11 @@ object IcebergLite {
 
     val keySel = keys.select(keyCols.map(k => keys(s"`$k`")).toIndexedSeq: _*)
       .distinct()
-    // build the delete-file rows
-    val (deleteRowsDf, nRows, eqIds): (DataFrame, Long, Seq[Int]) =
+    // build the delete-file rows; delFileRows is the delete FILE's own
+    // row count (what the manifest's record_count must carry — for
+    // equality deletes that is the distinct-key count, NOT the number of
+    // currently-matched data rows)
+    val (deleteRowsDf, nRows, eqIds, delFileRows): (DataFrame, Long, Seq[Int], Long) =
       if (!equality) {
         val scan = readWithDeletes(spark, table, snap, snap.detail,
           keepMeta = true)
@@ -1509,17 +1569,19 @@ object IcebergLite {
           s"$table: delete batch exceeds $maxDeleteRows rows — rewrite " +
             "files (selectiveMerge / compaction) for bulk erasure")
         if (victims.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+        val tableAbs = canonTableRoot(spark, table)
         val nameToPath = snap.detail.map(fi =>
-          new Path(resolvePath(table, fi.path)).getName -> fi.path).toMap
+          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path).toMap
         import spark.implicits._
         val rows = victims.map(r =>
           (nameToPath(r.getString(0)), r.getLong(1))).toSeq.sorted
-        (rows.toDF("file_path", "pos"), victims.length.toLong, Seq.empty)
+        (rows.toDF("file_path", "pos"), victims.length.toLong, Seq.empty,
+          victims.length.toLong)
       } else {
         val ids = keyCols.map(k => topField(meta, table, k)._2)
         val matched = readWithDeletes(spark, table, snap, snap.detail)
           .join(broadcast(keySel), keyCols, "left_semi").count()
-        (keySel, matched, ids)
+        (keySel, matched, ids, keySel.count())
       }
 
     // 1. the delete file (parquet, spec-allowed), via stage-and-rename
@@ -1551,7 +1613,7 @@ object IcebergLite {
         "content" -> (if (equality) 2 else 1),
         "file_path" -> delRel, "file_format" -> "PARQUET",
         "partition" -> record(dfSchema.getField("partition").schema())(),
-        "record_count" -> (if (equality) nRows else nRows),
+        "record_count" -> delFileRows,
         "file_size_in_bytes" -> delLen,
         "equality_ids" -> eqArr))
     val manifestRel = f"metadata/m-$snapId%05d-del.avro"
@@ -1641,18 +1703,18 @@ object IcebergLite {
     val eqMaxSeq = snap.deletes.filter(_.content == 2).map(_.seq)
       .maxOption.getOrElse(Long.MinValue)
     val posFiles = snap.deletes.filter(_.content == 1)
-    // file names a position delete references: metadata-scale collect
-    // (delete files are CDC-sized by deleteRows' own bound)
-    val posNames: Set[String] =
+    // full canonical paths a position delete references: metadata-scale
+    // collect (delete files are CDC-sized by deleteRows' own bound)
+    val tableAbs = canonTableRoot(spark, table)
+    val posPaths: Set[String] =
       if (posFiles.isEmpty) Set.empty
       else spark.read
         .parquet(posFiles.map(d => resolvePath(table, d.path)): _*)
-        .select(org.apache.spark.sql.functions
-          .substring_index(col("file_path"), "/", -1).as("n"))
+        .select(canonCol(tableAbs, col("file_path")).as("p"))
         .distinct().collect().map(_.getString(0)).toSet
     val (touched, untouched) = snap.detail.partition { fi =>
       fi.seq < eqMaxSeq ||
-        posNames.contains(new Path(resolvePath(table, fi.path)).getName)
+        posPaths.contains(canonPath(tableAbs, resolvePath(table, fi.path)))
     }
     if (touched.isEmpty)
       return PurgeStats(snap.snapshotId, 0, untouched.size)

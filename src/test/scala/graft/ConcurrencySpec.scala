@@ -105,6 +105,43 @@ class ConcurrencySpec extends SparkSpec {
       r.failed.get.isInstanceOf[ConcurrentModificationException]) == 1)
   }
 
+  test("delta: a lost race against a metadata-changing winner REFUSES " +
+    "the rebase instead of silently reverting the winner's schema") {
+    val t = newTable("graft_occ_meta")
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // the loser appends the OLD shape; the seam lands a winner that
+    // evolves the schema additively between the loser's base read and
+    // its publish attempt — the exact window a blind rebase would
+    // re-emit the stale metaData in and hide the winner's column
+    val e = intercept[ConcurrentModificationException] {
+      DeltaLite.commitContended(spark, t, Seq((2L, "b")).toDF("k", "s"),
+        raceSeam = () => DeltaLite.commit(spark, t,
+          Seq((10L, "w", 5L)).toDF("k", "s", "extra")))
+    }
+    assert(e.getMessage.contains("metadata"))
+    // the winner's evolution survives: column present, its data visible
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s", "extra"))
+    assert(out.filter(col("k") === 10L).select("extra").as[Long].head() == 5L)
+    // the loser re-runs against the new tip (now carrying the evolved
+    // shape) and lands
+    DeltaLite.commitContended(spark, t,
+      Seq((2L, "b", 0L)).toDF("k", "s", "extra"))
+    assert(DeltaLite.read(spark, t).count() == 3L)
+  }
+
+  test("delta: an identical-metadata create race rebases cleanly — " +
+    "no false metadata conflict") {
+    val t = newTable("graft_occ_meta2")
+    // both writers create the same-schema table; the winner takes v0
+    // with metaData, the loser's metaData is byte-identical → rebase
+    val v = DeltaLite.commitContended(spark, t, Seq((2L, "b")).toDF("k", "s"),
+      raceSeam = () => DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s")))
+    assert(v == 1L)
+    assert(DeltaLite.read(spark, t).select("k").as[Long].collect().toSet
+      == Set(1L, 2L), "both creates' rows land")
+  }
+
   test("iceberg: contended appenders all land with distinct snapshots " +
     "and no lost update; stale replace refused") {
     val t = newTable("graft_occ_ice")

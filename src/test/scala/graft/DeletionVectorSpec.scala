@@ -290,7 +290,19 @@ class DeletionVectorSpec extends SparkSpec {
     DeltaLite.commit(spark, t,
       (0L until 25L).map(k => (k, s"d$k")).toDF("id", "payload"),
       columnMapping = true)
-    DeltaLite.deleteVectors(spark, t, Seq(2L, 3L).toDF("id"), Seq("id"))
+    val st = DeltaLite.deleteVectors(spark, t, Seq(2L, 3L).toDF("id"), Seq("id"))
+    // the DV commit's protocol upgrade must KEEP advertising columnMapping
+    // alongside deletionVectors — a features protocol action replaces the
+    // previous one, and a conformant external reader of a mapped table
+    // without the feature would read physical col-<id> names as logical
+    val commitText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log", f"${st.version}%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val protoLine = commitText.linesIterator
+      .find(_.contains("\"protocol\"")).getOrElse(fail("no protocol action"))
+    assert(protoLine.contains("deletionVectors") &&
+      protoLine.contains("columnMapping"),
+      s"mapped DV protocol must carry both features: $protoLine")
     val out = DeltaLite.read(spark, t)
     assert(out.schema.fieldNames.toSeq == Seq("id", "payload"))
     assert(out.select("id").as[Long].collect().toSet

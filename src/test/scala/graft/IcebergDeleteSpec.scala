@@ -174,4 +174,62 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(out.filter(col("k") === 3L).select("v").as[Double].head() == 333.0)
     assert(out.filter(col("k") === 2L).count() == 0L)
   }
+
+  test("position deletes match on the FULL file path — identical base " +
+    "names in different directories never cross-apply") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val dir = Files.createTempDirectory("graft_ice_samename").toString
+    // two data files with the SAME base name in different dirs (foreign
+    // partitioned layouts / converted tables mixing sources do this)
+    def onePart(rows: Seq[Long], sub: String): String = {
+      val stage = s"$dir/stage_$sub"
+      rows.toDF("k").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/$sub/part-0.parquet")
+      target.getParentFile.mkdirs()
+      assert(part.renameTo(target))
+      target.toString
+    }
+    val fa = onePart(0L until 10L, "a")
+    val fb = onePart(10L until 20L, "b")
+    val t = s"$dir/t"
+    IcebergLite.addFilesCommit(spark, t,
+      new StructType().add("k", LongType, nullable = true), Seq(fa, fb))
+    assert(IcebergLite.read(spark, t).count() == 20L)
+    // victims live only in a/part-0.parquet at positions 2 and 3; a
+    // base-name match would ALSO mask positions 2/3 of b/part-0.parquet
+    val st = IcebergLite.deleteRows(spark, t, Seq(2L, 3L).toDF("k"), Seq("k"))
+    assert(st.rowsDeleted == 2L)
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+      == (0L until 20L).toSet -- Set(2L, 3L),
+      "a delete keyed to a/part-0.parquet must not mask b/part-0.parquet")
+  }
+
+  test("equality delete manifest records the delete FILE's row count " +
+    "(distinct keys), not the matched data-row count") {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (Seq.fill(5)(7L) ++ Seq(1L, 2L)).toDF("k"))
+    val st = IcebergLite.deleteRows(spark, t, Seq(7L).toDF("k"), Seq("k"),
+      equality = true)
+    assert(st.rowsDeleted == 5L, "stats count the data rows erased")
+    val delManifest = new java.io.File(t, "metadata").listFiles()
+      .find(_.getName.endsWith("-del.avro"))
+      .getOrElse(fail("no delete manifest written"))
+    val in = new java.io.FileInputStream(delManifest)
+    val stream = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    try {
+      val entry = stream.iterator().next()
+      val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
+      assert(dataFile.get("content").asInstanceOf[Int] == 2)
+      assert(dataFile.get("record_count").asInstanceOf[Long] == 1L,
+        "record_count is the delete file's own rows (1 distinct key), " +
+          "not the 5 matched data rows")
+    } finally stream.close()
+  }
 }

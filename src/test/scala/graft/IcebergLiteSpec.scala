@@ -411,4 +411,34 @@ class IcebergLiteSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
     assert(e.getMessage.contains("format-version 3"))
   }
+
+  test("data manifests are v2-encoded: explicit per-entry sequence " +
+    "numbers, data_file.content, avro format-version 2") {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val t = newTable()
+    IcebergLite.commit(spark, t, (0L until 10L).toDF("k"))
+    val sid1 = IcebergLite.commit(spark, t, (10L until 20L).toDF("k"))
+    val m = new java.io.File(t, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+      .maxBy(_.getName)
+    val in = new java.io.FileInputStream(m)
+    val stream = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    try {
+      // a real v2 reader keys on these: v2 avro metadata, an explicit
+      // entry-level sequence number (no list-level inheritance needed),
+      // and data_file.content routing
+      assert(new String(stream.getMetaString("format-version")) == "2")
+      val ws = stream.getSchema
+      assert(ws.getField("sequence_number") != null,
+        "v2 entry schema carries sequence_number (field-id 3)")
+      assert(ws.getField("data_file").schema().getField("content") != null,
+        "v2 data_file carries content (field-id 134)")
+      val entry = stream.iterator().next()
+      assert(entry.get("sequence_number").asInstanceOf[Long] == sid1)
+      val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
+      assert(dataFile.get("content").asInstanceOf[Int] == 0)
+    } finally stream.close()
+  }
 }
