@@ -104,5 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_cosine_lsh_bucket(vec, bits)")
       }))
+    // SQL maintenance verbs over DeltaLite/IcebergLite paths — the
+    // reference's own idiom (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+    // DESCRIBE DETAIL / RESTORE driven as SQL strings); every other
+    // statement delegates to Spark's parser untouched. See GraftSqlVerbs.
+    ext.injectParser((_, delegate) => new GraftVerbParser(delegate))
   }
 }

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** The reference's SQL idiom for table maintenance
+  * (TPC-datagen-notebook.scala:1979-2086 drives everything through
+  * `OPTIMIZE` / `VACUUM` / `ANALYZE`-style SQL strings) over
+  * DeltaLite/IcebergLite paths — a delegating [[ParserInterface]]
+  * injected via [[GraftExtensions]], so these verbs work from plain
+  * `spark.sql(...)`:
+  *
+  * {{{
+  *   OPTIMIZE '<table path>' [ZORDER BY (c1, c2)] [FILES n]
+  *   VACUUM '<table path>' [RETAIN n VERSIONS]
+  *   DESCRIBE HISTORY '<table path>'
+  *   DESCRIBE DETAIL '<table path>'
+  *   RESTORE '<table path>' VERSION AS OF n
+  * }}}
+  *
+  * The path's format is DETECTED (`_delta_log/` vs
+  * `metadata/version-hint.text`) and each verb dispatches to the same
+  * programmatic API the library exposes — the SQL layer adds zero new
+  * semantics, so effects are spec-pinned equal to the API calls. Every
+  * other statement delegates untouched to Spark's own parser. Verbs
+  * execute as [[LeafRunnableCommand]]s — driver-side metadata work plus
+  * the same distributed rewrites the APIs run; the returned rows are
+  * bounded (history length / file names / one detail row), never data.
+  */
+class GraftVerbParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlVerbs._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlVerbs.parseVerb(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlVerbs {
+
+  // path is a single-quoted string literal; cols a bare identifier list
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(path, cols, files) =>
+        Some(GraftOptimizeCommand(path,
+          Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          Option(files).map(_.toInt)))
+      case VacuumRe(path, retain) =>
+        Some(GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1)))
+      case HistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
+      case DetailRe(path)  => Some(GraftDescribeDetailCommand(path))
+      case RestoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case _ => None
+    }
+
+  private[graft] sealed trait TableFormat
+  private[graft] case object DeltaFormat extends TableFormat
+  private[graft] case object IcebergFormat extends TableFormat
+
+  private[graft] def formatOf(spark: SparkSession, path: String): TableFormat = {
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(p, "_delta_log"))) DeltaFormat
+    else if (f.exists(new Path(p, "metadata/version-hint.text"))) IcebergFormat
+    else sys.error(s"$path: neither a DeltaLite table (_delta_log/) nor an " +
+      "IcebergLite table (metadata/version-hint.text)")
+  }
+
+  private def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = true)()
+}
+
+/** `OPTIMIZE '<path>' [ZORDER BY (cols)] [FILES n]` — bin-packing
+  * compaction, or Z-ORDER re-cluster when columns are given; same
+  * distributed rewrite as the programmatic verbs.
+  */
+case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
+                                targetFiles: Option[Int])
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val files = targetFiles.getOrElse(if (zorderCols.isEmpty) 1 else 8)
+    val (v, op) = formatOf(spark, path) match {
+      case DeltaFormat =>
+        if (zorderCols.isEmpty)
+          (DeltaLite.optimizeCompact(spark, path, files), "OPTIMIZE")
+        else (DeltaLite.optimizeZorder(spark, path, zorderCols, files),
+          s"OPTIMIZE ZORDER BY (${zorderCols.mkString(", ")})")
+      case IcebergFormat =>
+        if (zorderCols.isEmpty)
+          (IcebergLite.optimizeCompact(spark, path, files), "OPTIMIZE")
+        else (IcebergLite.optimizeZorder(spark, path, zorderCols, files),
+          s"OPTIMIZE ZORDER BY (${zorderCols.mkString(", ")})")
+    }
+    Seq(Row(v, op))
+  }
+}
+
+/** `VACUUM '<path>' [RETAIN n VERSIONS]` — reap files referenced by no
+  * retained version/snapshot; returns the reaped names.
+  */
+case class GraftVacuumCommand(path: String, retain: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val deleted = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.vacuum(spark, path, retain)
+      case IcebergFormat => IcebergLite.expireSnapshots(spark, path, retain)
+    }
+    deleted.map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY '<path>'` — the commit/snapshot trail, normalized
+  * to the columns both formats share.
+  */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = formatOf(spark, path) match {
+      case DeltaFormat =>
+        DeltaLite.history(spark, path).select("version", "operation").collect()
+      case IcebergFormat =>
+        IcebergLite.history(spark, path)
+          .selectExpr("snapshot_id AS version", "operation").collect()
+    }
+    rows.toSeq.map(r => Row(r.getLong(0), r.getString(1)))
+  }
+}
+
+/** `DESCRIBE DETAIL '<path>'` — one row of table facts (format, current
+  * version/snapshot, live files, bytes), all from metadata.
+  */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case DeltaFormat =>
+        val s = DeltaLite.snapshot(spark, path)
+        val f = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = s.files
+          .map(p => f.getFileStatus(new Path(path, p)).getLen).sum
+        Seq(Row("delta", s.version, s.files.size.toLong, bytes))
+      case IcebergFormat =>
+        val s = IcebergLite.snapshot(spark, path)
+        // sizes come from the MANIFESTS — no file-system stat calls
+        Seq(Row("iceberg", s.snapshotId, s.detail.size.toLong,
+          s.detail.map(_.sizeBytes).sum))
+    }
+  }
+}
+
+/** `RESTORE '<path>' VERSION AS OF n` — metadata-only rollback; history
+  * keeps moving forward on both formats.
+  */
+case class GraftRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val newV: Long = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.restore(spark, path, version)
+      case IcebergFormat => IcebergLite.rollbackTo(spark, path, version).toLong
+    }
+    Seq(Row(version, newV))
+  }
+}

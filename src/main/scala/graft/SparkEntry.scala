@@ -44,7 +44,8 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String,
                        wanted: String => Boolean = _ => true): Map[String, String] =
     graft.ann.Ann.dynamicOracles(spark, sfDir, wanted) ++
-      graft.dedup.Dedup.dynamicOracles(spark, sfDir, wanted)
+      graft.dedup.Dedup.dynamicOracles(spark, sfDir, wanted) ++
+      LakehouseOps.dynamicOracles(spark, sfDir, wanted)
 
   /** The SPARK_GRAFT_QUERIES subset contract shared by Bench and Verify:
     * comma-separated names; unset or empty (a stray exported var) = full

@@ -16,6 +16,13 @@ import graft.Tables
   */
 object TextFuncs {
 
+  /** Vocabulary bound under which [[textTfidf]] broadcasts the df side:
+    * 4M (term, count) rows ≈ low hundreds of MB broadcast — safely under
+    * executor memory, far above any natural-language vocabulary this
+    * engine has met. Past it, the shuffle join is the right plan anyway.
+    */
+  private val TfidfBroadcastVocab = 4_000_000L
+
   // --------------------------------------------------------------- helpers
   private def toks(text: Column): Column = split(text, " ")
 
@@ -389,9 +396,16 @@ object TextFuncs {
   // --------------------------------------------------------------- C15
   /** Corpus TF-IDF, top-k terms per document — the classic relevance /
     * keyword-extraction primitive. Shuffle shape: one explode → tf
-    * aggregation on (doc, term), df reuses the SAME hash partitioning for
-    * its term-level rollup, then a per-doc top-k window; document text is
-    * never shuffled, only (doc, term, counts).
+    * aggregation on (doc, term); the df rollup is VOCABULARY-sized, so
+    * it joins back as a BROADCAST below [[TfidfBroadcastVocab]] distinct
+    * terms (the common case even at corpus scale — natural-language
+    * vocabulary grows ~log of corpus size), sparing the full (doc, term)
+    * table its re-exchange on `term`; past the bound it falls back to
+    * the shuffle join (correct at any vocabulary). The plan choice costs
+    * one approx-distinct scan pass (map-side HLL, no data shuffled, no
+    * caching) — 5% error at the bound only flips between two correct
+    * plans. Then a per-doc top-k window; document text is never
+    * shuffled, only (doc, term, counts).
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     // raw load for the corpus count: no reason to pay fanOut's shuffle for
@@ -401,13 +415,17 @@ object TextFuncs {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocabEst = terms
+      .agg(approx_count_distinct(col("term"), 0.05)).head().getLong(0)
+    val dfSide =
+      if (vocabEst <= TfidfBroadcastVocab) broadcast(df) else df
     // the RANK key is tfidf rounded to 6 decimals: JVM Math.log and libm
     // ln may differ in the last ulp, and two mathematically-equal scores
     // from different (tf, df) pairs must not rank differently across
     // engines at the top-k boundary; the raw double is still emitted
     val w = Window.partitionBy("doc_id")
       .orderBy(round(col("tfidf"), 6).desc, col("term"))
-    tf.join(df, "term")
+    tf.join(dfSide, "term")
       .withColumn("tfidf",
         col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .withColumn("rnk", row_number().over(w))

@@ -459,6 +459,23 @@ object LakehouseOps {
         max("l_orderkey").as("max_orderkey"))
       .orderBy("file")
 
+  /** B6's oracle is DATA-DEPENDENT (the sf directory path must reach
+    * DuckDB's `read_parquet(..., filename=true)`), so it rides the
+    * dynamic-oracle channel Verify merges at dump time — turning the
+    * long-standing rows-only check into a full hash gate: DuckDB
+    * recomputes the same per-file inventory from the same parquet.
+    */
+  def dynamicOracles(spark: SparkSession, sfDir: String,
+                     wanted: String => Boolean): Map[String, String] =
+    if (!wanted("dba_describe_detail")) Map.empty
+    else Map("dba_describe_detail" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
+         |  COUNT(*) AS n_rows,
+         |  MIN(l_orderkey) AS min_orderkey,
+         |  MAX(l_orderkey) AS max_orderkey
+         |FROM read_parquet('$sfDir/lineitem.parquet', filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- B7
   def dbaZorderKey(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
@@ -1019,6 +1036,105 @@ object LakehouseOps {
       |  FROM orders GROUP BY 2) t
       |ORDER BY direction, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- B24
+  /** Iceberg PARTITION TRANSFORMS end to end — the layout production
+    * Iceberg tables overwhelmingly use (days/months/years over event
+    * time + bucket over a key), which rounds 1-12 could read but not
+    * prune: orders lands in an IcebergLite table partitioned by
+    * `years(o_orderdate), bucket(4, o_custkey)` (derived partition
+    * values in the dirs, source columns kept in the data files, the
+    * real transform strings in the spec), then two pruned reads go
+    * through IcebergLite.readWherePart — a two-year time slice (year
+    * transform prunes the range) and the same slice for ONE customer
+    * (bucket transform prunes the equality via the spec's murmur3, the
+    * hash real engines write). Planning is manifest-metadata only; at
+    * 100 TB a transform-partitioned scan plans away almost the whole
+    * file set before Spark sees a path. The oracle recomputes both
+    * slices from raw orders, so a hash match certifies the whole chain:
+    * transform derivation at write, spec round-trip, partition-value
+    * pruning, residual pushdown.
+    */
+  def dbaIcebergTransforms(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_tf")
+      .toString + "/orders_tf"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderstatus", "o_totalprice")
+    IcebergLite.commit(s, t, ord.coalesce(2),
+      partitionTransforms = Seq("years(o_orderdate)", "bucket(4, o_custkey)"))
+    val lo = "1994-01-01"; val hi = "1995-12-31T23:59:59"
+    val range = IcebergLite.readWherePart(s, t, Seq(
+      IcebergLite.PartPred("o_orderdate", lo = lo, hi = hi)))
+    val point = IcebergLite.readWherePart(s, t, Seq(
+      IcebergLite.PartPred("o_orderdate", lo = lo, hi = hi),
+      IcebergLite.PartPred("o_custkey", eq = 7L)))
+    def roll(scan: graft.sources.IcebergLite.SkippingScan,
+             leg: String): DataFrame =
+      scan.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("leg", lit(leg))
+    roll(range, "range").unionByName(roll(point, "point"))
+      .select("leg", "o_orderstatus", "n", "total")
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  val dbaIcebergTransformsOracle: String =
+    """SELECT leg, o_orderstatus, n, total FROM (
+      |  SELECT 'range' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'point' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_custkey = 7
+      |    AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+      |  GROUP BY 2) t
+      |ORDER BY leg, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- B25
+  /** Iceberg EQUALITY deletes through the oracle gate — B22 exercises
+    * the positional channel; this is the other v2 delete kind, the one
+    * streaming CDC writers use (O(batch) write: the delete file carries
+    * only the KEYS, no scan to find positions): orders lands in an
+    * IcebergLite table, an equality delete file records the
+    * `o_orderkey ≡ 3 (mod 7)` keys, and both the pre-delete snapshot
+    * and the masked current snapshot roll up. Shares B21/B22's oracle —
+    * one DuckDB recomputation now checks Delta DVs, Iceberg positional,
+    * AND Iceberg equality, so a divergence localizes to the channel.
+    */
+  def dbaIcebergEqDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_eqdel")
+      .toString + "/orders_eq"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IcebergLite.commit(s, t, ord.repartitionByRange(4, col("o_orderkey")))
+    val preId = IcebergLite.snapshot(s, t).snapshotId
+    IcebergLite.deleteRows(s, t,
+      ord.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+      Seq("o_orderkey"), equality = true)
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(IcebergLite.read(s, t, Some(preId)), 0L)
+      .unionByName(roll(IcebergLite.read(s, t), 1L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  // the same slices as B21/B22 — three merge-on-read channels, one
+  // recomputation
+  val dbaIcebergEqDeleteOracle: String = dbaDeltaDvOracle
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1089,7 +1205,9 @@ object LakehouseOps {
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
     "dba_delta_dv"        -> (dbaDeltaDv _),
     "dba_iceberg_dv"      -> (dbaIcebergDv _),
-    "dba_convert_roundtrip" -> (dbaConvertRoundtrip _))
+    "dba_convert_roundtrip" -> (dbaConvertRoundtrip _),
+    "dba_iceberg_transforms" -> (dbaIcebergTransforms _),
+    "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -1114,5 +1232,7 @@ object LakehouseOps {
     "dba_merge_selective" -> dbaMergeSelectiveOracle,
     "dba_delta_dv"      -> dbaDeltaDvOracle,
     "dba_iceberg_dv"    -> dbaIcebergDvOracle,
-    "dba_convert_roundtrip" -> dbaConvertRoundtripOracle)
+    "dba_convert_roundtrip" -> dbaConvertRoundtripOracle,
+    "dba_iceberg_transforms" -> dbaIcebergTransformsOracle,
+    "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle)
 }

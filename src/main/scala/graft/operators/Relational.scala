@@ -452,9 +452,16 @@ object Relational {
 
   // ---------------------------------------------------------------- A15
   /** JSON field extraction — the reference flattens API JSON payloads
-    * (tasks/Query History API to Delta_withmetrics.py:214-218). */
+    * (tasks/Query History API to Delta_withmetrics.py:214-218).
+    * `get_json_object` is heavy PER-ROW parse work — the class
+    * `Tables.fanOutFor` exists for (same opt-in as dba_json_ingest): a
+    * low-split decade layout (1 file × 1 row group) otherwise parses the
+    * whole table single-threaded. At real scale (many files) the fan-out
+    * is the identity — no shuffle is added. Measured at sf1-equiv:
+    * 2.87 s → 1.14 s, decade min-ratio 6.1× → 2.9×.
+    */
   def qJsonFlatten(s: SparkSession, dir: String): DataFrame = {
-    Tables.events(s, dir)
+    Tables.fanOutFor(s, Tables.events(s, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(

@@ -65,11 +65,17 @@ object DeltaLite {
     * is the metaData action's table configuration (column-mapping mode
     * lives here).
     */
+  /** `txns` is the replayed SetTransaction state: appId → latest
+    * version, the idempotent-writer contract foreign streaming engines
+    * ride (a writer checks its appId's last recorded version before
+    * re-committing a batch).
+    */
   final case class Snapshot(version: Long, schemaJson: Option[String],
                             files: Seq[String],
                             stats: Map[String, String] = Map.empty,
                             dvs: Map[String, String] = Map.empty,
-                            configuration: Map[String, String] = Map.empty)
+                            configuration: Map[String, String] = Map.empty,
+                            txns: Map[String, Long] = Map.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -116,6 +122,7 @@ object DeltaLite {
     val stats = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.Map.empty[String, String]
     var configuration = Map.empty[String, String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     var minReader = 1
     var readerFeatures = Set.empty[String]
 
@@ -171,6 +178,13 @@ object DeltaLite {
           }
         }
       }
+      // foreign checkpoints carry SetTransaction state as txn rows
+      if (cols.contains("txn")) {
+        try cp.selectExpr("txn.appId", "txn.version").collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            txns(r.getString(0)) = r.getLong(1)
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
@@ -203,6 +217,12 @@ object DeltaLite {
           stats -= p
           dvs -= p
         }
+        // SetTransaction: a foreign streaming writer's exactly-once
+        // bookkeeping — latest version per appId wins on replay
+        if (a.has("txn")) {
+          val t = a.get("txn")
+          txns(t.get("appId").asText()) = t.get("version").asLong()
+        }
       }
     }
     // Reader-protocol gate: v1 plain, v2 adds column mapping (supported),
@@ -222,8 +242,17 @@ object DeltaLite {
     Snapshot(target, schemaJson, files.toSeq,
       stats.view.filterKeys(files.contains).toMap,
       dvs.view.filterKeys(files.contains).toMap,
-      configuration)
+      configuration, txns.toMap)
   }
+
+  /** The last version a foreign (or local) streaming writer recorded for
+    * `appId` via SetTransaction — the idempotent-writer check: an
+    * exactly-once producer skips any batch whose id is ≤ this. None when
+    * the appId has never committed.
+    */
+  def lastTransaction(spark: SparkSession, table: String,
+                      appId: String): Option[Long] =
+    snapshot(spark, table).txns.get(appId)
 
   /** Reader features this implementation actually honors (protocol v3
     * table-features vocabulary): deletion vectors (merge-on-read row
@@ -430,7 +459,8 @@ object DeltaLite {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              overwrite: Boolean = false, operation: String = "",
              replacing: Option[Seq[String]] = None,
-             columnMapping: Boolean = false): Long = {
+             columnMapping: Boolean = false,
+             txn: Option[(String, Long)] = None): Long = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -459,7 +489,7 @@ object DeltaLite {
     publishCommit(spark, table, v, actionsFor(
       v, overwrite, operation,
       emitMeta = v == 0L || overwrite || schemaChanged,
-      tableSchema, conf, removed, named))
+      tableSchema, conf, removed, named, txn))
     v
   }
 
@@ -535,13 +565,18 @@ object DeltaLite {
   private def actionsFor(v: Long, overwrite: Boolean, operation: String,
                          emitMeta: Boolean, tableSchema: StructType,
                          conf: Map[String, String], removed: Seq[String],
-                         named: Seq[(String, Long, Option[String])]): String = {
+                         named: Seq[(String, Long, Option[String])],
+                         txn: Option[(String, Long)] = None): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":${mapper.writeValueAsString(op)},"timestamp":$ts}}""")
       .append('\n')
+    txn.foreach { case (appId, tv) =>
+      sb.append(s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$tv,"lastUpdated":$ts}}""")
+        .append('\n')
+    }
     if (emitMeta)
       sb.append(protocolAndMetaData(v, tableSchema.json, conf))
     removed.foreach { p =>
@@ -902,6 +937,66 @@ object DeltaLite {
     }
     publishCommit(spark, table, 0L, sb.toString)
     0L
+  }
+
+  /** RENAME COLUMN — METADATA-ONLY on a column-mapped table: the logical
+    * field changes name while keeping its column id and physical name,
+    * so not a byte of data moves and every existing file still reads
+    * (r12's column mapping made this legal; the append-time
+    * additive-evolution guard stays strict because an accidental rename
+    * through a drifted frame should still refuse — this verb is the
+    * deliberate path). Stats-pruned verbs keep working: add-stats are
+    * keyed by PHYSICAL name, which the rename never touches. On an
+    * unmapped table the physical parquet names ARE the logical names, so
+    * rename is refused with the remedy named.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    require(mappingMode(snap.configuration) != "none",
+      s"$table: RENAME COLUMN needs column mapping (physical names are " +
+        "decoupled from logical) — on an unmapped table, rewrite via " +
+        "overwrite with the new schema")
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from), s"$table: no column $from")
+    require(!schema.fieldNames.contains(to),
+      s"$table: column $to already exists")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"RENAME COLUMN","timestamp":0}}""" +
+        "\n" + protocolAndMetaData(v, renamed.json, snap.configuration,
+        withDvFeature = snap.dvs.nonEmpty))
+    v
+  }
+
+  /** DROP COLUMN — METADATA-ONLY on a column-mapped table: the field
+    * leaves the logical schema; its physical column stays orphaned in
+    * the data files (invisible to every read) until files are naturally
+    * rewritten. `maxColumnId` is NOT reused, so a later re-add of the
+    * same logical name gets a FRESH physical column — old values can
+    * never resurrect under the new field (the protocol's id-stability
+    * guarantee).
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    require(mappingMode(snap.configuration) != "none",
+      s"$table: DROP COLUMN needs column mapping — on an unmapped table, " +
+        "rewrite via overwrite with the new schema")
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"$table: no column $name")
+    require(schema.fields.length > 1,
+      s"$table: cannot drop the last column")
+    val dropped = StructType(schema.fields.filterNot(_.name == name))
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"DROP COLUMN","timestamp":0}}""" +
+        "\n" + protocolAndMetaData(v, dropped.json, snap.configuration,
+        withDvFeature = snap.dvs.nonEmpty))
+    v
   }
 
   private def dvJson(d: DeletionVectors.DvDescriptor): String =
@@ -1351,9 +1446,40 @@ object DeltaLite {
       overwrite = true,
       operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})")
 
+  /** Rows ADDED in versions `(fromVersion, toVersion]` under the
+    * APPEND-ONLY contract — the IcebergLite.incrementalRead twin, and
+    * the batch kernel of the streaming source ([[graft.streaming
+    * .TableStreams]]): the added file set is exactly the snapshot
+    * file-set difference, so the scan touches ONLY the new files (cost ∝
+    * appended data, never table size). A range that removed files or
+    * changed a deletion vector has no well-defined append delta and is
+    * REFUSED loudly with the remedy named (consume via [[changes]],
+    * which classifies the full row-level feed).
+    */
+  def appended(spark: SparkSession, table: String, fromVersion: Long,
+               toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"appended: fromVersion $fromVersion > toVersion $toVersion")
+    val from = snapshot(spark, table, Some(fromVersion))
+    val to = snapshot(spark, table, Some(toVersion))
+    val toFiles = to.files.toSet
+    val removed = from.files.filterNot(toFiles.contains)
+    val dvChanged = from.files.filter(p =>
+      toFiles.contains(p) &&
+        from.dvs.getOrElse(p, "") != to.dvs.getOrElse(p, ""))
+    require(removed.isEmpty && dvChanged.isEmpty,
+      s"$table: versions ($fromVersion, $toVersion] removed files or " +
+        "changed deletion vectors — not an append-only range; consume " +
+        "the row-level feed via changes() instead")
+    val fromFiles = from.files.toSet
+    readSnapshot(spark, table, to, to.files.filterNot(fromFiles.contains))
+  }
+
   /** Net row-level CHANGE FEED between two committed versions — the
     * protocol-level answer to Delta's Change Data Feed for copy-on-write
-    * tables (no `_change_data` files needed): diff the two snapshots'
+    * tables (no `_change_data` files needed — though when a foreign CDF
+    * writer recorded `cdc` actions, that exact pre-paid channel is
+    * preferred; see below): diff the two snapshots'
     * FILE sets (driver-side, metadata only), read ONLY the files that
     * changed hands, and cancel the rows copy-on-write rewrites carried
     * over unchanged (`exceptAll` both ways — byte-identical copies
@@ -1381,6 +1507,31 @@ object DeltaLite {
     val schema = stripMapping(
       SDT.fromJson(to.schemaJson.get).asInstanceOf[SST])
     val dataCols = schema.fieldNames.toSeq
+    // Foreign CDF channel: a CDF-enabled writer records `cdc` actions
+    // pointing at `_change_data` files — the EXACT per-commit feed that
+    // engine already paid to materialize. Prefer it over the net
+    // file-diff when EVERY version in range carries it (reading is then
+    // ∝ change volume with zero diff work); mixed ranges and mapped
+    // tables fall back to the diff below. Note the semantic gain: the
+    // cdc channel is the PER-COMMIT event stream (intermediate changes
+    // included), which is what CDF consumers define correctness against;
+    // the file-diff is its net projection.
+    locally {
+      val f = fs(spark, logDir(table))
+      val mapped = mappingMode(to.configuration) != "none"
+      val cdcPerVersion: Seq[Seq[String]] =
+        ((fromVersion + 1) to toVersion).map { v =>
+          readActions(f, commitFile(table, v)).filter(_.has("cdc"))
+            .map(_.get("cdc").get("path").asText())
+        }
+      if (!mapped && cdcPerVersion.nonEmpty && cdcPerVersion.forall(_.nonEmpty)) {
+        val paths = cdcPerVersion.flatten.map(p => new Path(table, p).toString)
+        val cdcSchema = schema.add("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = true)
+        return spark.read.schema(cdcSchema).parquet(paths: _*)
+          .select(dataCols.map(c => col(s"`$c`")) :+ col("_change_type"): _*)
+      }
+    }
     // file identity = (path, deletion vector): a merge-on-read DELETE
     // re-adds the SAME path with a new DV — a path-only diff would read
     // it on neither side and the deletes would vanish from the feed.
@@ -1532,8 +1683,14 @@ object DeltaLite {
       val as = readActions(f, commitFile(table, v))
       val op = as.find(_.has("commitInfo"))
         .map(_.get("commitInfo").get("operation").asText()).getOrElse("")
-      (v, op, as.count(_.has("add")).toLong, as.count(_.has("remove")).toLong)
-    }.toDF("version", "operation", "n_added", "n_removed")
+      // SetTransaction bookkeeping, surfaced for audit: which streaming
+      // appId stamped this commit, at which producer version
+      val txn = as.find(_.has("txn")).map(_.get("txn"))
+      (v, op, as.count(_.has("add")).toLong, as.count(_.has("remove")).toLong,
+        txn.map(_.get("appId").asText()).orNull,
+        txn.map(t => java.lang.Long.valueOf(t.get("version").asLong())).orNull)
+    }.toDF("version", "operation", "n_added", "n_removed",
+      "txn_app_id", "txn_version")
   }
 
   /** OPTIMIZE (bin-packing compaction) as a protocol commit (reference:

@@ -363,9 +363,20 @@ object IcebergLite {
   /** Resolved snapshot state: data files + delete files + the
     * Spark-typed schema.
     */
+  /** `schemaId` is the schema era this snapshot resolved under (None on
+    * legacy metadata). `schemaHistory` (schema-id → field-id → name,
+    * populated only when the table has evolved through >1 schema) and
+    * `seqToSchemaId` (sequence number → write-era schema-id) are what
+    * [[readWithDeletes]] uses to align files written under an earlier
+    * era's names after a rename — zero extra I/O, both come from the
+    * metadata already in hand.
+    */
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             detail: Seq[FileInfo],
-                            deletes: Seq[DeleteFileInfo] = Seq.empty) {
+                            deletes: Seq[DeleteFileInfo] = Seq.empty,
+                            schemaId: Option[Int] = None,
+                            schemaHistory: Map[Int, Map[Int, String]] = Map.empty,
+                            seqToSchemaId: Map[Long, Int] = Map.empty) {
     def files: Seq[String] = detail.map(_.path)
   }
 
@@ -432,12 +443,19 @@ object IcebergLite {
       .getOrElse(sys.error(s"$table: snapshot $targetId not found " +
         "(expired, or never committed)"))
 
-    // current schema: "schemas" list keyed by current-schema-id (v2) or
-    // the legacy single "schema" (v1 writers)
+    // schema resolution: the LATEST snapshot reads under the table's
+    // CURRENT schema (so a rename is visible immediately); a PINNED
+    // time-travel snapshot reads under its own era's schema-id — the
+    // names a reader of that snapshot saw then. "schemas" list (v2) or
+    // the legacy single "schema" (v1 writers).
+    val isCurrent = targetId == meta.get("current-snapshot-id").asLong()
+    val wantSid: Option[Int] =
+      if (isCurrent) Option(meta.get("current-schema-id")).map(_.asInt())
+      else Option(snap.get("schema-id")).map(_.asInt())
+        .orElse(Option(meta.get("current-schema-id")).map(_.asInt()))
     val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
-      val want = Option(snap.get("schema-id")).map(_.asInt())
-        .getOrElse(meta.get("current-schema-id").asInt())
-      arr.elements().asScala.find(_.get("schema-id").asInt() == want)
+      wantSid.flatMap(want => arr.elements().asScala.find(s =>
+        Option(s.get("schema-id")).exists(_.asInt() == want)))
     }.orElse(Option(meta.get("schema")))
       .getOrElse(sys.error(s"$table: metadata has no schema"))
     val schema = icebergToSpark(schemaNode)
@@ -518,9 +536,26 @@ object IcebergLite {
         }
       }
     }.distinctBy(_.path).filterNot(fi => deleted.contains(fi.path))
+    // schema-era maps for rename alignment — only materialized when the
+    // table actually evolved through more than one schema
+    val schemaHistory: Map[Int, Map[Int, String]] =
+      Option(meta.get("schemas")).map(_.elements().asScala.toSeq.flatMap { sn =>
+        Option(sn.get("schema-id")).map(_.asInt()).map(_ ->
+          sn.get("fields").elements().asScala
+            .map(fn => fn.get("id").asInt() -> fn.get("name").asText()).toMap)
+      }.toMap).filter(_.size > 1).getOrElse(Map.empty)
+    val seqToSid: Map[Long, Int] =
+      if (schemaHistory.isEmpty) Map.empty
+      else snaps.flatMap { sn =>
+        for {
+          sq  <- Option(sn.get("sequence-number")).map(_.asLong())
+          sid <- Option(sn.get("schema-id")).map(_.asInt())
+        } yield sq -> sid
+      }.toMap
     Snapshot(targetId, schema, files,
       deleteFiles.result().distinctBy(_.path)
-        .filterNot(d => deleted.contains(d.path)))
+        .filterNot(d => deleted.contains(d.path)),
+      wantSid, schemaHistory, seqToSid)
   }
 
   /** Metadata-only scan planning (the format's 100 TB value proposition:
@@ -566,25 +601,52 @@ object IcebergLite {
                               s: Snapshot, subset: Seq[FileInfo],
                               keepMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (s.deletes.isEmpty && !keepMeta)
+    // rename-era alignment applies when the table evolved through more
+    // than one schema AND this snapshot resolved a known era
+    val targetEra: Map[Int, String] =
+      s.schemaId.flatMap(s.schemaHistory.get).getOrElse(Map.empty)
+    // (read-with schema, written→target renames) for one sequence group:
+    // a group written under a different era with the SAME field-id set
+    // reads under its WRITTEN names and relabels by id; anything else
+    // (same era, unknown era, add/drop between eras) reads by name.
+    def writeSchemaFor(seq: Long): (StructType, Map[String, String]) = {
+      val written = s.seqToSchemaId.get(seq)
+        .flatMap(s.schemaHistory.get).getOrElse(targetEra)
+      if (targetEra.isEmpty || written == targetEra ||
+          written.keySet != targetEra.keySet) (s.schema, Map.empty)
+      else {
+        val ren: Map[String, String] = targetEra.flatMap { case (id, tn) =>
+          written.get(id).filter(_ != tn).map(tn -> _)
+        }
+        (StructType(s.schema.fields.map(f =>
+          f.copy(name = ren.getOrElse(f.name, f.name)))), ren)
+      }
+    }
+    val needAlign = targetEra.nonEmpty &&
+      subset.map(_.seq).distinct.exists(sq => writeSchemaFor(sq)._2.nonEmpty)
+    if (s.deletes.isEmpty && !keepMeta && !needAlign)
       return readFileList(spark, table, s.schema, subset.map(_.path))
     val dataCols = s.schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) ++
       (if (keepMeta) Seq(col("__if"), col("__ip")) else Nil)
-    val fieldNames: Map[Int, String] = {
-      val meta = metadata(spark, table)
-      val schemaNode = Option(meta.get("schemas"))
-        .map(_.elements().asScala.toSeq.last)
-        .orElse(Option(meta.get("schema")))
-        .getOrElse(sys.error(s"$table: metadata has no schema"))
-      schemaNode.get("fields").elements().asScala
-        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    }
+    val fieldNames: Map[Int, String] =
+      if (targetEra.nonEmpty) targetEra
+      else {
+        val meta = metadata(spark, table)
+        currentSchemaNode(meta, table).get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      }
     val tableAbs = canonTableRoot(spark, table)
     val groups = subset.groupBy(_.seq).toSeq.sortBy(_._1)
     val parts = groups.map { case (seq, files) =>
-      var df = readFileList(spark, table, s.schema, files.map(_.path))
+      val (readSchema, renames) = writeSchemaFor(seq)
+      val raw = readFileList(spark, table, readSchema, files.map(_.path))
         .withColumn("__if", canonCol(tableAbs, col("_metadata.file_path")))
         .withColumn("__ip", col("_metadata.row_index"))
+      var df =
+        if (renames.isEmpty) raw
+        else raw.select(s.schema.fieldNames.toIndexedSeq.map(n =>
+          col(s"`${renames.getOrElse(n, n)}`").as(n)) :+
+          col("__if") :+ col("__ip"): _*)
       val pos = s.deletes.filter(d => d.content == 1 && d.seq >= seq)
       if (pos.nonEmpty) {
         val posDf = spark.read
@@ -634,9 +696,11 @@ object IcebergLite {
     * evolved external table's `schemas` array holds every historical
     * schema; head would be the oldest).
     */
-  private def topField(meta: JsonNode, table: String,
-                       name: String): (String, Int) = {
-    val schemaNode = Option(meta.get("schemas"))
+  /** The CURRENT schema node (`schemas` keyed by `current-schema-id`, or
+    * the legacy single `schema`).
+    */
+  private def currentSchemaNode(meta: JsonNode, table: String): JsonNode =
+    Option(meta.get("schemas"))
       .map(_.elements().asScala.toSeq)
       .flatMap { seq =>
         Option(meta.get("current-schema-id")).map(_.asInt()) match {
@@ -648,12 +712,33 @@ object IcebergLite {
       }
       .orElse(Option(meta.get("schema")))
       .getOrElse(sys.error(s"$table: metadata has no schema"))
-    val fieldNode = schemaNode.get("fields").elements().asScala
+
+  private def topField(meta: JsonNode, table: String,
+                       name: String): (String, Int) = {
+    val fieldNode = currentSchemaNode(meta, table).get("fields")
+      .elements().asScala
       .find(_.get("name").asText() == name)
       .getOrElse(sys.error(s"$table: no column $name"))
     require(fieldNode.get("type").isTextual,
       s"$table.$name: bounds pruning needs a primitive column")
     (fieldNode.get("type").asText(), fieldNode.get("id").asInt())
+  }
+
+  /** The DEFAULT partition spec's fields — `partition-specs` keyed by
+    * `default-spec-id` (v2) or the legacy flat `partition-spec` (v1).
+    */
+  private[graft] def partitionSpecFields(meta: JsonNode)
+      : Seq[IcebergTransforms.PartField] = {
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("partition-specs"))
+      .flatMap(arr => arr.elements().asScala
+        .find(s => Option(s.get("spec-id")).exists(_.asInt() == specId))
+        .map(_.get("fields").elements().asScala.toSeq))
+      .orElse(Option(meta.get("partition-spec"))
+        .map(_.elements().asScala.toSeq))
+      .getOrElse(Seq.empty)
+      .map(n => IcebergTransforms.PartField(n.get("name").asText(),
+        n.get("transform").asText(), n.get("source-id").asInt()))
   }
 
   /** UTF-8 bytes under unsigned lexicographic order — the domain parquet
@@ -716,6 +801,111 @@ object IcebergLite {
     val base = readWithDeletes(spark, table, snap, scanned)
     SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
       scanned.size, skipped.size)
+  }
+
+  /** One source-column predicate for [[readWherePart]]: a range
+    * (`lo`/`hi`, inclusive) or an equality (`eq`). Timestamp/date
+    * bounds accept `java.sql.Timestamp`/`Date` or ISO strings
+    * (`"1994-01-01"`, `"1994-01-01T12:00:00"`), read as UTC.
+    */
+  final case class PartPred(col: String, lo: Any = null, hi: Any = null,
+                            eq: Any = null) {
+    require((eq != null) != (lo != null && hi != null),
+      s"PartPred($col): give eq OR lo+hi")
+  }
+
+  /** PARTITION-TRANSFORM file pruning (spec "Scan Planning"): for each
+    * predicate on a SOURCE column, drop every data file whose manifest
+    * partition value under the table's spec transforms cannot contain a
+    * matching row — `days(ts)`/`months`/`years`/`hours` prune ranges,
+    * `bucket[N]` prunes equalities (the hash is the spec's murmur3, so
+    * this is valid on FOREIGN bucket-partitioned tables too),
+    * `truncate[W]` prunes both (order-preserving), identity prunes both.
+    * Planning is manifest-metadata only (O(files) driver work, zero data
+    * I/O — at 100 TB on a days-partitioned table a one-week predicate
+    * plans away ~99.9% of the scan before Spark sees a path). Survivors
+    * scan with the residual predicates pushed down; `void`, unknown
+    * transforms, and files with null partition values scan
+    * conservatively. Complements [[readWhere]]'s column-bound pruning —
+    * partition values prune even where a writer recorded no bounds
+    * (e.g. timestamp columns).
+    */
+  def readWherePart(spark: SparkSession, table: String,
+                    preds: Seq[PartPred]): SkippingScan = {
+    import org.apache.spark.sql.functions.col
+    val meta = metadata(spark, table)
+    val spec = partitionSpecFields(meta)
+    val idToField: Map[Int, (String, String)] =
+      currentSchemaNode(meta, table).get("fields").elements().asScala
+        .map(f => f.get("id").asInt() ->
+          (f.get("name").asText(),
+            if (f.get("type").isTextual) f.get("type").asText() else "complex"))
+        .toMap
+    val snap = snapshot(spark, table)
+    var kept = snap.detail
+    preds.foreach { p =>
+      spec.filter(tf => idToField.get(tf.sourceId).exists(_._1 == p.col))
+        .foreach { tf =>
+          val tpe = idToField(tf.sourceId)._2
+          kept = kept.filter(fi =>
+            partMayMatch(tf, tpe, fi.partition.get(tf.name), p))
+        }
+    }
+    val base = readWithDeletes(spark, table, snap, kept)
+    val filtered = preds.foldLeft(base) { (d, p) =>
+      if (p.eq != null) d.filter(col(p.col) === p.eq)
+      else d.filter(col(p.col) >= p.lo && col(p.col) <= p.hi)
+    }
+    SkippingScan(filtered, kept.size, snap.detail.size - kept.size)
+  }
+
+  /** Can a file with partition value `pv` under spec field `tf` contain
+    * a row matching `p`? Missing/null values and unprunable shapes
+    * (bucket under a range, unknown transforms) answer true — pruning
+    * must never be a correctness dependency.
+    */
+  private def partMayMatch(tf: IcebergTransforms.PartField, icebergType: String,
+                           pv: Option[String], p: PartPred): Boolean = {
+    val v = pv.orNull
+    if (v == null) return true
+    val isEq = p.eq != null
+    val T = IcebergTransforms
+    tf.transform match {
+      case "identity" => icebergType match {
+        case "int" | "long" | "float" | "double" | "string" =>
+          // same comparison domain as readWhere's bound pruning
+          val x = keyComparable(icebergType, v)
+          if (isEq) x.compareTo(keyComparable(icebergType, p.eq)) == 0
+          else x.compareTo(keyComparable(icebergType, p.lo)) >= 0 &&
+            x.compareTo(keyComparable(icebergType, p.hi)) <= 0
+        case _ => true
+      }
+      case t if T.isTimeTransform(t) =>
+        val x = v.toLong
+        if (isEq) x == T.timeValue(t, icebergType, p.eq)
+        else x >= T.timeValue(t, icebergType, p.lo) &&
+          x <= T.timeValue(t, icebergType, p.hi)
+      case t if T.bucketN(t).isDefined =>
+        if (!isEq) true
+        else v.toInt == T.bucketOf(icebergType, p.eq, T.bucketN(t).get)
+      case t if T.truncW(t).isDefined =>
+        val w = T.truncW(t).get
+        icebergType match {
+          case "int" | "long" =>
+            val x = v.toLong
+            if (isEq) x == T.truncateOf(icebergType, p.eq, w).asInstanceOf[Long]
+            else x >= T.truncateOf(icebergType, p.lo, w).asInstanceOf[Long] &&
+              x <= T.truncateOf(icebergType, p.hi, w).asInstanceOf[Long]
+          case "string" =>
+            // prefix truncation is monotone: row ∈ [lo,hi] ⇒
+            // trunc(lo) ≤ pv ≤ trunc(hi), all ≤ w chars
+            if (isEq) v == T.truncateOf(icebergType, p.eq, w)
+            else v >= T.truncateOf(icebergType, p.lo, w).asInstanceOf[String] &&
+              v <= T.truncateOf(icebergType, p.hi, w).asInstanceOf[String]
+          case _ => true
+        }
+      case _ => true // void / unknown: scan conservatively
+    }
   }
 
   /** Scan an explicit subset of a snapshot's files (the consumer half of
@@ -957,17 +1147,56 @@ object IcebergLite {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              overwrite: Boolean = false, operation: String = "",
              partitionBy: Seq[String] = Nil,
-             replacing: Option[Seq[String]] = None): Long =
+             replacing: Option[Seq[String]] = None,
+             partitionTransforms: Seq[String] = Nil): Long =
     commitAttempt(spark, table, df, overwrite, operation, partitionBy,
-      replacing, nameToken = None, ifAbsent = false)
+      replacing, nameToken = None, ifAbsent = false,
+      partitionTransforms = partitionTransforms)
       .getOrElse(sys.error("unreachable: non-contended publish cannot lose"))
+
+  /** `"days(ts)"` / `"bucket(8, id)"` / `"truncate(4, s)"` /
+    * `"months(ts)"` / `"years(ts)"` / `"hours(ts)"` — the Iceberg DDL
+    * transform syntax → (spec transform string, source column).
+    */
+  private[graft] def parseTransformDecl(s: String): (String, String) = {
+    val TimeRe  = """(?i)(years?|months?|days?|hours?)\s*\(\s*([\w.]+)\s*\)""".r
+    val ArgRe   = """(?i)(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+    val IdentRe = """(?i)identity\s*\(\s*([\w.]+)\s*\)""".r
+    s.trim match {
+      case TimeRe(t, col) =>
+        (t.toLowerCase.stripSuffix("s"), col)
+      case ArgRe(t, n, col) =>
+        (s"${t.toLowerCase}[$n]", col)
+      case IdentRe(col) => ("identity", col)
+      case other => sys.error(s"unparseable partition transform: '$other' " +
+        "(expected e.g. days(ts), bucket(8, id), truncate(4, s))")
+    }
+  }
+
+  /** Spec-field name for a transform, the Iceberg convention:
+    * `ts_day`, `id_bucket`, `s_trunc`; identity keeps the column name.
+    */
+  private def transformFieldName(transform: String, source: String): String =
+    transform match {
+      case "identity" => source
+      case t if t.startsWith("bucket[")   => s"${source}_bucket"
+      case t if t.startsWith("truncate[") => s"${source}_trunc"
+      case t => s"${source}_$t"
+    }
+
+  /** One resolved partition-spec column of a commit: manifest field
+    * `name` of `resultType`, computed as `transform(source)`.
+    */
+  private final case class SpecCol(name: String, transform: String,
+                                   source: String, resultType: DataType)
 
   private def commitAttempt(spark: SparkSession, table: String, df: DataFrame,
                             overwrite: Boolean, operation: String,
                             partitionBy: Seq[String],
                             replacing: Option[Seq[String]],
                             nameToken: Option[String],
-                            ifAbsent: Boolean): Option[Long] = {
+                            ifAbsent: Boolean,
+                            partitionTransforms: Seq[String] = Nil): Option[Long] = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -989,17 +1218,30 @@ object IcebergLite {
           s"$table: files this rewrite replaces are no longer live — " +
             "re-run the read-modify-write against the new tip")
     }
-    val partCols: Seq[StructField] = partitionBy.map(df.schema(_))
+    require(partitionBy.isEmpty || partitionTransforms.isEmpty,
+      s"$table: give partitionBy (identity) OR partitionTransforms, not both")
+    // unified spec columns: identity partitionBy keeps its source column
+    // in the DIRECTORY (hive layout, recovered at read); non-identity
+    // transforms derive an EXTRA column for the directory and keep the
+    // source column in the data files
+    val specCols: Seq[SpecCol] =
+      if (partitionTransforms.nonEmpty) partitionTransforms.map { decl =>
+        val (tf, src) = parseTransformDecl(decl)
+        val srcType = df.schema(src).dataType
+        SpecCol(transformFieldName(tf, src), tf, src,
+          IcebergTransforms.resultType(tf, srcType))
+      }
+      else partitionBy.map(c =>
+        SpecCol(c, "identity", c, df.schema(c).dataType))
+    val partCols: Seq[StructField] =
+      specCols.map(sc => StructField(sc.name, sc.resultType, nullable = true))
     // append-time schema drift: additive evolution only (every existing
     // column kept, same type) — the new metadata's schema governs the
     // whole table, so old files read with nulls for added columns;
     // dropped/retyped columns on append are refused loudly. Overwrites
     // may replace the schema freely.
     prevMeta.filter(_ => !overwrite && replacing.isEmpty).foreach { m =>
-      val prevSchema = icebergToSpark(
-        Option(m.get("schemas")).map(_.elements().asScala.toSeq.head)
-          .orElse(Option(m.get("schema")))
-          .getOrElse(sys.error(s"$table: metadata has no schema")))
+      val prevSchema = icebergToSpark(currentSchemaNode(m, table))
       val missing = prevSchema.fields.filterNot(pf =>
         df.schema.fields.exists(nf =>
           nf.name == pf.name && nf.dataType == pf.dataType))
@@ -1018,14 +1260,60 @@ object IcebergLite {
           "order (field ids are positional; new columns go at the end)")
     }
 
+    // effective schema node for this commit: REUSE the previous
+    // metadata's matching schema (same (name, type) field sequence —
+    // keeps field ids stable across appends AND across rename/drop
+    // evolution, where a positional re-assignment would silently re-key
+    // every surviving file's manifest bounds); otherwise a fresh
+    // positional assignment under a new schema-id, APPENDED to the
+    // schema history so each snapshot still resolves under its own
+    // era's names (snapshot()/readWithDeletes read by schema-id).
+    val (freshNode, freshLastColId) = sparkToIceberg(df.schema)
+    val prevSchemasArr: Seq[JsonNode] = prevMeta.map { m =>
+      Option(m.get("schemas")).map(_.elements().asScala.toSeq)
+        .getOrElse(Option(m.get("schema")).toSeq)
+    }.getOrElse(Seq.empty).map { s =>
+      val o = s.deepCopy[ObjectNode]()
+      if (!o.has("schema-id")) o.put("schema-id", 0) // legacy single-schema
+      o: JsonNode
+    }
+    def schemaSig(n: JsonNode): Seq[(String, JsonNode)] =
+      n.get("fields").elements().asScala.map(fn =>
+        (fn.get("name").asText(), fn.get("type"))).toSeq
+    val matchedSchema = prevSchemasArr.find(s => schemaSig(s) == schemaSig(freshNode))
+    val prevLastColId = prevMeta.flatMap(pm =>
+      Option(pm.get("last-column-id")).map(_.asInt())).getOrElse(0)
+    val (schemaNode: ObjectNode, schemaId: Int,
+         allSchemas: Seq[JsonNode], lastColId: Int) = matchedSchema match {
+      case Some(m) =>
+        (m.asInstanceOf[ObjectNode], m.get("schema-id").asInt(),
+          prevSchemasArr, math.max(prevLastColId, freshLastColId))
+      case None =>
+        val sid = prevSchemasArr.flatMap(s =>
+          Option(s.get("schema-id")).map(_.asInt()))
+          .maxOption.map(_ + 1).getOrElse(0)
+        freshNode.put("schema-id", sid)
+        (freshNode, sid, prevSchemasArr :+ (freshNode: JsonNode),
+          math.max(prevLastColId, freshLastColId))
+    }
+
     // 1. data files: stage (hive layout when partitioned — identity
     //    transform, the dir name carrying the value), then publish under
     //    data/ with snapshot-stamped names (metadata, not the listing,
     //    defines the table)
     val staging = new Path(root,
       s".staging-s${nameToken.getOrElse(snapId.toString)}")
-    val w0 = df.write.mode("overwrite")
-    (if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*))
+    // non-identity transforms: derive the partition-value columns (they
+    // are consumed by partitionBy into the dir names; the SOURCE columns
+    // stay in the data files, so reads need no value reconstruction)
+    val stageDf = specCols.filter(_.transform != "identity")
+      .foldLeft(df) { (d, sc) =>
+        d.withColumn(sc.name, IcebergTransforms.transformColumn(
+          sc.transform, d(sc.source), df.schema(sc.source).dataType))
+      }
+    val w0 = stageDf.write.mode("overwrite")
+    val dirCols = specCols.map(_.name)
+    (if (dirCols.isEmpty) w0 else w0.partitionBy(dirCols: _*))
       .parquet(staging.toString)
     def leaves(dir: Path, rel: String): Seq[(Path, String)] =
       f.listStatus(dir).toSeq.flatMap { st =>
@@ -1037,15 +1325,15 @@ object IcebergLite {
         else Nil
       }
     f.mkdirs(dataDir(table))
-    // top-level field ids for the bound maps, from the SAME deterministic
-    // id assignment the metadata write below will use
-    val topFields: Map[String, (Int, DataType)] = {
-      val (node, _) = sparkToIceberg(df.schema)
-      node.get("fields").elements().asScala.filter(_.get("type").isTextual)
+    // top-level field ids for the bound maps, from the EFFECTIVE schema
+    // node (reused ids survive rename/drop; a positional re-derivation
+    // here would mis-key bounds after a drop)
+    val topFields: Map[String, (Int, DataType)] =
+      schemaNode.get("fields").elements().asScala
+        .filter(_.get("type").isTextual)
         .map(fn => fn.get("name").asText() ->
           (fn.get("id").asInt(), df.schema(fn.get("name").asText()).dataType))
         .toMap
-    }
     // contended writers stamp a writer-unique token into part names so
     // two racers at the same prospective snapshot id can never clobber
     // each other's data files
@@ -1156,7 +1444,6 @@ object IcebergLite {
       Map("format-version" -> "2"))
 
     // 4. new metadata version (immutable), then the version-hint publish
-    val (schemaNode, lastColId) = sparkToIceberg(df.schema)
     val meta = mapper.createObjectNode()
     // v2 metadata (sequence numbers are the delete-applicability
     // ordering); v1 tables written by older rounds still read fine
@@ -1166,21 +1453,23 @@ object IcebergLite {
     meta.put("location", table)
     meta.put("last-updated-ms", 0L)
     meta.put("last-column-id", lastColId)
-    meta.set[ObjectNode]("schema", schemaNode)
-    val schemas = meta.putArray("schemas"); schemas.add(schemaNode.deepCopy())
-    meta.put("current-schema-id", 0)
-    // partition spec: identity transform per partition column, field-ids
+    meta.set[ObjectNode]("schema", schemaNode.deepCopy())
+    val schemas = meta.putArray("schemas")
+    allSchemas.foreach(s => schemas.add(s.deepCopy[JsonNode]()))
+    meta.put("current-schema-id", schemaId)
+    // partition spec: one field per spec column (identity OR a real
+    // transform — bucket[N]/truncate[W]/year/month/day/hour), field-ids
     // from 1000 (spec's reserved partition-field range), source-id = the
-    // column's schema field id
+    // SOURCE column's schema field id
     def specFieldNodes(target: ArrayNode): Unit =
-      partCols.zipWithIndex.foreach { case (c, i) =>
+      specCols.zipWithIndex.foreach { case (sc, i) =>
         val sourceId = schemaNode.get("fields").elements().asScala
-          .find(_.get("name").asText() == c.name)
+          .find(_.get("name").asText() == sc.source)
           .map(_.get("id").asInt())
-          .getOrElse(sys.error(s"partition column not in schema: ${c.name}"))
+          .getOrElse(sys.error(s"partition source column not in schema: ${sc.source}"))
         val n = mapper.createObjectNode()
-        n.put("name", c.name)
-        n.put("transform", "identity")
+        n.put("name", sc.name)
+        n.put("transform", sc.transform)
         n.put("source-id", sourceId)
         n.put("field-id", 1000 + i)
         target.add(n)
@@ -1210,7 +1499,7 @@ object IcebergLite {
     summary.put("removed-data-files", removed.size.toString)
     snapNode.set[ObjectNode]("summary", summary)
     snapNode.put("manifest-list", listRel)
-    snapNode.put("schema-id", 0)
+    snapNode.put("schema-id", schemaId)
     val allSnaps = meta.putArray("snapshots")
     prevSnaps.foreach(s => allSnaps.add(s.deepCopy[JsonNode]()))
     allSnaps.add(snapNode)
@@ -1324,6 +1613,16 @@ object IcebergLite {
                      keys: Seq[String], partitionCol: String = "",
                      skewSafe: Boolean = false,
                      maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys): MergeStats = {
+    // the partition prune below keys manifests by VALUE under an
+    // identity assumption, and the rewrite re-commits under identity
+    // layout — on a transform-partitioned table (days/bucket/truncate)
+    // both would be silently wrong, so refuse with the remedy named
+    val specTf = partitionSpecFields(metadata(spark, table))
+      .filterNot(_.transform == "identity")
+    require(specTf.isEmpty,
+      s"$table: selectiveMerge does not support transform-partitioned " +
+        s"tables (${specTf.map(t => s"${t.name}:${t.transform}").mkString(", ")})" +
+        " — read with readWherePart and rewrite via commit(partitionTransforms)")
     val snap = snapshot(spark, table)
     val noPrune = (snap.detail, Seq.empty[FileInfo])
     val (touched, skipped) =
@@ -1722,6 +2021,130 @@ object IcebergLite {
     val sid = commit(spark, table, rewritten, operation = "merge",
       replacing = Some(touched.map(_.path)))
     PurgeStats(sid, touched.size, untouched.size)
+  }
+
+  /** Write `meta` as the next immutable metadata version and repoint the
+    * version hint — the metadata-only publish rename/drop ride.
+    */
+  private def publishMetadataVersion(spark: SparkSession, table: String,
+                                     meta: ObjectNode): Int = {
+    val f = fs(spark, metaDir(table))
+    val metaV = versions(spark, table).last + 1
+    val tmp = new Path(metaDir(table), s".v$metaV-evo.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(meta))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)),
+      s"metadata rename failed: v$metaV")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    metaV
+  }
+
+  /** Ensure `meta` carries a `schemas` HISTORY array (migrating legacy
+    * single-`schema` metadata), every entry with a schema-id. Returns
+    * the array.
+    */
+  private def schemasArray(meta: ObjectNode, table: String): ArrayNode = {
+    val arr = Option(meta.get("schemas")) match {
+      case Some(a: ArrayNode) => a
+      case _ =>
+        val a = meta.putArray("schemas")
+        val legacy = Option(meta.get("schema"))
+          .getOrElse(sys.error(s"$table: metadata has no schema"))
+          .deepCopy[ObjectNode]()
+        a.add(legacy); a
+    }
+    arr.elements().asScala.zipWithIndex.foreach {
+      case (o: ObjectNode, i) if !o.has("schema-id") => o.put("schema-id", i)
+      case _ =>
+    }
+    arr
+  }
+
+  /** RENAME COLUMN by FIELD ID — the format's defining evolution rule:
+    * a new schema (same field ids, one name changed) is APPENDED to the
+    * schema history under a fresh schema-id and made current; not a byte
+    * of data moves. Old data files still carry the old column name, so
+    * the scan aligns PER SEQUENCE GROUP: files from an earlier schema
+    * era read under their WRITTEN name and relabel to the current name
+    * by field id (see readWithDeletes) — exactly how real Iceberg
+    * readers resolve columns. Manifest bound maps are keyed by field id
+    * and keep pruning untouched; time travel to a pre-rename snapshot
+    * reads under that era's names. Top-level columns only (nested
+    * renames refused).
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val cur = currentSchemaNode(meta, table)
+    val names = cur.get("fields").elements().asScala
+      .map(_.get("name").asText()).toSeq
+    require(names.contains(from), s"$table: no column $from")
+    require(!names.contains(to), s"$table: column $to already exists")
+    val renamed = cur.deepCopy[ObjectNode]()
+    renamed.get("fields").elements().asScala.foreach {
+      case fn: ObjectNode if fn.get("name").asText() == from =>
+        fn.put("name", to); ()
+      case _ =>
+    }
+    val arr = schemasArray(meta, table)
+    val sid = arr.elements().asScala.map(_.get("schema-id").asInt()).max + 1
+    renamed.put("schema-id", sid)
+    arr.add(renamed)
+    meta.put("current-schema-id", sid)
+    meta.set[ObjectNode]("schema", renamed.deepCopy())
+    publishMetadataVersion(spark, table, meta)
+  }
+
+  /** DROP COLUMN — metadata-only, the [[renameColumn]] sibling: the
+    * field leaves the current schema (fresh schema-id in the history);
+    * its values stay orphaned in the data files, invisible to every
+    * read because scans project the current schema's columns only. The
+    * field id is never reused (`last-column-id` is monotonic), so a
+    * later same-named column can never resurrect old values.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val cur = currentSchemaNode(meta, table)
+    val fields = cur.get("fields").elements().asScala.toSeq
+    require(fields.exists(_.get("name").asText() == name),
+      s"$table: no column $name")
+    require(fields.size > 1, s"$table: cannot drop the last column")
+    val dropped = cur.deepCopy[ObjectNode]()
+    val keep = dropped.putArray("fields")
+    fields.filterNot(_.get("name").asText() == name)
+      .foreach(fn => keep.add(fn.deepCopy[JsonNode]()))
+    val arr = schemasArray(meta, table)
+    val sid = arr.elements().asScala.map(_.get("schema-id").asInt()).max + 1
+    dropped.put("schema-id", sid)
+    arr.add(dropped)
+    meta.put("current-schema-id", sid)
+    meta.set[ObjectNode]("schema", dropped.deepCopy())
+    publishMetadataVersion(spark, table, meta)
+  }
+
+  /** ROLLBACK to a retained snapshot — the format's RESTORE: metadata
+    * only (current-snapshot-id repointed in a NEW metadata version);
+    * nothing is deleted, history keeps moving forward, and the
+    * rolled-past snapshots stay time-travelable until
+    * [[expireSnapshots]].
+    */
+  def rollbackTo(spark: SparkSession, table: String,
+                 snapshotId: Long): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val ids = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).map(_.get("snapshot-id").asLong())
+    require(ids.contains(snapshotId),
+      s"$table: snapshot $snapshotId not retained (have $ids)")
+    meta.put("current-snapshot-id", snapshotId)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L)
+    logEntry.put("snapshot-id", snapshotId)
+    meta.withArray[ArrayNode]("snapshot-log").add(logEntry)
+    publishMetadataVersion(spark, table, meta)
   }
 
   /** Incremental consumption (the format's append-changelog surface):

@@ -503,6 +503,34 @@ object EventStreams {
         ()
       }
 
+  /** A DeltaLite table as a STREAMING SOURCE — the read half the six
+    * format writers above were missing (see [[TableStreams]] for the
+    * offset/batch mechanics and the 100 TB shape). Append mode delivers
+    * the initial snapshot then per-commit deltas; `cdf = true` delivers
+    * `_change_type`-tagged row-level changes (keys required for
+    * classification). Exactly-once across restarts rides the query's
+    * own checkpoint.
+    */
+  def readDeltaStream(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String, cdf: Boolean = false,
+                      keys: Seq[String] = Nil): DataFrame =
+    spark.readStream
+      .format(classOf[DeltaLiteStreamProvider].getName)
+      .option("path", tablePath)
+      .option("cdf", cdf.toString)
+      .option("keys", keys.mkString(","))
+      .load()
+
+  /** [[readDeltaStream]]'s IcebergLite twin (append mode over the
+    * format's incremental-scan contract).
+    */
+  def readIcebergStream(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String): DataFrame =
+    spark.readStream
+      .format(classOf[IcebergLiteStreamProvider].getName)
+      .option("path", tablePath)
+      .load()
+
   /** Complete (committed) snapshot versions under a streamingUpsert target. */
   def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String): Seq[Long] = {

@@ -26,6 +26,18 @@ object GraftColumnBridge {
       case _ =>
     }
 
+  /** Re-tag a batch DataFrame as STREAMING — what a V1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). Same internalCreateDataFrame pattern Spark's own
+    * file stream source uses: the batch plan's execution RDD under the
+    * same schema, marked streaming.
+    */
+  def asStreamingFrame(df: Dataset[Row]): DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[classic.SparkSession]
+    ss.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Where the session catalog would place a managed table of this name —
     * resolving the current database, db-qualified names, and the
     * catalog's case normalization, exactly as `saveAsTable` will. Needed

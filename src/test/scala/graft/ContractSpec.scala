@@ -33,16 +33,18 @@ class ContractSpec extends AnyFunSuite {
       s"oracles without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
 
-  test("the no-oracle tail stays the declared file-layout/sketch trio") {
+  test("the no-oracle tail stays the declared file-layout/sketch duo") {
     // the ANN literal-model trio + semantic dedup are oracled DYNAMICALLY
     // (Verify merges dynamicOracleSql at dump time — trained centroids
-    // become SQL literals), so they are excluded from the static-map diff
+    // become SQL literals), and r13 moved dba_describe_detail onto the
+    // same channel (the sf path inlined into read_parquet(filename=true)),
+    // so they are excluded from the static-map diff
     val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall",
-      "dedup_semantic", "dedup_semantic_cc", "dedup_semantic_dense")
+      "dedup_semantic", "dedup_semantic_cc", "dedup_semantic_dense",
+      "dba_describe_detail")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
-    val declared = Set("dba_compaction_plan", "dba_describe_detail",
-      "dba_table_stats_approx")
+    val declared = Set("dba_compaction_plan", "dba_table_stats_approx")
     assert(noOracle == declared,
       s"rows-only set drifted: ${noOracle.toSeq.sorted.mkString(", ")} " +
         s"(a new query landed without an oracle, or a declared one gained it " +

@@ -118,6 +118,7 @@ class DeltaLiteSpec extends SparkSpec {
     DeltaLite.commit(spark, t, Seq((9L, "z")).toDF("k", "s"), overwrite = true)
     val h = DeltaLite.history(spark, t)
       .orderBy("version")
+      .select("version", "operation", "n_added", "n_removed")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(h.map(_._1) == Seq(0L, 1L, 2L))
     assert(h.map(_._2) == Seq("WRITE", "WRITE", "OVERWRITE"))
@@ -165,6 +166,7 @@ class DeltaLiteSpec extends SparkSpec {
       Set((1L, "a"), (2L, "B2"), (3L, "c")))
     // batch 0's state is a pinned version; every commit is a MERGE
     val h = DeltaLite.history(spark, t)
+      .select("version", "operation", "n_added", "n_removed")
       .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(h.size == 2 && h.forall(_._2 == "MERGE"))
     assert(DeltaLite.read(spark, t, Some(0L)).as[(Long, String)]
@@ -292,6 +294,7 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B2"), (3L, "c"), (50L, "x")))
     val h = DeltaLite.history(spark, t)
+      .select("version", "operation", "n_added", "n_removed")
       .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(h.size == 2 && h.forall(_._2 == "MERGE"))
   }
@@ -503,5 +506,114 @@ class DeltaLiteSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,990)"),
       "explicit-file-list read lost scan pushdown")
     assert(q.count() == 9)
+  }
+
+  test("SetTransaction: txn actions replay into snapshot state, surface " +
+    "in history, and a forged foreign txn wins by latest version") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"),
+      txn = Some(("app-x", 7L)))
+    assert(DeltaLite.lastTransaction(spark, t, "app-x").contains(7L))
+    assert(DeltaLite.lastTransaction(spark, t, "ghost").isEmpty)
+    val h = DeltaLite.history(spark, t)
+      .filter(col("txn_app_id") === "app-x").collect()
+    assert(h.length == 1 && h.head.getAs[Long]("txn_version") == 7L)
+    // forge a foreign commit carrying only a newer txn for the same app
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${2L}%020d.json"),
+      ("""{"commitInfo":{"operation":"STREAMING UPDATE","timestamp":1}}""" +
+        "\n" +
+        """{"txn":{"appId":"app-x","version":9,"lastUpdated":1}}""" +
+        "\n").getBytes("UTF-8"))
+    assert(DeltaLite.lastTransaction(spark, t, "app-x").contains(9L),
+      "latest version per appId wins on replay")
+  }
+
+  test("changes() prefers a foreign cdc channel: _change_data rows ride " +
+    "through verbatim (per-commit semantics), mixed ranges fall back") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // forge a FOREIGN CDF commit: one new data file + the cdc file the
+    // foreign engine materialized for it — consistent content
+    def onePart(df: org.apache.spark.sql.DataFrame, target: String): Long = {
+      val stage = Files.createTempDirectory("graft_cdc_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(t, target)
+      dst.getParentFile.mkdirs()
+      assert(part.renameTo(dst))
+      dst.length()
+    }
+    val addSize = onePart(Seq((3L, "c")).toDF("k", "s"), "part-foreign-0.parquet")
+    val cdcSize = onePart(
+      Seq((3L, "c", "insert"), (99L, "zz", "delete"))
+        .toDF("k", "s", "_change_type"),
+      "_change_data/cdc-0.parquet")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"WRITE","timestamp":1}}""" + "\n" +
+        s"""{"add":{"path":"part-foreign-0.parquet","size":$addSize,"partitionValues":{},"modificationTime":1,"dataChange":true}}""" + "\n" +
+        s"""{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":$cdcSize,"dataChange":false}}""" + "\n")
+        .getBytes("UTF-8"))
+    // the cdc file is NOT part of the data file set
+    assert(DeltaLite.read(spark, t).select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // changes reads the exact channel — including the per-commit event
+    // (99, delete) that a net file-diff could never produce
+    val ch = DeltaLite.changes(spark, t, 0L, 1L, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set((3L, "c", "insert"), (99L, "zz", "delete")),
+      s"cdc channel must ride through verbatim, got $ch")
+    // a range containing a cdc-less commit falls back to the file diff
+    DeltaLite.commit(spark, t, Seq((4L, "d")).toDF("k", "s"))
+    val mixed = DeltaLite.changes(spark, t, 0L, 2L, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(mixed == Set((3L, "c", "insert"), (4L, "d", "insert")),
+      s"mixed range must use the net diff, got $mixed")
+  }
+
+  test("RENAME/DROP COLUMN on a mapped table: metadata-only, data " +
+    "survives, stats keep pruning, dropped values never resurrect") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      (0L until 40L).map(k => (k, s"p$k")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")),
+      columnMapping = true)
+    val files0 = DeltaLite.snapshot(spark, t).files.toSet
+
+    DeltaLite.renameColumn(spark, t, "payload", "body")
+    assert(DeltaLite.snapshot(spark, t).files.toSet == files0,
+      "rename must be metadata-only")
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "body"))
+    assert(out.filter(col("id") === 3L).select("body").as[String].head()
+      == "p3", "old files read under the new logical name")
+    // add-stats are keyed by PHYSICAL name — pruning survives the rename
+    val scan = DeltaLite.readWhere(spark, t, "id", 0L, 5L)
+    assert(scan.filesSkipped > 0, s"$scan")
+    // appends use the new name
+    DeltaLite.commit(spark, t, Seq((100L, "x")).toDF("id", "body"))
+    assert(DeltaLite.read(spark, t).count() == 41L)
+
+    DeltaLite.dropColumn(spark, t, "body")
+    assert(DeltaLite.read(spark, t).schema.fieldNames.toSeq == Seq("id"))
+    // re-adding the same logical name gets a FRESH physical column —
+    // the dropped values must not resurrect
+    DeltaLite.commit(spark, t, Seq((200L, "fresh")).toDF("id", "body"))
+    val re = DeltaLite.read(spark, t)
+    assert(re.filter(col("id") === 3L).select("body").head().isNullAt(0),
+      "dropped values resurrected under the re-added column")
+    assert(re.filter(col("id") === 200L).select("body").as[String].head()
+      == "fresh")
+
+    // refused on an unmapped table, remedy named
+    val t2 = newTable()
+    DeltaLite.commit(spark, t2, Seq((1L, "a")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t2, "s", "z"))
+    assert(e.getMessage.contains("column mapping"))
   }
 }

@@ -76,4 +76,61 @@ class ExtensionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("x y z w"), 3).toSeq
     assert(viaSql == viaScala)
   }
+
+  test("SQL maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY / " +
+    "DESCRIBE DETAIL / RESTORE) dispatch to the programmatic APIs") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlverbs")
+      .toString
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t,
+      (0L until 30L).map(k => (k, s"p$k")).toDF("k", "s").repartition(3))
+    DeltaLite.commit(extSpark, t,
+      (30L until 40L).map(k => (k, s"p$k")).toDF("k", "s"))
+
+    val h = extSpark.sql(s"DESCRIBE HISTORY '$t'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(h.map(_._1) == Seq(0L, 1L) && h.forall(_._2 == "WRITE"))
+
+    val o = extSpark.sql(s"OPTIMIZE '$t'").collect().head
+    assert(o.getLong(0) == 2L && o.getString(1) == "OPTIMIZE")
+    assert(DeltaLite.snapshot(extSpark, t).files.size == 1,
+      "SQL OPTIMIZE must bin-pack like the API")
+
+    val d = extSpark.sql(s"DESCRIBE DETAIL '$t'").collect().head
+    assert(d.getString(0) == "delta" && d.getLong(1) == 2L &&
+      d.getLong(2) == 1L && d.getLong(3) > 0L)
+
+    val r = extSpark.sql(s"RESTORE '$t' VERSION AS OF 0").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(DeltaLite.read(extSpark, t).count() == 30L,
+      "SQL RESTORE must roll the visible state back")
+
+    val reaped = extSpark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS")
+      .collect().map(_.getString(0))
+    assert(reaped.nonEmpty, "VACUUM must reap the unreferenced files")
+    assert(DeltaLite.read(extSpark, t).count() == 30L)
+
+    // Iceberg side: format auto-detected from the path
+    val ti = s"$base/i"
+    IcebergLite.commit(extSpark, ti,
+      (0L until 40L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(4))
+    extSpark.sql(s"OPTIMIZE '$ti' ZORDER BY (k) FILES 2")
+    assert(IcebergLite.snapshot(extSpark, ti).detail.size == 2,
+      "SQL OPTIMIZE ZORDER must re-cluster like the API")
+    val di = extSpark.sql(s"DESCRIBE DETAIL '$ti'").collect().head
+    assert(di.getString(0) == "iceberg" && di.getLong(2) == 2L)
+    val hi = extSpark.sql(s"DESCRIBE HISTORY '$ti'").collect()
+    assert(hi.length == 2)
+    extSpark.sql(s"RESTORE '$ti' VERSION AS OF 0")
+    assert(IcebergLite.read(extSpark, ti).count() == 40L)
+
+    // everything else still parses through Spark's own parser
+    assert(extSpark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    // and a verb against a non-table path refuses loudly
+    val e = intercept[RuntimeException](
+      extSpark.sql(s"DESCRIBE DETAIL '$base/nope'").collect())
+    assert(e.getMessage.contains("neither"))
+  }
 }

@@ -441,4 +441,147 @@ class IcebergLiteSpec extends SparkSpec {
       assert(dataFile.get("content").asInstanceOf[Int] == 0)
     } finally stream.close()
   }
+
+  test("bucket transform hash matches the Iceberg spec's published " +
+    "vectors (foreign-table pruning validity)") {
+    import graft.sources.IcebergTransforms
+    // spec Appendix B: hashLong(34) = 2017239379, hash("iceberg") =
+    // 1210000089 — matching these is what makes bucket pruning valid on
+    // tables written by real Iceberg engines
+    def le8(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8); var x = v; var i = 0
+      while (i < 8) { b(i) = (x & 0xFF).toByte; x >>>= 8; i += 1 }; b
+    }
+    assert(IcebergTransforms.murmur3(le8(34L)) == 2017239379)
+    assert(IcebergTransforms.murmur3(
+      "iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(IcebergTransforms.bucketLong(34L, 16) == 2017239379 % 16)
+    assert(IcebergTransforms.bucketString("iceberg", 16) == 1210000089 % 16)
+  }
+
+  test("partition transforms: days+bucket write, spec round-trip, " +
+    "manifest-only pruning economics, conservative fallbacks") {
+    val t = newTable()
+    // 60 rows over 6 days, ids spread over 4 buckets
+    val df = (0L until 60L).toDF("id").coalesce(1)
+      .withColumn("ts", to_timestamp(concat(lit("2024-01-0"),
+        (col("id") % 6 + 1).cast("string"), lit(" 10:00:00"))))
+      .withColumn("s", concat(lit("r"), col("id")))
+    IcebergLite.commit(spark, t, df,
+      partitionTransforms = Seq("days(ts)", "bucket(4, id)"))
+
+    // table schema is the SOURCE schema — transform columns live only in
+    // the spec/manifests; a full read returns every row
+    val out = IcebergLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "ts", "s"))
+    assert(out.count() == 60L)
+
+    // the written spec round-trips with real transform strings
+    val spec = IcebergLite.partitionSpecFields(IcebergLite.metadata(spark, t))
+    assert(spec.map(f => (f.name, f.transform)) ==
+      Seq(("ts_day", "day"), ("id_bucket", "bucket[4]")))
+
+    val nFiles = IcebergLite.snapshot(spark, t).detail.size
+    assert(nFiles > 6, s"expected day×bucket fan-out, got $nFiles files")
+
+    // day-range pruning: 2 of 6 days survive — manifest metadata only
+    val dayScan = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("ts", lo = "2024-01-02", hi = "2024-01-03T23:59:59")))
+    assert(dayScan.filesSkipped > 0 &&
+      dayScan.filesScanned < nFiles / 2,
+      s"day pruning too weak: ${dayScan.filesScanned}/$nFiles scanned")
+    assert(dayScan.df.select("id").as[Long].collect().toSet ==
+      (0L until 60L).filter(i => i % 6 == 1 || i % 6 == 2).toSet)
+
+    // bucket-equality pruning: one bucket per day survives
+    val eqScan = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("id", eq = 7L)))
+    assert(eqScan.filesScanned <= 6,
+      s"bucket pruning too weak: ${eqScan.filesScanned} files")
+    assert(eqScan.df.select("id").as[Long].collect().toSeq == Seq(7L))
+
+    // combined day+bucket: at most the one (day, bucket) cell per day in
+    // range — and a range on the BUCKETED column alone cannot prune
+    val both = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("ts", lo = "2024-01-02", hi = "2024-01-02T23:59:59"),
+      IcebergLite.PartPred("id", eq = 7L)))
+    assert(both.filesScanned <= 1 && both.df.count() ==
+      (if (7 % 6 == 1) 1L else 0L))
+    val bucketRange = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("id", lo = 5L, hi = 9L)))
+    assert(bucketRange.filesScanned == nFiles,
+      "a range over a bucket transform must scan conservatively")
+    assert(bucketRange.df.select("id").as[Long].collect().toSet ==
+      (5L to 9L).toSet)
+
+    // selectiveMerge refuses the transform spec with the remedy named
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.selectiveMerge(spark, t,
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x"))
+          .toDF("id", "ts", "s"), Seq("id"), partitionCol = "ts")
+    }
+    assert(e.getMessage.contains("readWherePart"))
+  }
+
+  test("truncate transform: numeric floors prune ranges, string " +
+    "prefixes prune equalities") {
+    val t = newTable()
+    val df = (0L until 40L).toDF("v")
+      .withColumn("s", concat(lit("key"), lpad(col("v").cast("string"), 2, "0")))
+    IcebergLite.commit(spark, t, df,
+      partitionTransforms = Seq("truncate(10, v)"))
+    val scan = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("v", lo = 12L, hi = 17L)))
+    assert(scan.filesSkipped > 0, "numeric truncate must prune the range")
+    assert(scan.df.select("v").as[Long].collect().toSet == (12L to 17L).toSet)
+
+    val t2 = newTable()
+    IcebergLite.commit(spark, t2, df,
+      partitionTransforms = Seq("truncate(4, s)"))
+    val eq = IcebergLite.readWherePart(spark, t2, Seq(
+      IcebergLite.PartPred("s", eq = "key07")))
+    assert(eq.df.select("v").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("RENAME COLUMN by field id: old files align per schema era, " +
+    "bounds keep pruning, time travel reads era names, drop hides values") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 40L).map(k => (k, s"p$k")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")))
+    val preSnap = IcebergLite.snapshot(spark, t).snapshotId
+    val files0 = IcebergLite.snapshot(spark, t).files.toSet
+
+    IcebergLite.renameColumn(spark, t, "payload", "body")
+    assert(IcebergLite.snapshot(spark, t).files.toSet == files0,
+      "rename must be metadata-only")
+    val out = IcebergLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "body"))
+    assert(out.filter(col("id") === 3L).select("body").as[String].head()
+      == "p3", "pre-rename files must align by FIELD ID, not name")
+
+    // an append under the new name: mixed-era snapshot reads as one
+    IcebergLite.commit(spark, t, Seq((100L, "x")).toDF("id", "body"))
+    val all = IcebergLite.read(spark, t)
+    assert(all.count() == 41L)
+    assert(all.filter(col("id") === 7L).select("body").as[String].head()
+      == "p7")
+    assert(all.filter(col("id") === 100L).select("body").as[String].head()
+      == "x")
+
+    // manifest bounds are keyed by field id — pruning survives the rename
+    val scan = IcebergLite.readWhere(spark, t, "id", 0L, 5L)
+    assert(scan.filesSkipped > 0, s"$scan")
+
+    // time travel to a pre-rename snapshot reads that era's NAMES
+    val old = IcebergLite.read(spark, t, Some(preSnap))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "payload"))
+    assert(old.count() == 40L)
+
+    // drop: the column leaves the current schema; values invisible
+    IcebergLite.dropColumn(spark, t, "body")
+    val dropped = IcebergLite.read(spark, t)
+    assert(dropped.schema.fieldNames.toSeq == Seq("id"))
+    assert(dropped.count() == 41L)
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sources.{DeltaLite, IcebergLite}
+import graft.streaming.EventStreams
+
+/** Streaming SOURCES over the two table formats (TableStreams) — the
+  * r12 verdict's #2: EventStreams had six format writers and no way to
+  * consume a table as a stream. Covers: initial snapshot + per-commit
+  * micro-batches, EXACTLY-ONCE across a query restart (the offset rides
+  * the query checkpoint — sinks are foreachBatch, the recovery-capable
+  * kind), the append-only refusal with the remedy named, and CDF mode
+  * emitting `_change_type` rows equal to DeltaLite.changes' batch
+  * answer.
+  */
+class TableStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run `source` to a fresh collector through `cp` until drained. */
+  private def drain(source: DataFrame, cp: String,
+                    sel: Seq[String]): Seq[Seq[Any]] = {
+    val got = new ConcurrentLinkedQueue[Seq[Any]]()
+    val q = source.writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(sel.map(col): _*).collect()
+          .foreach(r => got.add(r.toSeq))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    got.asScala.toSeq
+  }
+
+  test("delta append stream: initial snapshot, live commits arrive as " +
+    "batches, and a RESTART from the checkpoint re-delivers nothing") {
+    val base = newDir("graft_dstream")
+    val t = s"$base/t"
+    val cp = s"$base/cp"
+    DeltaLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+
+    val got1 = new ConcurrentLinkedQueue[Long]()
+    val q1 = EventStreams.readDeltaStream(spark, t).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("k").collect().foreach(r => got1.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try {
+      q1.processAllAvailable()
+      assert(got1.asScala.toSet == Set(1L, 2L, 3L),
+        "initial snapshot = full current state")
+      // a commit while the query runs arrives as its own micro-batch
+      DeltaLite.commit(spark, t, Seq((4L, "d")).toDF("k", "s"))
+      q1.processAllAvailable()
+      assert(got1.asScala.toSet == Set(1L, 2L, 3L, 4L))
+    } finally q1.stop()
+
+    // offline commit, then restart from the SAME checkpoint: only the
+    // new version arrives — nothing already delivered is replayed
+    DeltaLite.commit(spark, t, Seq((5L, "e")).toDF("k", "s"))
+    val got2 = drain(EventStreams.readDeltaStream(spark, t), cp, Seq("k"))
+    assert(got2.map(_.head) == Seq(5L),
+      s"restart must deliver exactly the unseen version, got $got2")
+  }
+
+  test("delta append stream REFUSES a non-append range with the remedy " +
+    "named (consume via changes)") {
+    val base = newDir("graft_dstream_ow")
+    val t = s"$base/t"
+    val cp = s"$base/cp"
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    drain(EventStreams.readDeltaStream(spark, t), cp, Seq("k"))
+
+    DeltaLite.commit(spark, t, Seq((9L, "z")).toDF("k", "s"),
+      overwrite = true)
+    val e = intercept[StreamingQueryException] {
+      drain(EventStreams.readDeltaStream(spark, t), cp, Seq("k"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("changes")),
+      s"refusal must name the remedy: ${messages(e)}")
+  }
+
+  test("delta CDF stream: row-level _change_type batches equal the " +
+    "batch changes() answer") {
+    val base = newDir("graft_dstream_cdf")
+    val t = s"$base/t"
+    val cp = s"$base/cp"
+    DeltaLite.commit(spark, t,
+      (0L until 5L).map(k => (k, "base")).toDF("k", "s"))
+
+    val got = new ConcurrentLinkedQueue[(Long, String, String)]()
+    val q = EventStreams.readDeltaStream(spark, t, cdf = true,
+      keys = Seq("k")).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.add((r.getLong(0), r.getString(1), r.getString(2))))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val initial = got.asScala.toSet
+      assert(initial == (0L until 5L).map(k => (k, "base", "insert")).toSet,
+        "initial snapshot arrives as insert rows")
+
+      // a merge while the query runs → update_pre/postimage + insert rows
+      DeltaLite.selectiveMerge(spark, t,
+        Seq((2L, "upd"), (7L, "new")).toDF("k", "s"), Seq("k"))
+      q.processAllAvailable()
+      val expected = DeltaLite.changes(spark, t, 0L, 1L, Seq("k"))
+        .as[(Long, String, String)].collect().toSet
+      val streamed = got.asScala.toSet -- initial
+      assert(streamed == expected,
+        "the CDF micro-batch must equal the batch changes() feed")
+    } finally q.stop()
+  }
+
+  test("iceberg append stream: initial snapshot + incremental batches, " +
+    "exactly-once across restart") {
+    val base = newDir("graft_istream")
+    val t = s"$base/t"
+    val cp = s"$base/cp"
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    val got1 = new ConcurrentLinkedQueue[Long]()
+    val q1 = EventStreams.readIcebergStream(spark, t).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("k").collect().foreach(r => got1.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try {
+      q1.processAllAvailable()
+      IcebergLite.commit(spark, t, Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+      q1.processAllAvailable()
+      assert(got1.asScala.toSet == Set(1L, 2L, 3L))
+    } finally q1.stop()
+
+    IcebergLite.commit(spark, t, Seq((4L, "d")).toDF("k", "s"))
+    val got2 = drain(EventStreams.readIcebergStream(spark, t), cp, Seq("k"))
+    assert(got2.map(_.head) == Seq(4L),
+      s"restart must deliver exactly the unseen snapshot, got $got2")
+  }
+}
