@@ -73,6 +73,8 @@ object GraftSqlVerbs {
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?'([^']+)'(?:\s+COMPUTE\s+STATISTICS)?\s*;?\s*""".r
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -86,6 +88,7 @@ object GraftSqlVerbs {
       case HistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
       case DetailRe(path)  => Some(GraftDescribeDetailCommand(path))
       case RestoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case AnalyzeRe(path) => Some(GraftAnalyzeCommand(path))
       case _ => None
     }
 
@@ -198,6 +201,42 @@ case class GraftDescribeDetailCommand(path: String)
         // sizes come from the MANIFESTS — no file-system stat calls
         Seq(Row("iceberg", s.snapshotId, s.detail.size.toLong,
           s.detail.map(_.sizeBytes).sum))
+    }
+  }
+}
+
+/** `ANALYZE ['TABLE'] '<path>' [COMPUTE STATISTICS]` — per-column
+  * min/max/null-count/approx-ndv over the table's current state, ONE
+  * distributed aggregation pass (every column's stats partial-aggregate
+  * map-side; the shuffle carries one row). The reference's ANALYZE
+  * idiom over a path table.
+  */
+case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("min", StringType, nullable = true)(),
+    AttributeReference("max", StringType, nullable = true)(),
+    AttributeReference("n_nulls", LongType, nullable = false)(),
+    AttributeReference("approx_ndv", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val df = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.read(spark, path)
+      case IcebergFormat => IcebergLite.read(spark, path)
+    }
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(min(col(s"`$c`")).cast(StringType).as(s"__min_$c"),
+        max(col(s"`$c`")).cast(StringType).as(s"__max_$c"),
+        count(col(s"`$c`")).as(s"__cnt_$c"),
+        approx_count_distinct(col(s"`$c`")).as(s"__ndv_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = r.getAs[Long]("__n")
+    cols.map { c =>
+      Row(c, r.getAs[String](s"__min_$c"), r.getAs[String](s"__max_$c"),
+        total - r.getAs[Long](s"__cnt_$c"), r.getAs[Long](s"__ndv_$c"))
     }
   }
 }

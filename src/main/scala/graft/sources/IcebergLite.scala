@@ -1613,31 +1613,68 @@ object IcebergLite {
                      keys: Seq[String], partitionCol: String = "",
                      skewSafe: Boolean = false,
                      maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys): MergeStats = {
-    // the partition prune below keys manifests by VALUE under an
-    // identity assumption, and the rewrite re-commits under identity
-    // layout — on a transform-partitioned table (days/bucket/truncate)
-    // both would be silently wrong, so refuse with the remedy named
-    val specTf = partitionSpecFields(metadata(spark, table))
-      .filterNot(_.transform == "identity")
-    require(specTf.isEmpty,
-      s"$table: selectiveMerge does not support transform-partitioned " +
-        s"tables (${specTf.map(t => s"${t.name}:${t.transform}").mkString(", ")})" +
-        " — read with readWherePart and rewrite via commit(partitionTransforms)")
+    val meta0 = metadata(spark, table)
+    val spec = partitionSpecFields(meta0)
+    val specSourceName: Map[Int, String] =
+      currentSchemaNode(meta0, table).get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    require(spec.forall(_.transform != "void"),
+      s"$table: selectiveMerge cannot rewrite a void-partitioned spec")
+    val identityOnly = spec.forall(_.transform == "identity")
     val snap = snapshot(spark, table)
     val noPrune = (snap.detail, Seq.empty[FileInfo])
     val (touched, skipped) =
       if (partitionCol.nonEmpty) {
         // partitioned table: prune whole partitions on the manifests'
-        // typed partition values
+        // typed partition values — TRANSFORM-AWARE: each spec field
+        // sourced from partitionCol admits exactly the partition values
+        // its transform maps the batch keys to (bucket hashes, day
+        // numbers, truncated prefixes, identity raw values)
         DeltaLite.boundedKeys(updates, partitionCol, maxPruneKeys) match {
           case None => noPrune
           case Some(rows) =>
-            val updParts: Set[String] =
-              rows.map(r => String.valueOf(r.get(0))).toSet
-            snap.detail.partition { fi =>
-              fi.partition.get(partitionCol) match {
-                case Some(v) if v != null => updParts.contains(v)
-                case _                    => true // unknown: rewrite
+            val fieldsOnCol = spec.filter(tf =>
+              specSourceName.get(tf.sourceId).contains(partitionCol))
+            if (fieldsOnCol.isEmpty && spec.nonEmpty &&
+                !spec.exists(_.name == partitionCol)) noPrune
+            else if (spec.isEmpty || (identityOnly && fieldsOnCol.isEmpty)) {
+              // legacy identity layout keyed by field NAME
+              val updParts: Set[String] =
+                rows.map(r => String.valueOf(r.get(0))).toSet
+              snap.detail.partition { fi =>
+                fi.partition.get(partitionCol) match {
+                  case Some(v) if v != null => updParts.contains(v)
+                  case _                    => true // unknown: rewrite
+                }
+              }
+            } else {
+              val tpe = topField(meta0, table, partitionCol)._1
+              val T = IcebergTransforms
+              val valueSets: Seq[(T.PartField, Set[String])] =
+                fieldsOnCol.map { tf =>
+                  val vs: Set[String] = tf.transform match {
+                    case "identity" =>
+                      rows.map(r => String.valueOf(r.get(0))).toSet
+                    case t if T.isTimeTransform(t) =>
+                      rows.map(r =>
+                        T.timeValue(t, tpe, r.get(0)).toString).toSet
+                    case t if T.bucketN(t).isDefined =>
+                      rows.map(r => T.bucketOf(tpe, r.get(0),
+                        T.bucketN(t).get).toString).toSet
+                    case t if T.truncW(t).isDefined =>
+                      rows.map(r => T.truncateOf(tpe, r.get(0),
+                        T.truncW(t).get).toString).toSet
+                    case _ => null // unknown transform: no pruning
+                  }
+                  tf -> vs
+                }
+              snap.detail.partition { fi =>
+                valueSets.forall { case (tf, vs) =>
+                  vs == null || (fi.partition.get(tf.name) match {
+                    case Some(v) if v != null => vs.contains(v)
+                    case _                    => true // unknown: rewrite
+                  })
+                }
               }
             }
         }
@@ -1678,11 +1715,35 @@ object IcebergLite {
       else readWithDeletes(spark, table, snap, touched)
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+    // rewrite under the table's OWN layout: transform specs are
+    // reconstructed as decl strings so the rewritten files land in the
+    // same (transform-value) directories and the spec survives the
+    // commit; identity tables keep the legacy partitionBy path
+    val specDecls: Seq[String] =
+      if (identityOnly) Nil
+      else spec.map(tf => transformDecl(tf,
+        specSourceName.getOrElse(tf.sourceId,
+          sys.error(s"$table: spec field ${tf.name} has no source column"))))
     val sid = commit(spark, table, merged, operation = "merge",
-      partitionBy = if (partitionCol.isEmpty) Nil else Seq(partitionCol),
+      partitionBy =
+        if (partitionCol.isEmpty || !identityOnly) Nil else Seq(partitionCol),
+      partitionTransforms = specDecls,
       replacing = Some(touched.map(_.path)))
     MergeStats(sid, touched.size, skipped.size)
   }
+
+  /** Spec transform string + source column → the DDL decl
+    * [[parseTransformDecl]] accepts (the rewrite round trip).
+    */
+  private def transformDecl(tf: IcebergTransforms.PartField,
+                            source: String): String =
+    tf.transform match {
+      case "identity" => s"identity($source)"
+      case t => IcebergTransforms.bucketN(t)
+        .map(n => s"bucket($n, $source)")
+        .orElse(IcebergTransforms.truncW(t).map(w => s"truncate($w, $source)"))
+        .getOrElse(s"${t}s($source)")
+    }
 
   /** METADATA-ONLY table creation over EXISTING parquet files — the
     * kernel behind zero-copy format conversion ([[FormatConvert]], the

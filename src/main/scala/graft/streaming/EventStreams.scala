@@ -513,13 +513,19 @@ object EventStreams {
     */
   def readDeltaStream(spark: org.apache.spark.sql.SparkSession,
                       tablePath: String, cdf: Boolean = false,
-                      keys: Seq[String] = Nil): DataFrame =
-    spark.readStream
+                      keys: Seq[String] = Nil,
+                      startingVersion: Option[Long] = None,
+                      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[DeltaLiteStreamProvider].getName)
       .option("path", tablePath)
       .option("cdf", cdf.toString)
       .option("keys", keys.mkString(","))
-      .load()
+    startingVersion.foreach(v => r.option("startingVersion", v.toString))
+    maxVersionsPerTrigger.foreach(n =>
+      r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
+  }
 
   /** [[readDeltaStream]]'s IcebergLite twin (append mode over the
     * format's incremental-scan contract).

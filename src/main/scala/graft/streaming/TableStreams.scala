@@ -57,7 +57,13 @@ object TableStreams {
 /** `spark.readStream.format(classOf[DeltaLiteStreamProvider].getName)`
   * options: `path` (table root, required); `cdf` (default false);
   * `keys` (comma-separated merge keys, required in cdf mode — the
-  * classification keys [[DeltaLite.changes]] needs).
+  * classification keys [[DeltaLite.changes]] needs); `startingVersion`
+  * (skip the initial snapshot and deliver appends from this version on
+  * — the real source's option); `maxVersionsPerTrigger` (cap each
+  * micro-batch at N table versions, so a deep backlog drains in bounded
+  * batches instead of one giant catch-up scan; best-effort — the first
+  * batch after a RESTART covers the full gap, later batches are
+  * capped).
   */
 class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -91,33 +97,56 @@ class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegist
       "graft-delta-stream: cdf mode needs option 'keys' " +
         "(comma-separated merge keys for change classification)")
     new DeltaLiteTailSource(spark, tableOf(parameters), cdf, keys,
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
       schemaFor(spark, parameters))
   }
 }
 
 private class DeltaLiteTailSource(spark: SparkSession, table: String,
                                   cdf: Boolean, keys: Seq[String],
+                                  startingVersion: Option[Long],
+                                  maxVersionsPerTrigger: Option[Int],
                                   val schema: StructType) extends Source {
   import TableStreams.offsetValue
 
+  // highest version this run has served — the base the per-trigger cap
+  // counts from. None before the first batch (a fresh run caps against
+  // startingVersion; a restarted run serves its first catch-up batch
+  // uncapped, then caps — the engine never tells a V1 source the
+  // committed offset outside getBatch).
+  @volatile private var lastServed: Option[Long] = None
+
   override def getOffset: Option[V1Offset] = {
     val vs = DeltaLite.versions(spark, table)
-    if (vs.isEmpty) None else Some(LongOffset(vs.last))
+    if (vs.isEmpty) return None
+    val latest = vs.last
+    val capBase: Option[Long] =
+      lastServed.orElse(startingVersion.map(_ - 1))
+    val capped = (maxVersionsPerTrigger, capBase) match {
+      case (Some(n), Some(base)) => math.min(latest, base + n)
+      case _                     => latest
+    }
+    if (startingVersion.exists(sv => capped < sv - 1)) None
+    else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = offsetValue(end)
-    val batch = offsetValue(start) match {
+    lastServed = Some(math.max(endV, lastServed.getOrElse(Long.MinValue)))
+    val startV: Option[Long] =
+      offsetValue(start).orElse(startingVersion.map(_ - 1).filter(_ >= 0))
+    val batch = startV match {
       case None =>
         // initial snapshot: every row visible at endV (CDF tags inserts)
         val full = DeltaLite.read(spark, table, Some(endV))
         if (cdf) full.withColumn("_change_type", lit("insert")) else full
-      case Some(startV) if startV >= endV =>
+      case Some(sv) if sv >= endV =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(startV) =>
-        if (cdf) DeltaLite.changes(spark, table, startV, endV, keys)
-        else DeltaLite.appended(spark, table, startV, endV)
+      case Some(sv) =>
+        if (cdf) DeltaLite.changes(spark, table, sv, endV, keys)
+        else DeltaLite.appended(spark, table, sv, endV)
     }
     GraftColumnBridge.asStreamingFrame(batch)
   }

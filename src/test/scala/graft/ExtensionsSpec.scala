@@ -126,6 +126,14 @@ class ExtensionsSpec extends SparkSpec {
     extSpark.sql(s"RESTORE '$ti' VERSION AS OF 0")
     assert(IcebergLite.read(extSpark, ti).count() == 40L)
 
+    // ANALYZE: per-column stats over the current (restored) state
+    val stats = extSpark.sql(s"ANALYZE TABLE '$t' COMPUTE STATISTICS")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats("k")._1 == "0" && stats("k")._2 == "29" &&
+      stats("k")._3 == 0L && stats("k")._4 >= 28L,
+      s"ANALYZE stats off: ${stats("k")}")
+
     // everything else still parses through Spark's own parser
     assert(extSpark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     // and a verb against a non-table path refuses loudly

@@ -514,13 +514,27 @@ class IcebergLiteSpec extends SparkSpec {
     assert(bucketRange.df.select("id").as[Long].collect().toSet ==
       (5L to 9L).toSet)
 
-    // selectiveMerge refuses the transform spec with the remedy named
-    val e = intercept[IllegalArgumentException] {
-      IcebergLite.selectiveMerge(spark, t,
-        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x"))
-          .toDF("id", "ts", "s"), Seq("id"), partitionCol = "ts")
-    }
-    assert(e.getMessage.contains("readWherePart"))
+    // selectiveMerge is TRANSFORM-AWARE: an update for one day touches
+    // only that day's partition cells (the day transform of the batch's
+    // ts values drives the prune), and the rewrite preserves the spec
+    val upd = Seq((1L, "2024-01-02 10:00:00", "UPD")).toDF("id", "tss", "s")
+      .select(col("id"), to_timestamp(col("tss")).as("ts"), col("s"))
+    val ms = IcebergLite.selectiveMerge(spark, t, upd, Seq("id"),
+      partitionCol = "ts")
+    assert(ms.filesSkipped > 0 && ms.filesRewritten < nFiles,
+      s"transform-aware prune must skip other days: $ms")
+    val merged = IcebergLite.read(spark, t)
+    assert(merged.count() == 60L)
+    assert(merged.filter(col("id") === 1L).select("s").as[String].head()
+      == "UPD")
+    val spec2 = IcebergLite.partitionSpecFields(IcebergLite.metadata(spark, t))
+    assert(spec2.map(_.transform) == Seq("day", "bucket[4]"),
+      "the rewrite must preserve the transform spec")
+    // post-merge, transform pruning still plans correctly
+    val post = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("id", eq = 7L)))
+    assert(post.df.select("id").as[Long].collect().toSeq == Seq(7L))
+    assert(post.filesSkipped > 0)
   }
 
   test("truncate transform: numeric floors prune ranges, string " +

@@ -132,6 +132,38 @@ class TableStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta stream options: startingVersion skips the initial " +
+    "snapshot; maxVersionsPerTrigger drains a backlog in bounded batches") {
+    val base = newDir("graft_dstream_opts")
+    val t = s"$base/t"
+    DeltaLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s")) // v0
+    (1L to 6L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v1..v6
+
+    // startingVersion=4: versions 4..6 only, no initial snapshot
+    val fromV4 = drain(EventStreams.readDeltaStream(spark, t,
+      startingVersion = Some(4L)), s"$base/cp_sv", Seq("k"))
+    assert(fromV4.map(_.head).toSet == Set(4L, 5L, 6L),
+      s"startingVersion must skip earlier versions, got $fromV4")
+
+    // maxVersionsPerTrigger=2 from v1: the 6-version backlog drains in
+    // ceil(6/2)=3 micro-batches, each covering ≤2 versions
+    val batchSizes = new ConcurrentLinkedQueue[Int]()
+    val q = EventStreams.readDeltaStream(spark, t,
+      startingVersion = Some(1L), maxVersionsPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", s"$base/cp_cap")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batchSizes.add(b.count().toInt); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 6, s"all 6 rows must arrive: $sizes")
+    assert(sizes.forall(_ <= 2) && sizes.length >= 3,
+      s"the cap must bound each micro-batch at 2 versions: $sizes")
+  }
+
   test("iceberg append stream: initial snapshot + incremental batches, " +
     "exactly-once across restart") {
     val base = newDir("graft_istream")
