@@ -456,11 +456,39 @@ object DeltaLite {
     * protocol: a crash before the log rename leaves only unreferenced
     * data files, which readers never see.
     */
+  /** `delta.enableChangeDataFeed` — when set on a table, selectiveMerge
+    * and selectiveDelete also materialize the EXACT per-commit change
+    * feed as `_change_data` files + `cdc` actions (what CDF-enabled
+    * foreign engines write, and what [[changes]] prefers over its
+    * net-file-diff).
+    */
+  val CdfProperty = "delta.enableChangeDataFeed"
+
+  private def cdfEnabled(conf: Map[String, String]): Boolean =
+    conf.get(CdfProperty).exists(_.equalsIgnoreCase("true"))
+
+  /** SET TBLPROPERTIES — metadata-only commit updating the table
+    * configuration (schema and files untouched).
+    */
+  def setTableProperty(spark: SparkSession, table: String, key: String,
+                       value: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"SET TBLPROPERTIES","timestamp":0}}""" +
+        "\n" + protocolAndMetaData(v, snap.schemaJson.get,
+        snap.configuration + (key -> value),
+        withDvFeature = snap.dvs.nonEmpty))
+    v
+  }
+
   def commit(spark: SparkSession, table: String, df: DataFrame,
              overwrite: Boolean = false, operation: String = "",
              replacing: Option[Seq[String]] = None,
              columnMapping: Boolean = false,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             cdc: Option[DataFrame] = None): Long = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -486,10 +514,29 @@ object DeltaLite {
         != df.schema.json)
 
     val named = stageParts(spark, table, writeDf, s"v$v", f"part-$v%05d")
+    // CDF channel: land the per-commit change rows under _change_data/
+    // (they are NOT data files — only cdc actions reference them)
+    val cdcNamed: Seq[(String, Long)] = cdc.toSeq.flatMap { cdf =>
+      val root = new Path(table)
+      val f = fs(spark, root)
+      val staging = new Path(root, s".staging-cdc-v$v")
+      cdf.write.mode("overwrite").parquet(staging.toString)
+      val parts = f.listStatus(staging).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+      f.mkdirs(new Path(root, "_change_data"))
+      val out = parts.zipWithIndex.map { case (p, i) =>
+        val rel = f"_change_data/cdc-$v%05d-$i%05d.parquet"
+        require(f.rename(p, new Path(root, rel)), s"cdc rename failed: $p")
+        (rel, f.getFileStatus(new Path(root, rel)).getLen)
+      }
+      f.delete(staging, true)
+      out
+    }
     publishCommit(spark, table, v, actionsFor(
       v, overwrite, operation,
       emitMeta = v == 0L || overwrite || schemaChanged,
-      tableSchema, conf, removed, named, txn))
+      tableSchema, conf, removed, named, txn, cdcNamed))
     v
   }
 
@@ -566,7 +613,8 @@ object DeltaLite {
                          emitMeta: Boolean, tableSchema: StructType,
                          conf: Map[String, String], removed: Seq[String],
                          named: Seq[(String, Long, Option[String])],
-                         txn: Option[(String, Long)] = None): String = {
+                         txn: Option[(String, Long)] = None,
+                         cdcFiles: Seq[(String, Long)] = Nil): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
@@ -589,6 +637,11 @@ object DeltaLite {
       val statsField = stats.map(s =>
         s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
       sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":$ts,"dataChange":true$statsField}}""")
+        .append('\n')
+    }
+    cdcFiles.foreach { case (p, size) =>
+      val pj = mapper.writeValueAsString(p)
+      sb.append(s"""{"cdc":{"path":$pj,"partitionValues":{},"size":$size,"dataChange":false}}""")
         .append('\n')
     }
     sb.toString
@@ -1181,8 +1234,30 @@ object DeltaLite {
     val base = readSnapshot(spark, table, snap, touched)
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+    // CDF: materialize the exact per-commit feed the merge implies —
+    // update_pre/postimage for keys present in the base, insert for new
+    // keys. Cost ∝ touched data + batch (two key semi-joins), opt-in via
+    // the table property. Mapped tables skip the channel (changes()
+    // falls back to the net diff there — results identical).
+    val cdc: Option[DataFrame] =
+      if (!cdfEnabled(snap.configuration) ||
+          mappingMode(snap.configuration) != "none") None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, lit}
+        val keyC = keys.map(k => col(s"`$k`"))
+        val updKeys = broadcast(updates.select(keyC: _*).distinct())
+        val baseKeys = base.select(keyC: _*).distinct()
+        val pre = base.join(updKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val touchedMerged = merged.join(updKeys, keys, "left_semi")
+        val post = touchedMerged.join(baseKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = touchedMerged.join(baseKeys, keys, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
     val v = commit(spark, table, merged, operation = "MERGE",
-      replacing = Some(touched))
+      replacing = Some(touched), cdc = cdc)
     MergeStats(v, touched.size, skipped.size)
   }
 
@@ -1215,12 +1290,19 @@ object DeltaLite {
     }
     if (touched.isEmpty) return MergeStats(snap.version, 0, skipped.size)
     val base = readSnapshot(spark, table, snap, touched)
-    val remaining = base.join(
-      broadcast(keys.select(keyCols.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*).distinct()),
-      keyCols, "left_anti")
+    val delKeys = broadcast(keys
+      .select(keyCols.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*).distinct())
+    val remaining = base.join(delKeys, keyCols, "left_anti")
+    // CDF: the erased rows, tagged delete (see selectiveMerge)
+    val cdc: Option[DataFrame] =
+      if (!cdfEnabled(snap.configuration) ||
+          mappingMode(snap.configuration) != "none") None
+      else Some(base.join(delKeys, keyCols, "left_semi")
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete")))
     val v = commit(spark, table, remaining, operation = "DELETE",
-      replacing = Some(touched))
+      replacing = Some(touched), cdc = cdc)
     MergeStats(v, touched.size, skipped.size)
   }
 

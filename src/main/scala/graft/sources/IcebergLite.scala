@@ -2225,13 +2225,16 @@ object IcebergLite {
       .getOrElse(Seq.empty)
     val ids = snaps.map(_.get("snapshot-id").asLong())
     val toId = toSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
-    require(ids.contains(fromSnapshotId) && ids.contains(toId),
+    // range resolution by the snapshots array's APPEND ORDER, not id
+    // arithmetic — foreign writers use RANDOM snapshot ids, where
+    // numeric comparison would pick a garbage window (this library's own
+    // sequential ids order identically either way)
+    val fromIdx = ids.indexOf(fromSnapshotId)
+    val toIdx = ids.indexOf(toId)
+    require(fromIdx >= 0 && toIdx >= 0,
       s"$table: snapshot range ($fromSnapshotId, $toId] not resolvable in $ids")
-    require(fromSnapshotId <= toId, "from must precede to")
-    val inRange = snaps.filter { s =>
-      val id = s.get("snapshot-id").asLong()
-      id > fromSnapshotId && id <= toId
-    }
+    require(fromIdx <= toIdx, "from must precede to in table history")
+    val inRange = snaps.slice(fromIdx + 1, toIdx + 1)
     inRange.foreach { s =>
       val op = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
         .map(_.asText()).getOrElse("")

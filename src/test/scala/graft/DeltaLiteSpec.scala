@@ -575,6 +575,40 @@ class DeltaLiteSpec extends SparkSpec {
       s"mixed range must use the net diff, got $mixed")
   }
 
+  test("change data feed WRITE: an enabled table materializes " +
+    "_change_data on merge/delete and changes() consumes the channel") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      (0L until 10L).map(k => (k, "base")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))
+    DeltaLite.setTableProperty(spark, t, DeltaLite.CdfProperty, "true") // v1
+    // merge: one update + one insert → v2 writes the cdc channel
+    DeltaLite.selectiveMerge(spark, t,
+      Seq((2L, "upd"), (100L, "new")).toDF("k", "s"), Seq("k"))
+    val cdcDir = new java.io.File(t, "_change_data")
+    assert(cdcDir.isDirectory && cdcDir.listFiles().nonEmpty,
+      "CDF-enabled merge must write _change_data files")
+    val ch = DeltaLite.changes(spark, t, 1L, 2L, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set((2L, "base", "update_preimage"),
+      (2L, "upd", "update_postimage"), (100L, "new", "insert")),
+      s"cdc channel content off: $ch")
+    // delete → v3 records the erased rows as delete events
+    DeltaLite.selectiveDelete(spark, t, Seq(3L).toDF("k"), Seq("k"))
+    val del = DeltaLite.changes(spark, t, 2L, 3L, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(del == Set((3L, "base", "delete")), s"$del")
+    // a range crossing the cdc-less property commit falls back to the
+    // net diff and still nets out correctly
+    val net = DeltaLite.changes(spark, t, 0L, 3L, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(net == Set((2L, "base", "update_preimage"),
+      (2L, "upd", "update_postimage"), (100L, "new", "insert"),
+      (3L, "base", "delete")), s"$net")
+    // table state is unaffected by the channel
+    assert(DeltaLite.read(spark, t).count() == 10L)
+  }
+
   test("RENAME/DROP COLUMN on a mapped table: metadata-only, data " +
     "survives, stats keep pruning, dropped values never resurrect") {
     val t = newTable()

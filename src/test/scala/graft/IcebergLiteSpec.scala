@@ -557,6 +557,47 @@ class IcebergLiteSpec extends SparkSpec {
     assert(eq.df.select("v").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("incrementalRead orders by table HISTORY, not snapshot-id " +
+    "arithmetic — foreign writers use random ids") {
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    // forge foreign-style NON-MONOTONIC snapshot ids (0,1,2 → 9000,17,5000)
+    val remap = Map(0L -> 9000L, 1L -> 17L, 2L -> 5000L)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaFile = java.nio.file.Paths.get(t, "metadata", "v3.metadata.json")
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(metaFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def remapField(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                   k: String): Unit =
+      if (o.has(k)) { o.put(k, remap(o.get(k).asLong())); () }
+    remapField(root, "current-snapshot-id")
+    root.get("snapshots").elements().forEachRemaining { n =>
+      val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      remapField(o, "snapshot-id"); remapField(o, "parent-snapshot-id")
+    }
+    root.get("snapshot-log").elements().forEachRemaining { n =>
+      remapField(n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+        "snapshot-id")
+    }
+    java.nio.file.Files.write(metaFile, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    // drop Hadoop's local-FS checksum sidecar — the forged bytes no
+    // longer match it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "metadata", ".v3.metadata.json.crc"))
+
+    // history position decides the window: (9000 → current] = both later
+    // snapshots, even though 17 < 9000 numerically
+    assert(IcebergLite.incrementalRead(spark, t, 9000L)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L))
+    assert(IcebergLite.incrementalRead(spark, t, 17L, Some(5000L))
+      .select("k").as[Long].collect().toSet == Set(3L))
+    // and time travel by forged id still resolves
+    assert(IcebergLite.read(spark, t, Some(17L)).count() == 2L)
+  }
+
   test("RENAME COLUMN by field id: old files align per schema era, " +
     "bounds keep pruning, time travel reads era names, drop hides values") {
     val t = newTable()
