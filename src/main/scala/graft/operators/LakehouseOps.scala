@@ -1135,6 +1135,53 @@ object LakehouseOps {
   // recomputation
   val dbaIcebergEqDeleteOracle: String = dbaDeltaDvOracle
 
+  // ---------------------------------------------------------------- B26
+  /** The STREAMING TABLE SOURCE under the oracle gate — TableStreams'
+    * exactly-once contract hash-checked cross-engine, not just
+    * spec-asserted: orders lands in a DeltaLite table as two commits, a
+    * Structured Streaming query consumes it via
+    * EventStreams.readDeltaStream (initial snapshot = first micro-batch)
+    * into an append parquet sink, a THIRD commit lands while the query
+    * runs (arrives as its own micro-batch), and the accumulated sink is
+    * rolled up. A row delivered zero times or twice — by the initial
+    * snapshot, the live tail, or their boundary — breaks the hash
+    * against DuckDB recomputing from raw orders. The reference's
+    * poll-and-append ETL loop, end to end.
+    */
+  def dbaDeltaStream(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream_q")
+      .toString
+    val t = s"$base/orders_stream"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def slice(m: Int) = ord.filter(col("o_orderkey") % 3 === m)
+    graft.sources.DeltaLite.commit(s, t, slice(0))
+    graft.sources.DeltaLite.commit(s, t, slice(1))
+    val q = graft.streaming.EventStreams.readDeltaStream(s, t)
+      .writeStream
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.sources.DeltaLite.commit(s, t, slice(2)) // arrives LIVE
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$base/out")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dbaDeltaStreamOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1207,7 +1254,8 @@ object LakehouseOps {
     "dba_iceberg_dv"      -> (dbaIcebergDv _),
     "dba_convert_roundtrip" -> (dbaConvertRoundtrip _),
     "dba_iceberg_transforms" -> (dbaIcebergTransforms _),
-    "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _))
+    "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _),
+    "dba_delta_stream"    -> (dbaDeltaStream _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -1234,5 +1282,6 @@ object LakehouseOps {
     "dba_iceberg_dv"    -> dbaIcebergDvOracle,
     "dba_convert_roundtrip" -> dbaConvertRoundtripOracle,
     "dba_iceberg_transforms" -> dbaIcebergTransformsOracle,
-    "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle)
+    "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle,
+    "dba_delta_stream" -> dbaDeltaStreamOracle)
 }
