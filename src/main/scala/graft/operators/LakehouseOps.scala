@@ -1182,6 +1182,51 @@ object LakehouseOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- B27
+  /** Hive-PARTITIONED Delta tables end to end — the most common
+    * production Delta layout, which rounds 1-12 could not write or
+    * read (partition columns live in the dirs/log, NOT the data files):
+    * orders lands partitioned by `o_orderstatus`, the full table reads
+    * back through the partition-value re-attachment path (every row's
+    * status must come back right for the hash to match), and a
+    * one-partition slice reads through readWhere's partitionValues
+    * pruning — at 100 TB this prune is the difference between scanning
+    * a partition and scanning a table. The oracle recomputes both
+    * legs from raw orders.
+    */
+  def dbaDeltaPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_part")
+      .toString + "/orders_part"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    DeltaLite.commit(s, t, ord.coalesce(2), partitionBy = Seq("o_orderstatus"))
+    val full = DeltaLite.read(s, t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .withColumn("leg", lit("full"))
+    val slice = DeltaLite.readWhere(s, t, "o_orderstatus", "F", "F").df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .withColumn("leg", lit("slice"))
+    full.unionByName(slice)
+      .select("leg", "o_orderstatus", "n", "total")
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  val dbaDeltaPartitionedOracle: String =
+    """SELECT leg, o_orderstatus, n, total FROM (
+      |  SELECT 'full' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'slice' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 2) t
+      |ORDER BY leg, o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1255,7 +1300,8 @@ object LakehouseOps {
     "dba_convert_roundtrip" -> (dbaConvertRoundtrip _),
     "dba_iceberg_transforms" -> (dbaIcebergTransforms _),
     "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _),
-    "dba_delta_stream"    -> (dbaDeltaStream _))
+    "dba_delta_stream"    -> (dbaDeltaStream _),
+    "dba_delta_partitioned" -> (dbaDeltaPartitioned _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
@@ -1283,5 +1329,6 @@ object LakehouseOps {
     "dba_convert_roundtrip" -> dbaConvertRoundtripOracle,
     "dba_iceberg_transforms" -> dbaIcebergTransformsOracle,
     "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle,
-    "dba_delta_stream" -> dbaDeltaStreamOracle)
+    "dba_delta_stream" -> dbaDeltaStreamOracle,
+    "dba_delta_partitioned" -> dbaDeltaPartitionedOracle)
 }

@@ -68,14 +68,21 @@ object DeltaLite {
   /** `txns` is the replayed SetTransaction state: appId → latest
     * version, the idempotent-writer contract foreign streaming engines
     * ride (a writer checks its appId's last recorded version before
-    * re-committing a batch).
+    * re-committing a batch). `partitionColumns` comes from metaData,
+    * `partitionValues` per file from the add actions — hive-style
+    * partition columns live in the DIRECTORY/log, not the data files,
+    * and reads re-attach them.
     */
   final case class Snapshot(version: Long, schemaJson: Option[String],
                             files: Seq[String],
                             stats: Map[String, String] = Map.empty,
                             dvs: Map[String, String] = Map.empty,
                             configuration: Map[String, String] = Map.empty,
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            partitionColumns: Seq[String] = Nil,
+                            partitionValues: Map[String, Map[String, String]] = Map.empty,
+                            minWriterVersion: Int = 1,
+                            writerFeatures: Set[String] = Set.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -123,8 +130,17 @@ object DeltaLite {
     val dvs = scala.collection.mutable.Map.empty[String, String]
     var configuration = Map.empty[String, String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    var partitionColumns = Seq.empty[String]
+    val partValues = scala.collection.mutable.Map.empty[String, Map[String, String]]
     var minReader = 1
     var readerFeatures = Set.empty[String]
+    var minWriter = 1
+    var writerFeatures = Set.empty[String]
+    def pvOf(n: JsonNode): Map[String, String] =
+      Option(n.get("partitionValues")).map { p =>
+        p.properties().iterator().asScala.map(e => e.getKey ->
+          (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+      }.getOrElse(Map.empty)
 
     def confOf(n: JsonNode): Map[String, String] =
       Option(n.get("configuration")).map { c =>
@@ -144,6 +160,12 @@ object DeltaLite {
           .flatMap(r => Option(r.getString(0))).lastOption.foreach { js =>
             configuration = mapper.readTree(js).properties().iterator().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap
+          }
+        catch { case scala.util.control.NonFatal(_) => }
+        try cp.selectExpr("to_json(metaData.partitionColumns)").collect()
+          .flatMap(r => Option(r.getString(0))).lastOption.foreach { js =>
+            partitionColumns = mapper.readTree(js).elements().asScala
+              .map(_.asText()).toSeq
           }
         catch { case scala.util.control.NonFatal(_) => }
       }
@@ -170,11 +192,20 @@ object DeltaLite {
         val dvSel =
           if (addFields.contains("deletionVector")) "to_json(add.deletionVector)"
           else "CAST(NULL AS STRING)"
-        cp.selectExpr("add.path", statsSel, dvSel).collect().foreach { r =>
+        val pvSel =
+          if (addFields.contains("partitionValues")) "to_json(add.partitionValues)"
+          else "CAST(NULL AS STRING)"
+        cp.selectExpr("add.path", statsSel, dvSel, pvSel).collect().foreach { r =>
           Option(r.getString(0)).foreach { p =>
             files += p
             Option(r.getString(1)).foreach(stats(p) = _)
             Option(r.getString(2)).foreach(dvs(p) = _)
+            Option(r.getString(3)).foreach { js =>
+              val pv = mapper.readTree(js).properties().iterator().asScala
+                .map(e => e.getKey ->
+                  (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+              if (pv.nonEmpty) partValues(p) = pv
+            }
           }
         }
       }
@@ -196,10 +227,17 @@ object DeltaLite {
           if (pr.has("readerFeatures"))
             readerFeatures ++= pr.get("readerFeatures").elements().asScala
               .map(_.asText())
+          Option(pr.get("minWriterVersion")).foreach(w =>
+            minWriter = math.max(minWriter, w.asInt()))
+          if (pr.has("writerFeatures"))
+            writerFeatures ++= pr.get("writerFeatures").elements().asScala
+              .map(_.asText())
         }
         if (a.has("metaData")) {
           schemaJson = Some(a.get("metaData").get("schemaString").asText())
           configuration = confOf(a.get("metaData"))
+          partitionColumns = Option(a.get("metaData").get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         }
         if (a.has("add")) {
           val add = a.get("add")
@@ -210,12 +248,15 @@ object DeltaLite {
           if (add.has("deletionVector") && !add.get("deletionVector").isNull)
             dvs(p) = add.get("deletionVector").toString
           else dvs -= p
+          val pv = pvOf(add)
+          if (pv.nonEmpty) partValues(p) = pv else partValues -= p
         }
         if (a.has("remove")) {
           val p = a.get("remove").get("path").asText()
           files -= p
           stats -= p
           dvs -= p
+          partValues -= p
         }
         // SetTransaction: a foreign streaming writer's exactly-once
         // bookkeeping — latest version per appId wins on replay
@@ -242,7 +283,46 @@ object DeltaLite {
     Snapshot(target, schemaJson, files.toSeq,
       stats.view.filterKeys(files.contains).toMap,
       dvs.view.filterKeys(files.contains).toMap,
-      configuration, txns.toMap)
+      configuration, txns.toMap, partitionColumns,
+      partValues.view.filterKeys(files.contains).toMap,
+      minWriter, writerFeatures)
+  }
+
+  /** Writer features this implementation actually honors when COMMITTING
+    * to a table that declares them (the v7 table-features vocabulary):
+    * DVs, column mapping, timestampNtz, appendOnly (enforced in
+    * [[requireWritable]]), invariants-as-written (we never alter column
+    * metadata), and changeDataFeed (the [[CdfProperty]] channel).
+    */
+  private val SupportedWriterFeatures = Set("deletionVectors",
+    "columnMapping", "timestampNtz", "appendOnly", "invariants",
+    "changeDataFeed")
+
+  /** WRITER-protocol gate — the commit-side twin of the reader gate: a
+    * table may demand writer capabilities (CHECK constraints, generated
+    * or identity columns, unknown v7 features) that this writer does not
+    * implement; committing anyway would silently break the table's own
+    * contracts for every other engine. Legacy versions 3 (constraints),
+    * 4 (generated columns), and 6 (identity columns) are refused —
+    * 1/2/5/7-with-supported-features are writable. `delta.appendOnly`
+    * tables additionally refuse any commit that REMOVES files.
+    */
+  private def requireWritable(table: String, snap: Snapshot,
+                              removesFiles: Boolean): Unit = {
+    if (snap.minWriterVersion >= 7) {
+      val unsupported = snap.writerFeatures -- SupportedWriterFeatures
+      require(unsupported.isEmpty,
+        s"$table: requires writer features ${unsupported.mkString(", ")} " +
+          "— unsupported, refusing to write")
+    } else require(!Set(3, 4, 6).contains(snap.minWriterVersion),
+      s"$table: requires Delta writer protocol v${snap.minWriterVersion} " +
+        "(constraints / generated or identity columns) — unsupported, " +
+        "refusing to write")
+    if (removesFiles)
+      require(!snap.configuration.get("delta.appendOnly")
+          .exists(_.equalsIgnoreCase("true")),
+        s"$table: delta.appendOnly table — commits that remove files are " +
+          "refused (append-only contract)")
   }
 
   /** The last version a foreign (or local) streaming writer recorded for
@@ -410,6 +490,47 @@ object DeltaLite {
     val readSchema = logical.map(l => if (mapped) physicalSchema(l) else l)
     val (dvFiles, plainFiles) = files.partition(snap.dvs.contains)
     def paths(fs: Seq[String]) = fs.map(p => new Path(table, p).toString)
+    // PARTITIONED tables: partition columns live in the log/dirs, not
+    // the data files — re-attach them per file. Hive-relative layouts
+    // (ours and most foreign logs) read in ONE scan via basePath
+    // discovery (keeps Catalyst PartitionFilters pruning); absolute or
+    // non-hive paths fall back to per-partition-value groups with
+    // literal columns. Partitioned + mapped is refused at write;
+    // partitioned + DV is refused here (no writer produces it).
+    if (snap.partitionColumns.nonEmpty) {
+      require(!mapped,
+        s"$table: partitioned + column-mapped tables are not supported")
+      require(dvFiles.isEmpty,
+        s"$table: partitioned table with deletion vectors — unsupported")
+      val full = logical.get
+      val dataSchema = StructType(full.fields.filterNot(fl =>
+        snap.partitionColumns.contains(fl.name)))
+      if (files.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+      val order = full.fieldNames.toIndexedSeq.map(n => col(s"`$n`"))
+      val hiveRelative = files.forall(p =>
+        p.contains("=") && !p.contains(":/") && !p.startsWith("/"))
+      val out =
+        if (hiveRelative) {
+          val raw = spark.read.schema(full)
+            .option("basePath", new Path(table).toString)
+            .parquet(paths(files): _*)
+          raw.select(order: _*)
+        } else {
+          import org.apache.spark.sql.functions.lit
+          files.groupBy(p => snap.partitionValues.getOrElse(p, Map.empty))
+            .toSeq.map { case (pv, group) =>
+              val base = spark.read.schema(dataSchema)
+                .parquet(paths(group): _*)
+              snap.partitionColumns.foldLeft(base) { (d, c) =>
+                d.withColumn(c,
+                  lit(pv.getOrElse(c, null)).cast(full(c).dataType))
+              }.select(order: _*)
+            }.reduce(_.unionByName(_))
+        }
+      return out
+    }
     val plainDf: Option[DataFrame] =
       if (plainFiles.isEmpty) None
       else Some(readSchema match {
@@ -488,7 +609,8 @@ object DeltaLite {
              replacing: Option[Seq[String]] = None,
              columnMapping: Boolean = false,
              txn: Option[(String, Long)] = None,
-             cdc: Option[DataFrame] = None): Long = {
+             cdc: Option[DataFrame] = None,
+             partitionBy: Seq[String] = Nil): Long = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -497,6 +619,8 @@ object DeltaLite {
       if (vs.isEmpty) None else Some(snapshot(spark, table))
     val removed: Seq[String] = replacing.getOrElse(
       if (overwrite) prev.map(_.files).getOrElse(Nil) else Nil)
+    prev.foreach(p => requireWritable(table, p,
+      removesFiles = removed.nonEmpty))
     // Column mapping is sticky: once a table is mapped, every later
     // commit keeps writing physical names (a mixed table would be
     // unreadable); `columnMapping = true` turns it on at creation/
@@ -512,8 +636,26 @@ object DeltaLite {
     val schemaChanged = prev.flatMap(_.schemaJson).exists(j =>
       stripMapping(DataType.fromJson(j).asInstanceOf[StructType]).json
         != df.schema.json)
+    // hive-style partitioning: columns live in the dirs/log, not the
+    // data files. The layout is sticky per table — appends must keep it
+    // (a mixed layout would read some rows without their partition
+    // values); overwrites may change it. Mapped + partitioned is
+    // refused (physical dir names would leak into the logical layout).
+    val prevPartCols = prev.map(_.partitionColumns).getOrElse(Nil)
+    val partCols: Seq[String] =
+      if (overwrite || prev.isEmpty) partitionBy
+      else if (partitionBy.nonEmpty) partitionBy
+      else prevPartCols
+    require(!mapped || partCols.isEmpty,
+      s"$table: partitioned + column-mapped tables are not supported")
+    require(prev.isEmpty || overwrite || prevPartCols == partCols,
+      s"$table: append must keep the partition layout $prevPartCols " +
+        s"(got $partCols) — overwrite to change it")
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"$table: partition column $c not in the frame"))
 
-    val named = stageParts(spark, table, writeDf, s"v$v", f"part-$v%05d")
+    val named = stageParts(spark, table, writeDf, s"v$v", f"part-$v%05d",
+      partitionBy = partCols)
     // CDF channel: land the per-commit change rows under _change_data/
     // (they are NOT data files — only cdc actions reference them)
     val cdcNamed: Seq[(String, Long)] = cdc.toSeq.flatMap { cdf =>
@@ -536,7 +678,7 @@ object DeltaLite {
     publishCommit(spark, table, v, actionsFor(
       v, overwrite, operation,
       emitMeta = v == 0L || overwrite || schemaChanged,
-      tableSchema, conf, removed, named, txn, cdcNamed))
+      tableSchema, conf, removed, named, txn, cdcNamed, partCols))
     v
   }
 
@@ -583,26 +725,63 @@ object DeltaLite {
     }
   }
 
+  /** Reverse of Spark's partition-path escaping (%xx sequences) for one
+    * hive dir value; the spec's null marker decodes to null.
+    */
+  private def unescapePartitionValue(raw: String): String =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '%' && i + 2 < raw.length) {
+          sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   /** Land `writeDf` under a staging dir, then move parts to
-    * `namePrefix`-named files at the root (the log, not the directory
-    * listing, defines the table). Returns (name, size, statsJson) per
-    * part.
+    * `namePrefix`-named files — at the root, or (partitioned commits)
+    * under their hive `col=value/` dirs, preserved relative to the root
+    * (the log, not the directory listing, defines the table either
+    * way). Returns (relative path, size, statsJson, partitionValues)
+    * per part.
     */
   private def stageParts(spark: SparkSession, table: String,
                          writeDf: DataFrame, stageId: String,
-                         namePrefix: String)
-      : Seq[(String, Long, Option[String])] = {
+                         namePrefix: String,
+                         partitionBy: Seq[String] = Nil)
+      : Seq[(String, Long, Option[String], Map[String, String])] = {
     val root = new Path(table)
     val f = fs(spark, root)
     val staging = new Path(root, s".staging-$stageId")
-    writeDf.write.mode("overwrite").parquet(staging.toString)
-    val parts = f.listStatus(staging).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-    val named = parts.zipWithIndex.map { case (p, i) =>
+    val w = writeDf.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(staging.toString)
+    def leaves(dir: Path, rel: String): Seq[(Path, String)] =
+      f.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("="))
+          leaves(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else if (n.startsWith("part-") && n.endsWith(".parquet"))
+          Seq((st.getPath, rel))
+        else Nil
+      }
+    val named = leaves(staging, "").zipWithIndex.map { case ((p, relDir), i) =>
       val name = f"$namePrefix-$i%05d.parquet"
-      require(f.rename(p, new Path(root, name)), s"rename failed: $p")
-      (name, f.getFileStatus(new Path(root, name)).getLen,
-        fileStatsJson(spark, new Path(root, name)))
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      val target = new Path(root, rel)
+      f.mkdirs(target.getParent)
+      require(f.rename(p, target), s"rename failed: $p")
+      val pv: Map[String, String] =
+        relDir.split("/").filter(_.nonEmpty).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> unescapePartitionValue(v)
+        }.toMap
+      (rel, f.getFileStatus(target).getLen, fileStatsJson(spark, target), pv)
     }
     f.delete(staging, true)
     named
@@ -612,9 +791,10 @@ object DeltaLite {
   private def actionsFor(v: Long, overwrite: Boolean, operation: String,
                          emitMeta: Boolean, tableSchema: StructType,
                          conf: Map[String, String], removed: Seq[String],
-                         named: Seq[(String, Long, Option[String])],
+                         named: Seq[(String, Long, Option[String], Map[String, String])],
                          txn: Option[(String, Long)] = None,
-                         cdcFiles: Seq[(String, Long)] = Nil): String = {
+                         cdcFiles: Seq[(String, Long)] = Nil,
+                         partitionColumns: Seq[String] = Nil): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
@@ -626,17 +806,22 @@ object DeltaLite {
         .append('\n')
     }
     if (emitMeta)
-      sb.append(protocolAndMetaData(v, tableSchema.json, conf))
+      sb.append(protocolAndMetaData(v, tableSchema.json, conf,
+        partitionColumns = partitionColumns))
     removed.foreach { p =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":$ts,"dataChange":true}}""")
         .append('\n')
     }
-    named.foreach { case (p, size, stats) =>
+    named.foreach { case (p, size, stats, pv) =>
       val pj = mapper.writeValueAsString(p)
       val statsField = stats.map(s =>
         s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":$ts,"dataChange":true$statsField}}""")
+      val pvJson = "{" + pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${mapper.writeValueAsString(k)}:${
+          if (vv == null) "null" else mapper.writeValueAsString(vv)}"
+      }.mkString(",") + "}"
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvJson,"modificationTime":$ts,"dataChange":true$statsField}}""")
         .append('\n')
     }
     cdcFiles.foreach { case (p, size) =>
@@ -687,6 +872,11 @@ object DeltaLite {
     val vs0 = versions(spark, table)
     val prev0: Option[Snapshot] =
       if (vs0.isEmpty) None else Some(snapshot(spark, table))
+    require(prev0.forall(_.partitionColumns.isEmpty),
+      s"$table: contended commits on a partitioned table are not " +
+        "supported — use commit() (single-writer) there")
+    prev0.foreach(p => requireWritable(table, p,
+      removesFiles = overwrite || replacing.isDefined))
     val mapped = columnMapping ||
       prev0.exists(p => mappingMode(p.configuration) != "none")
     val (tableSchema, writeDf, conf) = resolveWriteFrame(
@@ -891,7 +1081,8 @@ object DeltaLite {
 
   private def protocolAndMetaData(v: Long, schemaJson: String,
                                   conf: Map[String, String] = Map.empty,
-                                  withDvFeature: Boolean = false): String = {
+                                  withDvFeature: Boolean = false,
+                                  partitionColumns: Seq[String] = Nil): String = {
     val sj = mapper.writeValueAsString(schemaJson)
     val mapped = conf.get(MappingModeKey).exists(_ != "none")
     val protocol =
@@ -907,8 +1098,10 @@ object DeltaLite {
     val confJson = "{" + conf.toSeq.sortBy(_._1).map { case (k, vv) =>
       s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(vv)}"
     }.mkString(",") + "}"
+    val pcJson = partitionColumns.map(mapper.writeValueAsString)
+      .mkString("[", ",", "]")
     protocol + "\n" +
-      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":[],"configuration":$confJson}}""" + "\n"
+      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":$pcJson,"configuration":$confJson}}""" + "\n"
   }
 
   /** SHALLOW CLONE — the zero-copy table copy (Databricks' `CREATE TABLE
@@ -937,11 +1130,13 @@ object DeltaLite {
     sb.append(s"""{"commitInfo":{"operation":"CLONE","timestamp":0}}""")
       .append('\n')
     sb.append(protocolAndMetaData(0L, s.schemaJson.get, s.configuration,
-      withDvFeature = s.dvs.nonEmpty))
+      withDvFeature = s.dvs.nonEmpty,
+      partitionColumns = s.partitionColumns))
     s.files.foreach { p =>
       val abs = new Path(srcRoot, p)
       val pj = mapper.writeValueAsString(abs.toString)
       val size = f.getFileStatus(abs).getLen
+      val pvField = pvJsonOf(s.partitionValues.getOrElse(p, Map.empty))
       val statsField = s.stats.get(p).map(st =>
         s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
       // DV descriptors carry over: table-root-relative ("u") descriptors
@@ -957,12 +1152,19 @@ object DeltaLite {
           else d
         s""","deletionVector":${dvJson(rebased)}"""
       }.getOrElse("")
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":false$statsField$dvField}}""")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvField,"modificationTime":0,"dataChange":false$statsField$dvField}}""")
         .append('\n')
     }
     publishCommit(spark, dst, 0L, sb.toString)
     0L
   }
+
+  /** One add action's partitionValues object. */
+  private def pvJsonOf(pv: Map[String, String]): String =
+    "{" + pv.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${mapper.writeValueAsString(k)}:${
+        if (v == null) "null" else mapper.writeValueAsString(v)}"
+    }.mkString(",") + "}"
 
   /** METADATA-ONLY table creation over EXISTING parquet files — the
     * Delta half of zero-copy format conversion ([[FormatConvert]]):
@@ -1068,6 +1270,7 @@ object DeltaLite {
     val cur = snapshot(spark, table)
     val tgt = snapshot(spark, table, Some(version))
     require(tgt.schemaJson.nonEmpty, s"$table: no metaData at v$version")
+    requireWritable(table, cur, removesFiles = true)
     val v = vs.last + 1
     val f = fs(spark, new Path(table))
     // file identity = (path, deletion vector): a file whose DV changed
@@ -1082,7 +1285,8 @@ object DeltaLite {
     sb.append(s"""{"commitInfo":{"operation":"RESTORE","timestamp":0}}""")
       .append('\n')
     sb.append(protocolAndMetaData(v, tgt.schemaJson.get, tgt.configuration,
-      withDvFeature = tgt.dvs.nonEmpty))
+      withDvFeature = tgt.dvs.nonEmpty,
+      partitionColumns = tgt.partitionColumns))
     (curSet -- tgtSet).toSeq.sorted.foreach { case (p, _) =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":0,"dataChange":true}}""")
@@ -1091,10 +1295,11 @@ object DeltaLite {
     (tgtSet -- curSet).toSeq.sorted.foreach { case (p, dv) =>
       val pj = mapper.writeValueAsString(p)
       val size = f.getFileStatus(new Path(table, p)).getLen
+      val pvField = pvJsonOf(tgt.partitionValues.getOrElse(p, Map.empty))
       val statsField = tgt.stats.get(p).map(st =>
         s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
       val dvField = if (dv.isEmpty) "" else s""","deletionVector":$dv"""
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField$dvField}}""")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvField,"modificationTime":0,"dataChange":true$statsField$dvField}}""")
         .append('\n')
     }
     publishCommit(spark, table, v, sb.toString)
@@ -1340,6 +1545,10 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    require(snap.partitionColumns.isEmpty,
+      s"$table: deletion vectors on a partitioned table are not " +
+        "supported — use selectiveDelete (copy-on-write)")
+    requireWritable(table, snap, removesFiles = true)
     val logical = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
     val mapped = mappingMode(snap.configuration) != "none"
     val readSchema = if (mapped) physicalSchema(logical) else logical
@@ -1492,13 +1701,26 @@ object DeltaLite {
       if (isString) utf8(x.toString)
       else new java.math.BigDecimal(x.toString).asInstanceOf[Comparable[Any]]
     val physKey = physicalNameOf(snap, keyCol)
-    val (scanned, skipped) = snap.files.partition { p =>
-      fileBounds(snap, p, physKey, isString) match {
-        case Some((mn, mx)) =>
-          mx.compareTo(cmp(lo)) >= 0 && mn.compareTo(cmp(hi)) <= 0
-        case None => true
+    val (scanned, skipped) =
+      if (snap.partitionColumns.contains(keyCol))
+        // PARTITION column: data files carry no stats for it (hive
+        // layout) — prune on the log's partitionValues instead, same
+        // comparison domain
+        snap.files.partition { p =>
+          snap.partitionValues.get(p).flatMap(m => Option(m.getOrElse(keyCol, null))) match {
+            case Some(v) =>
+              val c = cmp(v)
+              c.compareTo(cmp(lo)) >= 0 && c.compareTo(cmp(hi)) <= 0
+            case None => true // unknown value: scan conservatively
+          }
+        }
+      else snap.files.partition { p =>
+        fileBounds(snap, p, physKey, isString) match {
+          case Some((mn, mx)) =>
+            mx.compareTo(cmp(lo)) >= 0 && mn.compareTo(cmp(hi)) <= 0
+          case None => true
+        }
       }
-    }
     val base = readSnapshot(spark, table, snap, scanned)
     SkippingScan(base.filter(col(keyCol) >= lo && col(keyCol) <= hi),
       scanned.size, skipped.size)
@@ -1526,7 +1748,8 @@ object DeltaLite {
       graft.functions.ZOrder.clusterByZ(
         read(spark, table), cols, targetFiles, bits),
       overwrite = true,
-      operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})")
+      operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})",
+      partitionBy = snapshot(spark, table).partitionColumns)
 
   /** Rows ADDED in versions `(fromVersion, toVersion]` under the
     * APPEND-ONLY contract — the IcebergLite.incrementalRead twin, and
@@ -1786,7 +2009,8 @@ object DeltaLite {
   def optimizeCompact(spark: SparkSession, table: String,
                       targetFiles: Int = 1): Long =
     commit(spark, table, read(spark, table).coalesce(targetFiles),
-      overwrite = true, operation = "OPTIMIZE")
+      overwrite = true, operation = "OPTIMIZE",
+      partitionBy = snapshot(spark, table).partitionColumns)
 
   /** VACUUM (reference: TPC-datagen-notebook.scala:2086): delete data
     * files referenced by NONE of the last `retainVersions` snapshots.
@@ -1811,15 +2035,26 @@ object DeltaLite {
       else Some(DeletionVectors.dvFilePath(root, d).getName)
     }.toSet
     val f = fs(spark, root)
-    val victims = f.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
+    // walk the root plus hive partition dirs (partitioned layouts keep
+    // data files under col=value/ paths; the keep-set is RELATIVE paths)
+    def walk(dir: Path, rel: String): Seq[(Path, String)] =
+      f.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("="))
+          walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else if (!st.isDirectory)
+          Seq((st.getPath, if (rel.isEmpty) n else s"$rel/$n"))
+        else Nil
+      }
+    val victims = walk(root, "")
+      .filter { case (p, rel) =>
         val n = p.getName
-        (n.endsWith(".parquet") && !keep.contains(n)) ||
+        (rel.endsWith(".parquet") && !keep.contains(rel)) ||
           (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
             !keepDv.contains(n))
       }
-    victims.foreach(p => f.delete(p, false))
-    victims.map(_.getName)
+    victims.foreach { case (p, _) => f.delete(p, false) }
+    victims.map(_._2)
   }
 
   /** Compact the log at its latest version into a parquet checkpoint +
@@ -1847,21 +2082,28 @@ object DeltaLite {
     val features: Seq[String] =
       if (needsDv) Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil)
       else Nil
+    val pcJson = "[" + s.partitionColumns
+      .map(mapper.writeValueAsString).mkString(",") + "]"
     val rows = s.files.map(p => (Option(p), s.stats.get(p), s.dvs.get(p),
-        Option.empty[String], Option.empty[String])) :+
+        s.partitionValues.get(p).map(pvJsonOf),
+        Option.empty[String], Option.empty[String], Option.empty[String])) :+
       ((Option.empty[String], Option.empty[String], Option.empty[String],
-        Option(schemaJson), Option(confJson)))
+        Option.empty[String], Option(schemaJson), Option(confJson),
+        Option(pcJson)))
     val cp = rows
-      .toDF("addPath", "addStats", "dvJson", "schemaString", "confJson")
+      .toDF("addPath", "addStats", "dvJson", "pvJson",
+        "schemaString", "confJson", "pcJson")
       .selectExpr(
         """CASE WHEN addPath IS NOT NULL THEN named_struct(
           |  'path', addPath, 'stats', addStats,
+          |  'partitionValues', from_json(pvJson, 'MAP<STRING, STRING>'),
           |  'deletionVector', from_json(dvJson,
           |    'storageType STRING, pathOrInlineDv STRING, offset INT, sizeInBytes INT, cardinality BIGINT'))
           |END AS add""".stripMargin,
         """CASE WHEN schemaString IS NOT NULL THEN named_struct(
           |  'schemaString', schemaString,
-          |  'configuration', from_json(confJson, 'MAP<STRING, STRING>'))
+          |  'configuration', from_json(confJson, 'MAP<STRING, STRING>'),
+          |  'partitionColumns', from_json(pcJson, 'ARRAY<STRING>'))
           |END AS metaData""".stripMargin,
         s"""CASE WHEN schemaString IS NOT NULL THEN named_struct(
            |  'minReaderVersion', $minReader,

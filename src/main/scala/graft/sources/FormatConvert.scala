@@ -37,6 +37,9 @@ object FormatConvert {
     require(!s.configuration.get("delta.columnMapping.mode")
         .exists(_ != "none"),
       s"$src: column-mapped table (physical parquet names) — unsupported")
+    require(s.partitionColumns.isEmpty,
+      s"$src: hive-partitioned table — partition columns live in the " +
+        "log/dirs, not the data files; rewrite unpartitioned first")
     val schema = DataType.fromJson(s.schemaJson.get).asInstanceOf[StructType]
     val srcRoot = new Path(src)
     val files = s.files.map(p => new Path(srcRoot, p).toString)

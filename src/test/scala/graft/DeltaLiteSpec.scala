@@ -575,6 +575,129 @@ class DeltaLiteSpec extends SparkSpec {
       s"mixed range must use the net diff, got $mixed")
   }
 
+  test("writer-protocol gate: unimplemented writer capabilities refuse " +
+    "commits (reads unaffected); appendOnly tables refuse removals") {
+    // foreign table demanding writer v4 (generated columns)
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +
+        "\n").getBytes("UTF-8"))
+    assert(DeltaLite.read(spark, t).count() == 1L, "reads stay legal")
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s")))
+    assert(e1.getMessage.contains("writer protocol"))
+
+    // v7 table-features with an unknown writer feature
+    val t2 = newTable()
+    DeltaLite.commit(spark, t2, Seq((1L, "a")).toDF("k", "s"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t2, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV9"]}}""" +
+        "\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLite.commit(spark, t2, Seq((2L, "b")).toDF("k", "s")))
+    assert(e2.getMessage.contains("icebergCompatV9"))
+
+    // delta.appendOnly: appends land, removals refuse
+    val t3 = newTable()
+    DeltaLite.commit(spark, t3, (0L until 10L).toDF("k"))
+    DeltaLite.setTableProperty(spark, t3, "delta.appendOnly", "true")
+    DeltaLite.commit(spark, t3, Seq(10L).toDF("k"))
+    assert(DeltaLite.read(spark, t3).count() == 11L)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLite.commit(spark, t3, Seq(99L).toDF("k"), overwrite = true))
+    assert(e3.getMessage.contains("append-only"))
+    val e4 = intercept[IllegalArgumentException](
+      DeltaLite.selectiveDelete(spark, t3, Seq(3L).toDF("k"), Seq("k")))
+    assert(e4.getMessage.contains("append-only"))
+    assert(DeltaLite.read(spark, t3).count() == 11L, "table untouched")
+  }
+
+  test("PARTITIONED tables: hive layout write/read, partition-value " +
+    "pruning, layout-preserving maintenance, clone + checkpoint carry") {
+    val t = newTable()
+    val df = (0L until 60L)
+      .map(k => (k, (k % 3).toString, s"p$k"))
+      .toDF("id", "bucket", "payload")
+    DeltaLite.commit(spark, t, df, partitionBy = Seq("bucket"))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.partitionColumns == Seq("bucket"))
+    assert(snap.files.forall(_.contains("bucket=")),
+      "data files must land under hive dirs")
+    assert(snap.partitionValues.values.map(_("bucket")).toSet
+      == Set("0", "1", "2"))
+
+    // single-scan read re-attaches partition values to the right rows
+    val out = DeltaLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "bucket", "payload"))
+    assert(out.count() == 60L)
+    assert(out.filter(col("id") === 4L).select("bucket").as[String].head()
+      == "1")
+    // Catalyst partition pruning reaches the scan
+    val plan = DeltaLite.read(spark, t).filter(col("bucket") === "2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"partitioned read lost PartitionFilters pruning:\n$plan")
+    // readWhere prunes on the LOG's partitionValues (hive data files
+    // carry no stats for the partition column)
+    val scan = DeltaLite.readWhere(spark, t, "bucket", "0", "0")
+    assert(scan.filesSkipped > 0 && scan.df.count() == 20L, s"$scan")
+
+    // appends keep the layout; changing it without overwrite refuses
+    DeltaLite.commit(spark, t, Seq((100L, "1", "x")).toDF("id", "bucket", "payload"))
+    assert(DeltaLite.read(spark, t).count() == 61L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.commit(spark, t, df, partitionBy = Seq("payload")))
+    assert(e.getMessage.contains("partition layout"))
+
+    // OPTIMIZE keeps the layout
+    DeltaLite.optimizeCompact(spark, t, 1)
+    val snap2 = DeltaLite.snapshot(spark, t)
+    assert(snap2.partitionColumns == Seq("bucket") &&
+      snap2.files.forall(_.contains("bucket=")))
+    assert(DeltaLite.read(spark, t).count() == 61L)
+
+    // shallowClone: absolute-path re-reference exercises the
+    // literal-attach read path (non-hive-relative)
+    val t2 = newTable()
+    DeltaLite.shallowClone(spark, t, t2)
+    val cloned = DeltaLite.read(spark, t2)
+    assert(cloned.count() == 61L)
+    assert(cloned.filter(col("id") === 4L).select("bucket").as[String]
+      .head() == "1")
+
+    // checkpoint carries partitionColumns + partitionValues: bootstrap
+    // from the checkpoint alone loses nothing
+    val cpV = DeltaLite.checkpoint(spark, t)
+    (0L until cpV).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_delta_log", f".$v%020d.json.crc"))
+    }
+    val boot = DeltaLite.snapshot(spark, t)
+    assert(boot.partitionColumns == Seq("bucket"))
+    assert(DeltaLite.read(spark, t).count() == 61L)
+
+    // copy-on-write delete preserves the layout; vacuum reaps the
+    // superseded partitioned files by RELATIVE path
+    DeltaLite.selectiveDelete(spark, t, Seq(100L).toDF("id"), Seq("id"))
+    assert(DeltaLite.read(spark, t).count() == 60L)
+    val reaped = DeltaLite.vacuum(spark, t, 1)
+    assert(reaped.exists(_.contains("bucket=")),
+      s"vacuum must reap superseded partitioned files, got $reaped")
+    assert(DeltaLite.read(spark, t).count() == 60L)
+
+    // deletion vectors refuse the partitioned layout, remedy named
+    val edv = intercept[IllegalArgumentException](
+      DeltaLite.deleteVectors(spark, t, Seq(1L).toDF("id"), Seq("id")))
+    assert(edv.getMessage.contains("selectiveDelete"))
+  }
+
   test("change data feed WRITE: an enabled table materializes " +
     "_change_data on merge/delete and changes() consumes the channel") {
     val t = newTable()
