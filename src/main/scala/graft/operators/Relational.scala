@@ -230,8 +230,17 @@ object Relational {
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- A8
+  /** CUBE's Expand multiplies every row ×4 (2² grouping sets) before the
+    * partial aggregate — heavy per-row work of the `Tables.fanOutFor`
+    * class: a low-split decade layout (1 file × 2 row groups) otherwise
+    * runs it near-single-threaded. At real scale (many files) the
+    * fan-out is the identity. Measured at sf1-equiv: 2.19 → 1.35 s,
+    * decade min-ratio 4.5× → 3.1×. (qGroupingSets measured NO win from
+    * the same opt-in — its ×3 Expand is lighter and the fan-out shuffle
+    * offsets the gain — so it stays on the raw scan.)
+    */
   def qCube(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir)
+    Tables.fanOutFor(s, Tables.orders(s, dir))
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
@@ -320,6 +329,8 @@ object Relational {
     * over the fact (Spark expands the grouping sets map-side; a naive
     * union-of-groupBys would scan twice).
     */
+  // qCube's fan-out was MEASURED here too: no win (lighter ×3 Expand,
+  // the added shuffle offsets it) — raw scan kept, negative result noted
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupingSets(

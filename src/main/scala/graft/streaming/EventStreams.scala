@@ -503,6 +503,73 @@ object EventStreams {
         ()
       }
 
+  /** [[streamingDvDelete]]'s contract on the OTHER format: a streaming
+    * CDC DELETE feed lands as per-micro-batch EQUALITY delete files —
+    * the O(batch) channel (the delete file IS the batch's distinct
+    * keys; no scan locates positions), so per-batch cost is independent
+    * of table size. Replay-idempotent two ways: the commit-count guard
+    * skips re-delivered batch ids, and equality deletes are VALUE-level
+    * idempotent anyway (a re-applied key set masks the same rows).
+    */
+  def streamingEqDelete(deletes: DataFrame, tablePath: String,
+                        keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // metadata versions count commits exactly (one per snapshot) —
+        // the same replay guard as streamingIcebergUpsert; version 1 is
+        // the table's own creation
+        val committed = graft.sources.IcebergLite.versions(spark, tablePath)
+        if (committed.size - 1 <= batchId && !batch.isEmpty)
+          graft.sources.IcebergLite.deleteRows(spark, tablePath, batch,
+            keyCols, equality = true)
+        ()
+      }
+
+  /** CROSS-FORMAT STREAMING REPLICATION — the composition the r13
+    * pieces exist for: consume a DeltaLite table's CDF stream
+    * ([[readDeltaStream]], `_change_type`-tagged row events) and land it
+    * in an IcebergLite table — inserts/postimages MERGE
+    * (selectiveMerge: cost ∝ touched files after the seed), deletes
+    * land as equality delete files (cost ∝ batch). The initial snapshot
+    * arrives as insert rows and seeds the destination; exactly-once
+    * across restarts rides the query checkpoint (set
+    * `checkpointLocation` on the returned writer). A key deleted and
+    * re-inserted within one batch survives (deletes anti-join the
+    * batch's upserts). At 100 TB the shape holds: each batch moves only
+    * the changed rows, never either table.
+    */
+  def replicateDeltaToIceberg(spark: org.apache.spark.sql.SparkSession,
+                              srcTable: String, dstTable: String,
+                              keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    readDeltaStream(spark, srcTable, cdf = true, keys = keys).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val ups = batch
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
+        val dels = batch.filter(col("_change_type") === "delete")
+          .select(keys.map(k => col(s"`$k`")): _*)
+          .join(ups.select(keys.map(k => col(s"`$k`")): _*), keys, "left_anti")
+          .distinct()
+        val exists = graft.sources.IcebergLite.versions(s, dstTable).nonEmpty
+        if (!exists) {
+          if (!ups.isEmpty)
+            graft.sources.IcebergLite.commit(s, dstTable, ups)
+        } else if (!ups.isEmpty)
+          graft.sources.IcebergLite.selectiveMerge(s, dstTable, ups, keys)
+        if (exists && !dels.isEmpty)
+          graft.sources.IcebergLite.deleteRows(s, dstTable, dels, keys,
+            equality = true)
+        ()
+      }
+  }
+
   /** A DeltaLite table as a STREAMING SOURCE — the read half the six
     * format writers above were missing (see [[TableStreams]] for the
     * offset/batch mechanics and the 100 TB shape). Append mode delivers

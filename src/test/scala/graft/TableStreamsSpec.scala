@@ -164,6 +164,64 @@ class TableStreamsSpec extends SparkSpec {
       s"the cap must bound each micro-batch at 2 versions: $sizes")
   }
 
+  test("cross-format replication: a Delta table's CDF stream lands in " +
+    "an Iceberg table — merges, deletes, and live commits all mirror") {
+    val base = newDir("graft_replicate")
+    val src = s"$base/delta_src"
+    val dst = s"$base/iceberg_dst"
+    DeltaLite.commit(spark, src,
+      (0L until 20L).map(k => (k, "base")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))
+    DeltaLite.setTableProperty(spark, src, DeltaLite.CdfProperty, "true")
+
+    val q = EventStreams.replicateDeltaToIceberg(spark, src, dst, Seq("k"))
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(IcebergLite.read(spark, dst).as[(Long, String)].collect().toSet
+        == DeltaLite.read(spark, src).as[(Long, String)].collect().toSet,
+        "initial snapshot must seed the destination")
+
+      // live source changes: an update + an insert, then a delete
+      DeltaLite.selectiveMerge(spark, src,
+        Seq((3L, "upd"), (50L, "new")).toDF("k", "s"), Seq("k"))
+      DeltaLite.selectiveDelete(spark, src, Seq(7L).toDF("k"), Seq("k"))
+      q.processAllAvailable()
+      val srcRows = DeltaLite.read(spark, src)
+        .as[(Long, String)].collect().toSet
+      val dstRows = IcebergLite.read(spark, dst)
+        .as[(Long, String)].collect().toSet
+      assert(dstRows == srcRows,
+        s"replica diverged: missing=${srcRows -- dstRows} extra=${dstRows -- srcRows}")
+      assert(dstRows.exists(_ == (3L, "upd")) && !dstRows.exists(_._1 == 7L))
+    } finally q.stop()
+  }
+
+  test("streamingEqDelete: a CDC delete feed lands as per-batch " +
+    "equality delete files; replay changes nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = newDir("graft_eqdel_stream")
+    val t = s"$base/t"
+    IcebergLite.commit(spark, t,
+      (0L until 30L).map(k => (k, s"r$k")).toDF("k", "s"))
+    val mem = MemoryStream[Long]
+    val q = EventStreams.streamingEqDelete(mem.toDF().toDF("k"), t, Seq("k"))
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try {
+      mem.addData(2L, 5L)
+      q.processAllAvailable()
+      assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+        == (0L until 30L).toSet -- Set(2L, 5L))
+      mem.addData(5L, 9L) // 5 replays at the value level
+      q.processAllAvailable()
+      assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet
+        == (0L until 30L).toSet -- Set(2L, 5L, 9L))
+    } finally q.stop()
+  }
+
   test("iceberg append stream: initial snapshot + incremental batches, " +
     "exactly-once across restart") {
     val base = newDir("graft_istream")
