@@ -1427,6 +1427,12 @@ object DeltaLite {
 
     val (touched, skipped) = keyRows match {
       case None => (snap.files, Seq.empty[String]) // over bound: no prune
+      case Some(rows) if snap.partitionColumns.contains(keyCol) =>
+        // partition-keyed merge: hive data files carry no stats for the
+        // partition column — prune whole partitions on the log's
+        // partitionValues instead
+        partitionValuesPrune(snap, keyCol, rows,
+          schema(keyCol).dataType)
       case Some(rows) =>
         val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
         // mapped tables record stats under PHYSICAL names
@@ -1488,6 +1494,9 @@ object DeltaLite {
       org.apache.spark.sql.types.StringType
     val (touched, skipped) = boundedKeys(keys, keyCol, maxPruneKeys) match {
       case None => (snap.files, Seq.empty[String]) // over bound: no prune
+      case Some(rows) if snap.partitionColumns.contains(keyCol) =>
+        partitionValuesPrune(snap, keyCol, rows,
+          schema(keyCol).dataType)
       case Some(rows) =>
         val sortedKeys: Array[AnyRef] = sortKeys(rows, isString)
         snap.files.partition(statsIntersect(snap,
@@ -1955,6 +1964,33 @@ object DeltaLite {
         else (mn.decimalValue().asInstanceOf[Comparable[Any]],
           mx.decimalValue().asInstanceOf[Comparable[Any]])
     }
+
+  /** Partition-value equality prune for merge/delete batches keyed on a
+    * PARTITION column: a file survives iff its recorded partition value
+    * is in the batch's key set. Only string/integral domains compare
+    * safely against the hive-dir string encoding — anything else (e.g.
+    * timestamps, whose toString differs from the dir form) keeps every
+    * file, conservative by construction. Unknown/null values rewrite.
+    */
+  private def partitionValuesPrune(snap: Snapshot, keyCol: String,
+                                   rows: Array[org.apache.spark.sql.Row],
+                                   dt: org.apache.spark.sql.types.DataType)
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val safe = dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!safe) return (snap.files, Seq.empty)
+    val keySet = rows.map(r => String.valueOf(r.get(0))).toSet
+    snap.files.partition { p =>
+      snap.partitionValues.get(p)
+        .flatMap(m => Option(m.getOrElse(keyCol, null))) match {
+        case Some(v) => keySet.contains(v)
+        case None    => true // unknown: rewrite conservatively
+      }
+    }
+  }
 
   /** Shared stats-pruning predicate: does `path`'s recorded [min,max] on
     * `keyCol` intersect the sorted key set? Missing stats → true

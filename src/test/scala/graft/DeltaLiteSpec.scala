@@ -654,19 +654,28 @@ class DeltaLiteSpec extends SparkSpec {
       DeltaLite.commit(spark, t, df, partitionBy = Seq("payload")))
     assert(e.getMessage.contains("partition layout"))
 
+    // a delete keyed on the PARTITION column prunes whole partitions on
+    // the log's partitionValues (hive files carry no stats for it)
+    val pdel = DeltaLite.selectiveDelete(spark, t,
+      Seq("0").toDF("bucket"), Seq("bucket"))
+    assert(pdel.filesSkipped > 0,
+      s"partition-value prune must skip other partitions: $pdel")
+    assert(DeltaLite.read(spark, t).count() == 41L,
+      "bucket=0 rows (20 of them) must be gone")
+
     // OPTIMIZE keeps the layout
     DeltaLite.optimizeCompact(spark, t, 1)
     val snap2 = DeltaLite.snapshot(spark, t)
     assert(snap2.partitionColumns == Seq("bucket") &&
       snap2.files.forall(_.contains("bucket=")))
-    assert(DeltaLite.read(spark, t).count() == 61L)
+    assert(DeltaLite.read(spark, t).count() == 41L)
 
     // shallowClone: absolute-path re-reference exercises the
     // literal-attach read path (non-hive-relative)
     val t2 = newTable()
     DeltaLite.shallowClone(spark, t, t2)
     val cloned = DeltaLite.read(spark, t2)
-    assert(cloned.count() == 61L)
+    assert(cloned.count() == 41L)
     assert(cloned.filter(col("id") === 4L).select("bucket").as[String]
       .head() == "1")
 
@@ -681,16 +690,16 @@ class DeltaLiteSpec extends SparkSpec {
     }
     val boot = DeltaLite.snapshot(spark, t)
     assert(boot.partitionColumns == Seq("bucket"))
-    assert(DeltaLite.read(spark, t).count() == 61L)
+    assert(DeltaLite.read(spark, t).count() == 41L)
 
     // copy-on-write delete preserves the layout; vacuum reaps the
     // superseded partitioned files by RELATIVE path
     DeltaLite.selectiveDelete(spark, t, Seq(100L).toDF("id"), Seq("id"))
-    assert(DeltaLite.read(spark, t).count() == 60L)
+    assert(DeltaLite.read(spark, t).count() == 40L)
     val reaped = DeltaLite.vacuum(spark, t, 1)
     assert(reaped.exists(_.contains("bucket=")),
       s"vacuum must reap superseded partitioned files, got $reaped")
-    assert(DeltaLite.read(spark, t).count() == 60L)
+    assert(DeltaLite.read(spark, t).count() == 40L)
 
     // deletion vectors refuse the partitioned layout, remedy named
     val edv = intercept[IllegalArgumentException](
