@@ -177,6 +177,13 @@ object DeltaLite {
           if (!r.isNullAt(0))
             readerFeatures ++= r.getSeq[String](0)
         } catch { case scala.util.control.NonFatal(_) => }
+        try cp.selectExpr("protocol.minWriterVersion").collect()
+          .foreach(r => if (!r.isNullAt(0))
+            minWriter = math.max(minWriter, r.getInt(0)))
+        catch { case scala.util.control.NonFatal(_) => }
+        try cp.selectExpr("protocol.writerFeatures").collect().foreach { r =>
+          if (!r.isNullAt(0)) writerFeatures ++= r.getSeq[String](0)
+        } catch { case scala.util.control.NonFatal(_) => }
       }
       // a checkpoint holds the net state: adds only (removes are
       // tombstones for VACUUM, not part of the live file set). Foreign
@@ -595,12 +602,17 @@ object DeltaLite {
                        value: String): Long = {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
     val v = snap.version + 1
     publishCommit(spark, table, v,
       s"""{"commitInfo":{"operation":"SET TBLPROPERTIES","timestamp":0}}""" +
         "\n" + protocolAndMetaData(v, snap.schemaJson.get,
         snap.configuration + (key -> value),
-        withDvFeature = snap.dvs.nonEmpty))
+        withDvFeature = snap.dvs.nonEmpty,
+        // metaData REPLACES its predecessor wholesale — dropping the
+        // partition columns here would silently convert the table to
+        // unpartitioned and read every partition value as null
+        partitionColumns = snap.partitionColumns))
     v
   }
 
@@ -725,24 +737,6 @@ object DeltaLite {
     }
   }
 
-  /** Reverse of Spark's partition-path escaping (%xx sequences) for one
-    * hive dir value; the spec's null marker decodes to null.
-    */
-  private def unescapePartitionValue(raw: String): String =
-    if (raw == "__HIVE_DEFAULT_PARTITION__") null
-    else {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < raw.length) {
-        val c = raw.charAt(i)
-        if (c == '%' && i + 2 < raw.length) {
-          sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-
   /** Land `writeDf` under a staging dir, then move parts to
     * `namePrefix`-named files — at the root, or (partitioned commits)
     * under their hive `col=value/` dirs, preserved relative to the root
@@ -779,7 +773,7 @@ object DeltaLite {
       val pv: Map[String, String] =
         relDir.split("/").filter(_.nonEmpty).map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> unescapePartitionValue(v)
+          k -> HivePaths.unescape(v)
         }.toMap
       (rel, f.getFileStatus(target).getLen, fileStatsJson(spark, target), pv)
     }
@@ -817,11 +811,7 @@ object DeltaLite {
       val pj = mapper.writeValueAsString(p)
       val statsField = stats.map(s =>
         s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
-      val pvJson = "{" + pv.toSeq.sortBy(_._1).map { case (k, vv) =>
-        s"${mapper.writeValueAsString(k)}:${
-          if (vv == null) "null" else mapper.writeValueAsString(vv)}"
-      }.mkString(",") + "}"
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvJson,"modificationTime":$ts,"dataChange":true$statsField}}""")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":${pvJsonOf(pv)},"modificationTime":$ts,"dataChange":true$statsField}}""")
         .append('\n')
     }
     cdcFiles.foreach { case (p, size) =>
@@ -1810,8 +1800,16 @@ object DeltaLite {
     * schema evolution between the versions is handled by aligning the
     * old side to the new schema (missing columns read null).
     */
+  /** `withVersion = true` adds a `_commit_version` column (the real
+    * CDF reader's column): per-commit on the cdc channel, `toVersion`
+    * on the net-diff path (the net change IS the range's final state).
+    * Consumers that must order events per key — cross-format
+    * replication resolving an upsert-then-delete of the same key —
+    * need it; the default stays off so existing oracles are unchanged.
+    */
   def changes(spark: SparkSession, table: String, fromVersion: Long,
-              toVersion: Long, keys: Seq[String]): DataFrame = {
+              toVersion: Long, keys: Seq[String],
+              withVersion: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
     require(fromVersion < toVersion, "changes requires fromVersion < toVersion")
@@ -1830,20 +1828,28 @@ object DeltaLite {
     // cdc channel is the PER-COMMIT event stream (intermediate changes
     // included), which is what CDF consumers define correctness against;
     // the file-diff is its net projection.
-    locally {
+    // the probe itself is gated on the CDF table property (the same
+    // predicate writers use) — a non-CDF table skips the per-commit
+    // JSON scan entirely instead of parsing the whole range for nothing
+    if (cdfEnabled(to.configuration) &&
+        mappingMode(to.configuration) == "none") {
       val f = fs(spark, logDir(table))
-      val mapped = mappingMode(to.configuration) != "none"
-      val cdcPerVersion: Seq[Seq[String]] =
+      val cdcPerVersion: Seq[(Long, Seq[String])] =
         ((fromVersion + 1) to toVersion).map { v =>
-          readActions(f, commitFile(table, v)).filter(_.has("cdc"))
+          v -> readActions(f, commitFile(table, v)).filter(_.has("cdc"))
             .map(_.get("cdc").get("path").asText())
         }
-      if (!mapped && cdcPerVersion.nonEmpty && cdcPerVersion.forall(_.nonEmpty)) {
-        val paths = cdcPerVersion.flatten.map(p => new Path(table, p).toString)
+      if (cdcPerVersion.nonEmpty && cdcPerVersion.forall(_._2.nonEmpty)) {
         val cdcSchema = schema.add("_change_type",
           org.apache.spark.sql.types.StringType, nullable = true)
-        return spark.read.schema(cdcSchema).parquet(paths: _*)
-          .select(dataCols.map(c => col(s"`$c`")) :+ col("_change_type"): _*)
+        val parts = cdcPerVersion.map { case (v, ps) =>
+          val part = spark.read.schema(cdcSchema)
+            .parquet(ps.map(p => new Path(table, p).toString): _*)
+            .select(dataCols.map(c => col(s"`$c`")) :+ col("_change_type"): _*)
+          if (withVersion) part.withColumn("_commit_version", lit(v))
+          else part
+        }
+        return parts.reduce(_.unionByName(_))
       }
     }
     // file identity = (path, deletion vector): a merge-on-read DELETE
@@ -1885,8 +1891,10 @@ object DeltaLite {
       .otherwise(array(
         struct(col("_o").as("row"), lit("delete").as("_change_type"))))
     ).as("c"))
-    tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
+    val out = tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
       col("c._change_type").as("_change_type"): _*)
+    if (withVersion) out.withColumn("_commit_version", lit(toVersion))
+    else out
   }
 
   /** UTF-8 bytes under unsigned lexicographic order — the domain parquet
@@ -2120,15 +2128,26 @@ object DeltaLite {
       else Nil
     val pcJson = "[" + s.partitionColumns
       .map(mapper.writeValueAsString).mkString(",") + "]"
-    val rows = s.files.map(p => (Option(p), s.stats.get(p), s.dvs.get(p),
-        s.partitionValues.get(p).map(pvJsonOf),
-        Option.empty[String], Option.empty[String], Option.empty[String])) :+
-      ((Option.empty[String], Option.empty[String], Option.empty[String],
-        Option.empty[String], Option(schemaJson), Option(confJson),
-        Option(pcJson)))
-    val cp = rows
+    // row kinds: one per add, one per SetTransaction appId (the
+    // idempotent-writer watermark a bootstrap must not lose), one meta
+    val addRows = s.files.map(p => (Option(p), s.stats.get(p),
+      s.dvs.get(p), s.partitionValues.get(p).map(pvJsonOf),
+      Option.empty[String], Option.empty[String], Option.empty[String],
+      Option.empty[String], Option.empty[java.lang.Long]))
+    val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, tv) =>
+      (Option.empty[String], Option.empty[String], Option.empty[String],
+        Option.empty[String], Option.empty[String], Option.empty[String],
+        Option.empty[String], Option(appId),
+        Option(java.lang.Long.valueOf(tv)))
+    }
+    val metaRow = (Option.empty[String], Option.empty[String],
+      Option.empty[String], Option.empty[String], Option(schemaJson),
+      Option(confJson), Option(pcJson), Option.empty[String],
+      Option.empty[java.lang.Long])
+    val writerFeats = s.writerFeatures.toSeq.sorted
+    val cp = (addRows ++ txnRows :+ metaRow)
       .toDF("addPath", "addStats", "dvJson", "pvJson",
-        "schemaString", "confJson", "pcJson")
+        "schemaString", "confJson", "pcJson", "txnAppId", "txnVersion")
       .selectExpr(
         """CASE WHEN addPath IS NOT NULL THEN named_struct(
           |  'path', addPath, 'stats', addStats,
@@ -2143,11 +2162,19 @@ object DeltaLite {
           |END AS metaData""".stripMargin,
         s"""CASE WHEN schemaString IS NOT NULL THEN named_struct(
            |  'minReaderVersion', $minReader,
+           |  'minWriterVersion', ${math.max(s.minWriterVersion, 1)},
            |  'readerFeatures', ${
           if (features.isEmpty) "CAST(NULL AS ARRAY<STRING>)"
           else features.map(x => s"'$x'").mkString("array(", ", ", ")")
+        },
+           |  'writerFeatures', ${
+          if (writerFeats.isEmpty) "CAST(NULL AS ARRAY<STRING>)"
+          else writerFeats.map(x => s"'$x'").mkString("array(", ", ", ")")
         })
-           |END AS protocol""".stripMargin)
+           |END AS protocol""".stripMargin,
+        """CASE WHEN txnAppId IS NOT NULL THEN named_struct(
+          |  'appId', txnAppId, 'version', txnVersion)
+          |END AS txn""".stripMargin)
     val target = checkpointFile(table, s.version)
     val staging = new Path(logDir(table), s".cp-staging-${s.version}")
     cp.coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -2159,7 +2186,7 @@ object DeltaLite {
     val lastCp = new Path(logDir(table), "_last_checkpoint")
     val out = f.create(lastCp, true)
     try out.write(
-      s"""{"version":${s.version},"size":${s.files.size + 1}}"""
+      s"""{"version":${s.version},"size":${s.files.size + s.txns.size + 1}}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     s.version

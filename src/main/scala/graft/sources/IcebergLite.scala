@@ -243,8 +243,9 @@ object IcebergLite {
     * field ids (depth-first, 1-based — the id assignment real writers use
     * for a fresh table). Returns (schemaNode, lastColumnId).
     */
-  private[graft] def sparkToIceberg(st: StructType): (ObjectNode, Int) = {
-    var id = 0
+  private[graft] def sparkToIceberg(st: StructType,
+                                    startId: Int = 0): (ObjectNode, Int) = {
+    var id = startId
     def nextId(): Int = { id += 1; id }
     def convert(dt: DataType): Either[String, ObjectNode] = dt match {
       case BooleanType      => Left("boolean")
@@ -898,10 +899,18 @@ object IcebergLite {
               x <= T.truncateOf(icebergType, p.hi, w).asInstanceOf[Long]
           case "string" =>
             // prefix truncation is monotone: row ∈ [lo,hi] ⇒
-            // trunc(lo) ≤ pv ≤ trunc(hi), all ≤ w chars
+            // trunc(lo) ≤ pv ≤ trunc(hi) — compared in the UNSIGNED
+            // UTF-8 byte domain (keyComparable), the order parquet
+            // stats and Spark binary comparison use; Java String
+            // ordering diverges for supplementary-plane characters
             if (isEq) v == T.truncateOf(icebergType, p.eq, w)
-            else v >= T.truncateOf(icebergType, p.lo, w).asInstanceOf[String] &&
-              v <= T.truncateOf(icebergType, p.hi, w).asInstanceOf[String]
+            else {
+              val c = keyComparable("string", v)
+              c.compareTo(keyComparable("string",
+                T.truncateOf(icebergType, p.lo, w))) >= 0 &&
+                c.compareTo(keyComparable("string",
+                  T.truncateOf(icebergType, p.hi, w))) <= 0
+            }
           case _ => true
         }
       case _ => true // void / unknown: scan conservatively
@@ -1105,25 +1114,12 @@ object IcebergLite {
     }).asInstanceOf[Comparable[Any]]
   }
 
-  /** Reverse of Spark's partition-path escaping (%xx sequences). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          s.substring(i + 1, i + 3).forall(ch =>
-            Character.digit(ch, 16) >= 0)) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** A hive dir value, typed for the manifest's partition record. */
+  /** A hive dir value, typed for the manifest's partition record (the
+    * shared [[HivePaths]] decoder; a null marker stores null).
+    */
   private def typedPartitionValue(raw: String, dt: DataType): Any = {
-    val v = unescapePathName(raw)
+    val v = HivePaths.unescape(raw)
+    if (v == null) return null
     if (v == "__HIVE_DEFAULT_PARTITION__") null
     else dt match {
       case LongType                           => java.lang.Long.valueOf(v)
@@ -1260,15 +1256,16 @@ object IcebergLite {
           "order (field ids are positional; new columns go at the end)")
     }
 
-    // effective schema node for this commit: REUSE the previous
-    // metadata's matching schema (same (name, type) field sequence —
-    // keeps field ids stable across appends AND across rename/drop
-    // evolution, where a positional re-assignment would silently re-key
-    // every surviving file's manifest bounds); otherwise a fresh
-    // positional assignment under a new schema-id, APPENDED to the
-    // schema history so each snapshot still resolves under its own
-    // era's names (snapshot()/readWithDeletes read by schema-id).
-    val (freshNode, freshLastColId) = sparkToIceberg(df.schema)
+    // effective schema node for this commit. Field-id STABILITY is the
+    // load-bearing rule: same-named fields REUSE their previous node
+    // verbatim (ids, nested ids), and genuinely NEW fields get ids
+    // allocated strictly PAST last-column-id — never a positional
+    // re-assignment, which would recycle a dropped column's id and make
+    // the rename-era alignment resurrect its data under the new name
+    // (and silently re-key every surviving file's manifest bounds). A
+    // node identical to one in the history reuses its schema-id;
+    // otherwise it joins the history under a fresh id, so each snapshot
+    // still resolves under its own era (snapshot()/readWithDeletes).
     val prevSchemasArr: Seq[JsonNode] = prevMeta.map { m =>
       Option(m.get("schemas")).map(_.elements().asScala.toSeq)
         .getOrElse(Option(m.get("schema")).toSeq)
@@ -1277,24 +1274,69 @@ object IcebergLite {
       if (!o.has("schema-id")) o.put("schema-id", 0) // legacy single-schema
       o: JsonNode
     }
-    def schemaSig(n: JsonNode): Seq[(String, JsonNode)] =
-      n.get("fields").elements().asScala.map(fn =>
-        (fn.get("name").asText(), fn.get("type"))).toSeq
-    val matchedSchema = prevSchemasArr.find(s => schemaSig(s) == schemaSig(freshNode))
     val prevLastColId = prevMeta.flatMap(pm =>
       Option(pm.get("last-column-id")).map(_.asInt())).getOrElse(0)
+    val prevCurrentFields: Map[String, JsonNode] = prevMeta.map(m =>
+      currentSchemaNode(m, table).get("fields").elements().asScala
+        .map(fn => fn.get("name").asText() -> fn).toMap)
+      .getOrElse(Map.empty)
+    val (candidate: ObjectNode, candidateLastColId: Int) =
+      if (prevCurrentFields.isEmpty || (overwrite && replacing.isEmpty))
+        sparkToIceberg(df.schema) // creation / full schema replacement
+      else {
+        val root = mapper.createObjectNode()
+        root.put("type", "struct")
+        root.put("schema-id", 0) // provisional; final id assigned below
+        val fieldsArr = root.putArray("fields")
+        var nextId = prevLastColId
+        df.schema.fields.foreach { fl =>
+          prevCurrentFields.get(fl.name) match {
+            case Some(pf) => fieldsArr.add(pf.deepCopy[JsonNode]())
+            case None =>
+              val (sub, innerMax) =
+                sparkToIceberg(StructType(Seq(fl)), startId = nextId)
+              fieldsArr.add(sub.get("fields").get(0).deepCopy[JsonNode]())
+              nextId = innerMax
+          }
+        }
+        (root, nextId)
+      }
+    // a NAME that ever existed under a DIFFERENT field id (dropped or
+    // renamed away) must not come back: this reader resolves parquet
+    // columns by name, so a re-added same-named column would read the
+    // old files' stale physical values as the new column's data. A FULL
+    // overwrite is exempt — it removes every prior file, so there is
+    // nothing stale left to read.
+    if (!(overwrite && replacing.isEmpty)) {
+      val historyIdsByName: Map[String, Set[Int]] = prevSchemasArr
+        .flatMap(_.get("fields").elements().asScala.map(fn =>
+          fn.get("name").asText() -> fn.get("id").asInt()))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      candidate.get("fields").elements().asScala.foreach { fn =>
+        val nm = fn.get("name").asText()
+        val id = fn.get("id").asInt()
+        require(!historyIdsByName.get(nm).exists(ids => !ids.contains(id)),
+          s"$table: column $nm previously existed under a different field " +
+            "id (dropped or renamed away) — re-adding the name would read " +
+            "old files' stale values; use a new column name")
+      }
+    }
+    def schemaSig(n: JsonNode): Seq[JsonNode] =
+      n.get("fields").elements().asScala.toSeq
+    val matchedSchema = prevSchemasArr.find(s =>
+      schemaSig(s) == schemaSig(candidate))
     val (schemaNode: ObjectNode, schemaId: Int,
          allSchemas: Seq[JsonNode], lastColId: Int) = matchedSchema match {
       case Some(m) =>
         (m.asInstanceOf[ObjectNode], m.get("schema-id").asInt(),
-          prevSchemasArr, math.max(prevLastColId, freshLastColId))
+          prevSchemasArr, math.max(prevLastColId, candidateLastColId))
       case None =>
         val sid = prevSchemasArr.flatMap(s =>
           Option(s.get("schema-id")).map(_.asInt()))
           .maxOption.map(_ + 1).getOrElse(0)
-        freshNode.put("schema-id", sid)
-        (freshNode, sid, prevSchemasArr :+ (freshNode: JsonNode),
-          math.max(prevLastColId, freshLastColId))
+        candidate.put("schema-id", sid)
+        (candidate, sid, prevSchemasArr :+ (candidate: JsonNode),
+          math.max(prevLastColId, candidateLastColId))
     }
 
     // 1. data files: stage (hive layout when partitioned — identity
@@ -1715,18 +1757,19 @@ object IcebergLite {
       else readWithDeletes(spark, table, snap, touched)
     val merged = graft.operators.LakehouseOps
       .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
-    // rewrite under the table's OWN layout: transform specs are
+    // rewrite under the table's OWN layout: the FULL spec (identity
+    // fields included — collapsing to just partitionCol would drop the
+    // other partition columns from the rewritten metadata/dirs) is
     // reconstructed as decl strings so the rewritten files land in the
-    // same (transform-value) directories and the spec survives the
-    // commit; identity tables keep the legacy partitionBy path
+    // same directories and the spec survives the commit. Spec-less
+    // tables keep the legacy partitionBy behavior.
     val specDecls: Seq[String] =
-      if (identityOnly) Nil
-      else spec.map(tf => transformDecl(tf,
+      spec.map(tf => transformDecl(tf,
         specSourceName.getOrElse(tf.sourceId,
           sys.error(s"$table: spec field ${tf.name} has no source column"))))
     val sid = commit(spark, table, merged, operation = "merge",
       partitionBy =
-        if (partitionCol.isEmpty || !identityOnly) Nil else Seq(partitionCol),
+        if (spec.isEmpty && partitionCol.nonEmpty) Seq(partitionCol) else Nil,
       partitionTransforms = specDecls,
       replacing = Some(touched.map(_.path)))
     MergeStats(sid, touched.size, skipped.size)
@@ -2164,8 +2207,11 @@ object IcebergLite {
     * field leaves the current schema (fresh schema-id in the history);
     * its values stay orphaned in the data files, invisible to every
     * read because scans project the current schema's columns only. The
-    * field id is never reused (`last-column-id` is monotonic), so a
-    * later same-named column can never resurrect old values.
+    * field id is never reused (`last-column-id` is monotonic), and
+    * RE-ADDING the dropped NAME is REFUSED at commit (this reader
+    * resolves parquet columns by name, so a same-named column would
+    * read the orphaned values — the refusal is what makes "old values
+    * never resurrect" a hard guarantee here).
     */
   def dropColumn(spark: SparkSession, table: String, name: String): Int = {
     val meta = metadata(spark, table).deepCopy[ObjectNode]()

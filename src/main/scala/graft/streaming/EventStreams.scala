@@ -507,22 +507,22 @@ object EventStreams {
     * CDC DELETE feed lands as per-micro-batch EQUALITY delete files —
     * the O(batch) channel (the delete file IS the batch's distinct
     * keys; no scan locates positions), so per-batch cost is independent
-    * of table size. Replay-idempotent two ways: the commit-count guard
-    * skips re-delivered batch ids, and equality deletes are VALUE-level
-    * idempotent anyway (a re-applied key set masks the same rows).
+    * of table size. Replay idempotence is VALUE-level — a re-applied
+    * key set masks exactly the same rows (a commit-COUNT guard would be
+    * wrong here: empty batches commit nothing, so counts drift from
+    * batch ids and a post-restart replay would be misjudged). Batches
+    * arriving before the target table exists are skipped (nothing to
+    * delete from).
     */
   def streamingEqDelete(deletes: DataFrame, tablePath: String,
                         keyCols: Seq[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     deletes.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // metadata versions count commits exactly (one per snapshot) —
-        // the same replay guard as streamingIcebergUpsert; version 1 is
-        // the table's own creation
-        val committed = graft.sources.IcebergLite.versions(spark, tablePath)
-        if (committed.size - 1 <= batchId && !batch.isEmpty)
+        if (graft.sources.IcebergLite.versions(spark, tablePath).nonEmpty &&
+            !batch.isEmpty)
           graft.sources.IcebergLite.deleteRows(spark, tablePath, batch,
             keyCols, equality = true)
         ()
@@ -536,27 +536,36 @@ object EventStreams {
     * land as equality delete files (cost ∝ batch). The initial snapshot
     * arrives as insert rows and seeds the destination; exactly-once
     * across restarts rides the query checkpoint (set
-    * `checkpointLocation` on the returned writer). A key deleted and
-    * re-inserted within one batch survives (deletes anti-join the
-    * batch's upserts). At 100 TB the shape holds: each batch moves only
-    * the changed rows, never either table.
+    * `checkpointLocation` on the returned writer). A batch may span
+    * MANY source commits, so each key's events are resolved to the
+    * LATEST by `_commit_version` (the cdfVersions channel) before
+    * applying — an upsert-then-delete of one key within a batch ends
+    * deleted, a delete-then-reinsert ends alive, exactly like the
+    * source. At 100 TB the shape holds: each batch moves only the
+    * changed rows, never either table.
     */
   def replicateDeltaToIceberg(spark: org.apache.spark.sql.SparkSession,
                               srcTable: String, dstTable: String,
                               keys: Seq[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.functions.col
-    readDeltaStream(spark, srcTable, cdf = true, keys = keys).writeStream
+    import org.apache.spark.sql.functions.{col, row_number}
+    readDeltaStream(spark, srcTable, cdf = true, keys = keys,
+      cdfVersions = true).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val ups = batch
-          .filter(col("_change_type").isin("insert", "update_postimage"))
-          .drop("_change_type")
-        val dels = batch.filter(col("_change_type") === "delete")
+        // last event per key decides; preimages are bookkeeping only.
+        // The window runs over BATCH-sized data (∝ changes, not tables).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(k => col(s"`$k`")): _*)
+          .orderBy(col("_commit_version").desc)
+        val last = batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val ups = last.filter(col("_change_type") =!= "delete")
+          .drop("_change_type", "_commit_version")
+        val dels = last.filter(col("_change_type") === "delete")
           .select(keys.map(k => col(s"`$k`")): _*)
-          .join(ups.select(keys.map(k => col(s"`$k`")): _*), keys, "left_anti")
-          .distinct()
         val exists = graft.sources.IcebergLite.versions(s, dstTable).nonEmpty
         if (!exists) {
           if (!ups.isEmpty)
@@ -582,11 +591,13 @@ object EventStreams {
                       tablePath: String, cdf: Boolean = false,
                       keys: Seq[String] = Nil,
                       startingVersion: Option[Long] = None,
-                      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+                      maxVersionsPerTrigger: Option[Int] = None,
+                      cdfVersions: Boolean = false): DataFrame = {
     val r = spark.readStream
       .format(classOf[DeltaLiteStreamProvider].getName)
       .option("path", tablePath)
       .option("cdf", cdf.toString)
+      .option("cdfVersions", cdfVersions.toString)
       .option("keys", keys.mkString(","))
     startingVersion.foreach(v => r.option("startingVersion", v.toString))
     maxVersionsPerTrigger.foreach(n =>

@@ -76,9 +76,14 @@ class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegist
   private def schemaFor(spark: SparkSession,
                         parameters: Map[String, String]): StructType = {
     val base = DeltaLite.read(spark, tableOf(parameters)).schema
-    if (parameters.get("cdf").exists(_.toBoolean))
-      base.add("_change_type", StringType, nullable = false)
-    else base
+    val cdf = parameters.get("cdf").exists(_.toBoolean)
+    val versions = parameters.get("cdfVersions").exists(_.toBoolean)
+    if (cdf) {
+      val c = base.add("_change_type", StringType, nullable = false)
+      if (versions) c.add("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      else c
+    } else base
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -99,6 +104,7 @@ class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegist
     new DeltaLiteTailSource(spark, tableOf(parameters), cdf, keys,
       parameters.get("startingVersion").map(_.toLong),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("cdfVersions").exists(_.toBoolean),
       schemaFor(spark, parameters))
   }
 }
@@ -107,6 +113,7 @@ private class DeltaLiteTailSource(spark: SparkSession, table: String,
                                   cdf: Boolean, keys: Seq[String],
                                   startingVersion: Option[Long],
                                   maxVersionsPerTrigger: Option[Int],
+                                  cdfVersions: Boolean,
                                   val schema: StructType) extends Source {
   import TableStreams.offsetValue
 
@@ -140,12 +147,17 @@ private class DeltaLiteTailSource(spark: SparkSession, table: String,
       case None =>
         // initial snapshot: every row visible at endV (CDF tags inserts)
         val full = DeltaLite.read(spark, table, Some(endV))
-        if (cdf) full.withColumn("_change_type", lit("insert")) else full
+        if (cdf) {
+          val tagged = full.withColumn("_change_type", lit("insert"))
+          if (cdfVersions) tagged.withColumn("_commit_version", lit(endV))
+          else tagged
+        } else full
       case Some(sv) if sv >= endV =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(sv) =>
-        if (cdf) DeltaLite.changes(spark, table, sv, endV, keys)
+        if (cdf) DeltaLite.changes(spark, table, sv, endV, keys,
+          withVersion = cdfVersions)
         else DeltaLite.appended(spark, table, sv, endV)
     }
     GraftColumnBridge.asStreamingFrame(batch)

@@ -528,12 +528,26 @@ class DeltaLiteSpec extends SparkSpec {
         "\n").getBytes("UTF-8"))
     assert(DeltaLite.lastTransaction(spark, t, "app-x").contains(9L),
       "latest version per appId wins on replay")
+    // a checkpoint must CARRY the SetTransaction watermark — losing it
+    // would make an idempotent writer re-commit its last batch
+    val cpV = DeltaLite.checkpoint(spark, t)
+    (0L until cpV).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_delta_log", f".$v%020d.json.crc"))
+    }
+    assert(DeltaLite.lastTransaction(spark, t, "app-x").contains(9L),
+      "checkpoint bootstrap must carry SetTransaction state")
   }
 
   test("changes() prefers a foreign cdc channel: _change_data rows ride " +
     "through verbatim (per-commit semantics), mixed ranges fall back") {
     val t = newTable()
     DeltaLite.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // a real foreign CDF table always carries the property — the cdc
+    // probe is gated on it
+    DeltaLite.setTableProperty(spark, t, DeltaLite.CdfProperty, "true") // v1
     // forge a FOREIGN CDF commit: one new data file + the cdc file the
     // foreign engine materialized for it — consistent content
     def onePart(df: org.apache.spark.sql.DataFrame, target: String): Long = {
@@ -553,7 +567,7 @@ class DeltaLiteSpec extends SparkSpec {
         .toDF("k", "s", "_change_type"),
       "_change_data/cdc-0.parquet")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      java.nio.file.Paths.get(t, "_delta_log", f"${2L}%020d.json"),
       ("""{"commitInfo":{"operation":"WRITE","timestamp":1}}""" + "\n" +
         s"""{"add":{"path":"part-foreign-0.parquet","size":$addSize,"partitionValues":{},"modificationTime":1,"dataChange":true}}""" + "\n" +
         s"""{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":$cdcSize,"dataChange":false}}""" + "\n")
@@ -563,13 +577,13 @@ class DeltaLiteSpec extends SparkSpec {
       == Set(1L, 2L, 3L))
     // changes reads the exact channel — including the per-commit event
     // (99, delete) that a net file-diff could never produce
-    val ch = DeltaLite.changes(spark, t, 0L, 1L, Seq("k"))
+    val ch = DeltaLite.changes(spark, t, 1L, 2L, Seq("k"))
       .as[(Long, String, String)].collect().toSet
     assert(ch == Set((3L, "c", "insert"), (99L, "zz", "delete")),
       s"cdc channel must ride through verbatim, got $ch")
     // a range containing a cdc-less commit falls back to the file diff
     DeltaLite.commit(spark, t, Seq((4L, "d")).toDF("k", "s"))
-    val mixed = DeltaLite.changes(spark, t, 0L, 2L, Seq("k"))
+    val mixed = DeltaLite.changes(spark, t, 1L, 3L, Seq("k"))
       .as[(Long, String, String)].collect().toSet
     assert(mixed == Set((3L, "c", "insert"), (4L, "d", "insert")),
       s"mixed range must use the net diff, got $mixed")
@@ -630,6 +644,13 @@ class DeltaLiteSpec extends SparkSpec {
       "data files must land under hive dirs")
     assert(snap.partitionValues.values.map(_("bucket")).toSet
       == Set("0", "1", "2"))
+
+    // SET TBLPROPERTIES re-emits metaData — it must CARRY the partition
+    // columns (dropping them would silently unpartition the table and
+    // read every partition value as null)
+    DeltaLite.setTableProperty(spark, t, "graft.test.flag", "1")
+    assert(DeltaLite.snapshot(spark, t).partitionColumns == Seq("bucket"),
+      "SET TBLPROPERTIES must preserve partitionColumns")
 
     // single-scan read re-attaches partition values to the right rows
     val out = DeltaLite.read(spark, t)

@@ -598,6 +598,42 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.read(spark, t, Some(17L)).count() == 2L)
   }
 
+  test("dropped columns stay dead: new columns get ids past " +
+    "last-column-id (no era mis-alignment), and re-adding a dropped " +
+    "or renamed-away NAME is refused") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 10L).map(k => (k, s"secret$k")).toDF("a", "b"))
+    IcebergLite.dropColumn(spark, t, "b")
+    // additive append of a NEW column: its id must NOT recycle b's —
+    // with a recycled id the era key-sets match and the rename
+    // alignment would read b's data as c
+    IcebergLite.commit(spark, t, Seq((100L, "fresh")).toDF("a", "c"))
+    val out = IcebergLite.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("a", "c"))
+    assert(out.filter(col("a") === 3L).select("c").head().isNullAt(0),
+      "dropped column values must NOT resurrect under the new column")
+    assert(out.filter(col("a") === 100L).select("c").as[String].head()
+      == "fresh")
+    // re-adding the dropped NAME is refused (name-based parquet reads
+    // would resurrect the orphaned physical values)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.commit(spark, t,
+        Seq((200L, "x", "y")).toDF("a", "c", "b")))
+    assert(e.getMessage.contains("different field id"))
+    // ... and a renamed-away name is equally dead
+    val t2 = newTable()
+    IcebergLite.commit(spark, t2, Seq((1L, "p")).toDF("a", "b"))
+    IcebergLite.renameColumn(spark, t2, "b", "bb")
+    val e2 = intercept[IllegalArgumentException](
+      IcebergLite.commit(spark, t2, Seq((2L, "q", "r")).toDF("a", "bb", "b")))
+    assert(e2.getMessage.contains("different field id"))
+    // a FULL overwrite may reuse any name freely — nothing stale remains
+    IcebergLite.commit(spark, t2, Seq((9L, "z")).toDF("a", "b"),
+      overwrite = true)
+    assert(IcebergLite.read(spark, t2).select("b").as[String].head() == "z")
+  }
+
   test("RENAME COLUMN by field id: old files align per schema era, " +
     "bounds keep pruning, time travel reads era names, drop hides values") {
     val t = newTable()

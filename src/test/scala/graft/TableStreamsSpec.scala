@@ -195,7 +195,35 @@ class TableStreamsSpec extends SparkSpec {
       assert(dstRows == srcRows,
         s"replica diverged: missing=${srcRows -- dstRows} extra=${dstRows -- srcRows}")
       assert(dstRows.exists(_ == (3L, "upd")) && !dstRows.exists(_._1 == 7L))
+
     } finally q.stop()
+
+    // the adversarial batch shapes, GUARANTEED in one micro-batch: the
+    // query is stopped while the source takes insert-then-DELETE of a
+    // new key (must end dead) and delete-then-REINSERT of an old key
+    // (must end alive); the restart's single catch-up batch covers all
+    // four commits — per-key last-event resolution by _commit_version
+    // decides
+    DeltaLite.selectiveMerge(spark, src, Seq((60L, "x")).toDF("k", "s"),
+      Seq("k"))
+    DeltaLite.selectiveDelete(spark, src, Seq(60L).toDF("k"), Seq("k"))
+    DeltaLite.selectiveDelete(spark, src, Seq(2L).toDF("k"), Seq("k"))
+    DeltaLite.selectiveMerge(spark, src, Seq((2L, "back")).toDF("k", "s"),
+      Seq("k"))
+    val q2 = EventStreams.replicateDeltaToIceberg(spark, src, dst, Seq("k"))
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val srcRows2 = DeltaLite.read(spark, src)
+      .as[(Long, String)].collect().toSet
+    val dstRows2 = IcebergLite.read(spark, dst)
+      .as[(Long, String)].collect().toSet
+    assert(dstRows2 == srcRows2,
+      s"replica diverged after adversarial batch: " +
+        s"missing=${srcRows2 -- dstRows2} extra=${dstRows2 -- srcRows2}")
+    assert(!dstRows2.exists(_._1 == 60L), "insert-then-delete must die")
+    assert(dstRows2.exists(_ == (2L, "back")),
+      "delete-then-reinsert must live")
   }
 
   test("streamingEqDelete: a CDC delete feed lands as per-batch " +
