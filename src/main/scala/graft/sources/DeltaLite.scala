@@ -136,11 +136,13 @@ object DeltaLite {
     var readerFeatures = Set.empty[String]
     var minWriter = 1
     var writerFeatures = Set.empty[String]
+    // ONE decoder for a partitionValues map node — the JSON-replay and
+    // checkpoint paths must not drift on null handling
+    def pvMapOf(p: JsonNode): Map[String, String] =
+      p.properties().iterator().asScala.map(e => e.getKey ->
+        (if (e.getValue.isNull) null else e.getValue.asText())).toMap
     def pvOf(n: JsonNode): Map[String, String] =
-      Option(n.get("partitionValues")).map { p =>
-        p.properties().iterator().asScala.map(e => e.getKey ->
-          (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-      }.getOrElse(Map.empty)
+      Option(n.get("partitionValues")).map(pvMapOf).getOrElse(Map.empty)
 
     def confOf(n: JsonNode): Map[String, String] =
       Option(n.get("configuration")).map { c =>
@@ -208,9 +210,7 @@ object DeltaLite {
             Option(r.getString(1)).foreach(stats(p) = _)
             Option(r.getString(2)).foreach(dvs(p) = _)
             Option(r.getString(3)).foreach { js =>
-              val pv = mapper.readTree(js).properties().iterator().asScala
-                .map(e => e.getKey ->
-                  (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+              val pv = pvMapOf(mapper.readTree(js))
               if (pv.nonEmpty) partValues(p) = pv
             }
           }
@@ -325,6 +325,25 @@ object DeltaLite {
       s"$table: requires Delta writer protocol v${snap.minWriterVersion} " +
         "(constraints / generated or identity columns) — unsupported, " +
         "refusing to write")
+    // writer versions are CUMULATIVE (a legal v5 table may carry CHECK
+    // constraints or generated columns) and a v7 feature list may name
+    // `invariants` that go unused — so the gate is EVIDENCE-based on
+    // top of the version check: any metadata this writer would have to
+    // ENFORCE but doesn't refuses, whatever version declared it
+    require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
+      s"$table: carries CHECK constraints (delta.constraints.*) this " +
+        "writer does not enforce — refusing to write")
+    snap.schemaJson.foreach { sj =>
+      require(!sj.contains("delta.generationExpression"),
+        s"$table: carries GENERATED columns this writer does not " +
+          "populate — refusing to write")
+      require(!sj.contains("delta.invariants"),
+        s"$table: carries column INVARIANTS this writer does not " +
+          "enforce — refusing to write")
+      require(!sj.contains("delta.identity."),
+        s"$table: carries IDENTITY columns this writer does not " +
+          "populate — refusing to write")
+    }
     if (removesFiles)
       require(!snap.configuration.get("delta.appendOnly")
           .exists(_.equalsIgnoreCase("true")),
@@ -516,8 +535,13 @@ object DeltaLite {
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
       val order = full.fieldNames.toIndexedSeq.map(n => col(s"`$n`"))
+      // hive layout means a DIRECTORY segment carries col=value — a '='
+      // in the file NAME alone (foreign flat layouts with partition
+      // values only in the log) must take the literal-attach path, or
+      // basePath discovery would null-fill every partition column
       val hiveRelative = files.forall(p =>
-        p.contains("=") && !p.contains(":/") && !p.startsWith("/"))
+        p.split("/").dropRight(1).exists(_.contains("=")) &&
+          !p.contains(":/") && !p.startsWith("/"))
       val out =
         if (hiveRelative) {
           val raw = spark.read.schema(full)
@@ -606,12 +630,12 @@ object DeltaLite {
     val v = snap.version + 1
     publishCommit(spark, table, v,
       s"""{"commitInfo":{"operation":"SET TBLPROPERTIES","timestamp":0}}""" +
-        "\n" + protocolAndMetaData(v, snap.schemaJson.get,
+        // metaData REPLACES its predecessor wholesale (so the partition
+        // columns must carry), and NO protocol action is written — the
+        // table's declared protocol, possibly stronger than anything
+        // this writer derives, stays in force
+        "\n" + metaDataJson(v, snap.schemaJson.get,
         snap.configuration + (key -> value),
-        withDvFeature = snap.dvs.nonEmpty,
-        // metaData REPLACES its predecessor wholesale — dropping the
-        // partition columns here would silently convert the table to
-        // unpartitioned and read every partition value as null
         partitionColumns = snap.partitionColumns))
     v
   }
@@ -690,7 +714,8 @@ object DeltaLite {
     publishCommit(spark, table, v, actionsFor(
       v, overwrite, operation,
       emitMeta = v == 0L || overwrite || schemaChanged,
-      tableSchema, conf, removed, named, txn, cdcNamed, partCols))
+      tableSchema, conf, removed, named, txn, cdcNamed, partCols,
+      emitProtocol = v == 0L || (overwrite && mapped && !prevMapped)))
     v
   }
 
@@ -781,14 +806,20 @@ object DeltaLite {
     named
   }
 
-  /** One commit's NDJSON action block. */
+  /** One commit's NDJSON action block. `emitProtocol` gates the
+    * protocol action INSIDE an emitMeta commit: only creation and
+    * genuine upgrades (mapping turned on at overwrite) write one —
+    * re-emitting on a schema-evolving append would replace (and
+    * possibly downgrade) a stronger declared protocol.
+    */
   private def actionsFor(v: Long, overwrite: Boolean, operation: String,
                          emitMeta: Boolean, tableSchema: StructType,
                          conf: Map[String, String], removed: Seq[String],
                          named: Seq[(String, Long, Option[String], Map[String, String])],
                          txn: Option[(String, Long)] = None,
                          cdcFiles: Seq[(String, Long)] = Nil,
-                         partitionColumns: Seq[String] = Nil): String = {
+                         partitionColumns: Seq[String] = Nil,
+                         emitProtocol: Boolean = true): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
@@ -799,9 +830,13 @@ object DeltaLite {
       sb.append(s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$tv,"lastUpdated":$ts}}""")
         .append('\n')
     }
-    if (emitMeta)
-      sb.append(protocolAndMetaData(v, tableSchema.json, conf,
-        partitionColumns = partitionColumns))
+    if (emitMeta) {
+      if (emitProtocol)
+        sb.append(protocolAndMetaData(v, tableSchema.json, conf,
+          partitionColumns = partitionColumns))
+      else
+        sb.append(metaDataJson(v, tableSchema.json, conf, partitionColumns))
+    }
     removed.foreach { p =>
       val pj = mapper.writeValueAsString(p)
       sb.append(s"""{"remove":{"path":$pj,"deletionTimestamp":$ts,"dataChange":true}}""")
@@ -901,7 +936,10 @@ object DeltaLite {
           != df.schema.json)
       val actions = actionsFor(v, overwrite, operation,
         emitMeta = v == 0L || overwrite || schemaChanged,
-        tableSchema, conf, removed, named)
+        tableSchema, conf, removed, named,
+        emitProtocol = v == 0L ||
+          (overwrite && mapped && prev0.forall(p =>
+            mappingMode(p.configuration) == "none")))
       if (publishCommitIfAbsent(spark, table, v, actions)) return v
       // lost the race: inspect every commit that beat us
       val f = fs(spark, logDir(table))
@@ -1073,7 +1111,6 @@ object DeltaLite {
                                   conf: Map[String, String] = Map.empty,
                                   withDvFeature: Boolean = false,
                                   partitionColumns: Seq[String] = Nil): String = {
-    val sj = mapper.writeValueAsString(schemaJson)
     val mapped = conf.get(MappingModeKey).exists(_ != "none")
     val protocol =
       if (withDvFeature) {
@@ -1085,13 +1122,27 @@ object DeltaLite {
         s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       else
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    protocol + "\n" +
+      metaDataJson(v, schemaJson, conf, partitionColumns)
+  }
+
+  /** The metaData action ALONE — what schema/config/property changes on
+    * an EXISTING table emit. Re-emitting a protocol action there would
+    * REPLACE the table's declared protocol and silently downgrade a
+    * stronger foreign one (v7 feature lists); per the spec the latest
+    * protocol wins, so only creation (and genuine upgrades, e.g. the DV
+    * path) may write one.
+    */
+  private def metaDataJson(v: Long, schemaJson: String,
+                           conf: Map[String, String],
+                           partitionColumns: Seq[String] = Nil): String = {
+    val sj = mapper.writeValueAsString(schemaJson)
     val confJson = "{" + conf.toSeq.sortBy(_._1).map { case (k, vv) =>
       s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(vv)}"
     }.mkString(",") + "}"
     val pcJson = partitionColumns.map(mapper.writeValueAsString)
       .mkString("[", ",", "]")
-    protocol + "\n" +
-      s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":$pcJson,"configuration":$confJson}}""" + "\n"
+    s"""{"metaData":{"id":"graft-$v","format":{"provider":"parquet"},"schemaString":$sj,"partitionColumns":$pcJson,"configuration":$confJson}}""" + "\n"
   }
 
   /** SHALLOW CLONE — the zero-copy table copy (Databricks' `CREATE TABLE
@@ -1212,8 +1263,7 @@ object DeltaLite {
     val v = snap.version + 1
     publishCommit(spark, table, v,
       s"""{"commitInfo":{"operation":"RENAME COLUMN","timestamp":0}}""" +
-        "\n" + protocolAndMetaData(v, renamed.json, snap.configuration,
-        withDvFeature = snap.dvs.nonEmpty))
+        "\n" + metaDataJson(v, renamed.json, snap.configuration))
     v
   }
 
@@ -1239,8 +1289,7 @@ object DeltaLite {
     val v = snap.version + 1
     publishCommit(spark, table, v,
       s"""{"commitInfo":{"operation":"DROP COLUMN","timestamp":0}}""" +
-        "\n" + protocolAndMetaData(v, dropped.json, snap.configuration,
-        withDvFeature = snap.dvs.nonEmpty))
+        "\n" + metaDataJson(v, dropped.json, snap.configuration))
     v
   }
 
@@ -1274,8 +1323,9 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":"RESTORE","timestamp":0}}""")
       .append('\n')
-    sb.append(protocolAndMetaData(v, tgt.schemaJson.get, tgt.configuration,
-      withDvFeature = tgt.dvs.nonEmpty,
+    // metaData only — the table's declared protocol stays in force (it
+    // already covers the target's DV/mapping needs, possibly more)
+    sb.append(metaDataJson(v, tgt.schemaJson.get, tgt.configuration,
       partitionColumns = tgt.partitionColumns))
     (curSet -- tgtSet).toSeq.sorted.foreach { case (p, _) =>
       val pj = mapper.writeValueAsString(p)
@@ -1700,12 +1750,25 @@ object DeltaLite {
       if (isString) utf8(x.toString)
       else new java.math.BigDecimal(x.toString).asInstanceOf[Comparable[Any]]
     val physKey = physicalNameOf(snap, keyCol)
+    // the partition-value domain is hive-dir STRINGS — only string and
+    // integral columns compare safely against them (a date/timestamp
+    // partition value would NumberFormatException in the decimal
+    // domain); anything else scans conservatively, never crashes
+    val partPruneSafe = schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     val (scanned, skipped) =
-      if (snap.partitionColumns.contains(keyCol))
+      if (snap.partitionColumns.contains(keyCol)) {
         // PARTITION column: data files carry no stats for it (hive
         // layout) — prune on the log's partitionValues instead, same
         // comparison domain
-        snap.files.partition { p =>
+        if (!partPruneSafe) (snap.files, Seq.empty[String])
+        else snap.files.partition { p =>
           snap.partitionValues.get(p).flatMap(m => Option(m.getOrElse(keyCol, null))) match {
             case Some(v) =>
               val c = cmp(v)
@@ -1713,6 +1776,7 @@ object DeltaLite {
             case None => true // unknown value: scan conservatively
           }
         }
+      }
       else snap.files.partition { p =>
         fileBounds(snap, p, physKey, isString) match {
           case Some((mn, mx)) =>
@@ -1743,12 +1807,15 @@ object DeltaLite {
     // the sizing/shift/cluster kernel is shared with IcebergLite's verb
     // (graft.functions.ZOrder.clusterByZ): bit budget probed from the
     // data so values never wrap, over-wide columns right-shifted
-    commit(spark, table,
-      graft.functions.ZOrder.clusterByZ(
-        read(spark, table), cols, targetFiles, bits),
-      overwrite = true,
-      operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})",
-      partitionBy = snapshot(spark, table).partitionColumns)
+    {
+      val s = snapshot(spark, table)
+      commit(spark, table,
+        graft.functions.ZOrder.clusterByZ(
+          readSnapshot(spark, table, s, s.files), cols, targetFiles, bits),
+        overwrite = true,
+        operation = s"OPTIMIZE ZORDER BY (${cols.mkString(", ")})",
+        partitionBy = s.partitionColumns)
+    }
 
   /** Rows ADDED in versions `(fromVersion, toVersion]` under the
     * APPEND-ONLY contract — the IcebergLite.incrementalRead twin, and
@@ -1842,14 +1909,21 @@ object DeltaLite {
       if (cdcPerVersion.nonEmpty && cdcPerVersion.forall(_._2.nonEmpty)) {
         val cdcSchema = schema.add("_change_type",
           org.apache.spark.sql.types.StringType, nullable = true)
-        val parts = cdcPerVersion.map { case (v, ps) =>
-          val part = spark.read.schema(cdcSchema)
+        val sel = dataCols.map(c => col(s"`$c`")) :+ col("_change_type")
+        // only the versioned shape needs per-version frames; the default
+        // keeps ONE scan over every cdc file (a long catch-up range as
+        // an N-way union would pay N plan analyses for nothing)
+        return if (!withVersion)
+          spark.read.schema(cdcSchema)
+            .parquet(cdcPerVersion.flatMap(_._2)
+              .map(p => new Path(table, p).toString): _*)
+            .select(sel: _*)
+        else cdcPerVersion.map { case (v, ps) =>
+          spark.read.schema(cdcSchema)
             .parquet(ps.map(p => new Path(table, p).toString): _*)
-            .select(dataCols.map(c => col(s"`$c`")) :+ col("_change_type"): _*)
-          if (withVersion) part.withColumn("_commit_version", lit(v))
-          else part
-        }
-        return parts.reduce(_.unionByName(_))
+            .select(sel: _*)
+            .withColumn("_commit_version", lit(v))
+        }.reduce(_.unionByName(_))
       }
     }
     // file identity = (path, deletion vector): a merge-on-read DELETE
@@ -2051,10 +2125,16 @@ object DeltaLite {
     * the commit publish is driver-side.
     */
   def optimizeCompact(spark: SparkSession, table: String,
-                      targetFiles: Int = 1): Long =
-    commit(spark, table, read(spark, table).coalesce(targetFiles),
+                      targetFiles: Int = 1): Long = {
+    // one snapshot resolution serves both the frame and the layout
+    // carry-over (a second replay per maintenance call adds up on long
+    // un-checkpointed logs)
+    val s = snapshot(spark, table)
+    commit(spark, table,
+      readSnapshot(spark, table, s, s.files).coalesce(targetFiles),
       overwrite = true, operation = "OPTIMIZE",
-      partitionBy = snapshot(spark, table).partitionColumns)
+      partitionBy = s.partitionColumns)
+  }
 
   /** VACUUM (reference: TPC-datagen-notebook.scala:2086): delete data
     * files referenced by NONE of the last `retainVersions` snapshots.

@@ -959,6 +959,27 @@ object IcebergLite {
   }
 
   // ------------------------------------------------------------ writing
+  /** A type node with every field/element/key/value id removed — the
+    * id-insensitive comparison domain for "same type, different era"
+    * checks (ids are assignment artifacts, not type identity).
+    */
+  private def stripTypeIds(t: JsonNode): JsonNode = t match {
+    case o: ObjectNode =>
+      val c = o.deepCopy[ObjectNode]()
+      c.remove("element-id"); c.remove("key-id"); c.remove("value-id")
+      Option(c.get("fields")).foreach(_.elements().asScala.foreach {
+        case fo: ObjectNode =>
+          fo.remove("id")
+          fo.set[JsonNode]("type", stripTypeIds(fo.get("type")))
+          ()
+        case _ =>
+      })
+      Seq("element", "key", "value").foreach(k =>
+        Option(c.get(k)).foreach(v => c.set[JsonNode](k, stripTypeIds(v))))
+      c
+    case other => other // textual primitive
+  }
+
   private def record(schema: Schema)(fields: (String, Any)*): GenericRecord = {
     val r = new GenericData.Record(schema)
     fields.foreach { case (k, v) => r.put(k, v) }
@@ -1291,7 +1312,18 @@ object IcebergLite {
         var nextId = prevLastColId
         df.schema.fields.foreach { fl =>
           prevCurrentFields.get(fl.name) match {
-            case Some(pf) => fieldsArr.add(pf.deepCopy[JsonNode]())
+            case Some(pf) =>
+              // name-matched reuse must also TYPE-match (id-insensitive):
+              // the replacing path skips the additive-evolution guard,
+              // and silently keeping the old type while writing files in
+              // the frame's type would corrupt every later read
+              val (sub, _) = sparkToIceberg(StructType(Seq(fl)))
+              val freshT = sub.get("fields").get(0).get("type")
+              require(stripTypeIds(pf.get("type")) == stripTypeIds(freshT),
+                s"$table: column ${fl.name} type drift " +
+                  s"(table ${pf.get("type")} vs frame $freshT) — a " +
+                  "merge/replace rewrite may not retype columns")
+              fieldsArr.add(pf.deepCopy[JsonNode]())
             case None =>
               val (sub, innerMax) =
                 sparkToIceberg(StructType(Seq(fl)), startId = nextId)

@@ -556,9 +556,14 @@ object EventStreams {
         val s = batch.sparkSession
         // last event per key decides; preimages are bookkeeping only.
         // The window runs over BATCH-sized data (∝ changes, not tables).
+        // Tie-break WITHIN a commit: a foreign MERGE may record a
+        // delete+insert pair for one key at the same version — the row
+        // exists afterwards, so non-delete events rank first
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(k => col(s"`$k`")): _*)
-          .orderBy(col("_commit_version").desc)
+          .orderBy(col("_commit_version").desc,
+            org.apache.spark.sql.functions
+              .when(col("_change_type") === "delete", 0).otherwise(1).desc)
         val last = batch.filter(col("_change_type") =!= "update_preimage")
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

@@ -631,6 +631,41 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.read(spark, t3).count() == 11L, "table untouched")
   }
 
+  test("metaData-only commits never re-emit (or downgrade) the " +
+    "declared protocol; date-partitioned readWhere stays conservative") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // forge a STRONGER foreign protocol (v7 + a feature we honor)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["changeDataFeed"]}}""" +
+        "\n").getBytes("UTF-8"))
+    val v = DeltaLite.setTableProperty(spark, t, "graft.flag", "1")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!text.contains("\"protocol\""),
+      "a metaData-only commit must not re-emit (downgrade) the protocol")
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.minWriterVersion == 7 &&
+      snap.writerFeatures == Set("changeDataFeed"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    assert(DeltaLite.read(spark, t).count() == 2L)
+
+    // date-partitioned readWhere: partition values live as hive-dir
+    // strings — a non-integral domain must scan conservatively, never
+    // crash in the decimal compare
+    val t2 = newTable()
+    val df = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+      .toDF("ds", "v").select(to_date(col("ds")).as("dt"), col("v"))
+    DeltaLite.commit(spark, t2, df, partitionBy = Seq("dt"))
+    val scan = DeltaLite.readWhere(spark, t2, "dt",
+      java.sql.Date.valueOf("2024-01-02"), java.sql.Date.valueOf("2024-01-03"))
+    assert(scan.filesSkipped == 0,
+      "non-string/integral partition domains must not prune")
+    assert(scan.df.select("v").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("PARTITIONED tables: hive layout write/read, partition-value " +
     "pruning, layout-preserving maintenance, clone + checkpoint carry") {
     val t = newTable()
