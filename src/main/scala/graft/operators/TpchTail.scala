@@ -345,13 +345,17 @@ object TpchTail {
   /** TPC-H Q16 shape — supplier count by part descriptor over the derived
     * part-supplier relationship (DISTINCT pairs from lineitem), excluding
     * negative-balance suppliers (the complaints stand-in) via a broadcast
-    * anti join. Shuffles: the pair-distinct (∝ pairs, map-combined) and
-    * the final 3-key count-distinct.
+    * anti join. The broadcast filter joins run BEFORE any shuffle — a
+    * pre-join pair-distinct would force Catalyst to keep the full
+    * unfiltered pair set on the wire (a join can't push below an
+    * Aggregate), carrying 3–6× more data than survives the part filter.
+    * countDistinct's partial aggregation dedupes map-side, so the ONE
+    * shuffle carries only filtered (brand,type,size,suppkey) tuples.
     */
   def q16SupplierCnt(s: SparkSession, dir: String,
                      sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
-      .select("l_partkey", "l_suppkey").distinct()
+      .select("l_partkey", "l_suppkey")
     val pt = Tables.part(s, dir)
       .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
         col("p_size").isin(sizes: _*))

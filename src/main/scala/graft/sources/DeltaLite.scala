@@ -82,7 +82,9 @@ object DeltaLite {
                             partitionColumns: Seq[String] = Nil,
                             partitionValues: Map[String, Map[String, String]] = Map.empty,
                             minWriterVersion: Int = 1,
-                            writerFeatures: Set[String] = Set.empty)
+                            writerFeatures: Set[String] = Set.empty,
+                            minReaderVersion: Int = 1,
+                            readerFeatures: Set[String] = Set.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -292,7 +294,7 @@ object DeltaLite {
       dvs.view.filterKeys(files.contains).toMap,
       configuration, txns.toMap, partitionColumns,
       partValues.view.filterKeys(files.contains).toMap,
-      minWriter, writerFeatures)
+      minWriter, writerFeatures, minReader, readerFeatures)
   }
 
   /** Writer features this implementation actually honors when COMMITTING
@@ -715,7 +717,8 @@ object DeltaLite {
       v, overwrite, operation,
       emitMeta = v == 0L || overwrite || schemaChanged,
       tableSchema, conf, removed, named, txn, cdcNamed, partCols,
-      emitProtocol = v == 0L || (overwrite && mapped && !prevMapped)))
+      emitProtocol = v == 0L || (overwrite && mapped && !prevMapped),
+      upgradeFrom = prev))
     v
   }
 
@@ -747,7 +750,10 @@ object DeltaLite {
           s"${missing.map(_.name).mkString(", ")} — only additive " +
           "evolution is allowed on append (overwrite to replace the schema)")
     }
-    if (!mapped) (df.schema, df, Map.empty)
+    // table properties (CDF flag, appendOnly, user keys) persist across
+    // commits — a metaData re-emission (schema evolution, overwrite) must
+    // carry the previous configuration forward, not silently reset it
+    if (!mapped) (df.schema, df, prevConf)
     else {
       val startId = prevConf.get(MaxColumnIdKey).map(_.toInt).getOrElse(0)
       val keepPrev = prevSchema.filter(_ => !overwrite || replacing.isDefined)
@@ -757,7 +763,7 @@ object DeltaLite {
         case (lf, pf) => toLogical(df(s"`${lf.name}`"), lf.dataType,
           pf.dataType).as(pf.name)
       }.toIndexedSeq: _*)
-      (ls, physDf, Map(MappingModeKey -> "name",
+      (ls, physDf, prevConf ++ Map(MappingModeKey -> "name",
         MaxColumnIdKey -> maxId.toString))
     }
   }
@@ -819,7 +825,8 @@ object DeltaLite {
                          txn: Option[(String, Long)] = None,
                          cdcFiles: Seq[(String, Long)] = Nil,
                          partitionColumns: Seq[String] = Nil,
-                         emitProtocol: Boolean = true): String = {
+                         emitProtocol: Boolean = true,
+                         upgradeFrom: Option[Snapshot] = None): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
@@ -833,7 +840,7 @@ object DeltaLite {
     if (emitMeta) {
       if (emitProtocol)
         sb.append(protocolAndMetaData(v, tableSchema.json, conf,
-          partitionColumns = partitionColumns))
+          partitionColumns = partitionColumns, upgradeFrom = upgradeFrom))
       else
         sb.append(metaDataJson(v, tableSchema.json, conf, partitionColumns))
     }
@@ -939,7 +946,8 @@ object DeltaLite {
         tableSchema, conf, removed, named,
         emitProtocol = v == 0L ||
           (overwrite && mapped && prev0.forall(p =>
-            mappingMode(p.configuration) == "none")))
+            mappingMode(p.configuration) == "none")),
+        upgradeFrom = base)
       if (publishCommitIfAbsent(spark, table, v, actions)) return v
       // lost the race: inspect every commit that beat us
       val f = fs(spark, logDir(table))
@@ -1110,14 +1118,24 @@ object DeltaLite {
   private def protocolAndMetaData(v: Long, schemaJson: String,
                                   conf: Map[String, String] = Map.empty,
                                   withDvFeature: Boolean = false,
-                                  partitionColumns: Seq[String] = Nil): String = {
+                                  partitionColumns: Seq[String] = Nil,
+                                  upgradeFrom: Option[Snapshot] = None): String = {
     val mapped = conf.get(MappingModeKey).exists(_ != "none")
+    // a table already on v7 table features must never be downgraded to a
+    // legacy protocol by a later upgrade commit (e.g. mapping turned on
+    // after a DV delete): per the spec the LATEST protocol action wins,
+    // so the new action unions the declared feature lists with whatever
+    // this commit adds instead of replacing them
+    val prevV7 = upgradeFrom.filter(_.minWriterVersion >= 7)
     val protocol =
-      if (withDvFeature) {
-        val feats = (Seq("deletionVectors") ++
-          (if (mapped) Seq("columnMapping") else Nil))
-          .map(mapper.writeValueAsString).mkString(",")
-        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
+      if (withDvFeature || prevV7.nonEmpty) {
+        val added = (if (withDvFeature) Set("deletionVectors") else Set.empty[String]) ++
+          (if (mapped) Set("columnMapping") else Set.empty[String])
+        def lst(s: Set[String]) =
+          s.toSeq.sorted.map(mapper.writeValueAsString).mkString(",")
+        val rf = lst(prevV7.map(_.readerFeatures).getOrElse(Set.empty) ++ added)
+        val wf = lst(prevV7.map(_.writerFeatures).getOrElse(Set.empty) ++ added)
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
       } else if (mapped)
         s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       else
@@ -1250,6 +1268,10 @@ object DeltaLite {
                    to: String): Long = {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    // metadata-only, but still a WRITE: a table declaring writer features
+    // this writer doesn't implement (CHECK constraints, generated columns)
+    // must refuse — a rename could orphan a constraint's column reference
+    requireWritable(table, snap, removesFiles = false)
     require(mappingMode(snap.configuration) != "none",
       s"$table: RENAME COLUMN needs column mapping (physical names are " +
         "decoupled from logical) — on an unmapped table, rewrite via " +
@@ -1278,6 +1300,10 @@ object DeltaLite {
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    // same writer-protocol gate as renameColumn: dropping a column a
+    // foreign CHECK constraint or generation expression references would
+    // corrupt a table this writer claims not to understand
+    requireWritable(table, snap, removesFiles = false)
     require(mappingMode(snap.configuration) != "none",
       s"$table: DROP COLUMN needs column mapping — on an unmapped table, " +
         "rewrite via overwrite with the new schema")
@@ -2159,12 +2185,21 @@ object DeltaLite {
       else Some(DeletionVectors.dvFilePath(root, d).getName)
     }.toSet
     val f = fs(spark, root)
+    // CDF channel: cdc files live under _change_data/ and are referenced
+    // only by their OWN commit's cdc actions — a cdc file serves
+    // changes() for ranges covering its version, so one outside the
+    // retention horizon is unreachable and reapable like a data file
+    val keepCdc: Set[String] = vs.takeRight(retainVersions).flatMap { v =>
+      readActions(f, commitFile(table, v)).filter(_.has("cdc"))
+        .map(_.get("cdc").get("path").asText())
+    }.toSet
     // walk the root plus hive partition dirs (partitioned layouts keep
     // data files under col=value/ paths; the keep-set is RELATIVE paths)
+    // plus the _change_data dir (cdc keep-set)
     def walk(dir: Path, rel: String): Seq[(Path, String)] =
       f.listStatus(dir).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.contains("="))
+        if (st.isDirectory && (n.contains("=") || n == "_change_data"))
           walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
         else if (!st.isDirectory)
           Seq((st.getPath, if (rel.isEmpty) n else s"$rel/$n"))
@@ -2173,9 +2208,12 @@ object DeltaLite {
     val victims = walk(root, "")
       .filter { case (p, rel) =>
         val n = p.getName
-        (rel.endsWith(".parquet") && !keep.contains(rel)) ||
-          (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-            !keepDv.contains(n))
+        if (rel.startsWith("_change_data/"))
+          rel.endsWith(".parquet") && !keepCdc.contains(rel)
+        else
+          (rel.endsWith(".parquet") && !keep.contains(rel)) ||
+            (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+              !keepDv.contains(n))
       }
     victims.foreach { case (p, _) => f.delete(p, false) }
     victims.map(_._2)

@@ -2415,7 +2415,24 @@ object IcebergLite {
   def optimizeCompact(spark: SparkSession, table: String,
                       targetFiles: Int = 1): Long =
     commit(spark, table, read(spark, table).coalesce(targetFiles),
-      overwrite = true, operation = "replace")
+      overwrite = true, operation = "replace",
+      partitionTransforms = currentSpecDecls(spark, table))
+
+  /** The table's current partition spec reconstructed as DDL decl strings
+    * (`days(ts)`, `bucket(8, id)`, …) so maintenance rewrites preserve the
+    * spec and hive layout — an OPTIMIZE must never silently flatten a
+    * partitioned table into an unpartitioned one (readWherePart and
+    * selectiveMerge pruning would stop working).
+    */
+  private def currentSpecDecls(spark: SparkSession, table: String): Seq[String] = {
+    val meta = metadata(spark, table)
+    val sourceName: Map[Int, String] =
+      currentSchemaNode(meta, table).get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    partitionSpecFields(meta).filter(_.transform != "void").map(tf =>
+      transformDecl(tf, sourceName.getOrElse(tf.sourceId,
+        sys.error(s"$table: spec field ${tf.name} has no source column"))))
+  }
 
   /** Z-ORDER re-cluster as a `replace` snapshot — the Iceberg face of the
     * shared graft.functions.ZOrder.clusterByZ kernel (data-sized bit
@@ -2430,5 +2447,6 @@ object IcebergLite {
     commit(spark, table,
       graft.functions.ZOrder.clusterByZ(
         read(spark, table), cols, targetFiles, bits),
-      overwrite = true, operation = "replace")
+      overwrite = true, operation = "replace",
+      partitionTransforms = currentSpecDecls(spark, table))
 }

@@ -199,7 +199,11 @@ private class IcebergLiteTailSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val meta = IcebergLite.metadata(spark, table)
-    Option(meta.get("current-snapshot-id")).map(n => LongOffset(n.asLong()))
+    // current-snapshot-id = -1 is the Iceberg convention for "no snapshot
+    // yet" (a foreign writer created the table but hasn't committed data)
+    // — report no offset and wait, as the Delta twin does for an empty log
+    Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ >= 0).map(LongOffset(_))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -838,4 +838,82 @@ class DeltaLiteSpec extends SparkSpec {
       DeltaLite.renameColumn(spark, t2, "s", "z"))
     assert(e.getMessage.contains("column mapping"))
   }
+
+  test("columnMapping upgrade on a v7 features table unions the feature " +
+    "lists instead of downgrading to the legacy (2,5) protocol") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // a foreign writer upgraded the table to v7 table features
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["changeDataFeed"]}}""" +
+        "\n").getBytes("UTF-8"))
+    // overwrite turning on column mapping: the emitted protocol must
+    // UNION the declared features with columnMapping, not replace them
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"),
+      overwrite = true, columnMapping = true)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.minWriterVersion == 7,
+      s"v7 must survive the upgrade, got ${snap.minWriterVersion}")
+    assert(snap.writerFeatures == Set("changeDataFeed", "columnMapping"),
+      s"feature lists must union, got ${snap.writerFeatures}")
+    assert(snap.readerFeatures.contains("columnMapping"),
+      s"columnMapping is a reader feature too, got ${snap.readerFeatures}")
+    assert(DeltaLite.read(spark, t).select("k").as[Long].collect().toSeq
+      == Seq(2L))
+  }
+
+  test("RENAME/DROP COLUMN respect the writer-protocol gate") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // foreign v4 protocol (generated columns) — this writer must refuse
+    // metadata-only commits too: a drop could orphan a generation
+    // expression's column reference
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +
+        "\n").getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t, "s", "z"))
+    assert(e1.getMessage.contains("writer protocol"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLite.dropColumn(spark, t, "s"))
+    assert(e2.getMessage.contains("writer protocol"))
+  }
+
+  test("vacuum reaps _change_data files outside the retention horizon " +
+    "and keeps the retained versions' cdc channel") {
+    val t = newTable()
+    DeltaLite.commit(spark, t,
+      (0L until 10L).map(k => (k, "base")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))                       // v0
+    DeltaLite.setTableProperty(spark, t, DeltaLite.CdfProperty, "true") // v1
+    DeltaLite.selectiveMerge(spark, t,
+      Seq((2L, "u1")).toDF("k", "s"), Seq("k"))                 // v2 + cdc
+    DeltaLite.selectiveMerge(spark, t,
+      Seq((3L, "u2")).toDF("k", "s"), Seq("k"))                 // v3 + cdc
+    // table properties persist through schema-evolving metaData
+    // re-emissions — a merge must not silently reset the CDF flag
+    assert(DeltaLite.snapshot(spark, t).configuration
+      .get(DeltaLite.CdfProperty).contains("true"),
+      "configuration must survive the merges")
+    val cdcDir = new java.io.File(t, "_change_data")
+    assert(cdcDir.isDirectory && cdcDir.listFiles().nonEmpty)
+    val v2Cdc = cdcDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("cdc-00002") && n.endsWith(".parquet"))
+    val v3Cdc = cdcDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("cdc-00003") && n.endsWith(".parquet"))
+    assert(v2Cdc.nonEmpty && v3Cdc.nonEmpty, "both merges must write cdc")
+    // retain only the tip: v2's cdc files serve no retained range
+    val reaped = DeltaLite.vacuum(spark, t, retainVersions = 1)
+    val after = cdcDir.listFiles().map(_.getName).toSet
+    assert(v2Cdc.forall(n => reaped.contains(s"_change_data/$n")),
+      s"v2 cdc must be reaped, got $reaped")
+    assert(v3Cdc.forall(after.contains),
+      s"the retained version's cdc must survive, left $after")
+    // the table itself is untouched
+    assert(DeltaLite.read(spark, t).count() == 10L)
+  }
 }

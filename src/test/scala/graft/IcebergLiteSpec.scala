@@ -675,4 +675,34 @@ class IcebergLiteSpec extends SparkSpec {
     assert(dropped.schema.fieldNames.toSeq == Seq("id"))
     assert(dropped.count() == 41L)
   }
+
+  test("OPTIMIZE preserves the partition spec: compaction and Z-order " +
+    "rewrites keep transform partitioning and its pruning") {
+    val t = newTable()
+    val df = (0L until 60L).toDF("id").coalesce(1)
+      .withColumn("ts", to_timestamp(concat(lit("2024-01-0"),
+        (col("id") % 6 + 1).cast("string"), lit(" 10:00:00"))))
+      .withColumn("s", concat(lit("r"), col("id")))
+    IcebergLite.commit(spark, t, df,
+      partitionTransforms = Seq("days(ts)", "bucket(4, id)"))
+    IcebergLite.optimizeCompact(spark, t, targetFiles = 2)
+    val spec = IcebergLite.partitionSpecFields(IcebergLite.metadata(spark, t))
+    assert(spec.map(f => (f.name, f.transform)) ==
+      Seq(("ts_day", "day"), ("id_bucket", "bucket[4]")),
+      s"OPTIMIZE must not flatten the partition spec, got $spec")
+    assert(IcebergLite.read(spark, t).count() == 60L)
+    // pruning still plans on the rewritten layout
+    val scan = IcebergLite.readWherePart(spark, t, Seq(
+      IcebergLite.PartPred("ts", lo = "2024-01-02", hi = "2024-01-02T23:59:59")))
+    assert(scan.filesSkipped > 0,
+      s"day pruning must survive the rewrite: $scan")
+    assert(scan.df.select("id").as[Long].collect().toSet ==
+      (0L until 60L).filter(_ % 6 == 1).toSet)
+    // Z-order rewrite too
+    IcebergLite.optimizeZorder(spark, t, Seq("id"), targetFiles = 4)
+    val spec2 = IcebergLite.partitionSpecFields(IcebergLite.metadata(spark, t))
+    assert(spec2.map(_.transform) == Seq("day", "bucket[4]"),
+      s"Z-order must keep the spec, got $spec2")
+    assert(IcebergLite.read(spark, t).count() == 60L)
+  }
 }

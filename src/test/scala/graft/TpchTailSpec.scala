@@ -93,6 +93,24 @@ class TpchTailSpec extends SparkSpec {
       "q16's complaints exclusion must be a broadcast anti join")
   }
 
+  test("q16: broadcast part filter runs below the first shuffle") {
+    // the one big exchange (the countDistinct partial) must carry only
+    // pair tuples that survived the part filter — i.e. both broadcast
+    // joins sit BELOW the first hash exchange, and there are at most the
+    // two count-distinct exchanges (keys+suppkey partial, keys final)
+    val p = plan("q16_supplier_cnt")
+    // plans print root-first: a deeper node appears LATER in the string,
+    // so "no shuffle below the join" = every exchange prints before it
+    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
+    val firstBhj = p.indexOf("BroadcastHashJoin")
+    assert(firstBhj >= 0 && lastExchange < firstBhj,
+      s"q16 must not shuffle below the part filter join:\n$p")
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles <= 2,
+      s"q16 should need at most 2 hash exchanges (count-distinct phases); got $shuffles:\n$p")
+  }
+
   test("q21: pair aggregate and both window passes share one order-key exchange") {
     // the explicit l_orderkey repartition satisfies the composite-key
     // aggregate AND the two chained Window nodes, so the only OTHER
