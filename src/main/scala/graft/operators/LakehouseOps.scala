@@ -24,6 +24,46 @@ import graft.functions.ZOrder
   *  - B9 pricing cost attribution  tasks/import_dbsql_pricing.py + metrics join
   *  - B10 typed CSV import         tasks/import_dbsql_pricing.py (header/schema load)
   */
+/** One clause of the FULL Delta MERGE grammar ([[LakehouseOps.mergeClauses]]):
+  * conditions and `set` values are Column expressions over the joined
+  * frame, target columns as `t.<col>`, source columns as `s.<col>`
+  * (`whenNotMatchedBySource` conditions may only reference `t.*`,
+  * `whenNotMatched` only `s.*` — the other side is null there). Clause
+  * ORDER is the protocol's: for each row class, the FIRST clause whose
+  * condition holds applies; no clause → the row is kept (matched /
+  * by-source) or dropped (unmatched source).
+  */
+sealed trait MergeClause
+
+object MergeClause {
+  /** `whenMatched(cond).update(set)`; empty `set` = `updateAll` (every
+    * target column takes the same-named source column).
+    */
+  final case class MatchedUpdate(condition: Option[Column] = None,
+                                 set: Map[String, Column] = Map.empty)
+      extends MergeClause
+  final case class MatchedDelete(condition: Option[Column] = None)
+      extends MergeClause
+  /** `whenNotMatched(cond).insertAll` — target columns from same-named
+    * source columns, null where the source lacks one.
+    */
+  final case class NotMatchedInsert(condition: Option[Column] = None)
+      extends MergeClause
+  final case class NotMatchedBySourceUpdate(condition: Option[Column],
+                                            set: Map[String, Column])
+      extends MergeClause
+  final case class NotMatchedBySourceDelete(condition: Option[Column] = None)
+      extends MergeClause
+
+  /** Does any clause involve target rows the source does NOT touch?
+    * (Decides whether a selective merge may prune untouched files.)
+    */
+  def touchesBySource(clauses: Seq[MergeClause]): Boolean = clauses.exists {
+    case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+    case _ => false
+  }
+}
+
 object LakehouseOps {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -74,6 +114,117 @@ object LakehouseOps {
     target.select(source.columns.map(col).toIndexedSeq: _*)
       .join(srcLatest, keys, "left_anti")
       .unionByName(srcLatest)
+  }
+
+  // ---------------------------------------------------------------- B2c lib
+  /** The FULL MERGE grammar — conditional `whenMatched` update/delete,
+    * `whenNotMatched` insert, and `whenNotMatchedBySource` update/delete
+    * (the SCD-cleanup clauses [[mergeUpsert]]'s updateAll/insertAll subset
+    * lacks). One key-shuffled FULL OUTER join, then pure codegen CASE
+    * chains: a per-row-class "first clause whose condition holds" action
+    * index drives every output column and the keep/delete flag — no
+    * second shuffle, no UDFs, cost identical to the plain merge at any
+    * scale. Conditions/sets reference `t.<col>` / `s.<col>` (see
+    * [[MergeClause]]). Duplicate source keys resolve to one winner first
+    * (same [[latestPerKey]] rule as mergeUpsert; `skewSafe` swaps in the
+    * map-side-combine aggregation).
+    */
+  def mergeClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+                   clauses: Seq[MergeClause],
+                   tiebreak: Seq[Column] = Seq.empty,
+                   skewSafe: Boolean = false): DataFrame = {
+    import MergeClause._
+    require(clauses.nonEmpty, "mergeClauses needs at least one clause")
+    require(keys.forall(target.columns.contains) &&
+      keys.forall(source.columns.contains),
+      s"merge keys ${keys.mkString(",")} must exist on both sides")
+    val srcLatest =
+      if (skewSafe) latestPerKeyAgg(source, keys, tiebreak)
+      else latestPerKey(source, keys, tiebreak)
+    val t = target.withColumn("__t", lit(1)).alias("t")
+    val s = srcLatest.withColumn("__s", lit(1)).alias("s")
+    // SQL equality on the keys: null keys never match (they classify as
+    // unmatched-source / by-source rows, the MERGE standard)
+    val joinCond = keys.map(k => col(s"t.`$k`") === col(s"s.`$k`"))
+      .reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+    val isMatched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val isTargetOnly = col("t.__t").isNotNull && col("s.__s").isNull
+
+    def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
+    // first-match-wins action index per row class (codegen CASE chain)
+    def actionIdx(cls: Seq[(MergeClause, Int)], cond: MergeClause => Column)
+        : Column =
+      cls.foldRight(lit(-1): Column) { case ((cl, i), els) =>
+        when(cond(cl), lit(i)).otherwise(els)
+      }
+    val matched = clauses.zipWithIndex.collect {
+      case p @ (_: MatchedUpdate | _: MatchedDelete, _) => p
+    }
+    val bySource = clauses.zipWithIndex.collect {
+      case p @ (_: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete, _) => p
+    }
+    val inserts = clauses.zipWithIndex.collect {
+      case p @ (_: NotMatchedInsert, _) => p
+    }
+    val condCol: MergeClause => Column = {
+      case MatchedUpdate(c, _)            => condOf(c)
+      case MatchedDelete(c)               => condOf(c)
+      case NotMatchedInsert(c)            => condOf(c)
+      case NotMatchedBySourceUpdate(c, _) => condOf(c)
+      case NotMatchedBySourceDelete(c)    => condOf(c)
+    }
+    val withAct = joined
+      .withColumn("__ma", when(isMatched, actionIdx(matched, condCol))
+        .otherwise(lit(-1)))
+      .withColumn("__ba", when(isTargetOnly, actionIdx(bySource, condCol))
+        .otherwise(lit(-1)))
+      .withColumn("__ia", when(!isMatched && !isTargetOnly,
+        actionIdx(inserts, condCol)).otherwise(lit(-1)))
+
+    val srcCols = srcLatest.columns.toSet
+    def srcOrNull(c: String, dt: org.apache.spark.sql.types.DataType): Column =
+      if (srcCols.contains(c)) col(s"s.`$c`") else lit(null).cast(dt)
+    // per-column value: CASE on the row class + its action index
+    def valueOf(fld: org.apache.spark.sql.types.StructField): Column = {
+      val c = fld.name
+      val keepT = col(s"t.`$c`")
+      val matchedV = matched.foldLeft(keepT) { case (els, (cl, i)) =>
+        cl match {
+          case MatchedUpdate(_, set) =>
+            val v =
+              if (set.isEmpty) srcOrNull(c, fld.dataType)      // updateAll
+              else set.getOrElse(c, keepT)
+            when(col("__ma") === i, v).otherwise(els)
+          case _ => els // delete rows drop via the keep flag
+        }
+      }
+      val byV = bySource.foldLeft(keepT) { case (els, (cl, i)) =>
+        cl match {
+          case NotMatchedBySourceUpdate(_, set) =>
+            when(col("__ba") === i, set.getOrElse(c, keepT)).otherwise(els)
+          case _ => els
+        }
+      }
+      when(isMatched, matchedV)
+        .when(isTargetOnly, byV)
+        .otherwise(srcOrNull(c, fld.dataType))                  // insertAll
+        .cast(fld.dataType).as(c)
+    }
+    val deleteIdx = (i: Int) => clauses(i) match {
+      case _: MatchedDelete | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    val matchedDel = matched.map(_._2).filter(deleteIdx)
+    val byDel = bySource.map(_._2).filter(deleteIdx)
+    def inSet(c: Column, is: Seq[Int]): Column =
+      if (is.isEmpty) lit(false) else is.map(c === _).reduce(_ || _)
+    val keep =
+      when(isMatched, !inSet(col("__ma"), matchedDel))
+        .when(isTargetOnly, !inSet(col("__ba"), byDel))
+        .otherwise(col("__ia") =!= -1)
+    withAct.filter(keep)
+      .select(target.schema.fields.toIndexedSeq.map(valueOf): _*)
   }
 
   /** The skew-safe [[latestPerKey]]: the same one-winner-per-key rule as
@@ -708,6 +859,72 @@ object LakehouseOps {
       |FROM orders, c WHERE o_orderkey > cut
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- B30
+  /** The FULL MERGE grammar end-to-end — the conditional clauses
+    * (whenMatched(cond).update/delete, whenNotMatchedBySource) real SCD
+    * cleanup jobs need and B2/B15's updateAll/insertAll subset lacks:
+    * orders lands range-clustered, then ONE clause-merge applies a CDC
+    * batch whose `op` column drives the clauses — matched `D` rows
+    * DELETE, other matches update price only (×1.2), unmatched source
+    * keys insert, and a whenNotMatchedBySource DELETE erases a key band
+    * the batch never mentions (which also forces the full-scan merge
+    * shape — by-source clauses involve every target row, so pruning is
+    * correctly off). The final table is hash-checked row for row against
+    * DuckDB recomputing all four clause effects from orders.
+    */
+  def dbaMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MergeClause => MC}
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_mc")
+      .toString + "/orders_delta"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val cut = mx / 8
+    val src0 = ord.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice",
+        asDouble(dec(col("o_totalprice")) * dec(lit(1.2))))
+    val srcU = src0.withColumn("op",
+      when(col("o_orderkey") % 3 === 0, "D").otherwise("U"))
+    val srcI = src0
+      .select((col("o_orderkey") + mx + 1L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      .withColumn("op", lit("I"))
+    val clauses = Seq(
+      MC.MatchedDelete(Some(col("s.op") === "D")),
+      MC.MatchedUpdate(None,
+        Map("o_totalprice" -> col("s.o_totalprice"))),
+      MC.NotMatchedInsert(None),
+      MC.NotMatchedBySourceDelete(Some(
+        col("t.o_orderkey") > lit(2L) * cut &&
+          col("t.o_orderkey") <= lit(3L) * cut)))
+    graft.sources.DeltaLite.selectiveMerge(s, t, srcU.unionByName(srcI),
+      Seq("o_orderkey"), clauses = clauses)
+    graft.sources.DeltaLite.read(s, t)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val dbaMergeClausesOracle: String =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx, MAX(o_orderkey) // 8 AS cut
+      |           FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+      |         CAST(1.2 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |  FROM orders, m WHERE o_orderkey <= cut AND o_orderkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, m
+      |  WHERE o_orderkey > cut
+      |    AND NOT (o_orderkey > 2 * cut AND o_orderkey <= 3 * cut)
+      |  UNION ALL
+      |  SELECT o_orderkey + mx + 1, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+      |         CAST(1.2 AS DECIMAL(18,2)) AS DOUBLE)
+      |  FROM orders, m WHERE o_orderkey <= cut) t
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- B16
   /** File-skipping READ on the transactional table — the scan-side payoff
     * of the clustering B15 merges against: orders lands range-clustered
@@ -838,6 +1055,47 @@ object LakehouseOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders WHERE o_orderkey % 4 IN (1, 2)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- B29
+  /** ROW-LEVEL change feed on the Iceberg side — B17's exact contract on
+    * the OTHER format (B18 covers only the append changelog;
+    * IcebergLite.changes closes the delete/rewrite gap r13 left): orders
+    * lands range-clustered as one snapshot, one selectiveMerge applies
+    * updates (keys ≤ max/8, price ×1.1) plus brand-new keys, one
+    * merge-on-read deleteRows (POSITION delete files — no data rewrite)
+    * erases the next key band, then IcebergLite.changes(snap 0 → current)
+    * classifies the net visibility diff into the CDF vocabulary. Same
+    * oracle as B17 — two formats, one DuckDB recomputation, so a
+    * divergence localizes to the format layer.
+    */
+  def dbaIcebergChangesRows(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_cdc")
+      .toString + "/orders_iceberg"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.IcebergLite.commit(s, t,
+      ord.repartitionByRange(8, col("o_orderkey")))
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val cut = mx / 8
+    val updates = ord.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice",
+        asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
+    val inserts = ord.filter(col("o_orderkey") <= cut)
+      .select((col("o_orderkey") + mx + 1L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    graft.sources.IcebergLite.selectiveMerge(
+      s, t, updates.unionByName(inserts), Seq("o_orderkey"))
+    graft.sources.IcebergLite.deleteRows(s, t,
+      ord.filter(col("o_orderkey") > cut && col("o_orderkey") <= 2L * cut)
+        .select("o_orderkey"),
+      Seq("o_orderkey"))
+    graft.sources.IcebergLite.changes(s, t, 0L, None, Seq("o_orderkey"))
+      .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("_change_type", "o_orderkey")
+  }
+
+  // deliberately shared with B17 (two formats, one recomputation)
+  val dbaIcebergChangesRowsOracle: String = dbaDeltaChangesOracle
 
   // ---------------------------------------------------------------- B19
   /** The Z-ORDER payoff end-to-end ON the transactional format: orders
@@ -1271,7 +1529,53 @@ object LakehouseOps {
       |  FROM c, s) t
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- B28
+  /** Delta V2 (sidecar-style) checkpoints end to end — the checkpoint
+    * shape current engines write for `v2Checkpoint`-feature tables:
+    * orders lands in two commits, [[graft.sources.DeltaLite.checkpointV2]]
+    * publishes the protocol upgrade (v3/v7 table features) and writes the
+    * sidecar checkpoint, and the CURRENT read below bootstraps from it —
+    * the checkpoint version IS the tip, so the file list comes entirely
+    * from the `_delta_log/_sidecars/` parquet, not JSON replay. Version 0
+    * time-travels below the checkpoint (classic JSON replay), so one
+    * oracle recomputation checks both read paths.
+    */
+  def dbaDeltaV2Ckpt(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_v2ckpt")
+      .toString + "/orders_v2ckpt"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t,
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(2, col("o_orderkey")))
+    graft.sources.DeltaLite.commit(s, t,
+      ord.filter(col("o_orderkey") % 2 =!= 0)
+        .repartitionByRange(2, col("o_orderkey")))
+    graft.sources.DeltaLite.checkpointV2(s, t)
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.DeltaLite.read(s, t, Some(0L)), 0L)
+      .unionByName(roll(graft.sources.DeltaLite.read(s, t), 1L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val dbaDeltaV2CkptOracle: String =
+    """SELECT version, o_orderstatus, n, total FROM (
+      |  SELECT 0 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1 AS version, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2) t
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dba_delta_v2ckpt"    -> (dbaDeltaV2Ckpt _),
     "dba_skew_report"     -> (dbaSkewReport _),
     "dba_query_metrics"   -> (dbaQueryMetrics _),
     "dba_merge_upsert"    -> (dbaMergeUpsert _),
@@ -1290,9 +1594,11 @@ object LakehouseOps {
     "dba_delta_read"      -> (dbaDeltaRead _),
     "dba_iceberg_read"    -> (dbaIcebergRead _),
     "dba_merge_selective" -> (dbaMergeSelective _),
+    "dba_merge_clauses"   -> (dbaMergeClauses _),
     "dba_delta_skipping"  -> (dbaDeltaSkipping _),
     "dba_delta_changes"   -> (dbaDeltaChanges _),
     "dba_iceberg_changes" -> (dbaIcebergChanges _),
+    "dba_iceberg_changes_rows" -> (dbaIcebergChangesRows _),
     "dba_zorder_skipping" -> (dbaZorderSkipping _),
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
     "dba_delta_dv"        -> (dbaDeltaDv _),
@@ -1304,9 +1610,11 @@ object LakehouseOps {
     "dba_delta_partitioned" -> (dbaDeltaPartitioned _))
 
   val oracles: Map[String, String] = Map(
+    "dba_delta_v2ckpt"   -> dbaDeltaV2CkptOracle,
     "dba_delta_skipping" -> dbaDeltaSkippingOracle,
     "dba_delta_changes"  -> dbaDeltaChangesOracle,
     "dba_iceberg_changes" -> dbaIcebergChangesOracle,
+    "dba_iceberg_changes_rows" -> dbaIcebergChangesRowsOracle,
     "dba_zorder_skipping" -> dbaZorderSkippingOracle,
     "dba_iceberg_skipping" -> dbaIcebergSkippingOracle,
     "dba_skew_report"   -> dbaSkewReportOracle,
@@ -1324,6 +1632,7 @@ object LakehouseOps {
     "dba_delta_read"    -> dbaDeltaReadOracle,
     "dba_iceberg_read"  -> dbaIcebergReadOracle,
     "dba_merge_selective" -> dbaMergeSelectiveOracle,
+    "dba_merge_clauses"  -> dbaMergeClausesOracle,
     "dba_delta_dv"      -> dbaDeltaDvOracle,
     "dba_iceberg_dv"    -> dbaIcebergDvOracle,
     "dba_convert_roundtrip" -> dbaConvertRoundtripOracle,

@@ -84,7 +84,8 @@ object DeltaLite {
                             minWriterVersion: Int = 1,
                             writerFeatures: Set[String] = Set.empty,
                             minReaderVersion: Int = 1,
-                            readerFeatures: Set[String] = Set.empty)
+                            readerFeatures: Set[String] = Set.empty,
+                            domainMetadata: Map[String, String] = Map.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -152,8 +153,66 @@ object DeltaLite {
           .map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty)
 
-    cpVersion.foreach { cv =>
-      val cp = spark.read.parquet(checkpointFile(table, cv).toString)
+    val domains = scala.collection.mutable.Map.empty[String, String]
+    def applyProtocolNode(pr: JsonNode): Unit = {
+      minReader = math.max(minReader, pr.get("minReaderVersion").asInt())
+      if (pr.has("readerFeatures"))
+        readerFeatures ++= pr.get("readerFeatures").elements().asScala
+          .map(_.asText())
+      Option(pr.get("minWriterVersion")).foreach(w =>
+        minWriter = math.max(minWriter, w.asInt()))
+      if (pr.has("writerFeatures"))
+        writerFeatures ++= pr.get("writerFeatures").elements().asScala
+          .map(_.asText())
+    }
+    def applyMetaDataNode(m: JsonNode): Unit = {
+      schemaJson = Some(m.get("schemaString").asText())
+      configuration = confOf(m)
+      partitionColumns = Option(m.get("partitionColumns"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    }
+    // domainMetadata: latest action per domain wins; removed=true
+    // tombstones the domain (the liquid-clustering/foreign-writer state
+    // channel — preserved verbatim, never interpreted)
+    def applyDomainNode(d: JsonNode): Unit =
+      if (d.path("removed").asBoolean(false))
+        domains -= d.get("domain").asText()
+      else domains(d.get("domain").asText()) =
+        Option(d.get("configuration")).map(_.asText()).getOrElse("")
+
+    // net-state ADD rows of a checkpoint frame (removes in a checkpoint
+    // are vacuum tombstones, not live state). Foreign checkpoints may
+    // carry per-file deletionVector structs.
+    def processAddFrame(adds: org.apache.spark.sql.DataFrame): Unit =
+      if (adds.columns.contains("add")) {
+        val addFields = adds.schema("add").dataType match {
+          case st: StructType => st.fieldNames.toSet
+          case _              => Set.empty[String]
+        }
+        val statsSel =
+          if (addFields.contains("stats")) "add.stats"
+          else "CAST(NULL AS STRING)"
+        val dvSel =
+          if (addFields.contains("deletionVector")) "to_json(add.deletionVector)"
+          else "CAST(NULL AS STRING)"
+        val pvSel =
+          if (addFields.contains("partitionValues")) "to_json(add.partitionValues)"
+          else "CAST(NULL AS STRING)"
+        adds.selectExpr("add.path", statsSel, dvSel, pvSel).collect().foreach { r =>
+          Option(r.getString(0)).foreach { p =>
+            files += p
+            Option(r.getString(1)).foreach(stats(p) = _)
+            Option(r.getString(2)).foreach(dvs(p) = _)
+            Option(r.getString(3)).foreach { js =>
+              val pv = pvMapOf(mapper.readTree(js))
+              if (pv.nonEmpty) partValues(p) = pv
+            }
+          }
+        }
+      }
+
+    // non-file actions of a parquet checkpoint frame
+    def processCpFrame(cp: org.apache.spark.sql.DataFrame): Unit = {
       val cols = cp.columns.toSet
       if (cols.contains("metaData")) {
         cp.select("metaData.schemaString").collect()
@@ -189,34 +248,17 @@ object DeltaLite {
           if (!r.isNullAt(0)) writerFeatures ++= r.getSeq[String](0)
         } catch { case scala.util.control.NonFatal(_) => }
       }
-      // a checkpoint holds the net state: adds only (removes are
-      // tombstones for VACUUM, not part of the live file set). Foreign
-      // checkpoints may carry per-file deletionVector structs.
-      if (cols.contains("add")) {
-        val addFields = cp.schema("add").dataType match {
-          case st: StructType => st.fieldNames.toSet
-          case _              => Set.empty[String]
-        }
-        val statsSel =
-          if (addFields.contains("stats")) "add.stats"
-          else "CAST(NULL AS STRING)"
-        val dvSel =
-          if (addFields.contains("deletionVector")) "to_json(add.deletionVector)"
-          else "CAST(NULL AS STRING)"
-        val pvSel =
-          if (addFields.contains("partitionValues")) "to_json(add.partitionValues)"
-          else "CAST(NULL AS STRING)"
-        cp.selectExpr("add.path", statsSel, dvSel, pvSel).collect().foreach { r =>
-          Option(r.getString(0)).foreach { p =>
-            files += p
-            Option(r.getString(1)).foreach(stats(p) = _)
-            Option(r.getString(2)).foreach(dvs(p) = _)
-            Option(r.getString(3)).foreach { js =>
-              val pv = pvMapOf(mapper.readTree(js))
-              if (pv.nonEmpty) partValues(p) = pv
+      if (cols.contains("domainMetadata")) {
+        try cp.selectExpr("domainMetadata.domain",
+          "domainMetadata.configuration", "domainMetadata.removed")
+          .collect().foreach { r =>
+            if (!r.isNullAt(0)) {
+              if (!r.isNullAt(2) && r.getBoolean(2)) domains -= r.getString(0)
+              else domains(r.getString(0)) =
+                Option(r.getString(1)).getOrElse("")
             }
           }
-        }
+        catch { case scala.util.control.NonFatal(_) => }
       }
       // foreign checkpoints carry SetTransaction state as txn rows
       if (cols.contains("txn")) {
@@ -227,27 +269,66 @@ object DeltaLite {
       }
     }
 
+    cpVersion.foreach { cv =>
+      // checkpoint DISCOVERY: classic single-file (`N.checkpoint.parquet`),
+      // classic multi-part (`N.checkpoint.i.n.parquet` — every part read
+      // as one frame), and V2 top-level (`N.checkpoint.<uuid>.parquet` or
+      // `.json`, readerFeature v2Checkpoint) whose FILE actions may live
+      // in `sidecar`-referenced parquet under _delta_log/_sidecars/
+      val prefix = f"$cv%020d.checkpoint"
+      val cpPaths = f.listStatus(logDir(table)).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+      val parquets = cpPaths.filter(_.getName.endsWith(".parquet"))
+      val jsonTops = cpPaths.filter(_.getName.endsWith(".json"))
+      def resolveSidecar(p: String): String =
+        if (p.contains("://") || p.startsWith("/")) p
+        else new Path(new Path(logDir(table), "_sidecars"), p).toString
+      if (parquets.nonEmpty) {
+        val cp = spark.read.parquet(parquets.map(_.toString): _*)
+        processCpFrame(cp)
+        val adds =
+          if (cp.columns.contains("sidecar")) {
+            val paths = cp.selectExpr("sidecar.path").collect()
+              .flatMap(r => Option(r.getString(0))).map(resolveSidecar).toSeq
+            if (paths.nonEmpty) spark.read.parquet(paths: _*) else cp
+          } else cp
+        processAddFrame(adds)
+      } else if (jsonTops.nonEmpty) {
+        // V2-JSON top level: NDJSON actions, net-state semantics
+        val actions = jsonTops.flatMap(p => readActions(f, p))
+        actions.foreach { a =>
+          if (a.has("protocol")) applyProtocolNode(a.get("protocol"))
+          if (a.has("metaData")) applyMetaDataNode(a.get("metaData"))
+          if (a.has("domainMetadata")) applyDomainNode(a.get("domainMetadata"))
+          if (a.has("txn")) {
+            val t = a.get("txn")
+            txns(t.get("appId").asText()) = t.get("version").asLong()
+          }
+          if (a.has("add")) { // inline file actions (sidecar-less flavor)
+            val add = a.get("add")
+            val p = add.get("path").asText()
+            files += p
+            if (add.has("stats")) stats(p) = add.get("stats").asText()
+            if (add.has("deletionVector") && !add.get("deletionVector").isNull)
+              dvs(p) = add.get("deletionVector").toString
+            val pv = pvOf(add)
+            if (pv.nonEmpty) partValues(p) = pv
+          }
+        }
+        val sidecarPaths = actions.filter(_.has("sidecar"))
+          .map(a => resolveSidecar(a.get("sidecar").get("path").asText()))
+        if (sidecarPaths.nonEmpty)
+          processAddFrame(spark.read.parquet(sidecarPaths: _*))
+      } else sys.error(
+        s"$table: _last_checkpoint names v$cv but no checkpoint file found")
+    }
+
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
     vs.filter(v => v >= replayFrom && v <= target).foreach { v =>
       readActions(f, commitFile(table, v)).foreach { a =>
-        if (a.has("protocol")) {
-          val pr = a.get("protocol")
-          minReader = math.max(minReader, pr.get("minReaderVersion").asInt())
-          if (pr.has("readerFeatures"))
-            readerFeatures ++= pr.get("readerFeatures").elements().asScala
-              .map(_.asText())
-          Option(pr.get("minWriterVersion")).foreach(w =>
-            minWriter = math.max(minWriter, w.asInt()))
-          if (pr.has("writerFeatures"))
-            writerFeatures ++= pr.get("writerFeatures").elements().asScala
-              .map(_.asText())
-        }
-        if (a.has("metaData")) {
-          schemaJson = Some(a.get("metaData").get("schemaString").asText())
-          configuration = confOf(a.get("metaData"))
-          partitionColumns = Option(a.get("metaData").get("partitionColumns"))
-            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-        }
+        if (a.has("protocol")) applyProtocolNode(a.get("protocol"))
+        if (a.has("metaData")) applyMetaDataNode(a.get("metaData"))
+        if (a.has("domainMetadata")) applyDomainNode(a.get("domainMetadata"))
         if (a.has("add")) {
           val add = a.get("add")
           val p = add.get("path").asText()
@@ -294,18 +375,23 @@ object DeltaLite {
       dvs.view.filterKeys(files.contains).toMap,
       configuration, txns.toMap, partitionColumns,
       partValues.view.filterKeys(files.contains).toMap,
-      minWriter, writerFeatures, minReader, readerFeatures)
+      minWriter, writerFeatures, minReader, readerFeatures, domains.toMap)
   }
 
   /** Writer features this implementation actually honors when COMMITTING
     * to a table that declares them (the v7 table-features vocabulary):
     * DVs, column mapping, timestampNtz, appendOnly (enforced in
     * [[requireWritable]]), invariants-as-written (we never alter column
-    * metadata), and changeDataFeed (the [[CdfProperty]] channel).
+    * metadata), changeDataFeed (the [[CdfProperty]] channel),
+    * domainMetadata + clustering (domain state is replayed into the
+    * snapshot and PRESERVED by both checkpoint writers — this writer
+    * never interprets or drops a foreign domain), and v2Checkpoint
+    * ([[checkpoint]] delegates to [[checkpointV2]] on tables declaring
+    * it, so the checkpoints this writer produces stay spec-shaped).
     */
   private val SupportedWriterFeatures = Set("deletionVectors",
     "columnMapping", "timestampNtz", "appendOnly", "invariants",
-    "changeDataFeed")
+    "changeDataFeed", "domainMetadata", "clustering", "v2Checkpoint")
 
   /** WRITER-protocol gate — the commit-side twin of the reader gate: a
     * table may demand writer capabilities (CHECK constraints, generated
@@ -369,7 +455,7 @@ object DeltaLite {
     * TIMESTAMP_NTZ natively).
     */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   /** Read a DeltaLite/Delta table as a DataFrame at latest or a pinned
     * version. The snapshot's relative paths resolve against the table
@@ -1478,7 +1564,9 @@ object DeltaLite {
     */
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
                      keys: Seq[String], skewSafe: Boolean = false,
-                     maxPruneKeys: Int = DefaultMaxPruneKeys): MergeStats = {
+                     maxPruneKeys: Int = DefaultMaxPruneKeys,
+                     clauses: Seq[graft.operators.MergeClause] = Nil)
+      : MergeStats = {
     import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
@@ -1489,7 +1577,11 @@ object DeltaLite {
 
     // Null keys never equi-join an existing row (they land as inserts),
     // so they don't drive the prune — and must not NPE it.
-    val keyRows = boundedKeys(updates, keyCol, maxPruneKeys)
+    // whenNotMatchedBySource clauses involve EVERY target row by
+    // definition, so key-range pruning is off the table there.
+    val keyRows =
+      if (graft.operators.MergeClause.touchesBySource(clauses)) None
+      else boundedKeys(updates, keyCol, maxPruneKeys)
 
     val (touched, skipped) = keyRows match {
       case None => (snap.files, Seq.empty[String]) // over bound: no prune
@@ -1509,16 +1601,21 @@ object DeltaLite {
     // rewriting a DV-carrying file folds its mask in (the rewrite has
     // no DV, same live rows)
     val base = readSnapshot(spark, table, snap, touched)
-    val merged = graft.operators.LakehouseOps
-      .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+    val merged =
+      if (clauses.nonEmpty) graft.operators.LakehouseOps
+        .mergeClauses(base, updates, keys, clauses, skewSafe = skewSafe)
+      else graft.operators.LakehouseOps
+        .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
     // CDF: materialize the exact per-commit feed the merge implies —
     // update_pre/postimage for keys present in the base, insert for new
     // keys. Cost ∝ touched data + batch (two key semi-joins), opt-in via
     // the table property. Mapped tables skip the channel (changes()
-    // falls back to the net diff there — results identical).
+    // falls back to the net diff there — results identical), and so do
+    // clause merges (conditional updates/deletes don't fit the
+    // three-way classification below; the net-diff fallback is exact).
     val cdc: Option[DataFrame] =
       if (!cdfEnabled(snap.configuration) ||
-          mappingMode(snap.configuration) != "none") None
+          mappingMode(snap.configuration) != "none" || clauses.nonEmpty) None
       else {
         import org.apache.spark.sql.functions.{broadcast, col, lit}
         val keyC = keys.map(k => col(s"`$k`"))
@@ -2224,48 +2321,74 @@ object DeltaLite {
     * replay cost stays bounded as commits accumulate.
     */
   def checkpoint(spark: SparkSession, table: String): Long = {
-    import spark.implicits._
     val s = snapshot(spark, table)
-    val f = fs(spark, logDir(table))
+    // a table declaring the v2Checkpoint feature must get v2-shaped
+    // checkpoints — writing a classic one there would be spec-illegal
+    if (s.readerFeatures.contains("v2Checkpoint") ||
+        s.writerFeatures.contains("v2Checkpoint"))
+      checkpointV2(spark, table)
+    else {
+      writeClassicCheckpoint(spark, table, s)
+      s.version
+    }
+  }
+
+  /** One row per action, null-struct elsewhere: the bootstrap frame both
+    * checkpoint flavors are built from. The add struct carries stats AND
+    * the deletionVector descriptor; metaData carries the configuration
+    * (column-mapping mode); protocol carries the reader version +
+    * features the snapshot requires; domainMetadata rows preserve foreign
+    * domain state (liquid clustering et al.) — so a bootstrap loses
+    * nothing: masked rows stay masked, mapped names stay mapped, skipping
+    * stats survive, domains survive.
+    */
+  private def checkpointRowsDf(spark: SparkSession, table: String,
+                               s: Snapshot): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val schemaJson = s.schemaJson.getOrElse(
       sys.error(s"$table: no metaData in log"))
-    // one row per action, null-struct elsewhere. The add struct carries
-    // stats AND the deletionVector descriptor; metaData carries the
-    // configuration (column-mapping mode); protocol carries the reader
-    // version + features the snapshot requires — so a bootstrap loses
-    // nothing: masked rows stay masked, mapped names stay mapped,
-    // skipping stats survive.
     val confJson = "{" + s.configuration.toSeq.sortBy(_._1).map {
       case (k, v) => s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
     }.mkString(",") + "}"
     val needsDv = s.dvs.nonEmpty
     val mapped = mappingMode(s.configuration) != "none"
-    val minReader = if (needsDv) 3 else if (mapped) 2 else 1
-    val features: Seq[String] =
-      if (needsDv) Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil)
-      else Nil
+    // explicit reader features (v3 tables) are preserved and unioned with
+    // what the snapshot state implies; legacy tables keep legacy versions
+    val rf: Set[String] = s.readerFeatures ++
+      (if (needsDv) Set("deletionVectors") else Set.empty[String]) ++
+      (if (mapped && (needsDv || s.readerFeatures.nonEmpty))
+        Set("columnMapping") else Set.empty[String])
+    val minReader = if (rf.nonEmpty) 3 else if (mapped) 2 else 1
+    val features = rf.toSeq.sorted
     val pcJson = "[" + s.partitionColumns
       .map(mapper.writeValueAsString).mkString(",") + "]"
     // row kinds: one per add, one per SetTransaction appId (the
-    // idempotent-writer watermark a bootstrap must not lose), one meta
-    val addRows = s.files.map(p => (Option(p), s.stats.get(p),
-      s.dvs.get(p), s.partitionValues.get(p).map(pvJsonOf),
+    // idempotent-writer watermark a bootstrap must not lose), one per
+    // live domain, one meta. 11-ary row: (addPath, addStats, dvJson,
+    // pvJson, schemaString, confJson, pcJson, txnAppId, txnVersion,
+    // dmDomain, dmConf)
+    val none = (Option.empty[String], Option.empty[String],
       Option.empty[String], Option.empty[String], Option.empty[String],
-      Option.empty[String], Option.empty[java.lang.Long]))
-    val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, tv) =>
-      (Option.empty[String], Option.empty[String], Option.empty[String],
-        Option.empty[String], Option.empty[String], Option.empty[String],
-        Option.empty[String], Option(appId),
-        Option(java.lang.Long.valueOf(tv)))
+      Option.empty[String], Option.empty[String], Option.empty[String],
+      Option.empty[java.lang.Long], Option.empty[String],
+      Option.empty[String])
+    val addRows = s.files.map(p => none.copy(
+      _1 = Option(p), _2 = s.stats.get(p), _3 = s.dvs.get(p),
+      _4 = s.partitionValues.get(p).map(pvJsonOf)))
+    val txnRows = s.txns.toSeq.sortBy(_._1).map {
+      case (appId, tv) => none.copy(_8 = Option(appId),
+        _9 = Option(java.lang.Long.valueOf(tv)))
     }
-    val metaRow = (Option.empty[String], Option.empty[String],
-      Option.empty[String], Option.empty[String], Option(schemaJson),
-      Option(confJson), Option(pcJson), Option.empty[String],
-      Option.empty[java.lang.Long])
+    val domainRows = s.domainMetadata.toSeq.sortBy(_._1).map {
+      case (d, c) => none.copy(_10 = Option(d), _11 = Option(c))
+    }
+    val metaRow = none.copy(_5 = Option(schemaJson),
+      _6 = Option(confJson), _7 = Option(pcJson))
     val writerFeats = s.writerFeatures.toSeq.sorted
-    val cp = (addRows ++ txnRows :+ metaRow)
+    (addRows ++ txnRows ++ domainRows :+ metaRow)
       .toDF("addPath", "addStats", "dvJson", "pvJson",
-        "schemaString", "confJson", "pcJson", "txnAppId", "txnVersion")
+        "schemaString", "confJson", "pcJson", "txnAppId", "txnVersion",
+        "dmDomain", "dmConf")
       .selectExpr(
         """CASE WHEN addPath IS NOT NULL THEN named_struct(
           |  'path', addPath, 'stats', addStats,
@@ -2292,21 +2415,114 @@ object DeltaLite {
            |END AS protocol""".stripMargin,
         """CASE WHEN txnAppId IS NOT NULL THEN named_struct(
           |  'appId', txnAppId, 'version', txnVersion)
-          |END AS txn""".stripMargin)
-    val target = checkpointFile(table, s.version)
-    val staging = new Path(logDir(table), s".cp-staging-${s.version}")
-    cp.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          |END AS txn""".stripMargin,
+        """CASE WHEN dmDomain IS NOT NULL THEN named_struct(
+          |  'domain', dmDomain, 'configuration', dmConf,
+          |  'removed', false)
+          |END AS domainMetadata""".stripMargin)
+  }
+
+  /** Write `df` as ONE parquet file at `target` (staging + rename),
+    * returning the written length.
+    */
+  private def writeSingleParquet(spark: SparkSession, table: String,
+                                 df: org.apache.spark.sql.DataFrame,
+                                 target: Path, stageId: String): Long = {
+    val f = fs(spark, logDir(table))
+    val staging = new Path(logDir(table), s".cp-staging-$stageId")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = f.listStatus(staging).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(sys.error("checkpoint write produced no part file"))
-    require(f.rename(part, target), "checkpoint rename failed")
+    f.mkdirs(target.getParent)
+    require(f.rename(part, target), s"checkpoint rename failed: $target")
     f.delete(staging, true)
-    val lastCp = new Path(logDir(table), "_last_checkpoint")
-    val out = f.create(lastCp, true)
-    try out.write(
-      s"""{"version":${s.version},"size":${s.files.size + s.txns.size + 1}}"""
-        .getBytes(StandardCharsets.UTF_8))
+    f.getFileStatus(target).getLen
+  }
+
+  private def writeLastCheckpoint(spark: SparkSession, table: String,
+                                  version: Long, size: Long): Unit = {
+    val f = fs(spark, logDir(table))
+    val out = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    try out.write(s"""{"version":$version,"size":$size}"""
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def writeClassicCheckpoint(spark: SparkSession, table: String,
+                                     s: Snapshot): Unit = {
+    val cp = checkpointRowsDf(spark, table, s)
+    writeSingleParquet(spark, table, cp,
+      checkpointFile(table, s.version), s.version.toString)
+    writeLastCheckpoint(spark, table, s.version,
+      s.files.size + s.txns.size + s.domainMetadata.size + 1)
+  }
+
+  /** V2 (sidecar-style) checkpoint — the shape current engines write for
+    * tables on the `v2Checkpoint` table feature: file actions land in a
+    * sidecar parquet under `_delta_log/_sidecars/`, and the top-level
+    * `N.checkpoint.<uuid>.parquet` carries only the non-file state
+    * (protocol, metaData, txn, domainMetadata) plus a
+    * `checkpointMetadata` row and one `sidecar` pointer per sidecar
+    * file. On a table not yet declaring the feature, ONE protocol
+    * upgrade commit is published first (v3/v7 table features, unioning
+    * whatever the table already declares with what its state implies) —
+    * v2 checkpoints are only legal under the declared feature.
+    */
+  def checkpointV2(spark: SparkSession, table: String): Long = {
+    val s0 = snapshot(spark, table)
+    val s =
+      if (s0.readerFeatures.contains("v2Checkpoint")) s0
+      else {
+        requireWritable(table, s0, removesFiles = false)
+        val mapped = mappingMode(s0.configuration) != "none"
+        val impliedW: Set[String] = Set("v2Checkpoint", "appendOnly",
+          "invariants") ++
+          (if (s0.dvs.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
+          (if (mapped) Set("columnMapping") else Set.empty[String]) ++
+          (if (cdfEnabled(s0.configuration)) Set("changeDataFeed")
+           else Set.empty[String])
+        val readerRelevant =
+          Set("v2Checkpoint", "deletionVectors", "columnMapping", "timestampNtz")
+        val rf = (s0.readerFeatures ++ (impliedW & readerRelevant))
+          .toSeq.sorted.map(mapper.writeValueAsString).mkString(",")
+        val wf = (s0.writerFeatures ++ impliedW)
+          .toSeq.sorted.map(mapper.writeValueAsString).mkString(",")
+        val v = s0.version + 1
+        publishCommit(spark, table, v,
+          s"""{"commitInfo":{"operation":"UPGRADE","timestamp":0}}""" + "\n" +
+            s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$rf],"writerFeatures":[$wf]}}""" +
+            "\n")
+        snapshot(spark, table)
+      }
+    val rows = checkpointRowsDf(spark, table, s)
+    val uuid = java.util.UUID.randomUUID().toString
+    val sidecarName = s"$uuid.parquet"
+    val sidecarLen = writeSingleParquet(spark, table,
+      rows.filter(org.apache.spark.sql.functions.col("add").isNotNull)
+        .select("add"),
+      new Path(new Path(logDir(table), "_sidecars"), sidecarName),
+      s"sidecar-${s.version}")
+    val nonFile = rows
+      .filter(org.apache.spark.sql.functions.col("add").isNull)
+      .drop("add")
+    import spark.implicits._
+    val extra = Seq((s.version, sidecarName, sidecarLen))
+      .toDF("cmVersion", "scPath", "scLen")
+      .selectExpr(
+        """named_struct('version', cmVersion,
+          |  'tags', CAST(NULL AS MAP<STRING, STRING>))
+          |AS checkpointMetadata""".stripMargin,
+        """named_struct('path', scPath, 'sizeInBytes', scLen,
+          |  'modificationTime', 0L,
+          |  'tags', CAST(NULL AS MAP<STRING, STRING>))
+          |AS sidecar""".stripMargin)
+    val top = nonFile.unionByName(extra, allowMissingColumns = true)
+    writeSingleParquet(spark, table, top,
+      new Path(logDir(table), f"${s.version}%020d.checkpoint.$uuid.parquet"),
+      s"v2-${s.version}")
+    writeLastCheckpoint(spark, table, s.version,
+      s.files.size + s.txns.size + s.domainMetadata.size + 2)
     s.version
   }
 }

@@ -1686,7 +1686,9 @@ object IcebergLite {
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
                      keys: Seq[String], partitionCol: String = "",
                      skewSafe: Boolean = false,
-                     maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys): MergeStats = {
+                     maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys,
+                     clauses: Seq[graft.operators.MergeClause] = Nil)
+      : MergeStats = {
     val meta0 = metadata(spark, table)
     val spec = partitionSpecFields(meta0)
     val specSourceName: Map[Int, String] =
@@ -1698,7 +1700,11 @@ object IcebergLite {
     val snap = snapshot(spark, table)
     val noPrune = (snap.detail, Seq.empty[FileInfo])
     val (touched, skipped) =
-      if (partitionCol.nonEmpty) {
+      // whenNotMatchedBySource clauses involve EVERY target row by
+      // definition — pruning untouched partitions/files would hide rows
+      // from the clause
+      if (graft.operators.MergeClause.touchesBySource(clauses)) noPrune
+      else if (partitionCol.nonEmpty) {
         // partitioned table: prune whole partitions on the manifests'
         // typed partition values — TRANSFORM-AWARE: each spec field
         // sourced from partitionCol admits exactly the partition values
@@ -1787,8 +1793,11 @@ object IcebergLite {
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
       else readWithDeletes(spark, table, snap, touched)
-    val merged = graft.operators.LakehouseOps
-      .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+    val merged =
+      if (clauses.nonEmpty) graft.operators.LakehouseOps
+        .mergeClauses(base, updates, keys, clauses, skewSafe = skewSafe)
+      else graft.operators.LakehouseOps
+        .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
     // rewrite under the table's OWN layout: the FULL spec (identity
     // fields included — collapsing to just partitionCol would drop the
     // other partition columns from the rewritten metadata/dirs) is
@@ -2324,6 +2333,109 @@ object IcebergLite {
     val fromFiles = snapshot(spark, table, Some(fromSnapshotId)).files.toSet
     readFileList(spark, table, to.schema,
       to.files.filterNot(fromFiles.contains))
+  }
+
+  /** ROW-LEVEL changelog between two snapshots — the [[incrementalRead]]
+    * counterpart that handles DELETES and REWRITES, and the Iceberg face
+    * of [[DeltaLite.changes]]: the net visibility diff classified into
+    * the CDF `_change_type` vocabulary (insert / delete /
+    * update_preimage / update_postimage by `keys`).
+    *
+    * File identity = (path, data sequence number, the delete files
+    * APPLICABLE to it) — so a merge-on-read delete snapshot (same data
+    * files, one new position/equality delete file) diffs exactly the
+    * newly-masked rows; an overwrite/merge diffs the replaced files; and
+    * a compaction `replace` nets to ZERO rows (rows moved, visibility
+    * unchanged) instead of refusing the way incrementalRead must. Cost ∝
+    * files whose visibility changed (each side read through its OWN
+    * snapshot's delete masks via the merge-on-read scan), never the
+    * table.
+    *
+    * `withVersion` stamps `_commit_version` with the TO snapshot's
+    * HISTORY ORDINAL (its index in the snapshots array) — foreign
+    * writers use RANDOM snapshot ids, so the ordinal, not the id, is
+    * what ordering-sensitive consumers (replication) must sort on.
+    */
+  def changes(spark: SparkSession, table: String, fromSnapshotId: Long,
+              toSnapshotId: Option[Long], keys: Seq[String],
+              withVersion: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "changes needs the key columns for classification")
+    val meta = metadata(spark, table)
+    val ids = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).map(_.get("snapshot-id").asLong())
+    val toId = toSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val fromIdx = ids.indexOf(fromSnapshotId)
+    val toIdx = ids.indexOf(toId)
+    require(fromIdx >= 0 && toIdx >= 0,
+      s"$table: snapshot range ($fromSnapshotId, $toId] not resolvable in $ids")
+    require(fromIdx <= toIdx, "from must precede to in table history")
+    val from = snapshot(spark, table, Some(fromSnapshotId))
+    val to = snapshot(spark, table, Some(toId))
+    // per-file visibility identity: the same path with a new applicable
+    // delete file (or a different sequence era) must read on BOTH sides
+    def identOf(s: Snapshot): Map[String, (Long, String)] =
+      s.detail.map { fi =>
+        val dels = s.deletes.filter(d =>
+          (d.content == 1 && d.seq >= fi.seq) ||
+            (d.content == 2 && d.seq > fi.seq))
+          .map(_.path).sorted.mkString(",")
+        fi.path -> (fi.seq, dels)
+      }.toMap
+    val fromIdent = identOf(from)
+    val toIdent = identOf(to)
+    val changedNew = to.detail.filter(fi =>
+      !fromIdent.get(fi.path).contains(toIdent(fi.path)))
+    val changedOld = from.detail.filter(fi =>
+      !toIdent.get(fi.path).contains(fromIdent(fi.path)))
+    // additive-evolution alignment: project each side to the TO schema,
+    // null-filling columns the old snapshot doesn't carry
+    val schema = to.schema
+    val dataCols = schema.fieldNames.toIndexedSeq
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.toIndexedSeq.map { fld =>
+        if (have.contains(fld.name)) col(s"`${fld.name}`")
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    }
+    val newSide = aligned(readWithDeletes(spark, table, to, changedNew))
+    val oldSide = aligned(readWithDeletes(spark, table, from, changedOld))
+    // exceptAll cancels rows whose visibility didn't actually change
+    // (compaction rewrites), then the per-key full-outer classifies
+    val changedN = newSide.exceptAll(oldSide)
+    val changedO = oldSide.exceptAll(newSide)
+    val o = changedO.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("_o"): _*)
+    val n = changedN.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("_n"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val tagged = joined.select(explode(
+      when(col("_o").isNotNull && col("_n").isNotNull, array(
+        struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
+        struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
+      .when(col("_n").isNotNull, array(
+        struct(col("_n").as("row"), lit("insert").as("_change_type"))))
+      .otherwise(array(
+        struct(col("_o").as("row"), lit("delete").as("_change_type"))))
+    ).as("c"))
+    val out = tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
+      col("c._change_type").as("_change_type"): _*)
+    if (withVersion) out.withColumn("_commit_version", lit(toIdx.toLong))
+    else out
+  }
+
+  /** A snapshot id's position in the table history (the ordering key
+    * foreign random ids can't provide).
+    */
+  private[graft] def historyOrdinal(spark: SparkSession, table: String,
+                                    snapshotId: Long): Long = {
+    val ids = Option(metadata(spark, table).get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(_.get("snapshot-id").asLong())
+    val idx = ids.indexOf(snapshotId)
+    require(idx >= 0, s"$table: snapshot $snapshotId not in history $ids")
+    idx.toLong
   }
 
   /** DESCRIBE HISTORY over the snapshot log: one row per snapshot —

@@ -610,15 +610,72 @@ object EventStreams {
     r.load()
   }
 
-  /** [[readDeltaStream]]'s IcebergLite twin (append mode over the
-    * format's incremental-scan contract).
+  /** [[readDeltaStream]]'s IcebergLite twin: append mode over the
+    * format's incremental-scan contract, or `cdf = true` for
+    * `_change_type`-tagged row-level changes ([[IcebergLite.changes]] —
+    * merge-on-read deletes and rewrites flow as events; keys required).
     */
   def readIcebergStream(spark: org.apache.spark.sql.SparkSession,
-                        tablePath: String): DataFrame =
+                        tablePath: String, cdf: Boolean = false,
+                        keys: Seq[String] = Nil,
+                        cdfVersions: Boolean = false): DataFrame =
     spark.readStream
       .format(classOf[IcebergLiteStreamProvider].getName)
       .option("path", tablePath)
+      .option("cdf", cdf.toString)
+      .option("cdfVersions", cdfVersions.toString)
+      .option("keys", keys.mkString(","))
       .load()
+
+  /** [[replicateDeltaToIceberg]]'s MIRROR — the reverse leg r13 couldn't
+    * run (Iceberg had no row-level changelog): consume an IcebergLite
+    * table's CDF stream ([[readIcebergStream]] with `cdf = true`, built
+    * on [[IcebergLite.changes]]' visibility diff) and land it in a
+    * DeltaLite table — inserts/postimages MERGE (selectiveMerge: cost ∝
+    * touched files after the seed), deletes land as merge-on-read
+    * DELETION VECTORS (cost ∝ matching rows; no data file rewrites). A
+    * batch may span many source snapshots, so each key resolves to its
+    * LATEST event by `_commit_version` — the snapshot's HISTORY ordinal,
+    * because foreign snapshot ids are random — before applying.
+    * Exactly-once rides the query checkpoint.
+    */
+  def replicateIcebergToDelta(spark: org.apache.spark.sql.SparkSession,
+                              srcTable: String, dstTable: String,
+                              keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    readIcebergStream(spark, srcTable, cdf = true, keys = keys,
+      cdfVersions = true).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // last event per key decides; preimages are bookkeeping only.
+        // Tie-break WITHIN a snapshot: a merge may record a
+        // delete+insert pair for one key — the row exists afterwards,
+        // so non-delete events rank first
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(k => col(s"`$k`")): _*)
+          .orderBy(col("_commit_version").desc,
+            org.apache.spark.sql.functions
+              .when(col("_change_type") === "delete", 0).otherwise(1).desc)
+        val last = batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val ups = last.filter(col("_change_type") =!= "delete")
+          .drop("_change_type", "_commit_version")
+        val dels = last.filter(col("_change_type") === "delete")
+          .select(keys.map(k => col(s"`$k`")): _*)
+        val exists = graft.sources.DeltaLite.versions(s, dstTable).nonEmpty
+        if (!exists) {
+          if (!ups.isEmpty)
+            graft.sources.DeltaLite.commit(s, dstTable, ups)
+        } else if (!ups.isEmpty)
+          graft.sources.DeltaLite.selectiveMerge(s, dstTable, ups, keys)
+        if (exists && !dels.isEmpty)
+          graft.sources.DeltaLite.deleteVectors(s, dstTable, dels, keys)
+        ()
+      }
+  }
 
   /** Complete (committed) snapshot versions under a streamingUpsert target. */
   def snapshotVersions(spark: org.apache.spark.sql.SparkSession,

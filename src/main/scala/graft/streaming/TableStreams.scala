@@ -167,8 +167,14 @@ private class DeltaLiteTailSource(spark: SparkSession, table: String,
 }
 
 /** `spark.readStream.format(classOf[IcebergLiteStreamProvider].getName)`
-  * options: `path` (table root, required). Append mode (the format's
-  * incremental-scan contract; overwrites in range refuse).
+  * options: `path` (table root, required); `cdf` (default false —
+  * batches become [[IcebergLite.changes]] rows carrying `_change_type`,
+  * so merge-on-read deletes and rewrites flow as row-level events);
+  * `keys` (comma-separated merge keys, required in cdf mode);
+  * `cdfVersions` (adds `_commit_version` = the snapshot's HISTORY
+  * ordinal — foreign snapshot ids are random, the ordinal is what
+  * ordering-sensitive consumers sort on). Append mode keeps the
+  * format's incremental-scan contract (overwrites in range refuse).
   */
 class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -178,24 +184,47 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
     parameters.getOrElse("path",
       sys.error("graft-iceberg-stream: option 'path' (table root) is required"))
 
+  private def schemaFor(spark: SparkSession,
+                        parameters: Map[String, String]): StructType = {
+    val base = IcebergLite.read(spark, tableOf(parameters)).schema
+    if (parameters.get("cdf").exists(_.toBoolean)) {
+      val c = base.add("_change_type", StringType, nullable = false)
+      if (parameters.get("cdfVersions").exists(_.toBoolean))
+        c.add("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      else c
+    } else base
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      IcebergLite.read(sqlContext.sparkSession, tableOf(parameters)).schema)
+    (shortName(), schemaFor(sqlContext.sparkSession, parameters))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
-    val t = tableOf(parameters)
-    new IcebergLiteTailSource(spark, t, IcebergLite.read(spark, t).schema)
+    val cdf = parameters.get("cdf").exists(_.toBoolean)
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!cdf || keys.nonEmpty,
+      "graft-iceberg-stream: cdf mode needs option 'keys' " +
+        "(comma-separated merge keys for change classification)")
+    new IcebergLiteTailSource(spark, tableOf(parameters), cdf, keys,
+      parameters.get("cdfVersions").exists(_.toBoolean),
+      schemaFor(spark, parameters))
   }
 }
 
 private class IcebergLiteTailSource(spark: SparkSession, table: String,
+                                    cdf: Boolean, keys: Seq[String],
+                                    cdfVersions: Boolean,
                                     val schema: StructType) extends Source {
   import TableStreams.offsetValue
+
+  def this(spark: SparkSession, table: String, schema: StructType) =
+    this(spark, table, false, Nil, false, schema)
 
   override def getOffset: Option[V1Offset] = {
     val meta = IcebergLite.metadata(spark, table)
@@ -209,12 +238,21 @@ private class IcebergLiteTailSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endId = offsetValue(end)
     val batch = offsetValue(start) match {
-      case None => IcebergLite.read(spark, table, Some(endId))
-      case Some(startId) if startId >= endId =>
+      case None =>
+        val full = IcebergLite.read(spark, table, Some(endId))
+        if (cdf) {
+          val tagged = full.withColumn("_change_type", lit("insert"))
+          if (cdfVersions) tagged.withColumn("_commit_version",
+            lit(IcebergLite.historyOrdinal(spark, table, endId)))
+          else tagged
+        } else full
+      case Some(startId) if startId == endId =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(startId) =>
-        IcebergLite.incrementalRead(spark, table, startId, Some(endId))
+        if (cdf) IcebergLite.changes(spark, table, startId, Some(endId),
+          keys, withVersion = cdfVersions)
+        else IcebergLite.incrementalRead(spark, table, startId, Some(endId))
     }
     GraftColumnBridge.asStreamingFrame(batch)
   }

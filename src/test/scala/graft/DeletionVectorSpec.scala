@@ -107,10 +107,12 @@ class DeletionVectorSpec extends SparkSpec {
     val dir = new java.io.File(s"$t/_delta_log")
     val next = DeltaLite.versions(spark, t).last + 1
     val w = new java.io.FileWriter(new java.io.File(dir, f"$next%020d.json"))
-    w.write("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""" + "\n")
+    // (v2Checkpoint graduated to a supported feature in r14, so the
+    // canonical unknown here is variant typing, which we don't read)
+    w.write("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"]}}""" + "\n")
     w.close()
     val e = intercept[IllegalArgumentException](DeltaLite.read(spark, t))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("variantType"))
   }
 
   test("changes() carries merge-on-read deletes: a DV-only commit nets " +

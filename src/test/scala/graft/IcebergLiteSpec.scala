@@ -676,6 +676,45 @@ class IcebergLiteSpec extends SparkSpec {
     assert(dropped.count() == 41L)
   }
 
+  test("changes: row-level diff classifies merges and merge-on-read " +
+    "deletes; compaction nets to zero; ordinals order foreign ids") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))                          // snap 0
+    IcebergLite.selectiveMerge(spark, t,
+      Seq((1L, "UPD"), (100L, "NEW")).toDF("k", "s"), Seq("k"))    // snap 1
+    IcebergLite.deleteRows(spark, t, Seq(5L, 6L).toDF("k"), Seq("k")) // snap 2
+    val ch = IcebergLite.changes(spark, t, 0L, None, Seq("k"))
+      .select("k", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch == Set(
+      (1L, "v1", "update_preimage"), (1L, "UPD", "update_postimage"),
+      (100L, "NEW", "insert"),
+      (5L, "v5", "delete"), (6L, "v6", "delete")), s"got $ch")
+    // per-step: the delete snapshot alone diffs exactly the masked rows
+    // — the data files did NOT change hands, only their delete set did
+    val step = IcebergLite.changes(spark, t, 1L, Some(2L), Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(step == Set((5L, "delete"), (6L, "delete")), s"got $step")
+    // an equality delete flows the same way
+    IcebergLite.deleteRows(spark, t, Seq(9L).toDF("k"), Seq("k"),
+      equality = true)                                             // snap 3
+    val eqStep = IcebergLite.changes(spark, t, 2L, Some(3L), Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(eqStep == Set((9L, "delete")), s"got $eqStep")
+    // compaction moves rows, not visibility: the diff must net to ZERO
+    // (incrementalRead refuses this range; changes handles it)
+    IcebergLite.optimizeCompact(spark, t, targetFiles = 1)         // snap 4
+    assert(IcebergLite.changes(spark, t, 3L, Some(4L), Seq("k")).isEmpty,
+      "a replace snapshot must produce an empty changelog")
+    // withVersion stamps the HISTORY ordinal, not the snapshot id
+    val v = IcebergLite.changes(spark, t, 0L, Some(2L), Seq("k"),
+      withVersion = true)
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    assert(v == Seq(2L), s"ordinal stamp off: $v")
+  }
+
   test("OPTIMIZE preserves the partition spec: compaction and Z-order " +
     "rewrites keep transform partitioning and its pruning") {
     val t = newTable()

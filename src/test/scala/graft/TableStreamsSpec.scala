@@ -226,6 +226,66 @@ class TableStreamsSpec extends SparkSpec {
       "delete-then-reinsert must live")
   }
 
+  test("reverse replication: an Iceberg table's CDF stream lands in a " +
+    "Delta table — merges, merge-on-read deletes, and catch-up mirror") {
+    val base = newDir("graft_replicate_rev")
+    val src = s"$base/iceberg_src"
+    val dst = s"$base/delta_dst"
+    IcebergLite.commit(spark, src,
+      (0L until 20L).map(k => (k, "base")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))
+
+    val q = EventStreams.replicateIcebergToDelta(spark, src, dst, Seq("k"))
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(DeltaLite.read(spark, dst).as[(Long, String)].collect().toSet
+        == IcebergLite.read(spark, src).as[(Long, String)].collect().toSet,
+        "initial snapshot must seed the destination")
+
+      // live source changes: a merge (update + insert), then a
+      // merge-on-read position delete — no source data file rewritten
+      IcebergLite.selectiveMerge(spark, src,
+        Seq((3L, "upd"), (50L, "new")).toDF("k", "s"), Seq("k"))
+      IcebergLite.deleteRows(spark, src, Seq(7L).toDF("k"), Seq("k"))
+      q.processAllAvailable()
+      val srcRows = IcebergLite.read(spark, src)
+        .as[(Long, String)].collect().toSet
+      val dstRows = DeltaLite.read(spark, dst)
+        .as[(Long, String)].collect().toSet
+      assert(dstRows == srcRows,
+        s"replica diverged: missing=${srcRows -- dstRows} extra=${dstRows -- srcRows}")
+      assert(dstRows.exists(_ == (3L, "upd")) && !dstRows.exists(_._1 == 7L))
+    } finally q.stop()
+
+    // adversarial catch-up: insert-then-DELETE of a new key (must end
+    // dead) and delete-then-REINSERT of an old key (must end alive),
+    // resolved in ONE restart batch by the history-ordinal
+    // _commit_version
+    IcebergLite.selectiveMerge(spark, src, Seq((60L, "x")).toDF("k", "s"),
+      Seq("k"))
+    IcebergLite.deleteRows(spark, src, Seq(60L).toDF("k"), Seq("k"),
+      equality = true)
+    IcebergLite.deleteRows(spark, src, Seq(2L).toDF("k"), Seq("k"))
+    IcebergLite.selectiveMerge(spark, src, Seq((2L, "back")).toDF("k", "s"),
+      Seq("k"))
+    val q2 = EventStreams.replicateIcebergToDelta(spark, src, dst, Seq("k"))
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val srcRows2 = IcebergLite.read(spark, src)
+      .as[(Long, String)].collect().toSet
+    val dstRows2 = DeltaLite.read(spark, dst)
+      .as[(Long, String)].collect().toSet
+    assert(dstRows2 == srcRows2,
+      s"replica diverged after adversarial batch: " +
+        s"missing=${srcRows2 -- dstRows2} extra=${dstRows2 -- srcRows2}")
+    assert(!dstRows2.exists(_._1 == 60L), "insert-then-delete must die")
+    assert(dstRows2.exists(_ == (2L, "back")),
+      "delete-then-reinsert must live")
+  }
+
   test("streamingEqDelete: a CDC delete feed lands as per-batch " +
     "equality delete files; replay changes nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
