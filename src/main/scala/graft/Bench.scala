@@ -64,8 +64,30 @@ object Bench {
       // instead of a cache hit, and stops evictable InMemoryRelations
       // accumulating across the suite
       spark.catalog.clearCache()
+      // scratch hygiene: table-building queries (the dba_* family) land
+      // temp tables under java.io.tmpdir and never return to them — left
+      // in place, dozens of sf-sized tables accumulate over a 139-query
+      // × 3-run suite and the page-cache/GC pressure bleeds into the
+      // NEXT query's measurement (dba_iceberg_dv measured 1.1 s isolated
+      // vs 1.8 s after its alphabetical predecessor). Sweep them, then
+      // let the JVM settle so query N's garbage isn't billed to N+1.
+      sweepScratch()
+      System.gc()
     }
     (samples.toMap, failures.toMap)
+  }
+
+  /** Delete this process's graft_* scratch dirs under java.io.tmpdir. */
+  private def sweepScratch(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Round-over-round regression gate: compare this run's medians against

@@ -75,6 +75,10 @@ object GraftSqlVerbs {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?'([^']+)'(?:\s+COMPUTE\s+STATISTICS)?\s*;?\s*""".r
+  private val ShowFilesRe =
+    """(?is)\s*SHOW\s+FILES\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -89,6 +93,8 @@ object GraftSqlVerbs {
       case DetailRe(path)  => Some(GraftDescribeDetailCommand(path))
       case RestoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
       case AnalyzeRe(path) => Some(GraftAnalyzeCommand(path))
+      case ShowFilesRe(path) => Some(GraftShowFilesCommand(path))
+      case ShowPartitionsRe(path) => Some(GraftShowPartitionsCommand(path))
       case _ => None
     }
 
@@ -256,5 +262,57 @@ case class GraftRestoreCommand(path: String, version: Long)
       case IcebergFormat => IcebergLite.rollbackTo(spark, path, version).toLong
     }
     Seq(Row(version, newV))
+  }
+}
+
+/** `SHOW FILES [IN] '<path>'` — the live file inventory (the `files`
+  * metadata table both formats expose): path, record count, bytes,
+  * hive partition tuple. Iceberg rows come from MANIFEST metadata only;
+  * Delta record counts/partitions from the log, sizes one fs stat per
+  * file.
+  */
+case class GraftShowFilesCommand(path: String) extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("record_count", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("partition", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.files(spark, path)
+      case IcebergFormat =>
+        IcebergLite.files(spark, path)
+          .select("path", "record_count", "size_bytes", "partition")
+    }
+    df.orderBy("path").collect().toIndexedSeq
+  }
+}
+
+/** `SHOW PARTITIONS [IN] '<path>'` — [[GraftShowFilesCommand]] rolled up
+  * per partition tuple (NULL partition = the unpartitioned root).
+  */
+case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("record_count", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val filesDf = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.files(spark, path)
+      case IcebergFormat =>
+        IcebergLite.files(spark, path)
+          .select("path", "record_count", "size_bytes", "partition")
+    }
+    filesDf.groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        sum("record_count").as("record_count"),
+        sum("size_bytes").as("size_bytes"))
+      .orderBy("partition")
+      .collect().toIndexedSeq
   }
 }

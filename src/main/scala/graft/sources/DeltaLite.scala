@@ -2072,24 +2072,7 @@ object DeltaLite {
     }
     val newSide = aligned(readSnapshot(spark, table, to, addedFiles))
     val oldSide = aligned(readSnapshot(spark, table, from, removedFiles))
-    val changedNew = newSide.exceptAll(oldSide)
-    val changedOld = oldSide.exceptAll(newSide)
-    val o = changedOld.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("_o"): _*)
-    val n = changedNew.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("_n"): _*)
-    val joined = o.join(n, keys, "full_outer")
-    val tagged = joined.select(explode(
-      when(col("_o").isNotNull && col("_n").isNotNull, array(
-        struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
-        struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
-      .when(col("_n").isNotNull, array(
-        struct(col("_n").as("row"), lit("insert").as("_change_type"))))
-      .otherwise(array(
-        struct(col("_o").as("row"), lit("delete").as("_change_type"))))
-    ).as("c"))
-    val out = tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
-      col("c._change_type").as("_change_type"): _*)
+    val out = ChangeFeed.classify(newSide, oldSide, keys, dataCols)
     if (withVersion) out.withColumn("_commit_version", lit(toVersion))
     else out
   }
@@ -2215,6 +2198,26 @@ object DeltaLite {
         l < sortedKeys.length && hi.compareTo(sortedKeys(l)) >= 0
       case None => true
     }
+
+  /** The `files` METADATA TABLE — the live file inventory as a queryable
+    * DataFrame: one row per data file with its add-stats record count,
+    * on-disk size, and hive partition tuple. Record counts and partition
+    * values come from the LOG; sizes are one fs stat per file (the
+    * DESCRIBE DETAIL cost, bounded by file count).
+    */
+  def files(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, table)
+    val f = fs(spark, new Path(table))
+    s.files.map { p =>
+      val rec: Option[Long] = s.stats.get(p).flatMap(j =>
+        Option(mapper.readTree(j).get("numRecords")).map(_.asLong()))
+      val pv = s.partitionValues.get(p).filter(_.nonEmpty)
+        .map(_.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("/")).orNull
+      (p, rec, f.getFileStatus(new Path(table, p)).getLen, pv)
+    }.toDF("path", "record_count", "size_bytes", "partition")
+  }
 
   /** DESCRIBE HISTORY over the log (reference:
     * TPC-datagen-notebook.scala:2168): one row per commit — version,

@@ -2401,26 +2401,9 @@ object IcebergLite {
     }
     val newSide = aligned(readWithDeletes(spark, table, to, changedNew))
     val oldSide = aligned(readWithDeletes(spark, table, from, changedOld))
-    // exceptAll cancels rows whose visibility didn't actually change
-    // (compaction rewrites), then the per-key full-outer classifies
-    val changedN = newSide.exceptAll(oldSide)
-    val changedO = oldSide.exceptAll(newSide)
-    val o = changedO.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("_o"): _*)
-    val n = changedN.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("_n"): _*)
-    val joined = o.join(n, keys, "full_outer")
-    val tagged = joined.select(explode(
-      when(col("_o").isNotNull && col("_n").isNotNull, array(
-        struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
-        struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
-      .when(col("_n").isNotNull, array(
-        struct(col("_n").as("row"), lit("insert").as("_change_type"))))
-      .otherwise(array(
-        struct(col("_o").as("row"), lit("delete").as("_change_type"))))
-    ).as("c"))
-    val out = tagged.select(dataCols.map(c => col(s"c.row.$c").as(c)) :+
-      col("c._change_type").as("_change_type"): _*)
+    // the shared symmetric-diff classifier cancels rows whose visibility
+    // didn't actually change (compaction rewrites) in ONE scan per side
+    val out = ChangeFeed.classify(newSide, oldSide, keys, dataCols)
     if (withVersion) out.withColumn("_commit_version", lit(toIdx.toLong))
     else out
   }
@@ -2436,6 +2419,38 @@ object IcebergLite {
     val idx = ids.indexOf(snapshotId)
     require(idx >= 0, s"$table: snapshot $snapshotId not in history $ids")
     idx.toLong
+  }
+
+  /** The `files` METADATA TABLE — planFiles exposed as a queryable
+    * DataFrame (the Iceberg twin of DESCRIBE DETAIL's per-file
+    * economics): one row per live data file of the current snapshot with
+    * its manifest-recorded record count, byte size, hive-style partition
+    * tuple, and data sequence number. Manifest metadata only — no data
+    * or file-system I/O, the 100 TB planning contract.
+    */
+  def files(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, table)
+    s.detail.map { fi =>
+      val part =
+        if (fi.partition.isEmpty) null
+        else fi.partition.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("/")
+      (fi.path, fi.recordCount, fi.sizeBytes, part, fi.seq)
+    }.toDF("path", "record_count", "size_bytes", "partition", "data_seq")
+  }
+
+  /** The `partitions` METADATA TABLE: [[files]] rolled up per partition
+    * tuple — file count, record count, bytes. Same metadata-only cost.
+    */
+  def partitions(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files(spark, table)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        sum("record_count").as("record_count"),
+        sum("size_bytes").as("size_bytes"))
+      .orderBy("partition")
   }
 
   /** DESCRIBE HISTORY over the snapshot log: one row per snapshot —

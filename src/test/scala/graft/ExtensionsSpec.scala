@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 class ExtensionsSpec extends SparkSpec {
 
@@ -140,5 +141,56 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[RuntimeException](
       extSpark.sql(s"DESCRIBE DETAIL '$base/nope'").collect())
     assert(e.getMessage.contains("neither"))
+  }
+
+  test("SHOW FILES / SHOW PARTITIONS expose the metadata tables; rows " +
+    "equal the programmatic files()/partitions() APIs on both formats") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_showfiles")
+      .toString
+
+    // Iceberg, transform-partitioned: rows are MANIFEST metadata only
+    val ti = s"$base/i"
+    val df = (0L until 40L).toDF("id").coalesce(1)
+      .withColumn("ts", to_timestamp(concat(lit("2024-01-0"),
+        (col("id") % 4 + 1).cast("string"), lit(" 10:00:00"))))
+    IcebergLite.commit(extSpark, ti, df,
+      partitionTransforms = Seq("days(ts)"))
+    val sqlRows = extSpark.sql(s"SHOW FILES IN '$ti'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val apiRows = IcebergLite.files(extSpark, ti)
+      .select("path", "record_count", "size_bytes", "partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(sqlRows == apiRows && sqlRows.nonEmpty,
+      s"SHOW FILES must equal files(): sql=$sqlRows api=$apiRows")
+    assert(sqlRows.forall(_._4 != null) &&
+      sqlRows.map(_._4).exists(_.startsWith("ts_day=")),
+      "transform partition tuples must surface")
+    assert(sqlRows.toSeq.map(_._2).sum == 40L,
+      "manifest record counts must sum to the table")
+    val sqlParts = extSpark.sql(s"SHOW PARTITIONS '$ti'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val apiParts = IcebergLite.partitions(extSpark, ti)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlParts == apiParts && sqlParts.size == 4,
+      s"SHOW PARTITIONS off: sql=$sqlParts api=$apiParts")
+
+    // Delta, hive-partitioned: record counts from the log's add-stats
+    val td = s"$base/d"
+    DeltaLite.commit(extSpark, td,
+      (0L until 30L).map(k => (k, s"g${k % 3}")).toDF("k", "g"),
+      partitionBy = Seq("g"))
+    val dRows = extSpark.sql(s"SHOW FILES IN '$td'").collect()
+    assert(dRows.nonEmpty && dRows.forall(r =>
+      r.getString(3).startsWith("g=") && r.getLong(2) > 0L))
+    assert(dRows.map(_.getLong(1)).sum == 30L,
+      "add-stats record counts must sum to the table")
+    val dParts = extSpark.sql(s"SHOW PARTITIONS '$td'")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(dParts.keySet == Set("g=g0", "g=g1", "g=g2") &&
+      dParts.values.sum == 30L, s"got $dParts")
   }
 }
