@@ -2319,6 +2319,74 @@ object DeltaLite {
     victims.map(_._2)
   }
 
+  /** LOG RETENTION cleanup (the `delta.logRetentionDuration` verb,
+    * version-count flavored like [[vacuum]]): delete JSON commits no
+    * resolvable read can need — those BELOW both the newest checkpoint
+    * (replay always starts at checkpoint+1) and the retention floor —
+    * plus superseded checkpoint files and the v2 sidecars only they
+    * referenced. [[vacuum]] bounds the DATA; without this the LOG grows
+    * forever (a streaming upsert writes commits per batch — a year of
+    * 1-minute batches is half a million JSON files the driver lists on
+    * every resolution). Time travel below the cutoff then fails at
+    * version resolution — the protocol's own retention contract.
+    * Returns deleted log-relative file names.
+    */
+  def cleanupLogs(spark: SparkSession, table: String,
+                  retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, logDir(table))
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return Seq.empty
+    val logNames = f.listStatus(logDir(table)).toSeq.map(_.getPath.getName)
+    val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
+    val CpJsonRe = """(\d{20})\.checkpoint\..*\.json""".r
+    def cpVersionOf(n: String): Option[Long] = n match {
+      case CpRe(v, _)   => Some(v.toLong)
+      case CpJsonRe(v)  => Some(v.toLong)
+      case _            => None
+    }
+    val cpVersions = logNames.flatMap(cpVersionOf).distinct.sorted
+    if (cpVersions.isEmpty) return Seq.empty // nothing can bootstrap: keep all
+    val newestCp = cpVersions.last
+    // deletable commits: below the newest checkpoint AND outside the
+    // retention window (both conditions — a checkpoint at the tip does
+    // not license deleting retained history)
+    val floor = vs.takeRight(retainVersions).head
+    val cutoff = math.min(newestCp, floor)
+    val deadJson = vs.filter(_ < cutoff).map(v => f"$v%020d.json")
+    // superseded checkpoints: every flavor below the newest one
+    val deadCps = logNames.filter(n => cpVersionOf(n).exists(_ < newestCp))
+    // sidecars: keep those referenced by any SURVIVING v2 checkpoint
+    def sidecarRefs(names: Seq[String]): Set[String] = names.flatMap {
+      case n @ CpRe(_, uuid) if uuid != null =>
+        try {
+          val cp = spark.read.parquet(new Path(logDir(table), n).toString)
+          if (cp.columns.contains("sidecar"))
+            cp.selectExpr("sidecar.path").collect()
+              .flatMap(r => Option(r.getString(0)))
+              .filterNot(p => p.contains("://") || p.startsWith("/")).toSeq
+          else Nil
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      case n @ CpJsonRe(_) =>
+        try readActions(f, new Path(logDir(table), n)).filter(_.has("sidecar"))
+          .map(_.get("sidecar").get("path").asText())
+          .filterNot(p => p.contains("://") || p.startsWith("/"))
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      case _ => Nil
+    }.toSet
+    val keepSidecars = sidecarRefs(
+      logNames.filter(n => cpVersionOf(n).contains(newestCp)))
+    val sidecarDir = new Path(logDir(table), "_sidecars")
+    val deadSidecars: Seq[String] =
+      if (!f.exists(sidecarDir)) Nil
+      else f.listStatus(sidecarDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !keepSidecars.contains(n))
+        .map(n => s"_sidecars/$n")
+    val victims = deadJson ++ deadCps ++ deadSidecars
+    victims.foreach(n => f.delete(new Path(logDir(table), n), false))
+    victims
+  }
+
   /** Compact the log at its latest version into a parquet checkpoint +
     * `_last_checkpoint` pointer — the protocol's bootstrap artifact, so
     * replay cost stays bounded as commits accumulate.

@@ -2408,6 +2408,46 @@ object IcebergLite {
     else out
   }
 
+  /** TIMESTAMP AS OF — [[DeltaLite.readAsOf]]'s Iceberg face: resolve
+    * the latest `snapshot-log` entry at or before `timestampMs` (the
+    * spec's time-travel channel; foreign writers stamp real wall-clock
+    * there) and read that snapshot. Refused when the table predates any
+    * log entry at the asked time, naming the earliest available.
+    */
+  def readAsOf(spark: SparkSession, table: String,
+               timestampMs: Long): DataFrame = {
+    val meta = metadata(spark, table)
+    val entries = Option(meta.get("snapshot-log"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    require(entries.nonEmpty,
+      s"$table: no snapshot-log to resolve a timestamp against")
+    val at = entries.filter(_.get("timestamp-ms").asLong() <= timestampMs)
+    require(at.nonEmpty,
+      s"$table: no snapshot at or before $timestampMs (earliest is " +
+        s"${entries.head.get("timestamp-ms").asLong()})")
+    read(spark, table, Some(at.last.get("snapshot-id").asLong()))
+  }
+
+  /** METADATA-VERSION retention — [[DeltaLite.cleanupLogs]]' Iceberg
+    * face: every commit writes a full `vN.metadata.json`, and without
+    * cleanup a busy table accumulates one forever (snapshot TIME TRAVEL
+    * does NOT need them — the `snapshots` array of the CURRENT metadata
+    * resolves every retained snapshot; old metadata versions serve only
+    * metadata archaeology). Deletes all but the newest `retainVersions`
+    * metadata files; `version-hint.text` keeps pointing at the tip.
+    * Returns deleted file names.
+    */
+  def cleanupMetadata(spark: SparkSession, table: String,
+                      retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val vs = versions(spark, table)
+    val f = fs(spark, metaDir(table))
+    vs.dropRight(retainVersions).map { v =>
+      f.delete(metaFile(table, v), false)
+      s"v$v.metadata.json"
+    }
+  }
+
   /** A snapshot id's position in the table history (the ordering key
     * foreign random ids can't provide).
     */

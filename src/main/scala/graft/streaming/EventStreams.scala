@@ -618,14 +618,20 @@ object EventStreams {
   def readIcebergStream(spark: org.apache.spark.sql.SparkSession,
                         tablePath: String, cdf: Boolean = false,
                         keys: Seq[String] = Nil,
-                        cdfVersions: Boolean = false): DataFrame =
-    spark.readStream
+                        cdfVersions: Boolean = false,
+                        startingSnapshot: Option[Long] = None,
+                        maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[IcebergLiteStreamProvider].getName)
       .option("path", tablePath)
       .option("cdf", cdf.toString)
       .option("cdfVersions", cdfVersions.toString)
       .option("keys", keys.mkString(","))
-      .load()
+    startingSnapshot.foreach(s => r.option("startingSnapshot", s.toString))
+    maxSnapshotsPerTrigger.foreach(n =>
+      r.option("maxSnapshotsPerTrigger", n.toString))
+    r.load()
+  }
 
   /** [[replicateDeltaToIceberg]]'s MIRROR — the reverse leg r13 couldn't
     * run (Iceberg had no row-level changelog): consume an IcebergLite

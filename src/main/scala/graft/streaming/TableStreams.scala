@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -173,8 +175,12 @@ private class DeltaLiteTailSource(spark: SparkSession, table: String,
   * `keys` (comma-separated merge keys, required in cdf mode);
   * `cdfVersions` (adds `_commit_version` = the snapshot's HISTORY
   * ordinal — foreign snapshot ids are random, the ordinal is what
-  * ordering-sensitive consumers sort on). Append mode keeps the
-  * format's incremental-scan contract (overwrites in range refuse).
+  * ordering-sensitive consumers sort on); `startingSnapshot` (skip the
+  * initial snapshot and deliver changes AFTER this id); and
+  * `maxSnapshotsPerTrigger` (cap each micro-batch at N snapshots in
+  * history-ordinal space, so a deep backlog drains in bounded batches —
+  * the Delta twin's catch-up control). Append mode keeps the format's
+  * incremental-scan contract (overwrites in range refuse).
   */
 class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -213,6 +219,8 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
         "(comma-separated merge keys for change classification)")
     new IcebergLiteTailSource(spark, tableOf(parameters), cdf, keys,
       parameters.get("cdfVersions").exists(_.toBoolean),
+      parameters.get("startingSnapshot").map(_.toLong),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toInt),
       schemaFor(spark, parameters))
   }
 }
@@ -220,24 +228,58 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
 private class IcebergLiteTailSource(spark: SparkSession, table: String,
                                     cdf: Boolean, keys: Seq[String],
                                     cdfVersions: Boolean,
+                                    startingSnapshot: Option[Long],
+                                    maxSnapshotsPerTrigger: Option[Int],
                                     val schema: StructType) extends Source {
   import TableStreams.offsetValue
 
   def this(spark: SparkSession, table: String, schema: StructType) =
-    this(spark, table, false, Nil, false, schema)
+    this(spark, table, false, Nil, false, None, None, schema)
+
+  // highest HISTORY ORDINAL this run has served — the per-trigger cap
+  // counts ordinals (foreign snapshot ids are random; arithmetic on them
+  // is meaningless). Same best-effort contract as the Delta twin: the
+  // first batch after a RESTART covers the full gap, later ones cap.
+  @volatile private var lastServedOrd: Option[Int] = None
+
+  private def historyIds(): Seq[Long] = {
+    val meta = IcebergLite.metadata(spark, table)
+    Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq.map(_.get("snapshot-id").asLong()))
+      .getOrElse(Seq.empty)
+  }
 
   override def getOffset: Option[V1Offset] = {
     val meta = IcebergLite.metadata(spark, table)
     // current-snapshot-id = -1 is the Iceberg convention for "no snapshot
     // yet" (a foreign writer created the table but hasn't committed data)
     // — report no offset and wait, as the Delta twin does for an empty log
-    Option(meta.get("current-snapshot-id")).map(_.asLong())
-      .filter(_ >= 0).map(LongOffset(_))
+    val current = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ >= 0)
+    current.flatMap { cur =>
+      val ids = historyIds()
+      val curOrd = ids.indexOf(cur)
+      if (curOrd < 0) return Some(LongOffset(cur)) // odd foreign state: serve it
+      val capBase: Option[Int] = lastServedOrd
+        .orElse(startingSnapshot.map(ids.indexOf(_)).filter(_ >= 0))
+      val capped = (maxSnapshotsPerTrigger, capBase) match {
+        case (Some(n), Some(base)) => math.min(curOrd, base + n)
+        case _                     => curOrd
+      }
+      // nothing newer than the starting point yet → wait
+      if (startingSnapshot.exists(s => ids.indexOf(s) >= capped)) None
+      else Some(LongOffset(ids(capped)))
+    }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endId = offsetValue(end)
-    val batch = offsetValue(start) match {
+    val ids = historyIds()
+    val endOrd = ids.indexOf(endId)
+    if (endOrd >= 0)
+      lastServedOrd = Some(math.max(endOrd, lastServedOrd.getOrElse(-1)))
+    val startId: Option[Long] = offsetValue(start).orElse(startingSnapshot)
+    val batch = startId match {
       case None =>
         val full = IcebergLite.read(spark, table, Some(endId))
         if (cdf) {
@@ -246,13 +288,13 @@ private class IcebergLiteTailSource(spark: SparkSession, table: String,
             lit(IcebergLite.historyOrdinal(spark, table, endId)))
           else tagged
         } else full
-      case Some(startId) if startId == endId =>
+      case Some(sId) if sId == endId =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(startId) =>
-        if (cdf) IcebergLite.changes(spark, table, startId, Some(endId),
+      case Some(sId) =>
+        if (cdf) IcebergLite.changes(spark, table, sId, Some(endId),
           keys, withVersion = cdfVersions)
-        else IcebergLite.incrementalRead(spark, table, startId, Some(endId))
+        else IcebergLite.incrementalRead(spark, table, sId, Some(endId))
     }
     GraftColumnBridge.asStreamingFrame(batch)
   }

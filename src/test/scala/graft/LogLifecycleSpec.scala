@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** Log/metadata RETENTION — the lifecycle verbs without which a busy
+  * table's metadata grows forever: `DeltaLite.cleanupLogs` (JSON
+  * commits + superseded checkpoints + orphaned v2 sidecars) and
+  * `IcebergLite.cleanupMetadata` (old vN.metadata.json files), plus
+  * Iceberg TIMESTAMP AS OF resolution over the snapshot-log.
+  */
+class LogLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def logNames(t: String): Set[String] =
+    new java.io.File(t, "_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+
+  test("cleanupLogs: commits below checkpoint+retention go; reads and " +
+    "the retained tail survive; time travel below the cutoff refuses") {
+    val t = newTable("graft_logclean")
+    (0L until 3L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v0..v2
+    DeltaLite.checkpoint(spark, t)                                 // cp@2
+    (3L until 5L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v3..v4
+
+    // retention window [v3, v4]; checkpoint@2 → cutoff 2: v0, v1 go
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 2)
+    assert(gone.toSet == Set(f"${0L}%020d.json", f"${1L}%020d.json"),
+      s"got $gone")
+    assert(DeltaLite.read(spark, t).count() == 5L,
+      "the current state must resolve from checkpoint + tail")
+    assert(DeltaLite.read(spark, t, Some(3L)).count() == 4L,
+      "retained versions above the checkpoint still time-travel")
+    intercept[IllegalArgumentException](
+      DeltaLite.read(spark, t, Some(0L)))
+
+    // without any checkpoint nothing is deletable
+    val t2 = newTable("graft_logclean2")
+    DeltaLite.commit(spark, t2, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t2, Seq((2L, "b")).toDF("k", "s"))
+    assert(DeltaLite.cleanupLogs(spark, t2, retainVersions = 1).isEmpty,
+      "no checkpoint → nothing can bootstrap → keep every commit")
+  }
+
+  test("cleanupLogs on a v2Checkpoint table: the superseded top-level " +
+    "and ITS sidecar go, the newest checkpoint's sidecar survives") {
+    val t = newTable("graft_logclean_v2")
+    DeltaLite.commit(spark, t, (0L until 10L).map(k => (k, s"r$k"))
+      .toDF("k", "s").repartitionByRange(2, col("k")))            // v0
+    DeltaLite.checkpointV2(spark, t)                              // v1 + cp
+    DeltaLite.commit(spark, t, Seq((100L, "x")).toDF("k", "s"))   // v2
+    DeltaLite.checkpoint(spark, t)                                // v2 cp (v2-flavor)
+    val sidecarsBefore = new java.io.File(t, "_delta_log/_sidecars")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(sidecarsBefore.size == 2)
+
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 1)
+    assert(gone.exists(_.matches("0{19}1\\.checkpoint\\..*\\.parquet")),
+      s"the superseded v2 top-level must go: $gone")
+    assert(gone.count(_.startsWith("_sidecars/")) == 1,
+      s"exactly the orphaned sidecar must go: $gone")
+    val sidecarsAfter = new java.io.File(t, "_delta_log/_sidecars")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(sidecarsAfter.size == 1)
+    // the table still bootstraps entirely from the surviving checkpoint
+    assert(DeltaLite.read(spark, t).count() == 11L)
+    assert(logNames(t).count(_.endsWith(".json")) >= 1,
+      "_last_checkpoint + the tip commit remain")
+  }
+
+  test("iceberg cleanupMetadata: old metadata versions go; snapshot " +
+    "time travel and the current read ride the surviving metadata") {
+    val t = newTable("graft_metaclean")
+    (0L until 4L).foreach(v =>
+      IcebergLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s")))
+    val before = IcebergLite.versions(spark, t)
+    assert(before.size == 4)
+    val gone = IcebergLite.cleanupMetadata(spark, t, retainVersions = 1)
+    assert(gone.size == 3, s"got $gone")
+    assert(IcebergLite.versions(spark, t).size == 1)
+    assert(IcebergLite.read(spark, t).count() == 4L)
+    // snapshot time travel needs only the CURRENT metadata's snapshots
+    assert(IcebergLite.read(spark, t, Some(1L)).count() == 2L)
+  }
+
+  test("iceberg readAsOf: snapshot-log timestamps resolve TIMESTAMP AS " +
+    "OF; before-table-history refuses naming the earliest") {
+    val t = newTable("graft_iasof")
+    (0L until 3L).foreach(v =>
+      IcebergLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s")))
+    // stamp foreign wall-clock times into the snapshot-log
+    val metaPath = Paths.get(t, "metadata", "v3.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val log = node.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshot-log")
+    (0 until log.size()).foreach(i =>
+      log.get(i).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("timestamp-ms", 100L * (i + 1)))
+    Files.write(metaPath, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    // the original was written through Hadoop's checksummed local fs —
+    // drop the stale .crc or the re-read fails its checksum
+    Files.deleteIfExists(Paths.get(t, "metadata", ".v3.metadata.json.crc"))
+
+    assert(IcebergLite.readAsOf(spark, t, 250L).count() == 2L,
+      "ts=250 resolves the second snapshot")
+    assert(IcebergLite.readAsOf(spark, t, 300L).count() == 3L)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.readAsOf(spark, t, 50L))
+    assert(e.getMessage.contains("earliest"))
+  }
+}

@@ -164,6 +164,40 @@ class TableStreamsSpec extends SparkSpec {
       s"the cap must bound each micro-batch at 2 versions: $sizes")
   }
 
+  test("iceberg stream options: startingSnapshot skips the initial " +
+    "snapshot; maxSnapshotsPerTrigger drains a backlog in bounded " +
+    "ordinal batches") {
+    val base = newDir("graft_istream_opts")
+    val t = s"$base/t"
+    IcebergLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s")) // snap 0
+    (1L to 6L).foreach(v =>
+      IcebergLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // 1..6
+
+    // startingSnapshot=3: changes AFTER snapshot 3 only (4..6), no
+    // initial snapshot
+    val from4 = drain(EventStreams.readIcebergStream(spark, t,
+      startingSnapshot = Some(3L)), s"$base/cp_ss", Seq("k"))
+    assert(from4.map(_.head).toSet == Set(4L, 5L, 6L),
+      s"startingSnapshot must deliver only later snapshots, got $from4")
+
+    // maxSnapshotsPerTrigger=2 after snapshot 0: the 6-snapshot backlog
+    // drains in ceil(6/2)=3 bounded micro-batches
+    val batchSizes = new ConcurrentLinkedQueue[Int]()
+    val q = EventStreams.readIcebergStream(spark, t,
+      startingSnapshot = Some(0L), maxSnapshotsPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", s"$base/cp_cap")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batchSizes.add(b.count().toInt); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 6, s"all 6 rows must arrive: $sizes")
+    assert(sizes.forall(_ <= 2) && sizes.length >= 3,
+      s"the cap must bound each micro-batch at 2 snapshots: $sizes")
+  }
+
   test("cross-format replication: a Delta table's CDF stream lands in " +
     "an Iceberg table — merges, deletes, and live commits all mirror") {
     val base = newDir("graft_replicate")
