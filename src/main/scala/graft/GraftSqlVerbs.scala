@@ -79,6 +79,22 @@ object GraftSqlVerbs {
     """(?is)\s*SHOW\s+FILES\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val CreateRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AT\s+(\d+))?\s*;?\s*""".r
+  private val DropRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  private val FastForwardRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+FAST[\s-]*FORWARD\s+(\w+)\s*;?\s*""".r
+  private val ClusterByRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CLUSTER\s+BY\s+(?:\(\s*([\w\s,]+?)\s*\)|NONE)\s*;?\s*""".r
+  private val OrphanRe =
+    """(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?'([^']+)'\s*;?\s*""".r
+  private val CleanupRe =
+    """(?is)\s*CLEANUP\s+(?:LOGS|METADATA)\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -95,6 +111,26 @@ object GraftSqlVerbs {
       case AnalyzeRe(path) => Some(GraftAnalyzeCommand(path))
       case ShowFilesRe(path) => Some(GraftShowFilesCommand(path))
       case ShowPartitionsRe(path) => Some(GraftShowPartitionsCommand(path))
+      case AddConstraintRe(path, name, expr) =>
+        Some(GraftConstraintCommand(path, name, Some(expr.trim)))
+      case DropConstraintRe(path, name) =>
+        Some(GraftConstraintCommand(path, name, None))
+      case CreateRefRe(path, kind, name, at) =>
+        Some(GraftRefCommand(path, kind.toLowerCase, name,
+          create = true, Option(at).map(_.toLong)))
+      case DropRefRe(path, kind, name) =>
+        Some(GraftRefCommand(path, kind.toLowerCase, name,
+          create = false, None))
+      case FastForwardRe(path, branch) =>
+        Some(GraftFastForwardCommand(path, branch))
+      case ClusterByRe(path, cols) =>
+        Some(GraftClusterByCommand(path,
+          Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)))
+      case OrphanRe(path) => Some(GraftRemoveOrphansCommand(path))
+      case CleanupRe(path, retain) =>
+        Some(GraftCleanupCommand(path,
+          Option(retain).map(_.toInt).getOrElse(1)))
       case _ => None
     }
 
@@ -314,5 +350,147 @@ case class GraftShowPartitionsCommand(path: String)
         sum("size_bytes").as("size_bytes"))
       .orderBy("partition")
       .collect().toIndexedSeq
+  }
+}
+
+/** `ALTER TABLE '<path>' ADD CONSTRAINT <name> CHECK (<expr>)` /
+  * `DROP CONSTRAINT <name>` — the Delta CHECK-constraint lifecycle
+  * (existing data validated on ADD; every later commit enforces).
+  * Delta-only: Iceberg has no table-level constraint channel.
+  */
+case class GraftConstraintCommand(path: String, name: String,
+                                  check: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case DeltaFormat =>
+      case IcebergFormat =>
+        sys.error(s"$path: CHECK constraints are a Delta surface " +
+          "(Iceberg has no table-level constraint channel)")
+    }
+    check match {
+      case Some(expr) =>
+        val v = DeltaLite.addCheckConstraint(spark, path, name, expr)
+        Seq(Row(v, s"ADD CONSTRAINT $name"))
+      case None =>
+        val v = DeltaLite.dropCheckConstraint(spark, path, name)
+        Seq(Row(v, s"DROP CONSTRAINT $name"))
+    }
+  }
+}
+
+/** `ALTER TABLE '<path>' CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` —
+  * declare or drop liquid clustering keys (metadata-only; the next
+  * OPTIMIZE re-clusters by them). Delta-only: Iceberg expresses layout
+  * through partition transforms instead.
+  */
+case class GraftClusterByCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case DeltaFormat =>
+      case IcebergFormat =>
+        sys.error(s"$path: liquid clustering is a Delta surface " +
+          "(Iceberg lays out via partition transforms — ALTER the spec)")
+    }
+    if (cols.isEmpty)
+      Seq(Row(DeltaLite.clusterByNone(spark, path), "CLUSTER BY NONE"))
+    else Seq(Row(DeltaLite.clusterBy(spark, path, cols),
+      s"CLUSTER BY (${cols.mkString(", ")})"))
+  }
+}
+
+/** `ALTER TABLE '<path>' CREATE BRANCH|TAG <name> [AT <snapshot>]` /
+  * `DROP BRANCH|TAG <name>` — Iceberg refs (write-audit-publish
+  * branches, immutable tags). Iceberg-only.
+  */
+case class GraftRefCommand(path: String, kind: String, name: String,
+                           create: Boolean, at: Option[Long])
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metadata_version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case IcebergFormat =>
+      case DeltaFormat =>
+        sys.error(s"$path: branch/tag refs are an Iceberg surface " +
+          "(Delta versions by time travel instead)")
+    }
+    val v =
+      if (create && kind == "branch")
+        IcebergLite.createBranch(spark, path, name, at)
+      else if (create) IcebergLite.createTag(spark, path, name, at)
+      else IcebergLite.dropRef(spark, path, name)
+    Seq(Row(v.toLong,
+      s"${if (create) "CREATE" else "DROP"} ${kind.toUpperCase} $name"))
+  }
+}
+
+/** `ALTER TABLE '<path>' FAST FORWARD <branch>` — publish a staged
+  * branch onto main (metadata-only; refused unless a true
+  * fast-forward). Iceberg-only.
+  */
+case class GraftFastForwardCommand(path: String, branch: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metadata_version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case IcebergFormat =>
+      case DeltaFormat => sys.error(s"$path: FAST FORWARD is an Iceberg " +
+        "branch verb")
+    }
+    val v = IcebergLite.fastForward(spark, path, branch)
+    Seq(Row(v.toLong, s"FAST FORWARD $branch"))
+  }
+}
+
+/** `REMOVE ORPHAN FILES [FROM] '<path>'` — the Iceberg debris sweep
+  * (files no retained snapshot references: lost commit attempts,
+  * abandoned staging). On Delta, VACUUM already owns this contract.
+  */
+case class GraftRemoveOrphansCommand(path: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case IcebergFormat =>
+      case DeltaFormat => sys.error(s"$path: use VACUUM on Delta tables " +
+        "(its retention contract covers unreferenced files)")
+    }
+    IcebergLite.removeOrphanFiles(spark, path).map(Row(_))
+  }
+}
+
+/** `CLEANUP LOGS|METADATA '<path>' [RETAIN n VERSIONS]` — metadata
+  * retention, the lifecycle half VACUUM doesn't cover: Delta JSON
+  * commits below checkpoint+retention (plus superseded checkpoints and
+  * orphaned v2 sidecars), Iceberg old `vN.metadata.json` versions.
+  */
+case class GraftCleanupCommand(path: String, retain: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val removed = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.cleanupLogs(spark, path, retain)
+      case IcebergFormat => IcebergLite.cleanupMetadata(spark, path, retain)
+    }
+    removed.map(Row(_))
   }
 }

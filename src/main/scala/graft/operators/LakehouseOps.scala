@@ -1132,6 +1132,36 @@ object LakehouseOps {
   // interleave→Z-ORDER→skip path localizes any divergence to the rewrite
   val dbaZorderSkippingOracle: String = dbaDeltaSkippingOracle
 
+  // ---------------------------------------------------------------- B34
+  /** LIQUID CLUSTERING end to end — the layout modern Delta engines
+    * default to (declared keys in the `delta.clustering` domain, OPTIMIZE
+    * re-clusters, no hive dirs): orders lands scattered, `clusterBy`
+    * declares (o_custkey, o_orderkey) metadata-only, a plain OPTIMIZE
+    * (no ZORDER BY — the table's own keys drive the rewrite) re-clusters
+    * through the shared Z-order kernel, and the same key-range slice as
+    * B16/B19 reads through add-stats pruning on the clustered layout.
+    * Shares B16's oracle: a wrong answer localizes to the clustering
+    * rewrite or the domain plumbing, nothing else.
+    */
+  def dbaLiquidCluster(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_delta_liquid")
+      .toString + "/orders_liquid"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    graft.sources.DeltaLite.commit(s, t, ord.repartition(8))
+    graft.sources.DeltaLite.clusterBy(s, t, Seq("o_custkey", "o_orderkey"))
+    graft.sources.DeltaLite.optimizeCompact(s, t, targetFiles = 8)
+    val mx = ord.agg(max("o_orderkey")).head().getLong(0)
+    val scan = graft.sources.DeltaLite.readWhere(
+      s, t, "o_orderkey", mx / 4, mx / 2)
+    scan.df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dbaLiquidClusterOracle: String = dbaDeltaSkippingOracle
+
   // ---------------------------------------------------------------- B20
   /** File-skipping READ on the OTHER format — B16's contract through
     * Iceberg's spec `lower_bounds`/`upper_bounds` manifest maps instead
@@ -1485,6 +1515,153 @@ object LakehouseOps {
       |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 2) t
       |ORDER BY leg, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- B31
+  /** Writer-feature enforcement end to end — CHECK constraints,
+    * generated columns, and identity columns (the legacy writer-protocol
+    * capabilities rounds 1–13 REFUSED, now enforced at commit time;
+    * TableFeaturesSpec holds the unit surface, this query holds the
+    * oracle): orders land in a feature-bearing Delta table in two
+    * deterministic slices (the identity watermark must carry across the
+    * append), a violating third commit must land NOTHING (an accepted
+    * row would change every count below), and the generated year column
+    * must come back from the log-declared expression. Output: per-year
+    * counts + identity-sum fingerprints — fully sensitive to the rid
+    * assignment. Scale note: identity assignment itself is distributed
+    * (per-partition offsets, no sort); the single-partition sort here
+    * exists only to make the row↔rid mapping oracle-reproducible.
+    */
+  def dbaConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = java.nio.file.Files.createTempDirectory("graft_features")
+      .toString + "/orders_feat"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val s1 = ord.filter(col("o_orderkey") % 4 =!= 0)
+      .orderBy("o_orderkey").coalesce(1)
+    val s2 = ord.filter(col("o_orderkey") % 4 === 0)
+      .orderBy("o_orderkey").coalesce(1)
+    DeltaLite.commitWithFeatures(s, t, s1,
+      generated = Map("yr" -> "cast(year(o_orderdate) as bigint)"),
+      identity = Map("rid" -> DeltaLite.IdentitySpec()),
+      constraints = Map("price_pos" -> "o_totalprice > 0"))
+    DeltaLite.commit(s, t, s2) // the watermark carries across the append
+    try {
+      DeltaLite.commit(s, t, s2.limit(1)
+        .withColumn("o_totalprice", lit(-1.0)))
+      throw new IllegalStateException("constraint not enforced")
+    } catch { case _: IllegalArgumentException => () }
+    DeltaLite.read(s, t)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), sum("rid").as("rid_sum"),
+        min("rid").as("rid_min"), max("rid").as("rid_max"))
+      .orderBy("yr")
+  }
+
+  val dbaConstraintsOracle: String =
+    """WITH s1 AS (
+      |  SELECT o_orderdate, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 4 <> 0),
+      |s2 AS (
+      |  SELECT o_orderdate, (SELECT COUNT(*) FROM s1)
+      |    + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+      |  CAST(SUM(rid) AS BIGINT) AS rid_sum,
+      |  MIN(rid) AS rid_min, MAX(rid) AS rid_max
+      |FROM u GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- B32
+  /** Iceberg branch/tag refs end to end — the WRITE-AUDIT-PUBLISH
+    * staging shape (stage on a branch, validate, fast-forward main):
+    * a base slice of orders lands on main, a second slice commits to
+    * the `staging` branch; main must NOT see it before the publish,
+    * the branch read must, and after `fastForward` main and branch
+    * agree. Three oracle-checked legs over counts + key fingerprints.
+    */
+  def dbaIcebergRefs(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("graft_refs")
+      .toString + "/orders_refs"
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    IcebergLite.commit(s, t, ord.filter(col("o_orderkey") % 3 === 0))
+    IcebergLite.createBranch(s, t, "staging")
+    IcebergLite.commitToBranch(s, t, "staging",
+      ord.filter(col("o_orderkey") % 3 === 1))
+    def leg(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        sum("o_orderkey").as("keysum")).withColumn("leg", lit(name))
+    val before = leg(IcebergLite.read(s, t), "main_before")
+    val branch = leg(IcebergLite.readRef(s, t, "staging"), "branch")
+    IcebergLite.fastForward(s, t, "staging")
+    val after = leg(IcebergLite.read(s, t), "main_after")
+    before.unionByName(branch).unionByName(after)
+      .select("leg", "n", "keysum").orderBy("leg")
+  }
+
+  val dbaIcebergRefsOracle: String =
+    """SELECT leg, n, keysum FROM (
+      |  SELECT 'branch' AS leg, COUNT(*) AS n,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      |  FROM orders WHERE o_orderkey % 3 <= 1
+      |  UNION ALL
+      |  SELECT 'main_after' AS leg, COUNT(*) AS n,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      |  FROM orders WHERE o_orderkey % 3 <= 1
+      |  UNION ALL
+      |  SELECT 'main_before' AS leg, COUNT(*) AS n,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      |  FROM orders WHERE o_orderkey % 3 = 0) t
+      |ORDER BY leg""".stripMargin
+
+  // ---------------------------------------------------------------- B33
+  /** ROW TRACKING end to end — durable row ids on a Delta table (the
+    * `rowTracking` writer feature modern engines set by default):
+    * orders land in a deterministic sorted slice, enablement BACKFILLS
+    * ids 0..n-1 metadata-only, a second sorted slice appends past the
+    * watermark, and a DV delete (merge-on-read — no file rewritten)
+    * must leave every surviving id UNTOUCHED. The oracle recomputes the
+    * id assignment as row_number arithmetic and applies the same
+    * delete. Output: per-year counts + row-id fingerprints.
+    */
+  def dbaRowTracking(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = java.nio.file.Files.createTempDirectory("graft_rowtrack")
+      .toString + "/orders_rt"
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val s1 = ord.filter(col("o_orderkey") % 4 =!= 0)
+      .orderBy("o_orderkey").coalesce(1)
+    val s2 = ord.filter(col("o_orderkey") % 4 === 0)
+      .orderBy("o_orderkey").coalesce(1)
+    DeltaLite.commit(s, t, s1)
+    DeltaLite.enableRowTracking(s, t) // backfill: ids 0..|s1|-1
+    DeltaLite.commit(s, t, s2)        // fresh range past the watermark
+    // merge-on-read delete: every 10th key masks out, ids stay stable
+    DeltaLite.deleteVectors(s, t,
+      ord.filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey")), Seq("o_orderkey"))
+    DeltaLite.readWithRowIds(s, t)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), sum("_row_id").as("rid_sum"),
+        max("_row_id").as("rid_max"))
+      .orderBy("yr")
+  }
+
+  val dbaRowTrackingOracle: String =
+    """WITH s1 AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 4 <> 0),
+      |s2 AS (
+      |  SELECT o_orderkey, o_orderdate, (SELECT COUNT(*) FROM s1)
+      |    + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+      |  CAST(SUM(rid) AS BIGINT) AS rid_sum, MAX(rid) AS rid_max
+      |FROM u WHERE o_orderkey % 10 <> 0
+      |GROUP BY 1 ORDER BY yr""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1600,6 +1777,7 @@ object LakehouseOps {
     "dba_iceberg_changes" -> (dbaIcebergChanges _),
     "dba_iceberg_changes_rows" -> (dbaIcebergChangesRows _),
     "dba_zorder_skipping" -> (dbaZorderSkipping _),
+    "dba_liquid_cluster"  -> (dbaLiquidCluster _),
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
     "dba_delta_dv"        -> (dbaDeltaDv _),
     "dba_iceberg_dv"      -> (dbaIcebergDv _),
@@ -1607,7 +1785,10 @@ object LakehouseOps {
     "dba_iceberg_transforms" -> (dbaIcebergTransforms _),
     "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _),
     "dba_delta_stream"    -> (dbaDeltaStream _),
-    "dba_delta_partitioned" -> (dbaDeltaPartitioned _))
+    "dba_delta_partitioned" -> (dbaDeltaPartitioned _),
+    "dba_constraints"     -> (dbaConstraints _),
+    "dba_iceberg_refs"    -> (dbaIcebergRefs _),
+    "dba_row_tracking"    -> (dbaRowTracking _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_v2ckpt"   -> dbaDeltaV2CkptOracle,
@@ -1616,6 +1797,7 @@ object LakehouseOps {
     "dba_iceberg_changes" -> dbaIcebergChangesOracle,
     "dba_iceberg_changes_rows" -> dbaIcebergChangesRowsOracle,
     "dba_zorder_skipping" -> dbaZorderSkippingOracle,
+    "dba_liquid_cluster"  -> dbaLiquidClusterOracle,
     "dba_iceberg_skipping" -> dbaIcebergSkippingOracle,
     "dba_skew_report"   -> dbaSkewReportOracle,
     "dba_query_metrics" -> dbaQueryMetricsOracle,
@@ -1639,5 +1821,8 @@ object LakehouseOps {
     "dba_iceberg_transforms" -> dbaIcebergTransformsOracle,
     "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle,
     "dba_delta_stream" -> dbaDeltaStreamOracle,
-    "dba_delta_partitioned" -> dbaDeltaPartitionedOracle)
+    "dba_delta_partitioned" -> dbaDeltaPartitionedOracle,
+    "dba_constraints"   -> dbaConstraintsOracle,
+    "dba_iceberg_refs"  -> dbaIcebergRefsOracle,
+    "dba_row_tracking"  -> dbaRowTrackingOracle)
 }

@@ -85,7 +85,8 @@ object DeltaLite {
                             writerFeatures: Set[String] = Set.empty,
                             minReaderVersion: Int = 1,
                             readerFeatures: Set[String] = Set.empty,
-                            domainMetadata: Map[String, String] = Map.empty)
+                            domainMetadata: Map[String, String] = Map.empty,
+                            rowIds: Map[String, (Long, Long)] = Map.empty)
 
   /** All committed versions, ascending (from JSON commit filenames). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -131,6 +132,7 @@ object DeltaLite {
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.Map.empty[String, String]
+    val rowIds = scala.collection.mutable.Map.empty[String, (Long, Long)]
     var configuration = Map.empty[String, String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var partitionColumns = Seq.empty[String]
@@ -198,7 +200,15 @@ object DeltaLite {
         val pvSel =
           if (addFields.contains("partitionValues")) "to_json(add.partitionValues)"
           else "CAST(NULL AS STRING)"
-        adds.selectExpr("add.path", statsSel, dvSel, pvSel).collect().foreach { r =>
+        val rowIdSel =
+          if (addFields.contains("baseRowId")) "add.baseRowId"
+          else "CAST(NULL AS BIGINT)"
+        val rowVerSel =
+          if (addFields.contains("defaultRowCommitVersion"))
+            "add.defaultRowCommitVersion"
+          else "CAST(NULL AS BIGINT)"
+        adds.selectExpr("add.path", statsSel, dvSel, pvSel,
+          rowIdSel, rowVerSel).collect().foreach { r =>
           Option(r.getString(0)).foreach { p =>
             files += p
             Option(r.getString(1)).foreach(stats(p) = _)
@@ -207,6 +217,9 @@ object DeltaLite {
               val pv = pvMapOf(mapper.readTree(js))
               if (pv.nonEmpty) partValues(p) = pv
             }
+            if (!r.isNullAt(4))
+              rowIds(p) = (r.getLong(4),
+                if (r.isNullAt(5)) 0L else r.getLong(5))
           }
         }
       }
@@ -313,6 +326,9 @@ object DeltaLite {
               dvs(p) = add.get("deletionVector").toString
             val pv = pvOf(add)
             if (pv.nonEmpty) partValues(p) = pv
+            if (add.has("baseRowId"))
+              rowIds(p) = (add.get("baseRowId").asLong(),
+                add.path("defaultRowCommitVersion").asLong(0L))
           }
         }
         val sidecarPaths = actions.filter(_.has("sidecar"))
@@ -340,6 +356,10 @@ object DeltaLite {
           else dvs -= p
           val pv = pvOf(add)
           if (pv.nonEmpty) partValues(p) = pv else partValues -= p
+          if (add.has("baseRowId"))
+            rowIds(p) = (add.get("baseRowId").asLong(),
+              add.path("defaultRowCommitVersion").asLong(v))
+          else rowIds -= p
         }
         if (a.has("remove")) {
           val p = a.get("remove").get("path").asText()
@@ -347,6 +367,7 @@ object DeltaLite {
           stats -= p
           dvs -= p
           partValues -= p
+          rowIds -= p
         }
         // SetTransaction: a foreign streaming writer's exactly-once
         // bookkeeping — latest version per appId wins on replay
@@ -375,32 +396,38 @@ object DeltaLite {
       dvs.view.filterKeys(files.contains).toMap,
       configuration, txns.toMap, partitionColumns,
       partValues.view.filterKeys(files.contains).toMap,
-      minWriter, writerFeatures, minReader, readerFeatures, domains.toMap)
+      minWriter, writerFeatures, minReader, readerFeatures, domains.toMap,
+      rowIds.view.filterKeys(files.contains).toMap)
   }
 
   /** Writer features this implementation actually honors when COMMITTING
     * to a table that declares them (the v7 table-features vocabulary):
     * DVs, column mapping, timestampNtz, appendOnly (enforced in
-    * [[requireWritable]]), invariants-as-written (we never alter column
-    * metadata), changeDataFeed (the [[CdfProperty]] channel),
+    * [[requireWritable]]), changeDataFeed (the [[CdfProperty]] channel),
     * domainMetadata + clustering (domain state is replayed into the
     * snapshot and PRESERVED by both checkpoint writers — this writer
-    * never interprets or drops a foreign domain), and v2Checkpoint
+    * never interprets or drops a foreign domain), v2Checkpoint
     * ([[checkpoint]] delegates to [[checkpointV2]] on tables declaring
-    * it, so the checkpoints this writer produces stay spec-shaped).
+    * it, so the checkpoints this writer produces stay spec-shaped),
+    * and — enforced on every data commit by [[enforceTableFeatures]] —
+    * CHECK constraints, column invariants, generated columns, and
+    * identity columns.
     */
   private val SupportedWriterFeatures = Set("deletionVectors",
     "columnMapping", "timestampNtz", "appendOnly", "invariants",
-    "changeDataFeed", "domainMetadata", "clustering", "v2Checkpoint")
+    "changeDataFeed", "domainMetadata", "clustering", "v2Checkpoint",
+    "checkConstraints", "generatedColumns", "identityColumns",
+    "rowTracking")
 
   /** WRITER-protocol gate — the commit-side twin of the reader gate: a
-    * table may demand writer capabilities (CHECK constraints, generated
-    * or identity columns, unknown v7 features) that this writer does not
-    * implement; committing anyway would silently break the table's own
-    * contracts for every other engine. Legacy versions 3 (constraints),
-    * 4 (generated columns), and 6 (identity columns) are refused —
-    * 1/2/5/7-with-supported-features are writable. `delta.appendOnly`
-    * tables additionally refuse any commit that REMOVES files.
+    * table may demand writer capabilities (unknown v7 features) that
+    * this writer does not implement; committing anyway would silently
+    * break the table's own contracts for every other engine. Legacy
+    * versions 1–6 are all writable (3/4/6's constraints, generated and
+    * identity columns are ENFORCED by [[enforceTableFeatures]] on the
+    * data-commit paths), as is 7-with-supported-features.
+    * `delta.appendOnly` tables additionally refuse any commit that
+    * REMOVES files.
     */
   private def requireWritable(table: String, snap: Snapshot,
                               removesFiles: Boolean): Unit = {
@@ -409,34 +436,542 @@ object DeltaLite {
       require(unsupported.isEmpty,
         s"$table: requires writer features ${unsupported.mkString(", ")} " +
           "— unsupported, refusing to write")
-    } else require(!Set(3, 4, 6).contains(snap.minWriterVersion),
+    } else require(snap.minWriterVersion <= 6,
       s"$table: requires Delta writer protocol v${snap.minWriterVersion} " +
-        "(constraints / generated or identity columns) — unsupported, " +
-        "refusing to write")
-    // writer versions are CUMULATIVE (a legal v5 table may carry CHECK
-    // constraints or generated columns) and a v7 feature list may name
-    // `invariants` that go unused — so the gate is EVIDENCE-based on
-    // top of the version check: any metadata this writer would have to
-    // ENFORCE but doesn't refuses, whatever version declared it
-    require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
-      s"$table: carries CHECK constraints (delta.constraints.*) this " +
-        "writer does not enforce — refusing to write")
-    snap.schemaJson.foreach { sj =>
-      require(!sj.contains("delta.generationExpression"),
-        s"$table: carries GENERATED columns this writer does not " +
-          "populate — refusing to write")
-      require(!sj.contains("delta.invariants"),
-        s"$table: carries column INVARIANTS this writer does not " +
-          "enforce — refusing to write")
-      require(!sj.contains("delta.identity."),
-        s"$table: carries IDENTITY columns this writer does not " +
-          "populate — refusing to write")
-    }
+        "— unsupported, refusing to write")
     if (removesFiles)
       require(!snap.configuration.get("delta.appendOnly")
           .exists(_.equalsIgnoreCase("true")),
         s"$table: delta.appendOnly table — commits that remove files are " +
           "refused (append-only contract)")
+  }
+
+  // ===== write-contract enforcement: CHECK constraints, column
+  // invariants, generated + identity columns (the writer features the
+  // gate above admits because the data-commit paths enforce them) =====
+
+  /** Identity-column declaration for [[commitWithFeatures]]: values
+    * start at `start`, advance by `step` per assigned row; explicit
+    * caller-supplied values are refused unless `allowExplicitInsert`.
+    */
+  case class IdentitySpec(start: Long = 1L, step: Long = 1L,
+                          allowExplicitInsert: Boolean = false)
+
+  private val ConstraintPrefix = "delta.constraints."
+  private val GenExprKey = "delta.generationExpression"
+  private val InvariantsKey = "delta.invariants"
+  private val IdStartKey = "delta.identity.start"
+  private val IdStepKey = "delta.identity.step"
+  private val IdAllowKey = "delta.identity.allowExplicitInsert"
+  private val IdWatermarkKey = "delta.identity.highWaterMark"
+
+  /** Violation scan — ONE codegen'd pass over the batch evaluating every
+    * contract at once; returns the first violating row's failed labels.
+    * Predicates must be null-safe (built so a NULL constraint result
+    * PASSES, the SQL CHECK semantics).
+    */
+  private def firstViolation(df: DataFrame,
+                             checks: Seq[(String, Column)]): Option[String] = {
+    if (checks.isEmpty) return None
+    import org.apache.spark.sql.functions.col
+    val flags = df.select(checks.zipWithIndex.map {
+      case ((_, c), i) => c.as(s"__v$i")
+    }.toIndexedSeq: _*)
+    val row = flags
+      .filter(checks.indices.map(i => col(s"__v$i")).reduce(_ || _))
+      .limit(1).collect()
+    row.headOption.map(r => checks.indices
+      .filter(i => !r.isNullAt(i) && r.getBoolean(i))
+      .map(i => checks(i)._1).mkString("; "))
+  }
+
+  /** Distributed contiguous identity assignment: one SMALL job counts
+    * rows per scan partition (collect is O(#partitions)), the exclusive
+    * prefix offsets broadcast back, and each row's value is
+    * `next + step * (offset + rowIdxInPartition)` computed in place — no
+    * global sort, no shuffle of the data. Two-pass determinism caveat
+    * (the same one any Spark recompute makes): the source must produce
+    * stable partitions across the count and write jobs. Returns the
+    * frame plus the LAST value handed out (None on an empty batch).
+    */
+  private def assignIdentity(df: DataFrame, name: String, dt: DataType,
+                             next: Long, step: Long)
+      : (DataFrame, Option[Long]) = {
+    import org.apache.spark.sql.functions._
+    val pid = "__graft_id_pid"; val idx = "__graft_id_idx"
+    val off = "__graft_id_off"
+    val tagged = df.withColumn(pid, spark_partition_id())
+      // monotonically_increasing_id = partitionId << 33 | indexInPartition
+      .withColumn(idx,
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = tagged.groupBy(col(pid)).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0L) return (df.withColumn(name, lit(null).cast(dt)), None)
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (p, c) =>
+      val o = (p, acc); acc += c; o
+    }
+    val offDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF(pid, off))
+    val assigned = tagged.join(offDf, pid)
+      .withColumn(name,
+        (lit(next) + lit(step) * (col(off) + col(idx))).cast(dt))
+      .drop(pid, idx, off)
+    (assigned, Some(next + step * (total - 1)))
+  }
+
+  /** The data-commit side of the features [[requireWritable]] admits:
+    * CHECK constraints (`delta.constraints.*` table properties), column
+    * invariants (`delta.invariants` field metadata), generated columns
+    * (`delta.generationExpression` — POPULATED when the batch lacks the
+    * column, VALIDATED when it supplies one), and identity columns
+    * (`delta.identity.*` — assigned past the high watermark when
+    * absent; explicit values only where the declaration allows them,
+    * advancing the watermark). Works identically on tables this writer
+    * created and on foreign-written ones — the contracts live in the
+    * log, not in this code. Returns the frame to write (table field
+    * metadata re-attached, in table column order) plus whether metaData
+    * must re-emit (an identity watermark moved). Costs one extra scan
+    * of the incoming BATCH when any check applies, plus one
+    * per-partition-count job per identity assignment — O(batch), never
+    * O(table).
+    */
+  private def enforceTableFeatures(spark: SparkSession, table: String,
+                                   df: DataFrame, prev: Option[Snapshot],
+                                   schemaReplaced: Boolean = false)
+      : (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val snap = prev.getOrElse(return (df, false))
+    val sj = snap.schemaJson.getOrElse(return (df, false))
+    val constraints =
+      snap.configuration.filter(_._1.startsWith(ConstraintPrefix))
+    // a schema-replacing overwrite sheds the old schema's column
+    // features (REPLACE TABLE semantics) but its configuration-borne
+    // CHECK constraints persist and must hold on the new data
+    if (schemaReplaced) {
+      val checks = constraints.toSeq.sortBy(_._1).map { case (k, e) =>
+        (s"CHECK constraint ${k.stripPrefix(ConstraintPrefix)} ($e)",
+          not(coalesce(expr(e), lit(true))))
+      }
+      firstViolation(df, checks).foreach(lbl =>
+        throw new IllegalArgumentException(
+          s"$table: rows violate $lbl — refusing to commit"))
+      return (df, false)
+    }
+    val featured = constraints.nonEmpty || sj.contains(GenExprKey) ||
+      sj.contains(InvariantsKey) || sj.contains("delta.identity.")
+    if (!featured) return (df, false)
+    // mapped tables: CHECK constraints reference LOGICAL names, which is
+    // what the incoming frame carries — validate them and stop there
+    // (generated/identity/invariants ride the schema metadata that the
+    // mapping machinery owns; that combination is refused)
+    if (mappingMode(snap.configuration) != "none") {
+      require(!sj.contains(GenExprKey) && !sj.contains(InvariantsKey) &&
+          !sj.contains("delta.identity."),
+        s"$table: generated/identity/invariant columns on a " +
+          "column-mapped table are not supported by this writer")
+      val checks = constraints.toSeq.sortBy(_._1).map { case (k, e) =>
+        (s"CHECK constraint ${k.stripPrefix(ConstraintPrefix)} ($e)",
+          not(coalesce(expr(e), lit(true))))
+      }
+      firstViolation(df, checks).foreach(lbl =>
+        throw new IllegalArgumentException(
+          s"$table: rows violate $lbl — refusing to commit"))
+      return (df, false)
+    }
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    var out = df
+    var forceMeta = false
+    val checks = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    val metaOf = scala.collection.mutable.Map.empty[
+      String, org.apache.spark.sql.types.Metadata]
+    schema.fields.foreach(f => metaOf(f.name) = f.metadata)
+
+    schema.fields.filter(_.metadata.contains(GenExprKey)).foreach { f =>
+      val g = f.metadata.getString(GenExprKey)
+      if (!out.columns.contains(f.name))
+        out = out.withColumn(f.name, expr(g).cast(f.dataType))
+      else checks += (s"GENERATED column ${f.name} AS ($g)" ->
+        !(col(s"`${f.name}`") <=> expr(g).cast(f.dataType)))
+    }
+    schema.fields.filter(_.metadata.contains(IdStartKey)).foreach { f =>
+      val step = f.metadata.getLong(IdStepKey)
+      val wm = if (f.metadata.contains(IdWatermarkKey))
+        Some(f.metadata.getLong(IdWatermarkKey)) else None
+      if (!out.columns.contains(f.name)) {
+        val nextVal = wm.map(_ + step)
+          .getOrElse(f.metadata.getLong(IdStartKey))
+        val (assigned, last) =
+          assignIdentity(out, f.name, f.dataType, nextVal, step)
+        out = assigned
+        last.foreach { l =>
+          metaOf(f.name) = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(IdWatermarkKey, l).build()
+          forceMeta = true
+        }
+      } else {
+        require(f.metadata.contains(IdAllowKey) &&
+            f.metadata.getBoolean(IdAllowKey),
+          s"$table: IDENTITY column ${f.name} does not allow explicit " +
+            "inserts (delta.identity.allowExplicitInsert is not true)")
+        // explicit values advance the watermark to the furthest supplied
+        // value in step direction (one column-only agg over the batch)
+        val agg = if (step >= 0) max(col(s"`${f.name}`"))
+          else min(col(s"`${f.name}`"))
+        val m = out.agg(agg.cast("long")).collect().head
+        if (!m.isNullAt(0)) {
+          val v = m.getLong(0)
+          if (wm.forall(w => if (step >= 0) v > w else v < w)) {
+            metaOf(f.name) = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong(IdWatermarkKey, v).build()
+            forceMeta = true
+          }
+        }
+      }
+    }
+    schema.fields.filter(_.metadata.contains(InvariantsKey)).foreach { f =>
+      // spec shape: {"expression":{"expression":"<sql>"}}
+      val e = mapper.readTree(f.metadata.getString(InvariantsKey))
+        .path("expression").path("expression").asText()
+      if (e.nonEmpty)
+        checks += (s"INVARIANT on ${f.name} ($e)" ->
+          not(coalesce(expr(e), lit(true))))
+    }
+    constraints.toSeq.sortBy(_._1).foreach { case (k, e) =>
+      checks += (s"CHECK constraint ${k.stripPrefix(ConstraintPrefix)} ($e)"
+        -> not(coalesce(expr(e), lit(true))))
+    }
+    firstViolation(out, checks.toSeq).foreach(lbl =>
+      throw new IllegalArgumentException(
+        s"$table: rows violate $lbl — refusing to commit"))
+    // table column order, (possibly watermark-bumped) metadata attached;
+    // genuinely new columns (additive evolution) keep their incoming
+    // shape at the end
+    val tableCols = schema.fields.filter(f => out.columns.contains(f.name))
+      .map(f => col(s"`${f.name}`").as(f.name, metaOf(f.name)))
+    val extraCols = out.columns.filterNot(schema.fieldNames.contains)
+      .map(c => col(s"`$c`"))
+    (out.select((tableCols ++ extraCols).toIndexedSeq: _*), forceMeta)
+  }
+
+  /** A column referenced by a live CHECK constraint or generation
+    * expression cannot be renamed or dropped without corrupting the
+    * contract that references it (conservative identifier word-match).
+    */
+  private def featureReference(snap: Snapshot,
+                               colName: String): Option[String] = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b")
+    snap.configuration.collectFirst {
+      case (k, e) if k.startsWith(ConstraintPrefix) &&
+          pat.matcher(e).find() =>
+        s"CHECK constraint ${k.stripPrefix(ConstraintPrefix)} ($e)"
+    }.orElse(snap.schemaJson.flatMap { sj =>
+      val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+      schema.fields.collectFirst {
+        case f if f.metadata.contains(GenExprKey) && f.name != colName &&
+            pat.matcher(f.metadata.getString(GenExprKey)).find() =>
+          s"generated column ${f.name}"
+      }
+    })
+  }
+
+  /** Writer-features protocol action for an upgrade commit: unions the
+    * table's declared features (or its legacy version's implied set,
+    * per the spec's mapping) with `added`. Reader side untouched —
+    * these are writer-only features, so a legacy minReaderVersion stays.
+    */
+  private def writerFeatureUpgradeJson(snap: Snapshot,
+                                       added: Set[String],
+                                       addedReader: Set[String] = Set.empty)
+      : String = {
+    val implied: Set[String] = snap.minWriterVersion match {
+      case v if v >= 7 => snap.writerFeatures
+      case 6 => Set("appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed", "columnMapping",
+        "identityColumns")
+      case 5 => Set("appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed", "columnMapping")
+      case 4 => Set("appendOnly", "invariants", "checkConstraints",
+        "generatedColumns")
+      case 3 => Set("appendOnly", "invariants", "checkConstraints")
+      case _ => Set("appendOnly", "invariants")
+    }
+    val wf = (implied ++ added ++ addedReader).toSeq.sorted
+      .map(mapper.writeValueAsString).mkString(",")
+    if (snap.minReaderVersion >= 3 || addedReader.nonEmpty) {
+      // legacy reader version 2 implies columnMapping; it must carry
+      // into the explicit feature list or a conformant reader loses it
+      val impliedR: Set[String] =
+        if (snap.minReaderVersion >= 3) snap.readerFeatures
+        else if (snap.minReaderVersion == 2) Set("columnMapping")
+        else Set.empty
+      val rf = (impliedR ++ addedReader).toSeq.sorted
+        .map(mapper.writeValueAsString).mkString(",")
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
+    } else
+      s"""{"protocol":{"minReaderVersion":${snap.minReaderVersion},"minWriterVersion":7,"writerFeatures":[$wf]}}"""
+  }
+
+  /** ALTER TABLE ... ADD CONSTRAINT — validates EXISTING data first (one
+    * scan, refused on any violating row), then publishes a metadata
+    * commit carrying the `delta.constraints.<name>` property plus a
+    * protocol upgrade declaring `checkConstraints`. Every later data
+    * commit enforces it ([[enforceTableFeatures]]).
+    */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+                         constraint: String): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    val key = ConstraintPrefix + name.toLowerCase
+    require(!snap.configuration.contains(key),
+      s"$table: constraint $name already exists")
+    val bad = read(spark, table)
+      .filter(not(coalesce(expr(constraint), lit(true)))).limit(1).count()
+    require(bad == 0L,
+      s"$table: existing rows violate CHECK ($constraint) — not added")
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"ADD CONSTRAINT","timestamp":0}}""" +
+        "\n" + writerFeatureUpgradeJson(snap, Set("checkConstraints")) +
+        "\n" + metaDataJson(v, snap.schemaJson.get,
+        snap.configuration + (key -> constraint),
+        partitionColumns = snap.partitionColumns))
+    v
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT — metadata-only removal (the
+    * declared protocol stays; an unused feature declaration is legal).
+    */
+  def dropCheckConstraint(spark: SparkSession, table: String,
+                          name: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    val key = ConstraintPrefix + name.toLowerCase
+    require(snap.configuration.contains(key),
+      s"$table: no constraint $name")
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"DROP CONSTRAINT","timestamp":0}}""" +
+        "\n" + metaDataJson(v, snap.schemaJson.get,
+        snap.configuration - key,
+        partitionColumns = snap.partitionColumns))
+    v
+  }
+
+  /** CREATE TABLE with column features: generated columns (`name ->
+    * expression`, populated from the batch when absent), identity
+    * columns (`name -> IdentitySpec`, assigned from `start` — must NOT
+    * be supplied), and CHECK constraints (`name -> sql`, validated on
+    * the creation batch). Commit 0 carries a v7 writer-features
+    * protocol declaring exactly what the table uses; every later
+    * [[commit]] — and the selective merge/delete paths riding it —
+    * enforces the declarations via [[enforceTableFeatures]].
+    */
+  def commitWithFeatures(spark: SparkSession, table: String, df: DataFrame,
+                         generated: Map[String, String] = Map.empty,
+                         identity: Map[String, IdentitySpec] = Map.empty,
+                         constraints: Map[String, String] = Map.empty,
+                         partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    require(versions(spark, table).isEmpty,
+      s"$table: already a table — column features are declared at creation")
+    require(generated.nonEmpty || identity.nonEmpty || constraints.nonEmpty,
+      "no features declared — use commit()")
+    var out = df
+    generated.foreach { case (c, g) =>
+      if (!out.columns.contains(c)) out = out.withColumn(c, expr(g))
+    }
+    var lastOf = Map.empty[String, Long]
+    identity.foreach { case (c, spec) =>
+      require(!out.columns.contains(c),
+        s"$table: identity column $c must not be supplied at creation")
+      val (assigned, last) = assignIdentity(out, c,
+        org.apache.spark.sql.types.LongType, spec.start, spec.step)
+      out = assigned
+      last.foreach(l => lastOf += c -> l)
+    }
+    val cols = out.schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      generated.get(f.name).foreach(g => mb.putString(GenExprKey, g))
+      identity.get(f.name).foreach { s =>
+        mb.putLong(IdStartKey, s.start).putLong(IdStepKey, s.step)
+          .putBoolean(IdAllowKey, s.allowExplicitInsert)
+        lastOf.get(f.name).foreach(mb.putLong(IdWatermarkKey, _))
+      }
+      col(s"`${f.name}`").as(f.name, mb.build())
+    }
+    out = out.select(cols.toIndexedSeq: _*)
+    val checks = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      (s"CHECK constraint $n ($e)", not(coalesce(expr(e), lit(true))))
+    }
+    firstViolation(out, checks).foreach(lbl =>
+      throw new IllegalArgumentException(
+        s"$table: rows violate $lbl — refusing to commit"))
+    partitionBy.foreach(c => require(out.schema.fieldNames.contains(c),
+      s"$table: partition column $c not in the frame"))
+    val conf = constraints.map { case (n, e) =>
+      (ConstraintPrefix + n.toLowerCase, e)
+    }
+    val features = Set("appendOnly", "invariants") ++
+      (if (constraints.nonEmpty) Set("checkConstraints") else Set.empty) ++
+      (if (generated.nonEmpty) Set("generatedColumns") else Set.empty) ++
+      (if (identity.nonEmpty) Set("identityColumns") else Set.empty)
+    val wf = features.toSeq.sorted.map(mapper.writeValueAsString)
+      .mkString(",")
+    val named = stageParts(spark, table, out, "v0", "part-00000",
+      partitionBy = partitionBy)
+    val sb = new StringBuilder
+    sb.append("""{"commitInfo":{"operation":"CREATE TABLE","timestamp":0}}""")
+      .append('\n')
+    sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":[$wf]}}""")
+      .append('\n')
+    sb.append(metaDataJson(0L, out.schema.json, conf, partitionBy))
+    named.foreach { case (p, size, stats, pv) =>
+      val pj = mapper.writeValueAsString(p)
+      val statsField = stats.map(s =>
+        s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":${pvJsonOf(pv)},"modificationTime":0,"dataChange":true$statsField}}""")
+        .append('\n')
+    }
+    publishCommit(spark, table, 0L, sb.toString)
+    0L
+  }
+
+  // ===== row tracking (the `rowTracking` writer feature): every row
+  // gets a durable id = the file's baseRowId + its row index; fresh
+  // ranges come from the high watermark in the `delta.rowTracking`
+  // domain. DV deletes never touch files, so surviving ids are STABLE
+  // under merge-on-read; copy-on-write rewrites assign fresh ids (the
+  // spec's non-materialized semantics). =====
+
+  val RowTrackingProperty = "delta.enableRowTracking"
+  private val RowTrackingDomain = "delta.rowTracking"
+
+  private def rowTrackingOn(s: Snapshot): Boolean =
+    s.writerFeatures.contains("rowTracking") ||
+      s.configuration.get(RowTrackingProperty)
+        .exists(_.equalsIgnoreCase("true"))
+
+  /** Highest row id ever assigned (the `delta.rowTracking` domain's
+    * watermark), None before any assignment.
+    */
+  private def rowIdHighWaterMark(s: Snapshot): Option[Long] =
+    s.domainMetadata.get(RowTrackingDomain).flatMap { c =>
+      try Option(mapper.readTree(c).get("rowIdHighWaterMark"))
+        .map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Turn row tracking ON: one commit that (1) upgrades the protocol to
+    * writer features + `rowTracking`/`domainMetadata`, (2) sets the
+    * table property, and (3) BACKFILLS — re-emits every live add action
+    * with an assigned `baseRowId` (metadata-only, `dataChange: false`;
+    * not a byte of data moves, the same backfill shape the real
+    * enablement runs). Later commits assign fresh ranges automatically.
+    */
+  def enableRowTracking(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    require(mappingMode(snap.configuration) == "none",
+      s"$table: row tracking on a column-mapped table is not supported")
+    require(!rowTrackingOn(snap), s"$table: row tracking already enabled")
+    val f = fs(spark, new Path(table))
+    val v = snap.version + 1
+    var next = rowIdHighWaterMark(snap).map(_ + 1).getOrElse(0L)
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"operation":"ENABLE ROW TRACKING","timestamp":0}}""")
+      .append('\n')
+    sb.append(writerFeatureUpgradeJson(snap,
+      Set("rowTracking", "domainMetadata"))).append('\n')
+    sb.append(metaDataJson(v, snap.schemaJson.get,
+      snap.configuration + (RowTrackingProperty -> "true"),
+      partitionColumns = snap.partitionColumns))
+    snap.files.foreach { p =>
+      val n = snap.stats.get(p).flatMap(j =>
+        Option(mapper.readTree(j).get("numRecords")).map(_.asLong()))
+        .getOrElse(sys.error(s"$table: backfill needs numRecords " +
+          s"add-stats for $p — rewrite the file first (OPTIMIZE)"))
+      val pj = mapper.writeValueAsString(p)
+      val size = f.getFileStatus(new Path(table, p)).getLen
+      val statsField = snap.stats.get(p).map(st =>
+        s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
+      val dvField = snap.dvs.get(p)
+        .map(dj => s""","deletionVector":$dj""").getOrElse("")
+      val pvField = pvJsonOf(snap.partitionValues.getOrElse(p, Map.empty))
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvField,"modificationTime":0,"dataChange":false$statsField$dvField,"baseRowId":$next,"defaultRowCommitVersion":$v}}""")
+        .append('\n')
+      next += n
+    }
+    if (next > 0) {
+      val confJson = mapper.writeValueAsString(
+        s"""{"rowIdHighWaterMark":${next - 1}}""")
+      sb.append(s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":$confJson,"removed":false}}""")
+        .append('\n')
+    }
+    publishCommit(spark, table, v, sb.toString)
+    v
+  }
+
+  /** Read with `_row_id` + `_row_commit_version` attached — baseRowId +
+    * the parquet row index (`_metadata.row_index`, computed by the scan,
+    * zero extra I/O), the file→base map broadcast-joined so the data
+    * never shuffles. DV-masked rows drop out while SURVIVORS keep their
+    * physical indexes — ids are stable under merge-on-read deletes.
+    * Files without a baseRowId (written before enablement by a foreign
+    * writer) surface NULL ids, the honest answer.
+    */
+  def readWithRowIds(spark: SparkSession, table: String,
+                     version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val snap = snapshot(spark, table, version)
+    val logical = snap.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"$table: no metaData in log"))
+    require(mappingMode(snap.configuration) == "none" &&
+        snap.partitionColumns.isEmpty,
+      s"$table: row-id reads on mapped/partitioned tables are not " +
+        "supported")
+    val outSchema = StructType(logical.fields ++ Seq(
+      StructField("_row_id", org.apache.spark.sql.types.LongType),
+      StructField("_row_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val base = spark.read.schema(logical)
+      .parquet(snap.files.map(p => new Path(table, p).toString): _*)
+      .withColumn("__graft_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__graft_idx", col("_metadata.row_index"))
+    val masked =
+      if (snap.dvs.isEmpty) base
+      else {
+        val root = new Path(table)
+        val f = fs(spark, root)
+        val bitmaps: Map[String, Array[Byte]] = snap.dvs.map {
+          case (p, dj) => new Path(table, p).getName ->
+            DeletionVectors.readBitmapBytes(f, root, parseDv(dj))
+        }
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        base.filter(!DeletionVectors.dvDeleted(bc,
+          col("__graft_file"), col("__graft_idx")))
+      }
+    val info = snap.files.map(p => (new Path(table, p).getName,
+      snap.rowIds.get(p).map(r => java.lang.Long.valueOf(r._1)).orNull,
+      snap.rowIds.get(p).map(r => java.lang.Long.valueOf(r._2)).orNull))
+    val infoDf = broadcast(spark.createDataFrame(info)
+      .toDF("__graft_file", "__graft_base", "__graft_ver"))
+    masked.join(infoDf, Seq("__graft_file"), "left")
+      .select(logical.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) :+
+        (col("__graft_base") + col("__graft_idx")).as("_row_id") :+
+        col("__graft_ver").as("_row_commit_version"): _*)
   }
 
   /** The last version a foreign (or local) streaming writer recorded for
@@ -745,6 +1280,14 @@ object DeltaLite {
       if (overwrite) prev.map(_.files).getOrElse(Nil) else Nil)
     prev.foreach(p => requireWritable(table, p,
       removesFiles = removed.nonEmpty))
+    // enforce the table's declared write contracts (CHECK constraints,
+    // invariants, generated + identity columns) on the incoming batch;
+    // a moved identity watermark forces a metaData re-emission. A full
+    // overwrite REPLACES the schema (and the column features riding its
+    // metadata, REPLACE TABLE-style) but the configuration carries, so
+    // its CHECK constraints still validate the new data
+    val (dfE, featureMeta) = enforceTableFeatures(spark, table, df, prev,
+      schemaReplaced = overwrite && replacing.isEmpty)
     // Column mapping is sticky: once a table is mapped, every later
     // commit keeps writing physical names (a mixed table would be
     // unreadable); `columnMapping = true` turns it on at creation/
@@ -756,10 +1299,10 @@ object DeltaLite {
     val prevMapped = mappingMode(prevConf) != "none"
     val mapped = prevMapped || columnMapping
     val (tableSchema, writeDf, conf) = resolveWriteFrame(
-      table, df, prev, overwrite, replacing, mapped)
-    val schemaChanged = prev.flatMap(_.schemaJson).exists(j =>
+      table, dfE, prev, overwrite, replacing, mapped)
+    val schemaChanged = featureMeta || prev.flatMap(_.schemaJson).exists(j =>
       stripMapping(DataType.fromJson(j).asInstanceOf[StructType]).json
-        != df.schema.json)
+        != stripMapping(dfE.schema).json)
     // hive-style partitioning: columns live in the dirs/log, not the
     // data files. The layout is sticky per table — appends must keep it
     // (a mixed layout would read some rows without their partition
@@ -775,11 +1318,34 @@ object DeltaLite {
     require(prev.isEmpty || overwrite || prevPartCols == partCols,
       s"$table: append must keep the partition layout $prevPartCols " +
         s"(got $partCols) — overwrite to change it")
-    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+    partCols.foreach(c => require(dfE.schema.fieldNames.contains(c),
       s"$table: partition column $c not in the frame"))
 
     val named = stageParts(spark, table, writeDf, s"v$v", f"part-$v%05d",
       partitionBy = partCols)
+    // row tracking: fresh base row ids past the high watermark for every
+    // new file (rewrites get FRESH ids — the spec's non-materialized
+    // semantics; merge-on-read DV deletes never touch files, so their
+    // surviving ids stay stable). Counts come from the add-stats this
+    // writer always records — no extra I/O.
+    val tracking = prev.exists(rowTrackingOn)
+    var rowIdWatermark: Option[Long] = None
+    val rowIdsOf: Map[String, (Long, Long)] =
+      if (!tracking) Map.empty
+      else {
+        var next = prev.flatMap(rowIdHighWaterMark).map(_ + 1).getOrElse(0L)
+        val assigned = named.map { case (p, _, statsJson, _) =>
+          val n = statsJson.flatMap(j =>
+            Option(mapper.readTree(j).get("numRecords")).map(_.asLong()))
+            .getOrElse(sys.error(
+              s"$table: row tracking needs numRecords stats for $p"))
+          val e = p -> ((next, v))
+          next += n
+          e
+        }.toMap
+        if (named.nonEmpty) rowIdWatermark = Some(next - 1)
+        assigned
+      }
     // CDF channel: land the per-commit change rows under _change_data/
     // (they are NOT data files — only cdc actions reference them)
     val cdcNamed: Seq[(String, Long)] = cdc.toSeq.flatMap { cdf =>
@@ -804,7 +1370,8 @@ object DeltaLite {
       emitMeta = v == 0L || overwrite || schemaChanged,
       tableSchema, conf, removed, named, txn, cdcNamed, partCols,
       emitProtocol = v == 0L || (overwrite && mapped && !prevMapped),
-      upgradeFrom = prev))
+      upgradeFrom = prev,
+      rowIdsOf = rowIdsOf, rowIdWatermark = rowIdWatermark))
     v
   }
 
@@ -912,7 +1479,9 @@ object DeltaLite {
                          cdcFiles: Seq[(String, Long)] = Nil,
                          partitionColumns: Seq[String] = Nil,
                          emitProtocol: Boolean = true,
-                         upgradeFrom: Option[Snapshot] = None): String = {
+                         upgradeFrom: Option[Snapshot] = None,
+                         rowIdsOf: Map[String, (Long, Long)] = Map.empty,
+                         rowIdWatermark: Option[Long] = None): String = {
     val ts = 0L // deterministic logs: wall-clock stamps add nothing here
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "OVERWRITE" else "WRITE"
@@ -939,7 +1508,16 @@ object DeltaLite {
       val pj = mapper.writeValueAsString(p)
       val statsField = stats.map(s =>
         s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":${pvJsonOf(pv)},"modificationTime":$ts,"dataChange":true$statsField}}""")
+      val rowField = rowIdsOf.get(p).map { case (b, ver) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$ver"""
+      }.getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":${pvJsonOf(pv)},"modificationTime":$ts,"dataChange":true$statsField$rowField}}""")
+        .append('\n')
+    }
+    rowIdWatermark.foreach { hw =>
+      val confJson = mapper.writeValueAsString(
+        s"""{"rowIdHighWaterMark":$hw}""")
+      sb.append(s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":$confJson,"removed":false}}""")
         .append('\n')
     }
     cdcFiles.foreach { case (p, size) =>
@@ -995,10 +1573,21 @@ object DeltaLite {
         "supported — use commit() (single-writer) there")
     prev0.foreach(p => requireWritable(table, p,
       removesFiles = overwrite || replacing.isDefined))
+    // identity assignment is inherently single-writer (two racers would
+    // hand out the same range from the same watermark) — contended
+    // commits refuse identity tables; other contracts enforce normally
+    require(!prev0.flatMap(_.schemaJson).exists(_.contains(IdStartKey)),
+      s"$table: identity-column tables are single-writer — use commit()")
+    // same race: two contended appenders would assign the same row-id
+    // range from the same watermark
+    require(!prev0.exists(rowTrackingOn),
+      s"$table: row-tracking tables are single-writer — use commit()")
+    val (dfEc, _) = enforceTableFeatures(spark, table, df, prev0,
+      schemaReplaced = overwrite && replacing.isEmpty)
     val mapped = columnMapping ||
       prev0.exists(p => mappingMode(p.configuration) != "none")
     val (tableSchema, writeDf, conf) = resolveWriteFrame(
-      table, df, prev0, overwrite, replacing, mapped)
+      table, dfEc, prev0, overwrite, replacing, mapped)
     // writer-unique part names: content cannot collide across racers
     val token = java.util.UUID.randomUUID().toString.take(8)
     val named = stageParts(spark, table, writeDf, s"c-$token", s"part-$token")
@@ -1026,7 +1615,7 @@ object DeltaLite {
         if (overwrite) base.map(_.files).getOrElse(Nil) else Nil)
       val schemaChanged = base.flatMap(_.schemaJson).exists(j =>
         stripMapping(DataType.fromJson(j).asInstanceOf[StructType]).json
-          != df.schema.json)
+          != stripMapping(dfEc.schema).json)
       val actions = actionsFor(v, overwrite, operation,
         emitMeta = v == 0L || overwrite || schemaChanged,
         tableSchema, conf, removed, named,
@@ -1355,9 +1944,13 @@ object DeltaLite {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
     // metadata-only, but still a WRITE: a table declaring writer features
-    // this writer doesn't implement (CHECK constraints, generated columns)
-    // must refuse — a rename could orphan a constraint's column reference
+    // this writer doesn't implement must refuse
     requireWritable(table, snap, removesFiles = false)
+    // a rename would orphan the column reference inside a constraint or
+    // generation expression — the contract must be dropped first
+    featureReference(snap, from).foreach(r =>
+      throw new IllegalArgumentException(
+        s"$table: column $from is referenced by $r — drop it first"))
     require(mappingMode(snap.configuration) != "none",
       s"$table: RENAME COLUMN needs column mapping (physical names are " +
         "decoupled from logical) — on an unmapped table, rewrite via " +
@@ -1386,10 +1979,13 @@ object DeltaLite {
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
-    // same writer-protocol gate as renameColumn: dropping a column a
-    // foreign CHECK constraint or generation expression references would
-    // corrupt a table this writer claims not to understand
+    // same writer-protocol gate as renameColumn
     requireWritable(table, snap, removesFiles = false)
+    // dropping a column a CHECK constraint or generation expression
+    // references would corrupt the contract — drop the contract first
+    featureReference(snap, name).foreach(r =>
+      throw new IllegalArgumentException(
+        s"$table: column $name is referenced by $r — drop it first"))
     require(mappingMode(snap.configuration) != "none",
       s"$table: DROP COLUMN needs column mapping — on an unmapped table, " +
         "rewrite via overwrite with the new schema")
@@ -1451,7 +2047,11 @@ object DeltaLite {
       val statsField = tgt.stats.get(p).map(st =>
         s""","stats":${mapper.writeValueAsString(st)}""").getOrElse("")
       val dvField = if (dv.isEmpty) "" else s""","deletionVector":$dv"""
-      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvField,"modificationTime":0,"dataChange":true$statsField$dvField}}""")
+      // row tracking: restored files keep the TARGET version's ids
+      val rowField = tgt.rowIds.get(p).map { case (b, ver) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$ver"""
+      }.getOrElse("")
+      sb.append(s"""{"add":{"path":$pj,"size":$size,"partitionValues":$pvField,"modificationTime":0,"dataChange":true$statsField$dvField$rowField}}""")
         .append('\n')
     }
     publishCommit(spark, table, v, sb.toString)
@@ -1779,15 +2379,14 @@ object DeltaLite {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"operation":"DELETE","timestamp":0}}""")
       .append('\n')
-    // first DV on the table upgrades the protocol to table features; a
-    // mapped table must keep advertising columnMapping in the feature
-    // lists (a features-protocol action REPLACES the previous protocol —
-    // dropping the feature would make a conformant reader see physical
-    // col-<id> names as logical)
-    val dvFeats = (Seq("deletionVectors") ++
-      (if (mapped) Seq("columnMapping") else Nil))
-      .map(mapper.writeValueAsString).mkString(",")
-    sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$dvFeats],"writerFeatures":[$dvFeats]}}""")
+    // first DV on the table upgrades the protocol to table features,
+    // UNIONING whatever the table already declares (a features-protocol
+    // action REPLACES the previous protocol — dropping a declared
+    // feature like columnMapping or rowTracking would corrupt the
+    // table's contract for every conformant reader/writer)
+    sb.append(writerFeatureUpgradeJson(snap, Set.empty,
+      addedReader = Set("deletionVectors") ++
+        (if (mapped) Set("columnMapping") else Set.empty[String])))
       .append('\n')
     bitmapsOut.zip(offsets).foreach { case ((p, bytes, card), (off, size)) =>
       val pj = mapper.writeValueAsString(p)
@@ -1796,8 +2395,13 @@ object DeltaLite {
       val fileSize = f.getFileStatus(new Path(table, p)).getLen
       val statsField = snap.stats.get(p).map(s =>
         s""","stats":${mapper.writeValueAsString(s)}""").getOrElse("")
+      // row tracking: the file is untouched — its baseRowId MUST carry
+      // (dropping it would null every surviving row's id)
+      val rowField = snap.rowIds.get(p).map { case (b, ver) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$ver"""
+      }.getOrElse("")
       val dvj = s"""{"storageType":"u","pathOrInlineDv":${mapper.writeValueAsString(pathOrInline)},"offset":$off,"sizeInBytes":$size,"cardinality":$card}"""
-      sb.append(s"""{"add":{"path":$pj,"size":$fileSize,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField,"deletionVector":$dvj}}""")
+      sb.append(s"""{"add":{"path":$pj,"size":$fileSize,"partitionValues":{},"modificationTime":0,"dataChange":true$statsField$rowField,"deletionVector":$dvj}}""")
         .append('\n')
     }
     publishCommit(spark, table, v, sb.toString)
@@ -1932,6 +2536,13 @@ object DeltaLite {
     // data so values never wrap, over-wide columns right-shifted
     {
       val s = snapshot(spark, table)
+      // a liquid-clustered table owns its layout: an explicit ZORDER BY
+      // would silently fight the declared clustering keys on the next
+      // OPTIMIZE — refuse with the remedy named (the real engines do)
+      clusteringColumnsOf(s).foreach(cc => require(cc == cols,
+        s"$table: ZORDER BY on a liquid-clustered table (keys " +
+          s"${cc.mkString(", ")}) — run OPTIMIZE (auto-clusters) or " +
+          "clusterByNone first"))
       commit(spark, table,
         graft.functions.ZOrder.clusterByZ(
           readSnapshot(spark, table, s, s.files), cols, targetFiles, bits),
@@ -2256,10 +2867,110 @@ object DeltaLite {
     // carry-over (a second replay per maintenance call adds up on long
     // un-checkpointed logs)
     val s = snapshot(spark, table)
-    commit(spark, table,
-      readSnapshot(spark, table, s, s.files).coalesce(targetFiles),
-      overwrite = true, operation = "OPTIMIZE",
-      partitionBy = s.partitionColumns)
+    clusteringColumnsOf(s) match {
+      // a liquid-clustered table's OPTIMIZE IS the re-cluster: plain
+      // bin-packing would shred the key locality the declared clustering
+      // exists to maintain, so the rewrite rides the shared Z-order
+      // kernel on the table's own keys (one key degenerates to a range
+      // sort). The clustering domain survives the overwrite — domain
+      // state replays from the log and an overwrite never tombstones it.
+      case Some(cc) =>
+        commit(spark, table,
+          graft.functions.ZOrder.clusterByZ(
+            readSnapshot(spark, table, s, s.files),
+            cc, math.max(targetFiles, 1), 0),
+          overwrite = true,
+          operation = s"OPTIMIZE CLUSTER BY (${cc.mkString(", ")})",
+          partitionBy = s.partitionColumns)
+      case None =>
+        commit(spark, table,
+          readSnapshot(spark, table, s, s.files).coalesce(targetFiles),
+          overwrite = true, operation = "OPTIMIZE",
+          partitionBy = s.partitionColumns)
+    }
+  }
+
+  // ------------------------------------------------------ liquid clustering
+  private val ClusteringDomain = "delta.clustering"
+
+  /** LIQUID CLUSTERING keys as LOGICAL column names (None = not a
+    * clustered table). The `delta.clustering` domain stores PHYSICAL
+    * name paths (array-of-arrays, the spec shape real engines write);
+    * mapped tables translate back through the schema's physicalName
+    * metadata so callers and [[optimizeCompact]] think in logical names.
+    */
+  def clusteringColumns(spark: SparkSession, table: String): Option[Seq[String]] =
+    clusteringColumnsOf(snapshot(spark, table))
+
+  private[graft] def clusteringColumnsOf(s: Snapshot): Option[Seq[String]] =
+    s.domainMetadata.get(ClusteringDomain).flatMap { c =>
+      val raw =
+        try Option(mapper.readTree(c).get("clusteringColumns")).toSeq
+          .flatMap(_.elements().asScala).map { e =>
+            if (e.isArray) e.elements().asScala.map(_.asText()).mkString(".")
+            else e.asText()
+          }
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      val schema = s.schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+      val logical = raw.map(p => schema.flatMap(
+        _.fields.find(f => physicalName(f) == p)).map(_.name).getOrElse(p))
+      if (logical.isEmpty) None else Some(logical)
+    }
+
+  /** Declare (or change) the table's liquid clustering keys — one
+    * metadata-only commit: protocol upgrade to writer features +
+    * `clustering`/`domainMetadata`, and the `delta.clustering` domain
+    * set to the keys' physical names. Data does NOT move here; the next
+    * [[optimizeCompact]] re-clusters by these keys (exactly the real
+    * `ALTER TABLE … CLUSTER BY` contract). Hive-partitioned tables
+    * refuse — partitioning and clustering are exclusive layouts.
+    */
+  def clusterBy(spark: SparkSession, table: String,
+                cols: Seq[String]): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    require(cols.nonEmpty,
+      s"$table: CLUSTER BY needs at least one column — use clusterByNone " +
+        "to drop clustering")
+    require(cols.size <= 4,
+      s"$table: at most 4 clustering columns (got ${cols.size})")
+    require(snap.partitionColumns.isEmpty,
+      s"$table: a hive-partitioned table cannot be liquid-clustered — " +
+        "partitioning and clustering are exclusive layouts")
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"$table: no column $c"))
+    val stored = cols.map(c => physicalNameOf(snap, c))
+    val v = snap.version + 1
+    val confJson = mapper.writeValueAsString(
+      s"""{"clusteringColumns":[${stored.map(c =>
+        "[" + mapper.writeValueAsString(c) + "]").mkString(",")}]}""")
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"CLUSTER BY (${cols.mkString(", ")})","timestamp":0}}""" +
+        "\n" + writerFeatureUpgradeJson(snap,
+          Set("clustering", "domainMetadata")) +
+        "\n" + s"""{"domainMetadata":{"domain":"$ClusteringDomain","configuration":$confJson,"removed":false}}""" +
+        "\n")
+    v
+  }
+
+  /** Drop liquid clustering (`CLUSTER BY NONE`): tombstone the
+    * clustering domain; the declared features stay (a v7 protocol never
+    * downgrades), OPTIMIZE reverts to plain bin-packing.
+    */
+  def clusterByNone(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    requireWritable(table, snap, removesFiles = false)
+    require(snap.domainMetadata.contains(ClusteringDomain),
+      s"$table: not a liquid-clustered table")
+    val v = snap.version + 1
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"CLUSTER BY NONE","timestamp":0}}""" +
+        "\n" + s"""{"domainMetadata":{"domain":"$ClusteringDomain","configuration":"{}","removed":true}}""" +
+        "\n")
+    v
   }
 
   /** VACUUM (reference: TPC-datagen-notebook.scala:2086): delete data
@@ -2435,17 +3146,20 @@ object DeltaLite {
       .map(mapper.writeValueAsString).mkString(",") + "]"
     // row kinds: one per add, one per SetTransaction appId (the
     // idempotent-writer watermark a bootstrap must not lose), one per
-    // live domain, one meta. 11-ary row: (addPath, addStats, dvJson,
+    // live domain, one meta. 13-ary row: (addPath, addStats, dvJson,
     // pvJson, schemaString, confJson, pcJson, txnAppId, txnVersion,
-    // dmDomain, dmConf)
+    // dmDomain, dmConf, rowBase, rowVer)
     val none = (Option.empty[String], Option.empty[String],
       Option.empty[String], Option.empty[String], Option.empty[String],
       Option.empty[String], Option.empty[String], Option.empty[String],
       Option.empty[java.lang.Long], Option.empty[String],
-      Option.empty[String])
+      Option.empty[String], Option.empty[java.lang.Long],
+      Option.empty[java.lang.Long])
     val addRows = s.files.map(p => none.copy(
       _1 = Option(p), _2 = s.stats.get(p), _3 = s.dvs.get(p),
-      _4 = s.partitionValues.get(p).map(pvJsonOf)))
+      _4 = s.partitionValues.get(p).map(pvJsonOf),
+      _12 = s.rowIds.get(p).map(r => java.lang.Long.valueOf(r._1)),
+      _13 = s.rowIds.get(p).map(r => java.lang.Long.valueOf(r._2))))
     val txnRows = s.txns.toSeq.sortBy(_._1).map {
       case (appId, tv) => none.copy(_8 = Option(appId),
         _9 = Option(java.lang.Long.valueOf(tv)))
@@ -2459,13 +3173,14 @@ object DeltaLite {
     (addRows ++ txnRows ++ domainRows :+ metaRow)
       .toDF("addPath", "addStats", "dvJson", "pvJson",
         "schemaString", "confJson", "pcJson", "txnAppId", "txnVersion",
-        "dmDomain", "dmConf")
+        "dmDomain", "dmConf", "rowBase", "rowVer")
       .selectExpr(
         """CASE WHEN addPath IS NOT NULL THEN named_struct(
           |  'path', addPath, 'stats', addStats,
           |  'partitionValues', from_json(pvJson, 'MAP<STRING, STRING>'),
           |  'deletionVector', from_json(dvJson,
-          |    'storageType STRING, pathOrInlineDv STRING, offset INT, sizeInBytes INT, cardinality BIGINT'))
+          |    'storageType STRING, pathOrInlineDv STRING, offset INT, sizeInBytes INT, cardinality BIGINT'),
+          |  'baseRowId', rowBase, 'defaultRowCommitVersion', rowVer)
           |END AS add""".stripMargin,
         """CASE WHEN schemaString IS NOT NULL THEN named_struct(
           |  'schemaString', schemaString,

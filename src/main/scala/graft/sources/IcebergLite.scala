@@ -1213,7 +1213,8 @@ object IcebergLite {
                             replacing: Option[Seq[String]],
                             nameToken: Option[String],
                             ifAbsent: Boolean,
-                            partitionTransforms: Seq[String] = Nil): Option[Long] = {
+                            partitionTransforms: Seq[String] = Nil,
+                            toBranch: Option[String] = None): Option[Long] = {
     val root = new Path(table)
     val f = fs(spark, root)
     val vs = versions(spark, table)
@@ -1225,6 +1226,22 @@ object IcebergLite {
       if (prevSnaps.isEmpty) 0L
       else prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
     val metaV = if (vs.isEmpty) 1 else vs.last + 1
+    // branch commits append on the BRANCH head (refs[name]), leaving
+    // main (current-snapshot-id) untouched — the WAP shape
+    require(toBranch.isEmpty || (!overwrite && replacing.isEmpty),
+      s"$table: branch commits are append-only (no overwrite/replace)")
+    val prevRefs: Option[ObjectNode] = prevMeta.flatMap(m =>
+      Option(m.get("refs")).collect { case o: ObjectNode => o })
+    val prevHead: Option[Long] = toBranch match {
+      case Some(b) =>
+        val r = prevRefs.flatMap(o => Option(o.get(b))).getOrElse(
+          sys.error(s"$table: no ref $b — createBranch first"))
+        require(r.get("type").asText() == "branch",
+          s"$table: ref $b is a tag — tags are immutable")
+        Some(r.get("snapshot-id").asLong())
+      case None =>
+        prevMeta.map(_.get("current-snapshot-id").asLong()).filter(_ >= 0)
+    }
     // contended read-modify-write liveness: the files this commit
     // replaces must still be live at the tip (a winner landing before
     // our base read invalidates the rewrite without a CAS collision)
@@ -1497,8 +1514,8 @@ object IcebergLite {
     val prevManifests: Seq[(String, Long, Int, Long)] =
       if (overwrite || prevSnaps.isEmpty) Nil
       else {
-        val cur = prevSnaps.find(_.get("snapshot-id").asLong() ==
-          prevMeta.get.get("current-snapshot-id").asLong())
+        val cur = prevHead.flatMap(h =>
+          prevSnaps.find(_.get("snapshot-id").asLong() == h))
         cur.map { s =>
           readAvro(f, new Path(resolvePath(table, s.get("manifest-list").asText())))
             .map(r => (r.get("manifest_path").toString,
@@ -1556,16 +1573,33 @@ object IcebergLite {
     specs.add(spec0)
     meta.put("default-spec-id", 0)
     meta.put("last-partition-id", 999 + partCols.size)
-    meta.set[ObjectNode]("properties", mapper.createObjectNode())
-    meta.put("current-snapshot-id", snapId)
+    // table PROPERTIES and REFS are durable foreign state this writer
+    // must carry forward, never silently reset
+    meta.set[JsonNode]("properties",
+      prevMeta.flatMap(m => Option(m.get("properties")))
+        .map(_.deepCopy[JsonNode]())
+        .getOrElse(mapper.createObjectNode()))
+    meta.put("current-snapshot-id",
+      if (toBranch.isEmpty) snapId
+      else prevMeta.get.get("current-snapshot-id").asLong())
+    prevRefs.map(_.deepCopy[ObjectNode]()).foreach { rs =>
+      // the written snapshot moves its ref: the target branch, or the
+      // `main` branch ref (kept in sync with current-snapshot-id) when
+      // committing to main
+      val moved = toBranch.getOrElse("main")
+      if (toBranch.nonEmpty || rs.has("main")) {
+        val r = mapper.createObjectNode()
+        r.put("snapshot-id", snapId); r.put("type", "branch")
+        rs.set[ObjectNode](moved, r)
+      }
+      meta.set[ObjectNode]("refs", rs)
+    }
     val op = if (operation.nonEmpty) operation
       else if (overwrite) "overwrite" else "append"
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapId)
     snapNode.put("sequence-number", snapId)
-    if (prevSnaps.nonEmpty)
-      snapNode.put("parent-snapshot-id",
-        prevMeta.get.get("current-snapshot-id").asLong())
+    prevHead.foreach(h => snapNode.put("parent-snapshot-id", h))
     snapNode.put("timestamp-ms", 0L)
     val summary = mapper.createObjectNode()
     summary.put("operation", op)
@@ -1580,9 +1614,13 @@ object IcebergLite {
     val log = meta.putArray("snapshot-log")
     prevMeta.flatMap(m => Option(m.get("snapshot-log")))
       .foreach(_.elements().asScala.foreach(e => log.add(e.deepCopy[JsonNode]())))
-    val logEntry = mapper.createObjectNode()
-    logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
-    log.add(logEntry)
+    // snapshot-log tracks CURRENT-snapshot-id changes (the time-travel
+    // channel) — a branch commit does not move main, so no entry
+    if (toBranch.isEmpty) {
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
+      log.add(logEntry)
+    }
 
     val tmp = new Path(metaDir(table),
       s".v$metaV-${nameToken.getOrElse("0")}.metadata.json.tmp")
@@ -2295,6 +2333,144 @@ object IcebergLite {
     publishMetadataVersion(spark, table, meta)
   }
 
+  // ===== branch/tag refs — the spec's `refs` map: named snapshot
+  // pointers; branches advance via commitToBranch (write-audit-publish),
+  // tags are immutable audit marks =====
+
+  /** The table's refs: name -> (snapshot-id, "branch"|"tag"). The
+    * `main` branch ref, when present, mirrors current-snapshot-id
+    * (kept in sync by every main commit).
+    */
+  def tableRefs(spark: SparkSession, table: String): Map[String, (Long, String)] = {
+    val meta = metadata(spark, table)
+    Option(meta.get("refs")).collect { case o: ObjectNode => o }
+      .map(_.properties().iterator().asScala.map { e =>
+        e.getKey -> (e.getValue.get("snapshot-id").asLong(),
+          e.getValue.get("type").asText())
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  private def putRef(spark: SparkSession, table: String, name: String,
+                     refType: String, at: Option[Long]): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val ids = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).map(_.get("snapshot-id").asLong())
+    val target = at.getOrElse(meta.get("current-snapshot-id").asLong())
+    require(ids.contains(target),
+      s"$table: snapshot $target not retained (have $ids)")
+    val refs = Option(meta.get("refs"))
+      .collect { case o: ObjectNode => o }
+      .getOrElse(meta.putObject("refs"))
+    require(!refs.has(name), s"$table: ref $name already exists")
+    val r = mapper.createObjectNode()
+    r.put("snapshot-id", target); r.put("type", refType)
+    refs.set[ObjectNode](name, r)
+    publishMetadataVersion(spark, table, meta)
+  }
+
+  /** CREATE BRANCH at a retained snapshot (default: the current one).
+    * Later [[commitToBranch]] calls advance it independently of main —
+    * the write-audit-publish (WAP) staging shape.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   at: Option[Long] = None): Int =
+    putRef(spark, table, name, "branch", at)
+
+  /** CREATE TAG — an immutable named snapshot pointer (audit marks,
+    * release pins). Protected from [[expireSnapshots]].
+    */
+  def createTag(spark: SparkSession, table: String, name: String,
+                at: Option[Long] = None): Int =
+    putRef(spark, table, name, "tag", at)
+
+  /** DROP a branch or tag (its snapshots stay until expire). `main`
+    * is not droppable — it mirrors current-snapshot-id.
+    */
+  def dropRef(spark: SparkSession, table: String, name: String): Int = {
+    require(name != "main", s"$table: the main branch ref is not droppable")
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val refs = Option(meta.get("refs")).collect { case o: ObjectNode => o }
+      .getOrElse(sys.error(s"$table: no refs"))
+    require(refs.has(name), s"$table: no ref $name")
+    refs.remove(name)
+    publishMetadataVersion(spark, table, meta)
+  }
+
+  /** Read the table at a branch head or tag (`VERSION AS OF 'ref'`). */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    val r = tableRefs(spark, table).getOrElse(name,
+      sys.error(s"$table: no ref $name"))
+    read(spark, table, Some(r._1))
+  }
+
+  /** Append `df` on the BRANCH head — main (current-snapshot-id and
+    * the snapshot-log) is untouched; only refs[branch] advances. The
+    * staged snapshot rides the normal commit machinery (manifests,
+    * bounds, stats), so branch reads prune like any other.
+    */
+  def commitToBranch(spark: SparkSession, table: String, branch: String,
+                     df: DataFrame, operation: String = ""): Long =
+    commitAttempt(spark, table, df, overwrite = false, operation,
+      partitionBy = Nil, replacing = None, nameToken = None,
+      ifAbsent = false, toBranch = Some(branch))
+      .getOrElse(sys.error("unreachable: non-contended publish cannot lose"))
+
+  /** FAST-FORWARD main to a branch head — the publish half of WAP:
+    * metadata-only (current-snapshot-id repointed + snapshot-log
+    * entry), refused unless the current main head is an ANCESTOR of
+    * the branch head (anything else is not a fast-forward — rollback
+    * or cherry-pick territory).
+    */
+  def fastForward(spark: SparkSession, table: String, branch: String): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val refs = Option(meta.get("refs")).collect { case o: ObjectNode => o }
+      .getOrElse(sys.error(s"$table: no refs"))
+    val r = Option(refs.get(branch)).getOrElse(
+      sys.error(s"$table: no ref $branch"))
+    require(r.get("type").asText() == "branch",
+      s"$table: ref $branch is a tag")
+    val target = r.get("snapshot-id").asLong()
+    val cur = meta.get("current-snapshot-id").asLong()
+    val byId: Map[Long, JsonNode] = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    // ancestor walk: target ... parent chain ... must pass through cur
+    var probe: Option[Long] = Some(target)
+    var isAncestor = false
+    while (probe.nonEmpty && !isAncestor) {
+      if (probe.contains(cur)) isAncestor = true
+      else probe = probe.flatMap(byId.get)
+        .flatMap(s => Option(s.get("parent-snapshot-id")).map(_.asLong()))
+    }
+    require(isAncestor,
+      s"$table: main ($cur) is not an ancestor of $branch ($target) — " +
+        "not a fast-forward")
+    meta.put("current-snapshot-id", target)
+    if (refs.has("main")) {
+      val m = mapper.createObjectNode()
+      m.put("snapshot-id", target); m.put("type", "branch")
+      refs.set[ObjectNode]("main", m)
+    }
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L)
+    logEntry.put("snapshot-id", target)
+    meta.withArray[ArrayNode]("snapshot-log").add(logEntry)
+    publishMetadataVersion(spark, table, meta)
+  }
+
+  /** SET TBLPROPERTIES — metadata-only property write (carried forward
+    * verbatim by every later commit).
+    */
+  def setProperty(spark: SparkSession, table: String, key: String,
+                  value: String): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val props = Option(meta.get("properties"))
+      .collect { case o: ObjectNode => o }
+      .getOrElse(meta.putObject("properties"))
+    props.put(key, value)
+    publishMetadataVersion(spark, table, meta)
+  }
+
   /** Incremental consumption (the format's append-changelog surface):
     * the rows added by snapshots in `(fromSnapshotId, toSnapshotId]`,
     * read WITHOUT rescanning the table — under append-only history the
@@ -2526,8 +2702,15 @@ object IcebergLite {
     val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
     if (snaps.size <= retainSnapshots) return Seq.empty
+    // branch heads and tags are PROTECTED: a ref'd snapshot expiring
+    // would leave a dangling named pointer
+    val refIds: Set[Long] = Option(meta.get("refs"))
+      .collect { case o: ObjectNode => o }
+      .map(_.properties().iterator().asScala
+        .map(_.getValue.get("snapshot-id").asLong()).toSet)
+      .getOrElse(Set.empty)
     val keepIds = snaps.takeRight(retainSnapshots)
-      .map(_.get("snapshot-id").asLong()).toSet
+      .map(_.get("snapshot-id").asLong()).toSet ++ refIds
     require(keepIds.contains(meta.get("current-snapshot-id").asLong()),
       "refusing to expire the current snapshot")
 
@@ -2572,6 +2755,69 @@ object IcebergLite {
     victims.toSeq.sorted.map { rel =>
       f.delete(new Path(resolvePath(table, rel)), false); rel
     }
+  }
+
+  /** REMOVE ORPHAN FILES — the debris sweep [[expireSnapshots]] can
+    * never reach because nothing references it: data files and avro
+    * manifests/lists left by failed or lost commit attempts (the OCC
+    * loop's losers), plus abandoned `.staging-*` dirs. Builds the
+    * referenced set from EVERY retained snapshot's manifest chain
+    * (driver-side avro metadata reads — bounded by manifest count, the
+    * same cost every Iceberg `remove_orphan_files` pays), then deletes
+    * unreferenced files under `data/` and unreferenced `.avro` under
+    * `metadata/`. Metadata JSON versions belong to [[cleanupMetadata]];
+    * `version-hint.text` is never touched. The real engine's in-flight
+    * caveat applies here too: run this only when no write is in
+    * progress (a racer's staged-but-uncommitted attempt looks exactly
+    * like an orphan).
+    */
+  def removeOrphanFiles(spark: SparkSession, table: String): Seq[String] = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val meta = metadata(spark, table)
+    val qual = (p: Path) => f.makeQualified(p).toString
+    val referenced = scala.collection.mutable.Set.empty[String]
+    Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).foreach { s =>
+        val lp = new Path(resolvePath(table, s.get("manifest-list").asText()))
+        referenced += qual(lp)
+        readAvro(f, lp).foreach { r =>
+          val mp = new Path(resolvePath(table,
+            r.get("manifest_path").toString))
+          referenced += qual(mp)
+          readAvro(f, mp).foreach(e =>
+            referenced += qual(new Path(resolvePath(table,
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString))))
+        }
+      }
+    val victims = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path): Unit =
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (!referenced.contains(qual(st.getPath))) {
+          f.delete(st.getPath, false)
+          victims += st.getPath.toString.stripPrefix(qual(root) + "/")
+        }
+      }
+    walk(dataDir(table))
+    // metadata/: unreferenced avro only — JSON versions + hint stay
+    if (f.exists(metaDir(table)))
+      f.listStatus(metaDir(table)).foreach { st =>
+        if (!st.isDirectory && st.getPath.getName.endsWith(".avro") &&
+            !referenced.contains(qual(st.getPath))) {
+          f.delete(st.getPath, false)
+          victims += s"metadata/${st.getPath.getName}"
+        }
+      }
+    // abandoned staging dirs at the root
+    f.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-")) {
+        f.delete(st.getPath, true)
+        victims += st.getPath.getName
+      }
+    }
+    victims.toSeq.sorted
   }
 
   /** Bin-packing compaction as a snapshot commit (OPTIMIZE): rewrite the

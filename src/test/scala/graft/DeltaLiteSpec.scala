@@ -591,7 +591,10 @@ class DeltaLiteSpec extends SparkSpec {
 
   test("writer-protocol gate: unimplemented writer capabilities refuse " +
     "commits (reads unaffected); appendOnly tables refuse removals") {
-    // foreign table demanding writer v4 (generated columns)
+    // foreign table demanding writer v4 (generated columns): WRITABLE
+    // as of r14 — the version's semantics are enforced at commit time
+    // (TableFeaturesSpec), so a v4 table with no generated columns in
+    // its schema simply commits
     val t = newTable()
     DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
     java.nio.file.Files.write(
@@ -600,9 +603,9 @@ class DeltaLiteSpec extends SparkSpec {
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +
         "\n").getBytes("UTF-8"))
     assert(DeltaLite.read(spark, t).count() == 1L, "reads stay legal")
-    val e1 = intercept[IllegalArgumentException](
-      DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s")))
-    assert(e1.getMessage.contains("writer protocol"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    assert(DeltaLite.read(spark, t).count() == 2L,
+      "legacy v3/4/6 tables are writable now their semantics enforce")
 
     // v7 table-features with an unknown writer feature
     val t2 = newTable()
@@ -867,20 +870,22 @@ class DeltaLiteSpec extends SparkSpec {
   test("RENAME/DROP COLUMN respect the writer-protocol gate") {
     val t = newTable()
     DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
-    // foreign v4 protocol (generated columns) — this writer must refuse
-    // metadata-only commits too: a drop could orphan a generation
-    // expression's column reference
+    // a v7 table demanding a feature this writer does not implement
+    // must refuse metadata-only commits too — a drop could orphan state
+    // the unknown feature owns. (Legacy v3/4/6 are now WRITABLE: their
+    // constraints/generated/identity semantics are enforced, see
+    // TableFeaturesSpec.)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
       ("""{"commitInfo":{"operation":"UPGRADE","timestamp":1}}""" + "\n" +
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""" +
         "\n").getBytes("UTF-8"))
     val e1 = intercept[IllegalArgumentException](
       DeltaLite.renameColumn(spark, t, "s", "z"))
-    assert(e1.getMessage.contains("writer protocol"))
+    assert(e1.getMessage.contains("icebergCompatV2"))
     val e2 = intercept[IllegalArgumentException](
       DeltaLite.dropColumn(spark, t, "s"))
-    assert(e2.getMessage.contains("writer protocol"))
+    assert(e2.getMessage.contains("icebergCompatV2"))
   }
 
   test("vacuum reaps _change_data files outside the retention horizon " +

@@ -193,4 +193,84 @@ class ExtensionsSpec extends SparkSpec {
     assert(dParts.keySet == Set("g=g0", "g=g1", "g=g2") &&
       dParts.values.sum == 30L, s"got $dParts")
   }
+
+  test("r14 verbs: ADD/DROP CONSTRAINT, CREATE/DROP BRANCH + TAG, " +
+    "FAST FORWARD, REMOVE ORPHAN FILES, CLEANUP LOGS — SQL effects " +
+    "equal the programmatic APIs") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_r14verbs")
+      .toString
+
+    // Delta: constraint lifecycle through SQL
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t, Seq((1L, 5.0), (2L, 7.0)).toDF("k", "amt"))
+    extSpark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    intercept[IllegalArgumentException](DeltaLite.commit(extSpark, t,
+      Seq((3L, -1.0)).toDF("k", "amt")))
+    extSpark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT amt_pos")
+    DeltaLite.commit(extSpark, t, Seq((3L, -1.0)).toDF("k", "amt"))
+    assert(DeltaLite.read(extSpark, t).count() == 3L)
+    // CLEANUP LOGS: checkpoint, then the below-checkpoint commits go
+    DeltaLite.checkpoint(extSpark, t)
+    val cleaned = extSpark.sql(s"CLEANUP LOGS '$t' RETAIN 1 VERSIONS")
+      .collect().map(_.getString(0))
+    assert(cleaned.nonEmpty && DeltaLite.read(extSpark, t).count() == 3L)
+
+    // Iceberg: WAP through SQL
+    val ti = s"$base/i"
+    IcebergLite.commit(extSpark, ti, Seq((1L, "a")).toDF("k", "s"))
+    extSpark.sql(s"ALTER TABLE '$ti' CREATE BRANCH staging")
+    IcebergLite.commitToBranch(extSpark, ti, "staging",
+      Seq((2L, "b")).toDF("k", "s"))
+    assert(IcebergLite.read(extSpark, ti).count() == 1L)
+    extSpark.sql(s"ALTER TABLE '$ti' FAST FORWARD staging")
+    assert(IcebergLite.read(extSpark, ti).count() == 2L)
+    extSpark.sql(s"ALTER TABLE '$ti' CREATE TAG v1 AT 0")
+    assert(IcebergLite.tableRefs(extSpark, ti)("v1") == (0L, "tag"))
+    extSpark.sql(s"ALTER TABLE '$ti' DROP TAG v1")
+    assert(!IcebergLite.tableRefs(extSpark, ti).contains("v1"))
+
+    // REMOVE ORPHAN FILES: planted debris goes, live reads intact
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ti, "data", "part-zz-junk.parquet"),
+      Array[Byte](1))
+    val gone = extSpark.sql(s"REMOVE ORPHAN FILES FROM '$ti'")
+      .collect().map(_.getString(0))
+    assert(gone.contains("data/part-zz-junk.parquet"))
+    assert(IcebergLite.read(extSpark, ti).count() == 2L)
+
+    // format guards: wrong-surface verbs refuse loudly
+    intercept[RuntimeException](
+      extSpark.sql(s"ALTER TABLE '$ti' ADD CONSTRAINT c CHECK (k > 0)"))
+    intercept[RuntimeException](
+      extSpark.sql(s"ALTER TABLE '$t' CREATE BRANCH b"))
+  }
+
+  test("CLUSTER BY verb: declare through SQL, OPTIMIZE re-clusters by " +
+    "the declared keys, CLUSTER BY NONE drops; Iceberg refuses") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_liqverb")
+      .toString
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t,
+      (0L until 1000L).map(k => (k, s"v$k")).toDF("k", "s")
+        .repartition(4))
+    val declared = extSpark.sql(s"ALTER TABLE '$t' CLUSTER BY (k)")
+      .collect().head
+    assert(declared.getString(1) == "CLUSTER BY (k)")
+    assert(DeltaLite.clusteringColumns(extSpark, t).contains(Seq("k")))
+    extSpark.sql(s"OPTIMIZE '$t' FILES 4")
+    val scan = DeltaLite.readWhere(extSpark, t, "k", 0L, 99L)
+    assert(scan.filesSkipped >= 2,
+      s"SQL-declared clustering must drive OPTIMIZE: $scan")
+    extSpark.sql(s"ALTER TABLE '$t' CLUSTER BY NONE")
+    assert(DeltaLite.clusteringColumns(extSpark, t).isEmpty)
+
+    val ti = s"$base/i"
+    IcebergLite.commit(extSpark, ti, Seq((1L, "a")).toDF("k", "s"))
+    intercept[RuntimeException](
+      extSpark.sql(s"ALTER TABLE '$ti' CLUSTER BY (k)"))
+  }
 }
