@@ -20,9 +20,10 @@ import graft.sources.{DeltaLite, IcebergLite}
   *
   * {{{
   *   OPTIMIZE '<table path>' [ZORDER BY (c1, c2)] [FILES n]
-  *   VACUUM '<table path>' [RETAIN n VERSIONS]
+  *   VACUUM '<table path>' [RETAIN n VERSIONS|HOURS]
   *   DESCRIBE HISTORY '<table path>'
   *   DESCRIBE DETAIL '<table path>'
+  *   SHOW TBLPROPERTIES '<table path>'
   *   RESTORE '<table path>' VERSION AS OF n
   * }}}
   *
@@ -66,7 +67,9 @@ object GraftSqlVerbs {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
+  private val ShowPropertiesRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val DetailRe =
@@ -103,8 +106,11 @@ object GraftSqlVerbs {
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
           Option(files).map(_.toInt)))
-      case VacuumRe(path, retain) =>
-        Some(GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1)))
+      case VacuumRe(path, retain, unit) =>
+        Some(GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1),
+          hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))))
+      case ShowPropertiesRe(path) =>
+        Some(GraftShowPropertiesCommand(path))
       case HistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
       case DetailRe(path)  => Some(GraftDescribeDetailCommand(path))
       case RestoreRe(path, v) => Some(GraftRestoreCommand(path, v.toLong))
@@ -180,20 +186,48 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
   }
 }
 
-/** `VACUUM '<path>' [RETAIN n VERSIONS]` — reap files referenced by no
-  * retained version/snapshot; returns the reaped names.
+/** `VACUUM '<path>' [RETAIN n VERSIONS|HOURS]` — reap files referenced
+  * by no retained version/snapshot; returns the reaped names. The HOURS
+  * flavor (the real verb's shape) resolves retention over commit
+  * timestamps — `inCommitTimestamp` first on Delta, the snapshot-log's
+  * `timestamp-ms` on Iceberg.
   */
-case class GraftVacuumCommand(path: String, retain: Int)
+case class GraftVacuumCommand(path: String, retain: Int,
+                              hours: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlVerbs._
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val deleted = formatOf(spark, path) match {
-      case DeltaFormat   => DeltaLite.vacuum(spark, path, retain)
-      case IcebergFormat => IcebergLite.expireSnapshots(spark, path, retain)
+      case DeltaFormat =>
+        if (hours) DeltaLite.vacuumRetainHours(spark, path, retain.toDouble)
+        else DeltaLite.vacuum(spark, path, retain)
+      case IcebergFormat =>
+        if (hours) IcebergLite.expireSnapshotsOlderThan(spark, path,
+          System.currentTimeMillis() - retain.toLong * 3600 * 1000)
+        else IcebergLite.expireSnapshots(spark, path, retain)
     }
     deleted.map(Row(_))
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>'` — the table's configuration as
+  * key/value rows (Delta metaData configuration / Iceberg metadata
+  * properties), metadata-only on both formats.
+  */
+case class GraftShowPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props: Map[String, String] = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.snapshot(spark, path).configuration
+      case IcebergFormat => IcebergLite.tableProperties(spark, path)
+    }
+    props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 

@@ -1662,6 +1662,51 @@ object LakehouseOps {
       |FROM u WHERE o_orderkey % 10 <> 0
       |GROUP BY 1 ORDER BY yr""".stripMargin
 
+  // ---------------------------------------------------------------- B35
+  /** IN-COMMIT TIMESTAMPS end to end — the `inCommitTimestamp` writer
+    * feature (the authoritative commit clock lives INSIDE each commit,
+    * not in fs mtimes): an even-keys slice of orders lands, enablement
+    * stamps its own commit, an odd-keys append stamps a strictly later
+    * one, and TIMESTAMP AS OF at each recorded stamp must resolve
+    * exactly that snapshot — the `at_enable` leg must NOT see the
+    * append. Both legs roll up per order status against DuckDB
+    * recomputing from raw orders.
+    */
+  def dbaDeltaIct(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = java.nio.file.Files.createTempDirectory("graft_ict")
+      .toString + "/orders_ict"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    DeltaLite.commit(s, t, ord.filter(col("o_orderkey") % 2 === 0)) // v0
+    DeltaLite.enableInCommitTimestamps(s, t)                        // v1
+    DeltaLite.commit(s, t, ord.filter(col("o_orderkey") % 2 =!= 0)) // v2
+    val icts: Map[Long, Long] = DeltaLite.history(s, t)
+      .select("version", "in_commit_timestamp").collect()
+      .flatMap(r => Option(r.get(1)).map(t => r.getLong(0) ->
+        t.asInstanceOf[Long])).toMap
+    def leg(df: DataFrame, name: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("leg", lit(name))
+    leg(DeltaLite.readAsOf(s, t, icts(1L)), "at_enable")
+      .unionByName(leg(DeltaLite.readAsOf(s, t, icts(2L)), "tip"))
+      .select("leg", "o_orderstatus", "n", "total")
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  val dbaDeltaIctOracle: String =
+    """SELECT leg, o_orderstatus, n, total FROM (
+      |  SELECT 'at_enable' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tip' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2) t
+      |ORDER BY leg, o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- B12
   /** Hot-key skew report — the diagnostic a DBA runs BEFORE a big join or
@@ -1788,7 +1833,8 @@ object LakehouseOps {
     "dba_delta_partitioned" -> (dbaDeltaPartitioned _),
     "dba_constraints"     -> (dbaConstraints _),
     "dba_iceberg_refs"    -> (dbaIcebergRefs _),
-    "dba_row_tracking"    -> (dbaRowTracking _))
+    "dba_row_tracking"    -> (dbaRowTracking _),
+    "dba_delta_ict"       -> (dbaDeltaIct _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_v2ckpt"   -> dbaDeltaV2CkptOracle,
@@ -1824,5 +1870,6 @@ object LakehouseOps {
     "dba_delta_partitioned" -> dbaDeltaPartitionedOracle,
     "dba_constraints"   -> dbaConstraintsOracle,
     "dba_iceberg_refs"  -> dbaIcebergRefsOracle,
-    "dba_row_tracking"  -> dbaRowTrackingOracle)
+    "dba_row_tracking"  -> dbaRowTrackingOracle,
+    "dba_delta_ict"     -> dbaDeltaIctOracle)
 }

@@ -417,7 +417,7 @@ object DeltaLite {
     "columnMapping", "timestampNtz", "appendOnly", "invariants",
     "changeDataFeed", "domainMetadata", "clustering", "v2Checkpoint",
     "checkConstraints", "generatedColumns", "identityColumns",
-    "rowTracking")
+    "rowTracking", "inCommitTimestamp")
 
   /** WRITER-protocol gate — the commit-side twin of the reader gate: a
     * table may demand writer capabilities (unknown v7 features) that
@@ -1015,25 +1015,59 @@ object DeltaLite {
     * stamps). Versions without a commitInfo timestamp inherit the
     * previous version's (monotonic resolution never goes backward);
     * a bound before the first commit is refused, like the real reader.
+    * On ICT tables ([[IctProperty]]) the `inCommitTimestamp` inside the
+    * commitInfo is AUTHORITATIVE for its version — it exists precisely
+    * because wall-clock `timestamp` fields and file mtimes drift.
     */
   def readAsOf(spark: SparkSession, table: String,
-               tsMillis: Long): DataFrame = {
+               tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
+
+  /** The version a reader at `tsMillis` would see (TIMESTAMP AS OF
+    * resolution without the read) — [[readAsOf]]'s resolver, also the
+    * translation layer for `startingTimestamp` stream options and
+    * [[vacuumRetainHours]].
+    */
+  def versionAsOf(spark: SparkSession, table: String,
+                  tsMillis: Long): Long = {
+    val stamped = versionStamps(spark, table)
+    stamped.filter(_._2 <= tsMillis).lastOption.getOrElse(
+      sys.error(s"$table: no version at or before timestamp $tsMillis " +
+        s"(earliest commit is at ${stamped.head._2})"))._1
+  }
+
+  /** The first version stamped at or after `tsMillis` — the
+    * `startingTimestamp` stream option's resolver ("changes committed
+    * at or after T"). None when every commit predates the bound.
+    */
+  def firstVersionAtOrAfter(spark: SparkSession, table: String,
+                            tsMillis: Long): Option[Long] =
+    if (versions(spark, table).isEmpty) None
+    else versionStamps(spark, table).find(_._2 >= tsMillis).map(_._1)
+
+  /** Every version with its MONOTONIC resolved timestamp —
+    * `inCommitTimestamp` when present (authoritative on ICT tables),
+    * else the legacy commitInfo `timestamp`, else inherited from the
+    * previous version (resolution never goes backward).
+    */
+  private def versionStamps(spark: SparkSession,
+                            table: String): Seq[(Long, Long)] = {
     val f = fs(spark, logDir(table))
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table: no _delta_log commits")
     var last = Long.MinValue
-    val stamped = vs.map { v =>
+    vs.map { v =>
       val ts = readActions(f, commitFile(table, v))
         .find(_.has("commitInfo"))
-        .flatMap(a => Option(a.get("commitInfo").get("timestamp")))
+        .flatMap { a =>
+          val ci = a.get("commitInfo")
+          Option(ci.get("inCommitTimestamp"))
+            .orElse(Option(ci.get("timestamp")))
+        }
         .map(_.asLong()).getOrElse(last)
       last = math.max(last, ts)
       (v, last)
     }
-    val target = stamped.filter(_._2 <= tsMillis).lastOption.getOrElse(
-      sys.error(s"$table: no version at or before timestamp $tsMillis " +
-        s"(earliest commit is at ${stamped.head._2})"))
-    read(spark, table, Some(target._1))
   }
 
   // ----------------------------------------------------- column mapping
@@ -1372,8 +1406,29 @@ object DeltaLite {
       emitProtocol = v == 0L || (overwrite && mapped && !prevMapped),
       upgradeFrom = prev,
       rowIdsOf = rowIdsOf, rowIdWatermark = rowIdWatermark))
+    maybeAutoCheckpoint(spark, table, v, conf)
     v
   }
+
+  /** `delta.checkpointInterval` — when the table declares it, every
+    * n-th commit lands a checkpoint so REPLAY COST STAYS BOUNDED without
+    * anyone scheduling maintenance: a year of streaming micro-batches on
+    * an interval-10 table replays ≤10 JSON commits from the newest
+    * checkpoint instead of the whole log. Exercised on the data-commit
+    * path ([[commit]] — what streaming sinks and ingest loops drive);
+    * maintenance verbs checkpoint explicitly. Failure here must NOT
+    * fail the commit (the data is already durable; the next interval
+    * catches up).
+    */
+  private def maybeAutoCheckpoint(spark: SparkSession, table: String,
+                                  v: Long,
+                                  conf: Map[String, String]): Unit =
+    conf.get("delta.checkpointInterval").flatMap(s =>
+      scala.util.Try(s.trim.toInt).toOption).filter(_ > 0).foreach { n =>
+      if (v > 0 && v % n == 0)
+        try checkpoint(spark, table)
+        catch { case scala.util.control.NonFatal(_) => }
+    }
 
   /** Validation + the (metaData schema, physically-named frame,
     * configuration) triple shared by [[commit]] and [[commitContended]].
@@ -1672,10 +1727,13 @@ object DeltaLite {
     f.mkdirs(logDir(table))
     val target = commitFile(table, v)
     if (f.exists(target)) return false
+    // ICT injects per ATTEMPT: a retry at a new version re-reads the new
+    // tip, so the stamp stays monotonic past the commit that won the race
+    val stamped = withIct(spark, table, v, actionsNdjson)
     val tmp = new Path(logDir(table),
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     val out = f.create(tmp, true)
-    try out.write(actionsNdjson.getBytes(StandardCharsets.UTF_8))
+    try out.write(stamped.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     atomicClaim(spark, f, tmp, target)
   }
@@ -1718,6 +1776,111 @@ object DeltaLite {
     }
   }
 
+  // ------------------------------------------- in-commit timestamps (ICT)
+  /** `delta.enableInCommitTimestamps` — the `inCommitTimestamp` writer
+    * feature modern engines enable by default: the authoritative commit
+    * time lives INSIDE the leading commitInfo (strictly monotonic per
+    * table) instead of in filesystem mtimes, which object stores rewrite
+    * on copy/migration and which go BACKWARD under clock skew across
+    * writers. TIMESTAMP AS OF resolves over these stamps when present
+    * ([[readAsOf]]).
+    */
+  val IctProperty = "delta.enableInCommitTimestamps"
+  private val IctEnablementVersionKey =
+    "delta.inCommitTimestampEnablementVersion"
+  private val IctEnablementTimestampKey =
+    "delta.inCommitTimestampEnablementTimestamp"
+
+  /** Inject the monotonic `inCommitTimestamp` into a commit's leading
+    * commitInfo when the table runs ICT. Called on EVERY publish path —
+    * a single missing stamp on an enabled table breaks the spec's
+    * monotonic-resolution contract for all other engines. Enablement is
+    * detected from (a) this commit's own metaData (a metaData action
+    * replaces the configuration wholesale, so its property state is
+    * authoritative from here on), else (b) the tip commit's own stamp
+    * (every commit on an enabled table carries one — one bounded log
+    * read, no snapshot replay). Floor = tip stamp + 1; wall clock wins
+    * when it is ahead. A commitInfo that ALREADY carries the field
+    * passes through verbatim ([[enableInCommitTimestamps]] pins its own
+    * stamp so the enablement property can record it exactly).
+    */
+  private def withIct(spark: SparkSession, table: String, v: Long,
+                      actionsNdjson: String): String = {
+    // cheap pre-filters keep the common non-ICT paths at string-scan
+    // cost — a 10^4-add commit must not pay 10^4 JSON parses here
+    val ownMeta: Option[Boolean] =
+      if (!actionsNdjson.contains("\"metaData\"")) None
+      else actionsNdjson.linesIterator.filter(_.contains("\"metaData\""))
+        .map(mapper.readTree).find(_.has("metaData"))
+        .map(n => Option(n.get("metaData").get("configuration"))
+          .flatMap(c => Option(c.get(IctProperty)))
+          .exists(_.asText().equalsIgnoreCase("true")))
+    if (ownMeta.contains(false)) return actionsNdjson
+    lazy val lines = actionsNdjson.linesIterator.filter(_.nonEmpty).toVector
+    lazy val tipIct: Option[Long] =
+      if (v == 0) None
+      else {
+        val f = fs(spark, logDir(table))
+        val tf = commitFile(table, v - 1)
+        if (!f.exists(tf)) None
+        else readActions(f, tf).find(_.has("commitInfo")).flatMap(ci =>
+          Option(ci.get("commitInfo").get("inCommitTimestamp"))
+            .map(_.asLong()))
+      }
+    val enabled = ownMeta.getOrElse(tipIct.isDefined)
+    if (!enabled) return actionsNdjson
+    val ciIdx = lines.indexWhere(l => l.contains("\"commitInfo\"") &&
+      mapper.readTree(l).has("commitInfo"))
+    if (ciIdx >= 0 &&
+        mapper.readTree(lines(ciIdx)).get("commitInfo")
+          .has("inCommitTimestamp"))
+      return actionsNdjson
+    val t = math.max(System.currentTimeMillis(),
+      tipIct.fold(Long.MinValue)(_ + 1L))
+    val stamped =
+      if (ciIdx < 0)
+        s"""{"commitInfo":{"operation":"WRITE","timestamp":$t,"inCommitTimestamp":$t}}"""
+      else {
+        val ci = mapper.readTree(lines(ciIdx))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        ci.get("commitInfo")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("inCommitTimestamp", t)
+        mapper.writeValueAsString(ci)
+      }
+    // the spec requires commitInfo FIRST on ICT tables
+    (stamped +: lines.patch(math.max(ciIdx, 0),
+      Nil, if (ciIdx < 0) 0 else 1)).mkString("", "\n", "\n")
+  }
+
+  /** Enable in-commit timestamps: protocol upgrade to the
+    * `inCommitTimestamp` writer feature plus the enablement properties
+    * the spec pins (`...EnablementVersion`/`...EnablementTimestamp` —
+    * the boundary below which TIMESTAMP AS OF falls back to legacy
+    * commitInfo timestamps). The enablement commit carries the FIRST
+    * stamp, equal by construction to the recorded enablement timestamp.
+    */
+  def enableInCommitTimestamps(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    require(!snap.configuration.get(IctProperty)
+        .exists(_.equalsIgnoreCase("true")),
+      s"$table: in-commit timestamps already enabled")
+    val v = snap.version + 1
+    val t = System.currentTimeMillis()
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"ENABLE IN-COMMIT TIMESTAMPS","timestamp":$t,"inCommitTimestamp":$t}}""" +
+        "\n" + writerFeatureUpgradeJson(snap, Set("inCommitTimestamp")) +
+        "\n" + metaDataJson(v, snap.schemaJson.get,
+        snap.configuration ++ Map(
+          IctProperty -> "true",
+          IctEnablementVersionKey -> v.toString,
+          IctEnablementTimestampKey -> t.toString),
+        partitionColumns = snap.partitionColumns))
+    v
+  }
+
   /** Atomically publish one JSON actions file as version `v` (write to a
     * dot-tmp, rename into place — readers never see a partial commit).
     */
@@ -1725,9 +1888,10 @@ object DeltaLite {
                             actionsNdjson: String): Unit = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
+    val stamped = withIct(spark, table, v, actionsNdjson)
     val tmp = new Path(logDir(table), s".v$v.json.tmp")
     val out = f.create(tmp, true)
-    try out.write(actionsNdjson.getBytes(StandardCharsets.UTF_8))
+    try out.write(stamped.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, commitFile(table, v)), s"commit rename failed: v$v")
   }
@@ -2841,16 +3005,19 @@ object DeltaLite {
     val f = fs(spark, logDir(table))
     versions(spark, table).map { v =>
       val as = readActions(f, commitFile(table, v))
-      val op = as.find(_.has("commitInfo"))
-        .map(_.get("commitInfo").get("operation").asText()).getOrElse("")
+      val ci = as.find(_.has("commitInfo")).map(_.get("commitInfo"))
+      val op = ci.map(_.get("operation").asText()).getOrElse("")
       // SetTransaction bookkeeping, surfaced for audit: which streaming
       // appId stamped this commit, at which producer version
       val txn = as.find(_.has("txn")).map(_.get("txn"))
       (v, op, as.count(_.has("add")).toLong, as.count(_.has("remove")).toLong,
         txn.map(_.get("appId").asText()).orNull,
-        txn.map(t => java.lang.Long.valueOf(t.get("version").asLong())).orNull)
+        txn.map(t => java.lang.Long.valueOf(t.get("version").asLong())).orNull,
+        // the authoritative commit time on ICT tables (null elsewhere)
+        ci.flatMap(c => Option(c.get("inCommitTimestamp")))
+          .map(t => java.lang.Long.valueOf(t.asLong())).orNull)
     }.toDF("version", "operation", "n_added", "n_removed",
-      "txn_app_id", "txn_version")
+      "txn_app_id", "txn_version", "in_commit_timestamp")
   }
 
   /** OPTIMIZE (bin-packing compaction) as a protocol commit (reference:
@@ -2979,6 +3146,25 @@ object DeltaLite {
     * the horizon fails at scan time (file gone), the protocol's own
     * contract. Returns the deleted file names.
     */
+  /** VACUUM, wall-clock flavored (`RETAIN n HOURS`, the real verb's
+    * shape): keep every version a reader within the retention window
+    * could still resolve — those stamped at or after `now - hours` —
+    * plus the tip, then reap through [[vacuum]]'s version-count
+    * keep-set. Stamps resolve like TIMESTAMP AS OF: `inCommitTimestamp`
+    * first (the whole point of ICT — mtimes lie after object-store
+    * copies), legacy commitInfo timestamps otherwise. A zeroed-stamp
+    * log (this library's own deterministic tests) keeps only the tip —
+    * same as `RETAIN 1 VERSIONS`.
+    */
+  def vacuumRetainHours(spark: SparkSession, table: String,
+                        hours: Double): Seq[String] = {
+    require(hours >= 0, "retention must be non-negative")
+    val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    // stamps are monotonic, so the retained set is a trailing window
+    val retained = versionStamps(spark, table).count(_._2 >= cutoff)
+    vacuum(spark, table, retainVersions = math.max(retained, 1))
+  }
+
   def vacuum(spark: SparkSession, table: String,
              retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")

@@ -1639,7 +1639,34 @@ object IcebergLite {
     val hint = f.create(hintFile(table), true)
     try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    maybeAutoCleanupMetadata(spark, table, meta)
     Some(snapId)
+  }
+
+  /** The spec's automatic metadata retention
+    * (`write.metadata.delete-after-commit.enabled` +
+    * `write.metadata.previous-versions-max`, default 100): when the
+    * table opts in, each commit prunes metadata JSONs beyond the window
+    * — without it a streaming writer leaves one immortal metadata file
+    * per batch. Time travel rides the CURRENT metadata's snapshots
+    * array, so nothing user-visible is lost ([[cleanupMetadata]]'s own
+    * contract). Failure must not fail the commit.
+    */
+  private def maybeAutoCleanupMetadata(spark: SparkSession, table: String,
+                                       meta: ObjectNode): Unit = {
+    val props = Option(meta.get("properties"))
+      .collect { case o: ObjectNode => o }
+    val enabled = props
+      .flatMap(p => Option(p.get("write.metadata.delete-after-commit.enabled")))
+      .exists(_.asText().equalsIgnoreCase("true"))
+    if (!enabled) return
+    val keepPrev = props
+      .flatMap(p => Option(p.get("write.metadata.previous-versions-max")))
+      .flatMap(n => scala.util.Try(n.asText().trim.toInt).toOption)
+      .getOrElse(100)
+    try cleanupMetadata(spark, table,
+      retainVersions = math.max(keepPrev, 0) + 1)
+    catch { case scala.util.control.NonFatal(_) => }
   }
 
   /** Atomic put-if-absent claim of `dst` — shared primitive with
@@ -2223,6 +2250,7 @@ object IcebergLite {
     val hint = f.create(hintFile(table), true)
     try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    maybeAutoCleanupMetadata(spark, table, meta)
     metaV
   }
 
@@ -2471,6 +2499,32 @@ object IcebergLite {
     publishMetadataVersion(spark, table, meta)
   }
 
+  /** The newest snapshot stamped strictly BEFORE `tsMillis` — the
+    * anchor the `startingTimestamp` stream option translates to (the
+    * source delivers changes strictly after its anchor, so everything
+    * stamped at or after T flows). None when every snapshot is at or
+    * after the bound (deliver from the beginning).
+    */
+  def lastSnapshotBefore(spark: SparkSession, table: String,
+                         tsMillis: Long): Option[Long] = {
+    val meta = metadata(spark, table)
+    Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(s => Option(s.get("timestamp-ms")).exists(_.asLong() < tsMillis))
+      .lastOption.map(_.get("snapshot-id").asLong())
+  }
+
+  /** The table's property map (SHOW TBLPROPERTIES' source) — metadata
+    * JSON only, no snapshot resolution.
+    */
+  def tableProperties(spark: SparkSession,
+                      table: String): Map[String, String] =
+    Option(metadata(spark, table).get("properties"))
+      .collect { case o: ObjectNode => o }
+      .map(_.properties().iterator().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+
   /** Incremental consumption (the format's append-changelog surface):
     * the rows added by snapshots in `(fromSnapshotId, toSnapshotId]`,
     * read WITHOUT rescanning the table — under append-only history the
@@ -2694,6 +2748,24 @@ object IcebergLite {
     * fails at resolution (snapshot not found) — the format's own
     * contract. Returns deleted file paths (relative).
     */
+  /** [[expireSnapshots]], wall-clock flavored (the spec's
+    * `expire_snapshots(older_than)`): keep every snapshot stamped at or
+    * after the cutoff (plus the current one and all ref'd ones — the
+    * count delegates to the version-count keep-set, which protects
+    * refs). The snapshots array is append-ordered with monotonic
+    * `timestamp-ms`, so the retained set is a trailing window.
+    */
+  def expireSnapshotsOlderThan(spark: SparkSession, table: String,
+                               cutoffMillis: Long): Seq[String] = {
+    val meta = metadata(spark, table)
+    val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    if (snaps.isEmpty) return Seq.empty
+    val retained = snaps.count(s =>
+      Option(s.get("timestamp-ms")).exists(_.asLong() >= cutoffMillis))
+    expireSnapshots(spark, table, math.max(retained, 1))
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
                       retainSnapshots: Int = 1): Seq[String] = {
     require(retainSnapshots >= 1, "must retain at least the current snapshot")

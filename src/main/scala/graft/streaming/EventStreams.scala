@@ -597,7 +597,8 @@ object EventStreams {
                       keys: Seq[String] = Nil,
                       startingVersion: Option[Long] = None,
                       maxVersionsPerTrigger: Option[Int] = None,
-                      cdfVersions: Boolean = false): DataFrame = {
+                      cdfVersions: Boolean = false,
+                      startingTimestamp: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[DeltaLiteStreamProvider].getName)
       .option("path", tablePath)
@@ -605,6 +606,7 @@ object EventStreams {
       .option("cdfVersions", cdfVersions.toString)
       .option("keys", keys.mkString(","))
     startingVersion.foreach(v => r.option("startingVersion", v.toString))
+    startingTimestamp.foreach(t => r.option("startingTimestamp", t.toString))
     maxVersionsPerTrigger.foreach(n =>
       r.option("maxVersionsPerTrigger", n.toString))
     r.load()
@@ -620,7 +622,8 @@ object EventStreams {
                         keys: Seq[String] = Nil,
                         cdfVersions: Boolean = false,
                         startingSnapshot: Option[Long] = None,
-                        maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+                        maxSnapshotsPerTrigger: Option[Int] = None,
+                        startingTimestamp: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[IcebergLiteStreamProvider].getName)
       .option("path", tablePath)
@@ -628,6 +631,7 @@ object EventStreams {
       .option("cdfVersions", cdfVersions.toString)
       .option("keys", keys.mkString(","))
     startingSnapshot.foreach(s => r.option("startingSnapshot", s.toString))
+    startingTimestamp.foreach(t => r.option("startingTimestamp", t.toString))
     maxSnapshotsPerTrigger.foreach(n =>
       r.option("maxSnapshotsPerTrigger", n.toString))
     r.load()

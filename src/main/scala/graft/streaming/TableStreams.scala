@@ -52,6 +52,13 @@ object TableStreams {
     case other         => other.json.trim.toLong
   }
 
+  /** `startingTimestamp` accepts epoch millis or `yyyy-MM-dd HH:mm:ss`
+    * (JDBC timestamp syntax, session-default zone).
+    */
+  private[streaming] def parseTs(s: String): Long =
+    scala.util.Try(s.trim.toLong)
+      .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
+
   private[streaming] def offsetValue(o: Option[V1Offset]): Option[Long] =
     o.map(offsetValue)
 }
@@ -61,7 +68,10 @@ object TableStreams {
   * `keys` (comma-separated merge keys, required in cdf mode — the
   * classification keys [[DeltaLite.changes]] needs); `startingVersion`
   * (skip the initial snapshot and deliver appends from this version on
-  * — the real source's option); `maxVersionsPerTrigger` (cap each
+  * — the real source's option); `startingTimestamp` (epoch millis or
+  * `yyyy-MM-dd HH:mm:ss` — resolves once, ICT-aware, to the first
+  * version stamped at or after the bound; mutually exclusive with
+  * `startingVersion`); `maxVersionsPerTrigger` (cap each
   * micro-batch at N table versions, so a deep backlog drains in bounded
   * batches instead of one giant catch-up scan; best-effort — the first
   * batch after a RESTART covers the full gap, later batches are
@@ -103,8 +113,22 @@ class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegist
     require(!cdf || keys.nonEmpty,
       "graft-delta-stream: cdf mode needs option 'keys' " +
         "(comma-separated merge keys for change classification)")
-    new DeltaLiteTailSource(spark, tableOf(parameters), cdf, keys,
-      parameters.get("startingVersion").map(_.toLong),
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-delta-stream: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    val table = tableOf(parameters)
+    // startingTimestamp resolves ONCE here to the first version stamped
+    // at or after the bound (ICT-aware); a bound past the tip means
+    // "only future commits" — anchor one past the tip and wait
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { s =>
+        val ts = TableStreams.parseTs(s)
+        DeltaLite.firstVersionAtOrAfter(spark, table, ts).getOrElse(
+          DeltaLite.versions(spark, table).lastOption.fold(0L)(_ + 1L))
+      })
+    new DeltaLiteTailSource(spark, table, cdf, keys,
+      startingVersion,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       parameters.get("cdfVersions").exists(_.toBoolean),
       schemaFor(spark, parameters))
@@ -176,7 +200,10 @@ private class DeltaLiteTailSource(spark: SparkSession, table: String,
   * `cdfVersions` (adds `_commit_version` = the snapshot's HISTORY
   * ordinal — foreign snapshot ids are random, the ordinal is what
   * ordering-sensitive consumers sort on); `startingSnapshot` (skip the
-  * initial snapshot and deliver changes AFTER this id); and
+  * initial snapshot and deliver changes AFTER this id);
+  * `startingTimestamp` (epoch millis or `yyyy-MM-dd HH:mm:ss` — anchors
+  * on the snapshot-log's `timestamp-ms`; mutually exclusive with
+  * `startingSnapshot`); and
   * `maxSnapshotsPerTrigger` (cap each micro-batch at N snapshots in
   * history-ordinal space, so a deep backlog drains in bounded batches —
   * the Delta twin's catch-up control). Append mode keeps the format's
@@ -217,9 +244,21 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
     require(!cdf || keys.nonEmpty,
       "graft-iceberg-stream: cdf mode needs option 'keys' " +
         "(comma-separated merge keys for change classification)")
-    new IcebergLiteTailSource(spark, tableOf(parameters), cdf, keys,
+    require(!(parameters.contains("startingSnapshot") &&
+        parameters.contains("startingTimestamp")),
+      "graft-iceberg-stream: startingSnapshot and startingTimestamp are " +
+        "mutually exclusive")
+    val table = tableOf(parameters)
+    // startingTimestamp anchors on the newest snapshot BEFORE the bound
+    // (the source delivers strictly after its anchor); all-snapshots-at-
+    // or-after means no anchor — deliver from the beginning
+    val startingSnapshot = parameters.get("startingSnapshot").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").flatMap(s =>
+        IcebergLite.lastSnapshotBefore(spark, table,
+          TableStreams.parseTs(s))))
+    new IcebergLiteTailSource(spark, table, cdf, keys,
       parameters.get("cdfVersions").exists(_.toBoolean),
-      parameters.get("startingSnapshot").map(_.toLong),
+      startingSnapshot,
       parameters.get("maxSnapshotsPerTrigger").map(_.toInt),
       schemaFor(spark, parameters))
   }

@@ -921,4 +921,24 @@ class DeltaLiteSpec extends SparkSpec {
     // the table itself is untouched
     assert(DeltaLite.read(spark, t).count() == 10L)
   }
+
+  test("delta.checkpointInterval auto-checkpoints every n-th data " +
+    "commit; replay bootstraps from it after log cleanup") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_autockpt")
+      .toString + "/t"
+    DeltaLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s")) // v0
+    DeltaLite.setTableProperty(spark, t, "delta.checkpointInterval", "3") // v1
+    (2L to 7L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v2..v7
+    val logDir = new java.io.File(t, "_delta_log")
+    val cps = logDir.listFiles().map(_.getName)
+      .filter(_.contains(".checkpoint")).sorted.toSeq
+    assert(cps.exists(_.startsWith(f"${3L}%020d")) &&
+      cps.exists(_.startsWith(f"${6L}%020d")),
+      s"v3 and v6 must have auto-checkpointed, got $cps")
+    // the checkpoint is a real bootstrap: clean the log below it and read
+    DeltaLite.cleanupLogs(spark, t)
+    assert(DeltaLite.read(spark, t).count() == 7L)
+  }
 }

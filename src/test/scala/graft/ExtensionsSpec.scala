@@ -273,4 +273,51 @@ class ExtensionsSpec extends SparkSpec {
     intercept[RuntimeException](
       extSpark.sql(s"ALTER TABLE '$ti' CLUSTER BY (k)"))
   }
+
+  test("SHOW TBLPROPERTIES surfaces both formats' property maps; " +
+    "VACUUM RETAIN n HOURS keeps everything inside the window and " +
+    "reaps a zero-hour window down to the tip") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_props")
+      .toString
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s").repartition(2))
+    DeltaLite.setTableProperty(extSpark, t, "delta.appendOnly", "false")
+    DeltaLite.setTableProperty(extSpark, t, "graft.owner", "dba")
+    val props = extSpark.sql(s"SHOW TBLPROPERTIES '$t'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.owner").contains("dba"))
+    assert(props.get("delta.appendOnly").contains("false"))
+
+    val ti = s"$base/i"
+    IcebergLite.commit(extSpark, ti, Seq((1L, "a")).toDF("k", "s"))
+    IcebergLite.setProperty(extSpark, ti, "graft.owner", "dba")
+    val iprops = extSpark.sql(s"SHOW TBLPROPERTIES '$ti'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(iprops.get("graft.owner").contains("dba"))
+
+    // overwrite twice: three versions; a wide window reaps nothing,
+    // a zero-hour window keeps only the tip (same keep-set as RETAIN 1
+    // VERSIONS — our own logs carry zeroed legacy stamps)
+    DeltaLite.commit(extSpark, t,
+      (0L until 50L).map(k => (k, s"w$k")).toDF("k", "s"),
+      overwrite = true)
+    assert(extSpark.sql(s"VACUUM '$t' RETAIN 1000000 HOURS").count() == 0L)
+    assert(DeltaLite.read(extSpark, t).count() == 50L)
+    val reaped = extSpark.sql(s"VACUUM '$t' RETAIN 0 HOURS").count()
+    assert(reaped > 0L, "the pre-overwrite files must reap")
+    assert(DeltaLite.read(extSpark, t).count() == 50L)
+
+    // Iceberg HOURS flavor: wide window no-op, zero window reaps the
+    // superseded snapshot's files; the live read survives
+    IcebergLite.commit(extSpark, ti, Seq((2L, "b")).toDF("k", "s"),
+      overwrite = true)
+    assert(extSpark.sql(s"VACUUM '$ti' RETAIN 1000000 HOURS").count() == 0L)
+    val ireaped = extSpark.sql(s"VACUUM '$ti' RETAIN 0 HOURS").count()
+    assert(ireaped > 0L)
+    assert(IcebergLite.read(extSpark, ti).as[(Long, String)].collect()
+      .toSeq == Seq((2L, "b")))
+  }
 }

@@ -119,4 +119,28 @@ class LogLifecycleSpec extends SparkSpec {
       IcebergLite.readAsOf(spark, t, 50L))
     assert(e.getMessage.contains("earliest"))
   }
+
+  test("iceberg auto metadata cleanup: delete-after-commit prunes " +
+    "metadata JSONs beyond previous-versions-max on every commit; " +
+    "reads and time travel over the CURRENT metadata survive") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_autoclean")
+      .toString + "/t"
+    IcebergLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s"))
+    IcebergLite.setProperty(spark, t,
+      "write.metadata.delete-after-commit.enabled", "true")
+    IcebergLite.setProperty(spark, t,
+      "write.metadata.previous-versions-max", "2")
+    (1L to 6L).foreach(v =>
+      IcebergLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s")))
+    val metaJsons = new java.io.File(t, "metadata").listFiles()
+      .map(_.getName).filter(_.endsWith(".metadata.json")).sorted.toSeq
+    assert(metaJsons.size == 3,
+      s"only current + 2 previous metadata versions may remain: $metaJsons")
+    assert(IcebergLite.read(spark, t).count() == 7L)
+    // every snapshot still time-travels — the CURRENT metadata carries
+    // the whole snapshots array
+    val snaps = IcebergLite.history(spark, t).count()
+    assert(snaps == 7L, s"all snapshots must survive cleanup, got $snaps")
+  }
 }

@@ -370,4 +370,63 @@ class TableStreamsSpec extends SparkSpec {
     assert(got2.map(_.head) == Seq(4L),
       s"restart must deliver exactly the unseen snapshot, got $got2")
   }
+
+  test("startingTimestamp: the Delta source resolves it ICT-aware to " +
+    "the first version at or after the bound; the Iceberg source " +
+    "anchors on the snapshot-log's timestamp-ms") {
+    val base = newDir("graft_stream_ts")
+    val t = s"$base/d"
+    DeltaLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s")) // v0
+    DeltaLite.enableInCommitTimestamps(spark, t)                 // v1
+    (2L to 5L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v2..v5
+    val t4 = DeltaLite.history(spark, t)
+      .filter(col("version") === 4L)
+      .select("in_commit_timestamp").head().getLong(0)
+    val got = drain(EventStreams.readDeltaStream(spark, t,
+      startingTimestamp = Some(t4)), s"$base/cp_dts", Seq("k"))
+    assert(got.map(_.head).toSet == Set(4L, 5L),
+      s"startingTimestamp must deliver v4 on, got $got")
+    // a bound past the tip delivers nothing (waits for future commits)
+    val none = drain(EventStreams.readDeltaStream(spark, t,
+      startingTimestamp = Some(System.currentTimeMillis() + 3600000L)),
+      s"$base/cp_dts2", Seq("k"))
+    assert(none.isEmpty, s"a future bound must wait, got $none")
+
+    // Iceberg: forge real wall-clock stamps into the snapshot log (our
+    // writer zeroes them for determinism; foreign logs carry them)
+    val ti = s"$base/i"
+    (0L to 4L).foreach(v =>
+      IcebergLite.commit(spark, ti, Seq((v, s"r$v")).toDF("k", "s")))
+    val vHint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ti, "metadata", "version-hint.text"))).trim
+    val metaPath = java.nio.file.Paths.get(ti, "metadata",
+      s"v$vHint.metadata.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(metaPath.toFile)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    Seq("snapshots", "snapshot-log").foreach { arr =>
+      val it = meta.get(arr).elements()
+      var ord = 0
+      while (it.hasNext) {
+        ord += 1
+        it.next().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("timestamp-ms", ord * 1000L)
+      }
+    }
+    java.nio.file.Files.write(metaPath,
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    // the local FS keeps a checksum sidecar for files IT wrote; this
+    // rewrite went around it, so drop the stale CRC
+    java.nio.file.Files.deleteIfExists(
+      metaPath.resolveSibling(s".v$vHint.metadata.json.crc"))
+    // snapshots now stamped 1000..5000 (snapshot-log entries share the
+    // regex but anchoring uses the snapshots array; both get stamps).
+    // Bound 3500: anchor = newest snapshot stamped < 3500 → deliver the
+    // ones at/after
+    val igot = drain(EventStreams.readIcebergStream(spark, ti,
+      startingTimestamp = Some(3500L)), s"$base/cp_its", Seq("k"))
+    assert(igot.map(_.head).toSet == Set(3L, 4L),
+      s"startingTimestamp must anchor mid-log, got $igot")
+  }
 }
