@@ -94,6 +94,10 @@ object GraftSqlVerbs {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+FAST[\s-]*FORWARD\s+(\w+)\s*;?\s*""".r
   private val ClusterByRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CLUSTER\s+BY\s+(?:\(\s*([\w\s,]+?)\s*\)|NONE)\s*;?\s*""".r
+  private val AddPartFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val DropPartFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val OrphanRe =
     """(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?'([^']+)'\s*;?\s*""".r
   private val CleanupRe =
@@ -133,6 +137,10 @@ object GraftSqlVerbs {
         Some(GraftClusterByCommand(path,
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)))
+      case AddPartFieldRe(path, decl) =>
+        Some(GraftPartitionFieldCommand(path, decl.trim, add = true))
+      case DropPartFieldRe(path, decl) =>
+        Some(GraftPartitionFieldCommand(path, decl.trim, add = false))
       case OrphanRe(path) => Some(GraftRemoveOrphansCommand(path))
       case CleanupRe(path, retain) =>
         Some(GraftCleanupCommand(path,
@@ -439,6 +447,45 @@ case class GraftClusterByCommand(path: String, cols: Seq[String])
       Seq(Row(DeltaLite.clusterByNone(spark, path), "CLUSTER BY NONE"))
     else Seq(Row(DeltaLite.clusterBy(spark, path, cols),
       s"CLUSTER BY (${cols.mkString(", ")})"))
+  }
+}
+
+/** `ALTER TABLE '<path>' ADD|DROP PARTITION FIELD <decl>` — Iceberg
+  * partition-spec EVOLUTION (metadata-only; existing files stay bound
+  * to the spec they were written under, the next write lands under the
+  * new default). `<decl>` is transform DDL: `days(ts)`,
+  * `bucket(8, id)`, `truncate(4, s)`. Iceberg-only.
+  */
+case class GraftPartitionFieldCommand(path: String, decl: String,
+                                      add: Boolean)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("spec_id", LongType, nullable = false)(),
+    AttributeReference("spec", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case IcebergFormat =>
+      case DeltaFormat =>
+        sys.error(s"$path: partition-spec evolution is an Iceberg " +
+          "surface (Delta lays out via CLUSTER BY / partitionBy)")
+    }
+    val current = IcebergLite.currentSpecDecls(spark, path)
+    def keyOf(d: String) = IcebergLite.parseTransformDecl(d)
+    val next =
+      if (add) {
+        require(!current.map(keyOf).contains(keyOf(decl)),
+          s"$path: partition field $decl already in the spec")
+        current :+ decl
+      } else {
+        val kept = current.filterNot(d => keyOf(d) == keyOf(decl))
+        require(kept.size < current.size,
+          s"$path: partition field $decl not in the current spec " +
+            s"(${current.mkString(", ")})")
+        kept
+      }
+    val id = IcebergLite.evolvePartitionSpec(spark, path, next)
+    Seq(Row(id.toLong, next.mkString(", ")))
   }
 }
 

@@ -2329,8 +2329,12 @@ object DeltaLite {
   def selectiveMerge(spark: SparkSession, table: String, updates: DataFrame,
                      keys: Seq[String], skewSafe: Boolean = false,
                      maxPruneKeys: Int = DefaultMaxPruneKeys,
-                     clauses: Seq[graft.operators.MergeClause] = Nil)
+                     clauses: Seq[graft.operators.MergeClause] = Nil,
+                     schemaEvolution: Boolean = false)
       : MergeStats = {
+    require(!schemaEvolution || clauses.isEmpty,
+      s"$table: schemaEvolution composes with the plain upsert only " +
+        "(clause merges name explicit columns — align the source first)")
     import org.apache.spark.sql.types.{DataType => SDT, StructType => SST}
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
@@ -2369,7 +2373,12 @@ object DeltaLite {
       if (clauses.nonEmpty) graft.operators.LakehouseOps
         .mergeClauses(base, updates, keys, clauses, skewSafe = skewSafe)
       else graft.operators.LakehouseOps
-        .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+        // MERGE WITH SCHEMA EVOLUTION: source columns the target lacks
+        // join the schema additively (commit's append-evolution channel
+        // re-emits metaData; untouched files read the new columns as
+        // null — the drift shape API-ingest merges hit daily)
+        .mergeUpsert(base, updates, keys, skewSafe = skewSafe,
+          autoAlign = schemaEvolution)
     // CDF: materialize the exact per-commit feed the merge implies —
     // update_pre/postimage for keys present in the base, insert for new
     // keys. Cost ∝ touched data + batch (two key semi-joins), opt-in via
@@ -2379,7 +2388,8 @@ object DeltaLite {
     // three-way classification below; the net-diff fallback is exact).
     val cdc: Option[DataFrame] =
       if (!cdfEnabled(snap.configuration) ||
-          mappingMode(snap.configuration) != "none" || clauses.nonEmpty) None
+          mappingMode(snap.configuration) != "none" || clauses.nonEmpty ||
+          schemaEvolution) None // evolving merge: changes() net-diff is exact
       else {
         import org.apache.spark.sql.functions.{broadcast, col, lit}
         val keyC = keys.map(k => col(s"`$k`"))

@@ -937,25 +937,41 @@ object IcebergLite {
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val partitioned = paths.exists(_.matches(".*/[^/]+=[^/]*/[^/]+"))
-    if (!partitioned) spark.read.schema(schema).parquet(paths: _*)
-    else {
-      // hive-layout snapshot: partition columns live in the directory
-      // names, not the data files — basePath discovery re-attaches them
-      // (and gives Catalyst real PartitionFilters pruning). Discovery
-      // infers partition value types, so re-cast any drifted column to
-      // the committed schema and restore the declared column order.
-      val raw = spark.read.option("basePath", table).parquet(paths: _*)
-      val typed = schema.fields.foldLeft(raw) { (d, fld) =>
-        if (d.schema.fieldNames.contains(fld.name) &&
-            d.schema(fld.name).dataType != fld.dataType)
-          d.withColumn(fld.name, org.apache.spark.sql.functions
-            .col(fld.name).cast(fld.dataType))
-        else d
-      }
-      typed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+    // partition-spec EVOLUTION leaves one snapshot spanning several
+    // directory layouts (old files under id_bucket=N/, new under
+    // grp_bucket=M/, or at the root) — one basePath discovery over the
+    // mix dies on conflicting partition column names, so group files by
+    // their hive-key signature and give each group its own consistent
+    // read; single-layout snapshots (the steady state) stay ONE scan.
+    val KeyRe = """([^/=]+)=[^/]*""".r
+    def signature(p: String): Seq[String] = {
+      val rel = p.stripPrefix(table).stripPrefix("/")
+      KeyRe.findAllMatchIn(rel)
+        .filter(m => rel.indexOf('/', m.start) >= 0) // dir components only
+        .map(_.group(1)).toSeq
     }
+    val groups = paths.groupBy(signature).toSeq.sortBy(_._1.mkString(","))
+    val frames = groups.map { case (sig, ps) =>
+      if (sig.isEmpty) spark.read.schema(schema).parquet(ps: _*)
+      else {
+        // hive-layout group: partition columns live in the directory
+        // names, not the data files — basePath discovery re-attaches
+        // them (and gives Catalyst real PartitionFilters pruning).
+        // Discovery infers partition value types, so re-cast drifted
+        // columns to the committed schema and restore column order.
+        val raw = spark.read.option("basePath", table).parquet(ps: _*)
+        val typed = schema.fields.foldLeft(raw) { (d, fld) =>
+          if (d.schema.fieldNames.contains(fld.name) &&
+              d.schema(fld.name).dataType != fld.dataType)
+            d.withColumn(fld.name, org.apache.spark.sql.functions
+              .col(fld.name).cast(fld.dataType))
+          else d
+        }
+        typed.select(schema.fieldNames
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      }
+    }
+    frames.reduce(_.unionByName(_))
   }
 
   // ------------------------------------------------------------ writing
@@ -1257,9 +1273,19 @@ object IcebergLite {
     // unified spec columns: identity partitionBy keeps its source column
     // in the DIRECTORY (hive layout, recovered at read); non-identity
     // transforms derive an EXTRA column for the directory and keep the
-    // source column in the data files
+    // source column in the data files. An APPEND that declares nothing
+    // INHERITS the table's current default spec (the real engine's
+    // contract — the table's spec governs writes; without this an
+    // undeclared append silently evolves a partitioned table to an
+    // unpartitioned default and pruning dies); overwrites re-declare
+    // the layout explicitly or flatten.
+    val effectiveTransforms: Seq[String] =
+      if (partitionTransforms.isEmpty && partitionBy.isEmpty &&
+          !overwrite && replacing.isEmpty && prevMeta.nonEmpty)
+        currentSpecDecls(spark, table)
+      else partitionTransforms
     val specCols: Seq[SpecCol] =
-      if (partitionTransforms.nonEmpty) partitionTransforms.map { decl =>
+      if (effectiveTransforms.nonEmpty) effectiveTransforms.map { decl =>
         val (tf, src) = parseTransformDecl(decl)
         val srcType = df.schema(src).dataType
         SpecCol(transformFieldName(tf, src), tf, src,
@@ -1507,11 +1533,68 @@ object IcebergLite {
       entrySchema, entries,
       Map("format-version" -> "2", "content" -> "data"))
 
-    // 3. manifest list: append keeps prior manifests (their content kind
-    //    and sequence numbers preserved — a carried DELETE manifest must
-    //    not be re-listed as data); overwrite starts fresh (the DELETED
-    //    entries above record the transition)
-    val prevManifests: Seq[(String, Long, Int, Long)] =
+    // partition specs: the HISTORY carries forward — partition-spec
+    // EVOLUTION means a table accumulates specs over its life, each
+    // data file forever bound to the spec it was written under (old
+    // files lack the new spec's partition values and prune
+    // conservatively by field name, readWherePart's contract). This
+    // commit's declared layout either matches an existing spec (reuse
+    // its id — the steady state) or appends a fresh one. Partition
+    // FIELD-ids are globally unique across the history (spec's reserved
+    // ≥1000 range, continued from last-partition-id); a field already
+    // seen in any prior spec keeps its id, exactly the real writer's
+    // assignment.
+    val prevSpecNodes: Seq[ObjectNode] =
+      prevMeta.flatMap(m => Option(m.get("partition-specs")))
+        .map(_.elements().asScala
+          .collect { case o: ObjectNode => o.deepCopy[ObjectNode]() }.toSeq)
+        .getOrElse(Nil)
+    val prevLastPartId: Int =
+      prevMeta.flatMap(m => Option(m.get("last-partition-id")))
+        .map(_.asInt()).getOrElse(999)
+    val knownFieldIds: Map[(Int, String), Int] =
+      prevSpecNodes.flatMap(_.get("fields").elements().asScala)
+        .map(f => (f.get("source-id").asInt(),
+          f.get("transform").asText()) -> f.get("field-id").asInt()).toMap
+    var nextPartId = math.max(prevLastPartId, 999)
+    val declaredFields: Seq[ObjectNode] = specCols.map { sc =>
+      val sourceId = schemaNode.get("fields").elements().asScala
+        .find(_.get("name").asText() == sc.source)
+        .map(_.get("id").asInt())
+        .getOrElse(sys.error(s"partition source column not in schema: ${sc.source}"))
+      val id = knownFieldIds.getOrElse((sourceId, sc.transform),
+        { nextPartId += 1; nextPartId })
+      val n = mapper.createObjectNode()
+      n.put("name", sc.name)
+      n.put("transform", sc.transform)
+      n.put("source-id", sourceId)
+      n.put("field-id", id)
+      n
+    }
+    def specKey(fields: Seq[JsonNode]): Seq[(Int, String)] =
+      fields.map(f => (f.get("source-id").asInt(),
+        f.get("transform").asText()))
+    val matchingSpec = prevSpecNodes.find(s =>
+      specKey(s.get("fields").elements().asScala.toSeq) ==
+        specKey(declaredFields))
+    val (allSpecNodes, defaultSpecId) = matchingSpec match {
+      case Some(s) => (prevSpecNodes, s.get("spec-id").asInt())
+      case None =>
+        val newId = prevSpecNodes.map(_.get("spec-id").asInt())
+          .maxOption.getOrElse(-1) + 1
+        val n = mapper.createObjectNode()
+        n.put("spec-id", newId)
+        val fs = n.putArray("fields")
+        declaredFields.foreach(f => fs.add(f.deepCopy[JsonNode]()))
+        (prevSpecNodes :+ n, newId)
+    }
+
+    // 3. manifest list: append keeps prior manifests (their content kind,
+    //    sequence numbers AND spec ids preserved — a carried DELETE
+    //    manifest must not be re-listed as data, and a carried manifest
+    //    keeps the spec its files were written under); overwrite starts
+    //    fresh (the DELETED entries above record the transition)
+    val prevManifests: Seq[(String, Long, Int, Long, Int)] =
       if (overwrite || prevSnaps.isEmpty) Nil
       else {
         val cur = prevHead.flatMap(h =>
@@ -1521,16 +1604,19 @@ object IcebergLite {
             .map(r => (r.get("manifest_path").toString,
               r.get("manifest_length").asInstanceOf[Long],
               opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-              opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
+              opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+              opt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0)))
         }.getOrElse(Nil)
       }
     val listRel = s"metadata/snap-$partTag.avro"
-    val listRows = (prevManifests :+ (manifestRel, manifestLen, 0, snapId))
-      .map { case (p, len, content, seq) => record(ManifestListSchemaV2)(
-        "manifest_path" -> p, "manifest_length" -> len,
-        "partition_spec_id" -> 0, "content" -> content,
-        "sequence_number" -> seq, "added_snapshot_id" -> snapId)
-      }
+    val listRows =
+      (prevManifests :+ (manifestRel, manifestLen, 0, snapId, defaultSpecId))
+        .map { case (p, len, content, seq, specId) =>
+          record(ManifestListSchemaV2)(
+            "manifest_path" -> p, "manifest_length" -> len,
+            "partition_spec_id" -> specId, "content" -> content,
+            "sequence_number" -> seq, "added_snapshot_id" -> snapId)
+        }
     writeAvro(f, new Path(root, listRel), ManifestListSchemaV2, listRows,
       Map("format-version" -> "2"))
 
@@ -1548,31 +1634,14 @@ object IcebergLite {
     val schemas = meta.putArray("schemas")
     allSchemas.foreach(s => schemas.add(s.deepCopy[JsonNode]()))
     meta.put("current-schema-id", schemaId)
-    // partition spec: one field per spec column (identity OR a real
-    // transform — bucket[N]/truncate[W]/year/month/day/hour), field-ids
-    // from 1000 (spec's reserved partition-field range), source-id = the
-    // SOURCE column's schema field id
-    def specFieldNodes(target: ArrayNode): Unit =
-      specCols.zipWithIndex.foreach { case (sc, i) =>
-        val sourceId = schemaNode.get("fields").elements().asScala
-          .find(_.get("name").asText() == sc.source)
-          .map(_.get("id").asInt())
-          .getOrElse(sys.error(s"partition source column not in schema: ${sc.source}"))
-        val n = mapper.createObjectNode()
-        n.put("name", sc.name)
-        n.put("transform", sc.transform)
-        n.put("source-id", sourceId)
-        n.put("field-id", 1000 + i)
-        target.add(n)
-      }
-    specFieldNodes(meta.putArray("partition-spec")) // v1 legacy form
+    val legacySpec = meta.putArray("partition-spec") // v1 legacy form
+    declaredFields.foreach(f => legacySpec.add(f.deepCopy[JsonNode]()))
     val specs = meta.putArray("partition-specs")
-    val spec0 = mapper.createObjectNode()
-    spec0.put("spec-id", 0)
-    specFieldNodes(spec0.putArray("fields"))
-    specs.add(spec0)
-    meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999 + partCols.size)
+    allSpecNodes.foreach(s => specs.add(s.deepCopy[JsonNode]()))
+    meta.put("default-spec-id", defaultSpecId)
+    meta.put("last-partition-id", math.max(nextPartId,
+      allSpecNodes.flatMap(_.get("fields").elements().asScala)
+        .map(_.get("field-id").asInt()).maxOption.getOrElse(999)))
     // table PROPERTIES and REFS are durable foreign state this writer
     // must carry forward, never silently reset
     meta.set[JsonNode]("properties",
@@ -1752,8 +1821,12 @@ object IcebergLite {
                      keys: Seq[String], partitionCol: String = "",
                      skewSafe: Boolean = false,
                      maxPruneKeys: Int = DeltaLite.DefaultMaxPruneKeys,
-                     clauses: Seq[graft.operators.MergeClause] = Nil)
+                     clauses: Seq[graft.operators.MergeClause] = Nil,
+                     schemaEvolution: Boolean = false)
       : MergeStats = {
+    require(!schemaEvolution || clauses.isEmpty,
+      s"$table: schemaEvolution composes with the plain upsert only " +
+        "(clause merges name explicit columns — align the source first)")
     val meta0 = metadata(spark, table)
     val spec = partitionSpecFields(meta0)
     val specSourceName: Map[Int, String] =
@@ -1862,7 +1935,11 @@ object IcebergLite {
       if (clauses.nonEmpty) graft.operators.LakehouseOps
         .mergeClauses(base, updates, keys, clauses, skewSafe = skewSafe)
       else graft.operators.LakehouseOps
-        .mergeUpsert(base, updates, keys, skewSafe = skewSafe)
+        // MERGE WITH SCHEMA EVOLUTION: source-only columns join the
+        // schema additively (commit's append-drift channel re-keys the
+        // metadata schema; untouched files read the new columns as null)
+        .mergeUpsert(base, updates, keys, skewSafe = skewSafe,
+          autoAlign = schemaEvolution)
     // rewrite under the table's OWN layout: the FULL spec (identity
     // fields included — collapsing to just partitionCol would drop the
     // other partition columns from the rewritten metadata/dirs) is
@@ -2514,6 +2591,90 @@ object IcebergLite {
       .lastOption.map(_.get("snapshot-id").asLong())
   }
 
+  /** PARTITION SPEC EVOLUTION (`ALTER TABLE … WRITE PARTITIONED BY` —
+    * the spec's `update-spec` DDL): declare a NEW default partition
+    * spec, metadata-only — NO data moves. Existing files stay bound
+    * forever to the spec they were written under (pruning on a field
+    * they lack is conservative — [[readWherePart]]'s by-name contract);
+    * the next write under [[currentSpecDecls]] lands under the new
+    * default, so OPTIMIZE/selectiveMerge adopt it automatically.
+    * Partition field-ids continue globally from `last-partition-id`,
+    * fields already seen in any prior spec keep their ids, and
+    * re-declaring a historical spec just moves `default-spec-id` back —
+    * the exact id algebra the real writer uses. Empty `transforms`
+    * evolves to the unpartitioned spec. Returns the new default
+    * spec-id.
+    */
+  def evolvePartitionSpec(spark: SparkSession, table: String,
+                          transforms: Seq[String]): Int = {
+    val meta = metadata(spark, table).deepCopy[ObjectNode]()
+    val schemaNode = currentSchemaNode(meta, table)
+    val prevSpecs: Seq[ObjectNode] =
+      Option(meta.get("partition-specs"))
+        .map(_.elements().asScala
+          .collect { case o: ObjectNode => o.deepCopy[ObjectNode]() }.toSeq)
+        .getOrElse(Nil)
+    val knownIds: Map[(Int, String), Int] =
+      prevSpecs.flatMap(_.get("fields").elements().asScala)
+        .map(f => (f.get("source-id").asInt(),
+          f.get("transform").asText()) -> f.get("field-id").asInt()).toMap
+    var nextId = math.max(Option(meta.get("last-partition-id"))
+      .map(_.asInt()).getOrElse(999), 999)
+    val fields: Seq[ObjectNode] = transforms.map { decl =>
+      val (tf, src) = parseTransformDecl(decl)
+      val sourceId = schemaNode.get("fields").elements().asScala
+        .find(_.get("name").asText() == src)
+        .map(_.get("id").asInt())
+        .getOrElse(sys.error(
+          s"$table: partition source column not in schema: $src"))
+      val id = knownIds.getOrElse((sourceId, tf), { nextId += 1; nextId })
+      val n = mapper.createObjectNode()
+      n.put("name", transformFieldName(tf, src))
+      n.put("transform", tf)
+      n.put("source-id", sourceId)
+      n.put("field-id", id)
+      n
+    }
+    // identity fields put their SOURCE COLUMN in the directory layout
+    // and DROP it from the data files — that physical choice is fixed at
+    // write time, so a metadata-only evolution may not change the
+    // identity set once data exists (old and new files would need
+    // conflicting basePath discovery). Transforms (bucket/truncate/
+    // time) keep the source column in-file and evolve freely.
+    val hasData = Option(meta.get("snapshots"))
+      .exists(_.elements().asScala.nonEmpty)
+    val currentIdentity = partitionSpecFields(meta)
+      .filter(_.transform == "identity").map(_.sourceId).toSet
+    val newIdentity = fields.filter(_.get("transform").asText() == "identity")
+      .map(_.get("source-id").asInt()).toSet
+    require(!hasData || newIdentity == currentIdentity,
+      s"$table: identity (hive-layout) partition fields cannot change " +
+        "by metadata-only evolution — existing files' directory layout " +
+        "is fixed; rewrite via overwrite with the new partitionBy")
+    def key(fs: Seq[JsonNode]): Seq[(Int, String)] =
+      fs.map(f => (f.get("source-id").asInt(), f.get("transform").asText()))
+    val defaultId = prevSpecs.find(s =>
+      key(s.get("fields").elements().asScala.toSeq) == key(fields)) match {
+      case Some(s) => s.get("spec-id").asInt()
+      case None =>
+        val newId = prevSpecs.map(_.get("spec-id").asInt())
+          .maxOption.getOrElse(-1) + 1
+        val n = mapper.createObjectNode()
+        n.put("spec-id", newId)
+        val fs = n.putArray("fields")
+        fields.foreach(f => fs.add(f.deepCopy[JsonNode]()))
+        val arr = meta.putArray("partition-specs")
+        (prevSpecs :+ n).foreach(s => arr.add(s))
+        newId
+    }
+    val legacy = meta.putArray("partition-spec")
+    fields.foreach(f => legacy.add(f.deepCopy[JsonNode]()))
+    meta.put("default-spec-id", defaultId)
+    meta.put("last-partition-id", nextId)
+    publishMetadataVersion(spark, table, meta)
+    defaultId
+  }
+
   /** The table's property map (SHOW TBLPROPERTIES' source) — metadata
     * JSON only, no snapshot resolution.
     */
@@ -2909,7 +3070,8 @@ object IcebergLite {
     * partitioned table into an unpartitioned one (readWherePart and
     * selectiveMerge pruning would stop working).
     */
-  private def currentSpecDecls(spark: SparkSession, table: String): Seq[String] = {
+  private[graft] def currentSpecDecls(spark: SparkSession,
+                                      table: String): Seq[String] = {
     val meta = metadata(spark, table)
     val sourceName: Map[Int, String] =
       currentSchemaNode(meta, table).get("fields").elements().asScala

@@ -320,4 +320,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(IcebergLite.read(extSpark, ti).as[(Long, String)].collect()
       .toSeq == Seq((2L, "b")))
   }
+
+  test("ADD/DROP PARTITION FIELD verbs evolve the Iceberg spec through " +
+    "SQL; duplicates and unknown fields refuse; Delta refuses") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_specverb")
+      .toString
+    val t = s"$base/i"
+    IcebergLite.commit(extSpark, t,
+      Seq((1L, 10L, "x")).toDF("id", "grp", "s"),
+      partitionTransforms = Seq("bucket(4, id)"))
+    val added = extSpark.sql(
+      s"ALTER TABLE '$t' ADD PARTITION FIELD bucket(2, grp)").collect()
+    assert(added.head.getLong(0) == 1L)
+    assert(IcebergLite.currentSpecDecls(extSpark, t).size == 2)
+    intercept[RuntimeException](extSpark.sql(
+      s"ALTER TABLE '$t' ADD PARTITION FIELD bucket(2, grp)"))
+    extSpark.sql(s"ALTER TABLE '$t' DROP PARTITION FIELD bucket(4, id)")
+    assert(IcebergLite.currentSpecDecls(extSpark, t) ==
+      Seq("bucket(2, grp)"))
+    intercept[RuntimeException](extSpark.sql(
+      s"ALTER TABLE '$t' DROP PARTITION FIELD bucket(4, id)"))
+
+    val td = s"$base/d"
+    DeltaLite.commit(extSpark, td, Seq((1L, "a")).toDF("k", "s"))
+    intercept[RuntimeException](extSpark.sql(
+      s"ALTER TABLE '$td' ADD PARTITION FIELD bucket(2, k)"))
+  }
 }
