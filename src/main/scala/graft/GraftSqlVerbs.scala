@@ -94,6 +94,8 @@ object GraftSqlVerbs {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+FAST[\s-]*FORWARD\s+(\w+)\s*;?\s*""".r
   private val ClusterByRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CLUSTER\s+BY\s+(?:\(\s*([\w\s,]+?)\s*\)|NONE)\s*;?\s*""".r
+  private val AlterColumnTypeRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
   private val AddPartFieldRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val DropPartFieldRe =
@@ -137,6 +139,8 @@ object GraftSqlVerbs {
         Some(GraftClusterByCommand(path,
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)))
+      case AlterColumnTypeRe(path, colName, tpe) =>
+        Some(GraftWidenColumnCommand(path, colName, tpe.toLowerCase))
       case AddPartFieldRe(path, decl) =>
         Some(GraftPartitionFieldCommand(path, decl.trim, add = true))
       case DropPartFieldRe(path, decl) =>
@@ -447,6 +451,30 @@ case class GraftClusterByCommand(path: String, cols: Seq[String])
       Seq(Row(DeltaLite.clusterByNone(spark, path), "CLUSTER BY NONE"))
     else Seq(Row(DeltaLite.clusterBy(spark, path, cols),
       s"CLUSTER BY (${cols.mkString(", ")})"))
+  }
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN <name> TYPE <type>` — TYPE
+  * WIDENING (Delta's `typeWidening` feature): metadata-only, files keep
+  * the narrow physical type and scans upcast. Non-widening changes
+  * refuse inside [[DeltaLite.widenColumn]]. Delta-only.
+  */
+case class GraftWidenColumnCommand(path: String, column: String,
+                                   toType: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    formatOf(spark, path) match {
+      case DeltaFormat =>
+      case IcebergFormat =>
+        sys.error(s"$path: ALTER COLUMN TYPE rides Delta's typeWidening " +
+          "feature — not implemented for Iceberg here")
+    }
+    val v = DeltaLite.widenColumn(spark, path, column, toType)
+    Seq(Row(v, s"ALTER COLUMN $column TYPE $toType"))
   }
 }
 

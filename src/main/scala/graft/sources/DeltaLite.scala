@@ -417,7 +417,7 @@ object DeltaLite {
     "columnMapping", "timestampNtz", "appendOnly", "invariants",
     "changeDataFeed", "domainMetadata", "clustering", "v2Checkpoint",
     "checkConstraints", "generatedColumns", "identityColumns",
-    "rowTracking", "inCommitTimestamp")
+    "rowTracking", "inCommitTimestamp", "typeWidening")
 
   /** WRITER-protocol gate — the commit-side twin of the reader gate: a
     * table may demand writer capabilities (unknown v7 features) that
@@ -990,7 +990,8 @@ object DeltaLite {
     * TIMESTAMP_NTZ natively).
     */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+      "typeWidening")
 
   /** Read a DeltaLite/Delta table as a DataFrame at latest or a pinned
     * version. The snapshot's relative paths resolve against the table
@@ -2103,6 +2104,75 @@ object DeltaLite {
     * unmapped table the physical parquet names ARE the logical names, so
     * rename is refused with the remedy named.
     */
+  /** TYPE WIDENING (the `typeWidening` reader+writer feature modern
+    * engines default on): change a column to a WIDER type metadata-only
+    * — byte→short→int→long along the integral chain, float→double. No
+    * file rewrites: parquet files keep the narrow physical type and the
+    * scan upcasts (Spark's parquet readers promote int32→int64 and
+    * float→double natively under the pinned wider schema). The change
+    * is recorded in the field's `delta.typeChanges` metadata exactly as
+    * the spec pins it, so other engines know which files predate the
+    * widen. Narrowing or unrelated changes refuse; appends after the
+    * widen must carry the wide type (the additive-drift gate).
+    */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+                  toType: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
+    requireWritable(table, snap, removesFiles = false)
+    featureReference(snap, name).foreach(r =>
+      throw new IllegalArgumentException(
+        s"$table: column $name is referenced by $r — drop it first"))
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"$table: no column $name")
+    val f = schema(name)
+    val from = f.dataType.typeName
+    val to = toType.trim.toLowerCase
+    val widenings: Set[(String, String)] = {
+      val integral = Seq("byte", "short", "integer", "long")
+      (for {
+        i <- integral.indices; j <- integral.indices if i < j
+      } yield (integral(i), integral(j))).toSet + ("float" -> "double")
+    }
+    require(widenings.contains(from -> to),
+      s"$table: $name: $from -> $to is not a widening (supported: " +
+        "byte/short/integer/long chain, float -> double)")
+    val wideType: DataType = to match {
+      case "short"   => org.apache.spark.sql.types.ShortType
+      case "integer" => org.apache.spark.sql.types.IntegerType
+      case "long"    => org.apache.spark.sql.types.LongType
+      case "double"  => org.apache.spark.sql.types.DoubleType
+    }
+    val v = snap.version + 1
+    // the spec's typeChanges record: which table version widened what —
+    // readers use it to know which files predate the change (appended,
+    // never replaced — a twice-widened column keeps its full history)
+    val changesJson = {
+      val existing =
+        try Option(mapper.readTree(f.metadata.json).get("delta.typeChanges"))
+          .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      (existing :+
+        s"""{"fromType":"$from","toType":"$to","tableVersion":$v}""")
+        .mkString("[", ",", "]")
+    }
+    val newMeta = org.apache.spark.sql.types.Metadata.fromJson(
+      mapper.readTree(f.metadata.json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .set[JsonNode]("delta.typeChanges", mapper.readTree(changesJson))
+        .toString)
+    val widened = StructType(schema.fields.map(fl =>
+      if (fl.name == name) fl.copy(dataType = wideType, metadata = newMeta)
+      else fl))
+    publishCommit(spark, table, v,
+      s"""{"commitInfo":{"operation":"CHANGE COLUMN","timestamp":0}}""" +
+        "\n" + writerFeatureUpgradeJson(snap, Set("typeWidening"),
+          addedReader = Set("typeWidening")) +
+        "\n" + metaDataJson(v, widened.json, snap.configuration,
+          partitionColumns = snap.partitionColumns))
+    v
+  }
+
   def renameColumn(spark: SparkSession, table: String, from: String,
                    to: String): Long = {
     val snap = snapshot(spark, table)

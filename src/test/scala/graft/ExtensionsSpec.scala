@@ -348,4 +348,27 @@ class ExtensionsSpec extends SparkSpec {
     intercept[RuntimeException](extSpark.sql(
       s"ALTER TABLE '$td' ADD PARTITION FIELD bucket(2, k)"))
   }
+
+  test("ALTER COLUMN TYPE verb widens through SQL; Iceberg refuses") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_widenverb")
+      .toString
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t,
+      Seq((1, 2.5f), (7, 3.5f)).toDF("k", "f"))
+    extSpark.sql(s"ALTER TABLE '$t' ALTER COLUMN k TYPE long")
+    extSpark.sql(s"ALTER TABLE '$t' ALTER COLUMN f TYPE double")
+    val df = DeltaLite.read(extSpark, t)
+    assert(df.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.filter($"k" === 7L).head().getDouble(1) == 3.5)
+    intercept[RuntimeException](extSpark.sql(
+      s"ALTER TABLE '$t' ALTER COLUMN k TYPE integer"))
+
+    val ti = s"$base/i"
+    IcebergLite.commit(extSpark, ti, Seq((1, "a")).toDF("k", "s"))
+    intercept[RuntimeException](extSpark.sql(
+      s"ALTER TABLE '$ti' ALTER COLUMN k TYPE long"))
+  }
 }
