@@ -1696,6 +1696,48 @@ object LakehouseOps {
       .orderBy("leg", "o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- B36
+  /** UNIVERSAL FORMAT end to end — one copy of the data, two table
+    * faces: orders lands as Delta, the `delta.universalFormat
+    * .enabledFormats=iceberg` property turns on the Iceberg face, an
+    * append re-syncs it, and BOTH faces must roll up identically —
+    * the Iceberg leg reads the very same parquet files through
+    * manifest planning, so a drift in the face's file list or bounds
+    * breaks the hash against DuckDB recomputing from raw orders.
+    */
+  def dbaUniform(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaLite, IcebergLite}
+    val t = java.nio.file.Files.createTempDirectory("graft_uniform")
+      .toString + "/orders_uniform"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    DeltaLite.commit(s, t,
+      ord.filter(col("o_orderkey") % 2 === 0).repartition(4))
+    DeltaLite.setTableProperty(s, t,
+      "delta.universalFormat.enabledFormats", "iceberg")
+    DeltaLite.commit(s, t, ord.filter(col("o_orderkey") % 2 =!= 0))
+    def leg(df: DataFrame, name: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("leg", lit(name))
+    leg(DeltaLite.read(s, t), "delta")
+      .unionByName(leg(IcebergLite.read(s, t), "iceberg"))
+      .select("leg", "o_orderstatus", "n", "total")
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  val dbaUniformOracle: String =
+    """SELECT leg, o_orderstatus, n, total FROM (
+      |  SELECT 'delta' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'iceberg' AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2) t
+      |ORDER BY leg, o_orderstatus""".stripMargin
+
   val dbaDeltaIctOracle: String =
     """SELECT leg, o_orderstatus, n, total FROM (
       |  SELECT 'at_enable' AS leg, o_orderstatus, COUNT(*) AS n,
@@ -1834,7 +1876,8 @@ object LakehouseOps {
     "dba_constraints"     -> (dbaConstraints _),
     "dba_iceberg_refs"    -> (dbaIcebergRefs _),
     "dba_row_tracking"    -> (dbaRowTracking _),
-    "dba_delta_ict"       -> (dbaDeltaIct _))
+    "dba_delta_ict"       -> (dbaDeltaIct _),
+    "dba_uniform"         -> (dbaUniform _))
 
   val oracles: Map[String, String] = Map(
     "dba_delta_v2ckpt"   -> dbaDeltaV2CkptOracle,
@@ -1871,5 +1914,6 @@ object LakehouseOps {
     "dba_constraints"   -> dbaConstraintsOracle,
     "dba_iceberg_refs"  -> dbaIcebergRefsOracle,
     "dba_row_tracking"  -> dbaRowTrackingOracle,
-    "dba_delta_ict"     -> dbaDeltaIctOracle)
+    "dba_delta_ict"     -> dbaDeltaIctOracle,
+    "dba_uniform"       -> dbaUniformOracle)
 }

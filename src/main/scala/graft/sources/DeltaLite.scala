@@ -1295,6 +1295,8 @@ object DeltaLite {
         "\n" + metaDataJson(v, snap.schemaJson.get,
         snap.configuration + (key -> value),
         partitionColumns = snap.partitionColumns))
+    // enabling the universal format generates the face immediately
+    maybeUniform(spark, table, snap.configuration + (key -> value))
     v
   }
 
@@ -1408,8 +1410,36 @@ object DeltaLite {
       upgradeFrom = prev,
       rowIdsOf = rowIdsOf, rowIdWatermark = rowIdWatermark))
     maybeAutoCheckpoint(spark, table, v, conf)
+    maybeUniform(spark, table, conf)
     v
   }
+
+  /** `delta.universalFormat.enabledFormats` containing `iceberg` — the
+    * UNIVERSAL-FORMAT face: every data commit regenerates Iceberg
+    * metadata (`metadata/` beside `_delta_log/`, same parquet files —
+    * zero data copies), so Iceberg-only readers follow the table.
+    * Delta stays the source of truth; the face carries the CURRENT
+    * state plus its own snapshot history (prior syncs stay listed until
+    * `expireSnapshots`). States the Iceberg face cannot express —
+    * live deletion vectors, column mapping, hive partitioning — skip
+    * the sync; the next expressible commit catches the face up. Sync
+    * failure never fails the Delta commit.
+    */
+  private def maybeUniform(spark: SparkSession, table: String,
+                           conf: Map[String, String]): Unit =
+    if (conf.get("delta.universalFormat.enabledFormats")
+        .exists(_.toLowerCase.contains("iceberg")))
+      try {
+        val s = snapshot(spark, table)
+        if (s.dvs.isEmpty && mappingMode(s.configuration) == "none" &&
+            s.partitionColumns.isEmpty && s.schemaJson.nonEmpty) {
+          val schema =
+            DataType.fromJson(s.schemaJson.get).asInstanceOf[StructType]
+          val root = new Path(table)
+          IcebergLite.addFilesCommit(spark, table, schema,
+            s.files.map(p => new Path(root, p).toString), sync = true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
 
   /** `delta.checkpointInterval` — when the table declares it, every
     * n-th commit lands a checkpoint so REPLAY COST STAYS BOUNDED without

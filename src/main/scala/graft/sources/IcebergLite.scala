@@ -1984,12 +1984,20 @@ object IcebergLite {
     * actually carry these columns).
     */
   def addFilesCommit(spark: SparkSession, table: String,
-                     schema: StructType, files: Seq[String]): Long = {
-    require(versions(spark, table).isEmpty, s"$table: already a table")
+                     schema: StructType, files: Seq[String],
+                     sync: Boolean = false): Long = {
+    val existing = versions(spark, table)
+    require(existing.isEmpty || sync, s"$table: already a table")
     val root = new Path(table)
     val f = fs(spark, root)
-    val snapId = 0L
-    val metaV = 1
+    // sync mode (the UniForm face): the NEXT metadata version whose
+    // current snapshot lists exactly `files` — prior snapshots stay in
+    // the history (expireSnapshots can reap their manifests later)
+    val prevMeta = if (existing.isEmpty) None else Some(metadata(spark, table))
+    val prevSnapId = prevMeta.map(_.get("current-snapshot-id").asLong())
+      .getOrElse(-1L)
+    val snapId = prevSnapId + 1L
+    val metaV = existing.lastOption.map(_.toInt + 1).getOrElse(1)
     val topFields: Map[String, (Int, DataType)] = {
       val (node, _) = sparkToIceberg(schema)
       node.get("fields").elements().asScala.filter(_.get("type").isTextual)
@@ -2048,7 +2056,9 @@ object IcebergLite {
     val meta = mapper.createObjectNode()
     meta.put("format-version", 2)
     meta.put("last-sequence-number", snapId)
-    meta.put("table-uuid", f"graft-iceberg-$metaV%08d")
+    meta.put("table-uuid",
+      prevMeta.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
+        .getOrElse(f"graft-iceberg-$metaV%08d"))
     meta.put("location", table)
     meta.put("last-updated-ms", 0L)
     meta.put("last-column-id", lastColId)
@@ -2061,20 +2071,37 @@ object IcebergLite {
     spec0.put("spec-id", 0); spec0.putArray("fields"); specs.add(spec0)
     meta.put("default-spec-id", 0)
     meta.put("last-partition-id", 999)
-    meta.set[ObjectNode]("properties", mapper.createObjectNode())
+    // a synced face keeps its properties (and any refs) across syncs
+    meta.set[JsonNode]("properties",
+      prevMeta.flatMap(m => Option(m.get("properties")))
+        .map(_.deepCopy[JsonNode]())
+        .getOrElse(mapper.createObjectNode()))
+    prevMeta.flatMap(m => Option(m.get("refs"))).foreach(r =>
+      meta.set[JsonNode]("refs", r.deepCopy[JsonNode]()))
     meta.put("current-snapshot-id", snapId)
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapId)
     snapNode.put("sequence-number", snapId)
+    if (prevSnapId >= 0) snapNode.put("parent-snapshot-id", prevSnapId)
     snapNode.put("timestamp-ms", 0L)
     val summary = mapper.createObjectNode()
-    summary.put("operation", "append")
+    // a re-sync REPLACES the visible file set wholesale — recorded as
+    // overwrite so incremental readers refuse the range instead of
+    // double-counting the re-listed files
+    summary.put("operation", if (prevSnapId >= 0) "overwrite" else "append")
     summary.put("added-data-files", files.size.toString)
     snapNode.set[ObjectNode]("summary", summary)
     snapNode.put("manifest-list", listRel)
     snapNode.put("schema-id", 0)
-    meta.putArray("snapshots").add(snapNode)
+    val snapsArr = meta.putArray("snapshots")
+    prevMeta.flatMap(m => Option(m.get("snapshots")))
+      .foreach(_.elements().asScala
+        .foreach(sn => snapsArr.add(sn.deepCopy[JsonNode]())))
+    snapsArr.add(snapNode)
     val log = meta.putArray("snapshot-log")
+    prevMeta.flatMap(m => Option(m.get("snapshot-log")))
+      .foreach(_.elements().asScala
+        .foreach(e => log.add(e.deepCopy[JsonNode]())))
     val logEntry = mapper.createObjectNode()
     logEntry.put("timestamp-ms", 0L); logEntry.put("snapshot-id", snapId)
     log.add(logEntry)
