@@ -107,7 +107,8 @@ object LakehouseOps {
                   tiebreak: Seq[Column] = Seq.empty,
                   autoAlign: Boolean = false,
                   skewSafe: Boolean = false): DataFrame = {
-    if (autoAlign) return mergeUpsertEvolve(target, source, keys, tiebreak)
+    if (autoAlign)
+      return mergeUpsertEvolve(target, source, keys, tiebreak, skewSafe)
     val srcLatest =
       if (skewSafe) latestPerKeyAgg(source, keys, tiebreak)
       else latestPerKey(source, keys, tiebreak)
@@ -263,13 +264,16 @@ object LakehouseOps {
     */
   private def mergeUpsertEvolve(target: DataFrame, source: DataFrame,
                                 keys: Seq[String],
-                                tiebreak: Seq[Column]): DataFrame = {
+                                tiebreak: Seq[Column],
+                                skewSafe: Boolean = false): DataFrame = {
     require(keys.forall(target.columns.contains) &&
       keys.forall(source.columns.contains),
       s"merge keys ${keys.mkString(",")} must exist on both sides")
     val dest = StructType(target.schema.fields ++
       source.schema.fields.filterNot(f => target.columns.contains(f.name)))
-    val srcLatest = latestPerKey(source, keys, tiebreak)
+    val srcLatest =
+      if (skewSafe) latestPerKeyAgg(source, keys, tiebreak)
+      else latestPerKey(source, keys, tiebreak)
     val alignedT = alignToSchema(target, dest)
     val alignedS = alignToSchema(srcLatest, dest)
     val tOnly = target.columns.filterNot(source.columns.contains).toIndexedSeq

@@ -1046,6 +1046,15 @@ object DeltaLite {
     if (versions(spark, table).isEmpty) None
     else versionStamps(spark, table).find(_._2 >= tsMillis).map(_._1)
 
+  /** Does the log carry ANY wall-clock commit stamp (ICT or a foreign
+    * writer's timestamps)? Zero-stamp logs (this library's own
+    * deterministic writer without ICT) cannot answer time-based
+    * questions — callers refuse instead of silently misresolving.
+    */
+  def hasWallClockStamps(spark: SparkSession, table: String): Boolean =
+    versions(spark, table).nonEmpty &&
+      versionStamps(spark, table).exists(_._2 > 0)
+
   /** Every version with its MONOTONIC resolved timestamp —
     * `inCommitTimestamp` when present (authoritative on ICT tables),
     * else the legacy commitInfo `timestamp`, else inherited from the
@@ -1436,8 +1445,19 @@ object DeltaLite {
           val schema =
             DataType.fromJson(s.schemaJson.get).asInstanceOf[StructType]
           val root = new Path(table)
+          // numRecords from the add-stats Delta already wrote — the
+          // sync opens ZERO parquet footers (one fs stat per file for
+          // sizes is all; bounds are omitted, face scans stay exact,
+          // just unpruned)
+          val counts: Map[String, Long] = s.stats.flatMap { case (p, j) =>
+            (try Option(mapper.readTree(j).get("numRecords"))
+              .map(_.asLong())
+            catch { case scala.util.control.NonFatal(_) => None })
+              .map(n => new Path(root, p).toString -> n)
+          }
           IcebergLite.addFilesCommit(spark, table, schema,
-            s.files.map(p => new Path(root, p).toString), sync = true)
+            s.files.map(p => new Path(root, p).toString), sync = true,
+            knownCounts = counts)
         }
       } catch { case scala.util.control.NonFatal(_) => }
 
@@ -1709,7 +1729,14 @@ object DeltaLite {
           (overwrite && mapped && prev0.forall(p =>
             mappingMode(p.configuration) == "none")),
         upgradeFrom = base)
-      if (publishCommitIfAbsent(spark, table, v, actions)) return v
+      if (publishCommitIfAbsent(spark, table, v, actions)) {
+        // the multi-writer ingest path gets the same post-commit
+        // maintenance as commit(): bounded replay via
+        // delta.checkpointInterval and the universal-format face
+        maybeAutoCheckpoint(spark, table, v, conf)
+        maybeUniform(spark, table, conf)
+        return v
+      }
       // lost the race: inspect every commit that beat us
       val f = fs(spark, logDir(table))
       val tip = versions(spark, table).last
@@ -1854,9 +1881,22 @@ object DeltaLite {
         val f = fs(spark, logDir(table))
         val tf = commitFile(table, v - 1)
         if (!f.exists(tf)) None
-        else readActions(f, tf).find(_.has("commitInfo")).flatMap(ci =>
-          Option(ci.get("commitInfo").get("inCommitTimestamp"))
-            .map(_.asLong()))
+        else {
+          // commitInfo is the FIRST action on every ICT commit (the
+          // spec requires it; this writer always leads with it) — read
+          // ONE line, not the whole commit: after a 10^4-add commit the
+          // next publish must not pay 10^4 JSON parses here
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(f.open(tf),
+              StandardCharsets.UTF_8))
+          val first = try in.readLine() finally in.close()
+          Option(first).filter(_.contains("\"commitInfo\""))
+            .map(mapper.readTree)
+            .filter(_.has("commitInfo"))
+            .flatMap(ci => Option(
+              ci.get("commitInfo").get("inCommitTimestamp"))
+              .map(_.asLong()))
+        }
       }
     val enabled = ownMeta.getOrElse(tipIct.isDefined)
     if (!enabled) return actionsNdjson
@@ -2123,17 +2163,6 @@ object DeltaLite {
     0L
   }
 
-  /** RENAME COLUMN — METADATA-ONLY on a column-mapped table: the logical
-    * field changes name while keeping its column id and physical name,
-    * so not a byte of data moves and every existing file still reads
-    * (r12's column mapping made this legal; the append-time
-    * additive-evolution guard stays strict because an accidental rename
-    * through a drifted frame should still refuse — this verb is the
-    * deliberate path). Stats-pruned verbs keep working: add-stats are
-    * keyed by PHYSICAL name, which the rename never touches. On an
-    * unmapped table the physical parquet names ARE the logical names, so
-    * rename is refused with the remedy named.
-    */
   /** TYPE WIDENING (the `typeWidening` reader+writer feature modern
     * engines default on): change a column to a WIDER type metadata-only
     * — byte→short→int→long along the integral chain, float→double. No
@@ -2157,7 +2186,11 @@ object DeltaLite {
     require(schema.fieldNames.contains(name), s"$table: no column $name")
     val f = schema(name)
     val from = f.dataType.typeName
-    val to = toType.trim.toLowerCase
+    // accept both Spark typeName and standard SQL spellings
+    val synonyms = Map("int" -> "integer", "bigint" -> "long",
+      "smallint" -> "short", "tinyint" -> "byte")
+    val to0 = toType.trim.toLowerCase
+    val to = synonyms.getOrElse(to0, to0)
     val widenings: Set[(String, String)] = {
       val integral = Seq("byte", "short", "integer", "long")
       (for {
@@ -2200,9 +2233,21 @@ object DeltaLite {
           addedReader = Set("typeWidening")) +
         "\n" + metaDataJson(v, widened.json, snap.configuration,
           partitionColumns = snap.partitionColumns))
+    maybeUniform(spark, table, snap.configuration) // face schema follows
     v
   }
 
+  /** RENAME COLUMN — METADATA-ONLY on a column-mapped table: the logical
+    * field changes name while keeping its column id and physical name,
+    * so not a byte of data moves and every existing file still reads
+    * (r12's column mapping made this legal; the append-time
+    * additive-evolution guard stays strict because an accidental rename
+    * through a drifted frame should still refuse — this verb is the
+    * deliberate path). Stats-pruned verbs keep working: add-stats are
+    * keyed by PHYSICAL name, which the rename never touches. On an
+    * unmapped table the physical parquet names ARE the logical names, so
+    * rename is refused with the remedy named.
+    */
   def renameColumn(spark: SparkSession, table: String, from: String,
                    to: String): Long = {
     val snap = snapshot(spark, table)
@@ -2319,6 +2364,10 @@ object DeltaLite {
         .append('\n')
     }
     publishCommit(spark, table, v, sb.toString)
+    // the restored state is the table state: bounded-replay and the
+    // universal-format face must follow it like any other data commit
+    maybeAutoCheckpoint(spark, table, v, tgt.configuration)
+    maybeUniform(spark, table, tgt.configuration)
     v
   }
 
@@ -3269,10 +3318,22 @@ object DeltaLite {
   def vacuumRetainHours(spark: SparkSession, table: String,
                         hours: Double): Seq[String] = {
     require(hours >= 0, "retention must be non-negative")
+    val stamps = versionStamps(spark, table)
+    // a zero-stamp log (this library's own deterministic writer without
+    // ICT) has NO wall-clock to retain by — refusing beats the silent
+    // maximal deletion a positive cutoff over zero stamps would compute
+    require(stamps.exists(_._2 > 0),
+      s"$table: no wall-clock commit timestamps in the log — enable " +
+        "in-commit timestamps (enableInCommitTimestamps) or use the " +
+        "version-count flavor (RETAIN n VERSIONS)")
     val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
-    // stamps are monotonic, so the retained set is a trailing window
-    val retained = versionStamps(spark, table).count(_._2 >= cutoff)
-    vacuum(spark, table, retainVersions = math.max(retained, 1))
+    // stamps are monotonic, so the retained set is a trailing window;
+    // +1 keeps the version a reader AT the cutoff still resolves to —
+    // its files were removed INSIDE the window, so they must survive
+    // (the real verb's files-removed-after-cutoff rule)
+    val retained = stamps.count(_._2 >= cutoff) + 1
+    vacuum(spark, table,
+      retainVersions = math.min(math.max(retained, 1), stamps.size))
   }
 
   def vacuum(spark: SparkSession, table: String,

@@ -1985,7 +1985,8 @@ object IcebergLite {
     */
   def addFilesCommit(spark: SparkSession, table: String,
                      schema: StructType, files: Seq[String],
-                     sync: Boolean = false): Long = {
+                     sync: Boolean = false,
+                     knownCounts: Map[String, Long] = Map.empty): Long = {
     val existing = versions(spark, table)
     require(existing.isEmpty || sync, s"$table: already a table")
     val root = new Path(table)
@@ -2023,12 +2024,20 @@ object IcebergLite {
     val entries = files.map { p =>
       val qualified = f.makeQualified(new Path(p))
       val size = f.getFileStatus(qualified).getLen
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          qualified, spark.sparkContext.hadoopConfiguration))
-      val (rows, bounds) =
-        try (footer.getRecordCount, footerBounds(footer, topFields))
-        finally footer.close()
+      // record counts the CALLER already knows (the universal-format
+      // sync carries Delta's add-stats) skip the parquet footer open —
+      // a per-commit sync must not pay O(live files) footer decodes;
+      // bounds are omitted there (face scans plan conservatively)
+      val (rows, bounds) = knownCounts.get(p) match {
+        case Some(n) =>
+          (n, (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]]))
+        case None =>
+          val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              qualified, spark.sparkContext.hadoopConfiguration))
+          try (footer.getRecordCount, footerBounds(footer, topFields))
+          finally footer.close()
+      }
       record(entrySchema)(
         "status" -> 1, "snapshot_id" -> snapId,
         "sequence_number" -> snapId,
@@ -2609,6 +2618,15 @@ object IcebergLite {
     * stamped at or after T flows). None when every snapshot is at or
     * after the bound (deliver from the beginning).
     */
+  /** Does any snapshot carry a real wall-clock `timestamp-ms`? (This
+    * library's own writer zeroes them for determinism; foreign logs
+    * carry real stamps.) Time-keyed callers refuse on zero-stamp logs.
+    */
+  def hasWallClockStamps(spark: SparkSession, table: String): Boolean =
+    Option(metadata(spark, table).get("snapshots"))
+      .exists(_.elements().asScala.exists(s =>
+        Option(s.get("timestamp-ms")).exists(_.asLong() > 0)))
+
   def lastSnapshotBefore(spark: SparkSession, table: String,
                          tsMillis: Long): Option[Long] = {
     val meta = metadata(spark, table)
@@ -2949,9 +2967,18 @@ object IcebergLite {
     val snaps = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
     if (snaps.isEmpty) return Seq.empty
+    // a zero-stamp snapshot log (this library's own deterministic
+    // writer) has no wall-clock to retain by — refuse rather than
+    // silently expiring everything a positive cutoff would compute
+    require(snaps.exists(s =>
+        Option(s.get("timestamp-ms")).exists(_.asLong() > 0)),
+      s"$table: no wall-clock snapshot timestamps — use the " +
+        "version-count flavor (expireSnapshots / RETAIN n VERSIONS)")
+    // +1 keeps the snapshot a reader AT the cutoff still resolves to
     val retained = snaps.count(s =>
-      Option(s.get("timestamp-ms")).exists(_.asLong() >= cutoffMillis))
-    expireSnapshots(spark, table, math.max(retained, 1))
+      Option(s.get("timestamp-ms")).exists(_.asLong() >= cutoffMillis)) + 1
+    expireSnapshots(spark, table,
+      math.min(math.max(retained, 1), snaps.size))
   }
 
   def expireSnapshots(spark: SparkSession, table: String,

@@ -124,6 +124,14 @@ class DeltaLiteStreamProvider extends StreamSourceProvider with DataSourceRegist
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
       .orElse(parameters.get("startingTimestamp").map { s =>
         val ts = TableStreams.parseTs(s)
+        // a zero-stamp log can't answer "changes since T" — refusing
+        // beats silently skipping the whole backlog (every realistic T
+        // would anchor past the tip there)
+        require(DeltaLite.versions(spark, table).isEmpty ||
+            DeltaLite.hasWallClockStamps(spark, table),
+          "graft-delta-stream: startingTimestamp needs wall-clock " +
+            "commit stamps (enable in-commit timestamps, or use " +
+            "startingVersion)")
         DeltaLite.firstVersionAtOrAfter(spark, table, ts).getOrElse(
           DeltaLite.versions(spark, table).lastOption.fold(0L)(_ + 1L))
       })
@@ -253,9 +261,16 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
     // (the source delivers strictly after its anchor); all-snapshots-at-
     // or-after means no anchor — deliver from the beginning
     val startingSnapshot = parameters.get("startingSnapshot").map(_.toLong)
-      .orElse(parameters.get("startingTimestamp").flatMap(s =>
+      .orElse(parameters.get("startingTimestamp").flatMap { s =>
+        // same zero-stamp refusal as the Delta twin: our own writer
+        // zeroes timestamp-ms; foreign logs carry real stamps
+        require(IcebergLite.hasWallClockStamps(spark, table),
+          "graft-iceberg-stream: startingTimestamp needs wall-clock " +
+            "snapshot timestamps (foreign logs carry them; use " +
+            "startingSnapshot on zero-stamp tables)")
         IcebergLite.lastSnapshotBefore(spark, table,
-          TableStreams.parseTs(s))))
+          TableStreams.parseTs(s))
+      })
     new IcebergLiteTailSource(spark, table, cdf, keys,
       parameters.get("cdfVersions").exists(_.toBoolean),
       startingSnapshot,

@@ -275,8 +275,8 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("SHOW TBLPROPERTIES surfaces both formats' property maps; " +
-    "VACUUM RETAIN n HOURS keeps everything inside the window and " +
-    "reaps a zero-hour window down to the tip") {
+    "VACUUM RETAIN n HOURS retains by ICT wall clock and REFUSES " +
+    "zero-stamp logs instead of maximally deleting") {
     import extSpark.implicits._
     import graft.sources.{DeltaLite, IcebergLite}
     val base = java.nio.file.Files.createTempDirectory("graft_props")
@@ -298,25 +298,33 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(iprops.get("graft.owner").contains("dba"))
 
-    // overwrite twice: three versions; a wide window reaps nothing,
-    // a zero-hour window keeps only the tip (same keep-set as RETAIN 1
-    // VERSIONS — our own logs carry zeroed legacy stamps)
+    // a ZERO-STAMP log refuses the wall-clock flavor — silently keeping
+    // only the tip would be maximal deletion from a conservative command
     DeltaLite.commit(extSpark, t,
       (0L until 50L).map(k => (k, s"w$k")).toDF("k", "s"),
       overwrite = true)
-    assert(extSpark.sql(s"VACUUM '$t' RETAIN 1000000 HOURS").count() == 0L)
-    assert(DeltaLite.read(extSpark, t).count() == 50L)
-    val reaped = extSpark.sql(s"VACUUM '$t' RETAIN 0 HOURS").count()
-    assert(reaped > 0L, "the pre-overwrite files must reap")
-    assert(DeltaLite.read(extSpark, t).count() == 50L)
+    intercept[Exception](extSpark.sql(s"VACUUM '$t' RETAIN 168 HOURS"))
 
-    // Iceberg HOURS flavor: wide window no-op, zero window reaps the
-    // superseded snapshot's files; the live read survives
+    // with ICT the stamps are real: a wide window reaps nothing, a
+    // zero-hour window keeps the version current at the cutoff (the
+    // tip) and reaps the files only older versions reference
+    DeltaLite.enableInCommitTimestamps(extSpark, t)
+    DeltaLite.commit(extSpark, t,
+      (0L until 20L).map(k => (k, s"x$k")).toDF("k", "s"),
+      overwrite = true)
+    assert(extSpark.sql(s"VACUUM '$t' RETAIN 1000000 HOURS").count() == 0L)
+    assert(DeltaLite.read(extSpark, t).count() == 20L)
+    val reaped = extSpark.sql(s"VACUUM '$t' RETAIN 0 HOURS").count()
+    assert(reaped > 0L, "files referenced only by pre-window versions reap")
+    assert(DeltaLite.read(extSpark, t).count() == 20L)
+
+    // Iceberg: our writer zeroes timestamp-ms, so the wall-clock flavor
+    // refuses with the version-count remedy named; the version-count
+    // flavor still reaps
     IcebergLite.commit(extSpark, ti, Seq((2L, "b")).toDF("k", "s"),
       overwrite = true)
-    assert(extSpark.sql(s"VACUUM '$ti' RETAIN 1000000 HOURS").count() == 0L)
-    val ireaped = extSpark.sql(s"VACUUM '$ti' RETAIN 0 HOURS").count()
-    assert(ireaped > 0L)
+    intercept[Exception](extSpark.sql(s"VACUUM '$ti' RETAIN 168 HOURS"))
+    assert(extSpark.sql(s"VACUUM '$ti' RETAIN 1 VERSIONS").count() > 0L)
     assert(IcebergLite.read(extSpark, ti).as[(Long, String)].collect()
       .toSeq == Seq((2L, "b")))
   }
