@@ -106,4 +106,32 @@ class IctSpec extends SparkSpec {
     DeltaLite.enableInCommitTimestamps(spark, t)
     assert(ictOf(t, 5).nonEmpty)
   }
+
+  test("vacuumRetainHours keeps the version a reader AT the cutoff " +
+    "still resolves (files removed inside the window survive); " +
+    "zero-stamp logs refuse the wall-clock flavor") {
+    val t = newTable("graft_ict_vac")
+    val df = (0L until 60L).map(k => (k, s"v$k")).toDF("k", "s")
+    DeltaLite.commit(spark, t, df)                           // v0 (stamp 0)
+    intercept[IllegalArgumentException](
+      DeltaLite.vacuumRetainHours(spark, t, 168.0))
+    DeltaLite.enableInCommitTimestamps(spark, t)             // v1
+    DeltaLite.commit(spark, t, df.filter($"k" < 40),
+      overwrite = true)                                      // v2
+    val s2 = ictOf(t, 2).get
+    Thread.sleep(1200)
+    DeltaLite.commit(spark, t, df.filter($"k" < 20),
+      overwrite = true)                                      // v3
+    val s3 = ictOf(t, 3).get
+    // cutoff between the two stamps: a reader at `mid` resolves v2, so
+    // v2's files must SURVIVE even though v3 removed them inside the
+    // window; v0's files (removed before the window) reap
+    val mid = (s2 + s3) / 2
+    val hours = (System.currentTimeMillis() - mid) / 3600000.0
+    val reaped = DeltaLite.vacuumRetainHours(spark, t, hours)
+    assert(reaped.nonEmpty, "the pre-window v0 files must reap")
+    assert(DeltaLite.readAsOf(spark, t, mid).count() == 40L,
+      "the version current at the cutoff must stay readable")
+    assert(DeltaLite.read(spark, t).count() == 20L)
+  }
 }
