@@ -103,7 +103,7 @@ object GraftSqlVerbs {
   private val OrphanRe =
     """(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?'([^']+)'\s*;?\s*""".r
   private val CleanupRe =
-    """(?is)\s*CLEANUP\s+(?:LOGS|METADATA)\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*CLEANUP\s+(LOGS|METADATA)\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -146,9 +146,10 @@ object GraftSqlVerbs {
       case DropPartFieldRe(path, decl) =>
         Some(GraftPartitionFieldCommand(path, decl.trim, add = false))
       case OrphanRe(path) => Some(GraftRemoveOrphansCommand(path))
-      case CleanupRe(path, retain) =>
+      case CleanupRe(kind, path, retain) =>
         Some(GraftCleanupCommand(path,
-          Option(retain).map(_.toInt).getOrElse(1)))
+          Option(retain).map(_.toInt).getOrElse(1),
+          kind.toUpperCase))
       case _ => None
     }
 
@@ -539,7 +540,8 @@ case class GraftRefCommand(path: String, kind: String, name: String,
       if (create && kind == "branch")
         IcebergLite.createBranch(spark, path, name, at)
       else if (create) IcebergLite.createTag(spark, path, name, at)
-      else IcebergLite.dropRef(spark, path, name)
+      else IcebergLite.dropRef(spark, path, name,
+        expectedType = Some(kind))
     Seq(Row(v.toLong,
       s"${if (create) "CREATE" else "DROP"} ${kind.toUpperCase} $name"))
   }
@@ -590,15 +592,26 @@ case class GraftRemoveOrphansCommand(path: String)
   * commits below checkpoint+retention (plus superseded checkpoints and
   * orphaned v2 sidecars), Iceberg old `vN.metadata.json` versions.
   */
-case class GraftCleanupCommand(path: String, retain: Int)
+case class GraftCleanupCommand(path: String, retain: Int,
+                               kind: String = "LOGS")
     extends LeafRunnableCommand {
   import GraftSqlVerbs._
   override val output: Seq[Attribute] = Seq(
     AttributeReference("removed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val removed = formatOf(spark, path) match {
-      case DeltaFormat   => DeltaLite.cleanupLogs(spark, path, retain)
-      case IcebergFormat => IcebergLite.cleanupMetadata(spark, path, retain)
+    // the keyword is the user's intent — CLEANUP METADATA on a Delta
+    // table must refuse, not silently delete log commits instead
+    val removed = (formatOf(spark, path), kind) match {
+      case (DeltaFormat, "LOGS") =>
+        DeltaLite.cleanupLogs(spark, path, retain)
+      case (IcebergFormat, "METADATA") =>
+        IcebergLite.cleanupMetadata(spark, path, retain)
+      case (DeltaFormat, other) =>
+        sys.error(s"$path: CLEANUP $other is the Iceberg verb — this is " +
+          "a Delta table (use CLEANUP LOGS)")
+      case (IcebergFormat, other) =>
+        sys.error(s"$path: CLEANUP $other is the Delta verb — this is " +
+          "an Iceberg table (use CLEANUP METADATA)")
     }
     removed.map(Row(_))
   }

@@ -539,7 +539,8 @@ object DeltaLite {
     */
   private def enforceTableFeatures(spark: SparkSession, table: String,
                                    df: DataFrame, prev: Option[Snapshot],
-                                   schemaReplaced: Boolean = false)
+                                   schemaReplaced: Boolean = false,
+                                   rewrite: Boolean = false)
       : (DataFrame, Boolean) = {
     import org.apache.spark.sql.functions._
     val snap = prev.getOrElse(return (df, false))
@@ -611,8 +612,12 @@ object DeltaLite {
           forceMeta = true
         }
       } else {
-        require(f.metadata.contains(IdAllowKey) &&
-            f.metadata.getBoolean(IdAllowKey),
+        // a REWRITE (selective merge/delete re-emitting rows it read)
+        // carries the rows' EXISTING ids — that is not an explicit
+        // insert; the watermark advance below still runs so any id a
+        // merge source introduced can never be handed out again
+        require(rewrite || (f.metadata.contains(IdAllowKey) &&
+            f.metadata.getBoolean(IdAllowKey)),
           s"$table: IDENTITY column ${f.name} does not allow explicit " +
             "inserts (delta.identity.allowExplicitInsert is not true)")
         // explicit values advance the watermark to the furthest supplied
@@ -693,8 +698,11 @@ object DeltaLite {
         "identityColumns")
       case 5 => Set("appendOnly", "invariants", "checkConstraints",
         "generatedColumns", "changeDataFeed", "columnMapping")
+      // writer v4 implies changeDataFeed AND generatedColumns (the spec's
+      // cumulative legacy table) — dropping CDF here would silently stop
+      // conformant engines' feed on an upgraded v4 table
       case 4 => Set("appendOnly", "invariants", "checkConstraints",
-        "generatedColumns")
+        "generatedColumns", "changeDataFeed")
       case 3 => Set("appendOnly", "invariants", "checkConstraints")
       case _ => Set("appendOnly", "invariants")
     }
@@ -785,6 +793,19 @@ object DeltaLite {
     var out = df
     generated.foreach { case (c, g) =>
       if (!out.columns.contains(c)) out = out.withColumn(c, expr(g))
+    }
+    // caller-SUPPLIED generated values validate at creation exactly as
+    // every later append would (enforceTableFeatures' GENERATED check) —
+    // otherwise commit 0 could violate the table's own logged contract
+    val suppliedGen = generated.filter { case (c, _) => df.columns.contains(c) }
+    if (suppliedGen.nonEmpty) {
+      val genChecks = suppliedGen.toSeq.sortBy(_._1).map { case (c, g) =>
+        (s"GENERATED column $c AS ($g)",
+          !(col(s"`$c`") <=> expr(g).cast(df.schema(c).dataType)))
+      }
+      firstViolation(out, genChecks).foreach(lbl =>
+        throw new IllegalArgumentException(
+          s"$table: rows violate $lbl — refusing to commit"))
     }
     var lastOf = Map.empty[String, Long]
     identity.foreach { case (c, spec) =>
@@ -1333,7 +1354,8 @@ object DeltaLite {
     // metadata, REPLACE TABLE-style) but the configuration carries, so
     // its CHECK constraints still validate the new data
     val (dfE, featureMeta) = enforceTableFeatures(spark, table, df, prev,
-      schemaReplaced = overwrite && replacing.isEmpty)
+      schemaReplaced = overwrite && replacing.isEmpty,
+      rewrite = replacing.nonEmpty)
     // Column mapping is sticky: once a table is mapped, every later
     // commit keeps writing physical names (a mixed table would be
     // unreadable); `columnMapping = true` turns it on at creation/
@@ -1689,7 +1711,8 @@ object DeltaLite {
     require(!prev0.exists(rowTrackingOn),
       s"$table: row-tracking tables are single-writer — use commit()")
     val (dfEc, _) = enforceTableFeatures(spark, table, df, prev0,
-      schemaReplaced = overwrite && replacing.isEmpty)
+      schemaReplaced = overwrite && replacing.isEmpty,
+      rewrite = replacing.nonEmpty)
     val mapped = columnMapping ||
       prev0.exists(p => mappingMode(p.configuration) != "none")
     val (tableSchema, writeDf, conf) = resolveWriteFrame(

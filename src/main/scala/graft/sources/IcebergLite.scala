@@ -2527,12 +2527,22 @@ object IcebergLite {
   /** DROP a branch or tag (its snapshots stay until expire). `main`
     * is not droppable — it mirrors current-snapshot-id.
     */
-  def dropRef(spark: SparkSession, table: String, name: String): Int = {
+  def dropRef(spark: SparkSession, table: String, name: String,
+              expectedType: Option[String] = None): Int = {
     require(name != "main", s"$table: the main branch ref is not droppable")
     val meta = metadata(spark, table).deepCopy[ObjectNode]()
     val refs = Option(meta.get("refs")).collect { case o: ObjectNode => o }
       .getOrElse(sys.error(s"$table: no refs"))
     require(refs.has(name), s"$table: no ref $name")
+    // DROP TAG on a branch (or vice versa) must refuse — dropping the
+    // wrong kind un-protects snapshots the caller meant to keep
+    expectedType.foreach { want =>
+      val actual = Option(refs.get(name).get("type")).map(_.asText())
+        .getOrElse("branch")
+      require(actual == want,
+        s"$table: ref $name is a $actual, not a $want — " +
+          s"use DROP ${actual.toUpperCase}")
+    }
     refs.remove(name)
     publishMetadataVersion(spark, table, meta)
   }
@@ -2996,10 +3006,13 @@ object IcebergLite {
       .map(_.properties().iterator().asScala
         .map(_.getValue.get("snapshot-id").asLong()).toSet)
       .getOrElse(Set.empty)
+    // the CURRENT snapshot is always kept outright: branch commits share
+    // the snapshots array, so a busy staging branch could otherwise push
+    // main's head out of the takeRight window and brick expiry on the
+    // old require("refusing to expire the current snapshot")
     val keepIds = snaps.takeRight(retainSnapshots)
-      .map(_.get("snapshot-id").asLong()).toSet ++ refIds
-    require(keepIds.contains(meta.get("current-snapshot-id").asLong()),
-      "refusing to expire the current snapshot")
+      .map(_.get("snapshot-id").asLong()).toSet ++ refIds +
+      meta.get("current-snapshot-id").asLong()
 
     def reachable(ids: Set[Long]): (Set[String], Set[String]) = {
       val (ls, ms, ds) = snaps.filter(s => ids.contains(s.get("snapshot-id").asLong()))

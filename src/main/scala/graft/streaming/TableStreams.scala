@@ -297,8 +297,14 @@ private class IcebergLiteTailSource(spark: SparkSession, table: String,
   @volatile private var lastServedOrd: Option[Int] = None
 
   private def historyIds(): Seq[Long] = {
+    // the PUBLISHED lineage (snapshot-log tracks current-snapshot-id
+    // changes), NOT the shared snapshots array: branch commits add
+    // array entries without moving main, and an offset capped onto a
+    // branch head would leak un-published staged rows into this stream.
+    // A fastForward publish adds its own log entry, so staged rows
+    // arrive exactly when WAP publishes them.
     val meta = IcebergLite.metadata(spark, table)
-    Option(meta.get("snapshots"))
+    Option(meta.get("snapshot-log"))
       .map(_.elements().asScala.toSeq.map(_.get("snapshot-id").asLong()))
       .getOrElse(Seq.empty)
   }

@@ -186,4 +186,44 @@ class TableFeaturesSpec extends SparkSpec {
     DeltaLite.renameColumn(spark, t2, "amt", "amount")
     assert(DeltaLite.read(spark, t2).columns.toSeq == Seq("k", "amount"))
   }
+
+  test("identity tables accept selective DELETE/MERGE rewrites (rows " +
+    "carry their EXISTING ids — not explicit inserts); fresh explicit " +
+    "ids still refuse on plain appends") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_id_rewrite")
+      .toString + "/t"
+    val df = (0L until 40L).map(k => (k, s"v$k")).toDF("k", "s")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+    DeltaLite.commitWithFeatures(spark, t, df,
+      identity = Map("rid" -> DeltaLite.IdentitySpec()))
+    val before = DeltaLite.read(spark, t)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(before == (1L to 40L))
+
+    // copy-on-write DELETE: rewritten rows keep their ids
+    DeltaLite.selectiveDelete(spark, t,
+      Seq(3L, 7L).toDF("k"), Seq("k"))
+    val after = DeltaLite.read(spark, t).count()
+    assert(after == 38L)
+
+    // selective MERGE updating existing rows: ids survive untouched
+    DeltaLite.selectiveMerge(spark, t,
+      DeltaLite.read(spark, t).filter($"k" < 5)
+        .withColumn("s", org.apache.spark.sql.functions.lit("upd")),
+      Seq("k"))
+    val rids = DeltaLite.read(spark, t)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(rids.size == 38 && rids.distinct.size == 38,
+      s"rewrites must never duplicate or reassign ids: $rids")
+
+    // a plain append with explicit ids still refuses
+    intercept[IllegalArgumentException](DeltaLite.commit(spark, t,
+      Seq((100L, "x", 999L)).toDF("k", "s", "rid")))
+    // and a feature-assigned append continues past the watermark
+    DeltaLite.commit(spark, t, Seq((100L, "x")).toDF("k", "s"))
+    val top = DeltaLite.read(spark, t)
+      .agg(org.apache.spark.sql.functions.max("rid")).head().getLong(0)
+    assert(top == 41L, s"assignment must continue past the watermark: $top")
+  }
 }

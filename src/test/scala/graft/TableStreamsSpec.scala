@@ -429,4 +429,40 @@ class TableStreamsSpec extends SparkSpec {
     assert(igot.map(_.head).toSet == Set(3L, 4L),
       s"startingTimestamp must anchor mid-log, got $igot")
   }
+
+  test("WAP isolation: a staged branch commit never reaches a main " +
+    "stream (even under maxSnapshotsPerTrigger); fastForward delivers " +
+    "the staged rows at publish time") {
+    val base = newDir("graft_wap_stream")
+    val t = s"$base/t"
+    IcebergLite.commit(spark, t, Seq((0L, "main0")).toDF("k", "s"))
+    IcebergLite.createBranch(spark, t, "staging")
+    IcebergLite.commitToBranch(spark, t, "staging",
+      Seq((100L, "staged")).toDF("k", "s"))
+    IcebergLite.commit(spark, t, Seq((1L, "main1")).toDF("k", "s"))
+    // the per-trigger cap must count PUBLISHED states — a cap of 1 that
+    // stepped through the shared snapshots array would stop on the
+    // branch head and leak the staged row
+    val got = drain(EventStreams.readIcebergStream(spark, t,
+      maxSnapshotsPerTrigger = Some(1)), s"$base/cp_wap", Seq("k"))
+    assert(got.map(_.head).toSet == Set(0L, 1L),
+      s"staged rows must not reach the main stream, got $got")
+
+    // publish leg on its own table (fastForward requires main not to
+    // have diverged past the branch point)
+    val t2 = s"$base/t2"
+    IcebergLite.commit(spark, t2, Seq((0L, "main0")).toDF("k", "s"))
+    IcebergLite.createBranch(spark, t2, "staging")
+    IcebergLite.commitToBranch(spark, t2, "staging",
+      Seq((100L, "staged")).toDF("k", "s"))
+    val pre = drain(EventStreams.readIcebergStream(spark, t2),
+      s"$base/cp_wap2", Seq("k"))
+    assert(pre.map(_.head) == Seq(0L),
+      s"before the publish only main rows flow, got $pre")
+    IcebergLite.fastForward(spark, t2, "staging")
+    val got2 = drain(EventStreams.readIcebergStream(spark, t2),
+      s"$base/cp_wap2", Seq("k"))
+    assert(got2.map(_.head) == Seq(100L),
+      s"the publish must deliver exactly the staged rows, got $got2")
+  }
 }
