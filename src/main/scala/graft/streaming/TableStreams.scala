@@ -271,6 +271,21 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
         IcebergLite.lastSnapshotBefore(spark, table,
           TableStreams.parseTs(s))
       })
+    // an anchor outside the PUBLISHED lineage (a branch/staged snapshot
+    // id, an expired one, a typo) must fail HERE as option validation —
+    // silently disabling the wait/cap logic surfaces later as an
+    // unresolvable-range error from changes()/incrementalRead
+    startingSnapshot.foreach { s =>
+      val published = Option(IcebergLite.metadata(spark, table)
+        .get("snapshot-log"))
+        .map(_.elements().asScala.toSeq.map(_.get("snapshot-id").asLong()))
+        .getOrElse(Seq.empty)
+      require(published.contains(s),
+        s"graft-iceberg-stream: startingSnapshot $s is not in the " +
+          s"published snapshot-log of $table (branch/staged snapshots " +
+          "and expired ones cannot anchor the stream); published ids: " +
+          published.mkString(", "))
+    }
     new IcebergLiteTailSource(spark, table, cdf, keys,
       parameters.get("cdfVersions").exists(_.toBoolean),
       startingSnapshot,
@@ -319,16 +334,18 @@ private class IcebergLiteTailSource(spark: SparkSession, table: String,
     current.flatMap { cur =>
       val ids = historyIds()
       val curOrd = ids.indexOf(cur)
-      if (curOrd < 0) return Some(LongOffset(cur)) // odd foreign state: serve it
-      val capBase: Option[Int] = lastServedOrd
-        .orElse(startingSnapshot.map(ids.indexOf(_)).filter(_ >= 0))
-      val capped = (maxSnapshotsPerTrigger, capBase) match {
-        case (Some(n), Some(base)) => math.min(curOrd, base + n)
-        case _                     => curOrd
+      if (curOrd < 0) Some(LongOffset(cur)) // odd foreign state: serve it
+      else {
+        val capBase: Option[Int] = lastServedOrd
+          .orElse(startingSnapshot.map(ids.indexOf(_)).filter(_ >= 0))
+        val capped = (maxSnapshotsPerTrigger, capBase) match {
+          case (Some(n), Some(base)) => math.min(curOrd, base + n)
+          case _                     => curOrd
+        }
+        // nothing newer than the starting point yet → wait
+        if (startingSnapshot.exists(s => ids.indexOf(s) >= capped)) None
+        else Some(LongOffset(ids(capped)))
       }
-      // nothing newer than the starting point yet → wait
-      if (startingSnapshot.exists(s => ids.indexOf(s) >= capped)) None
-      else Some(LongOffset(ids(capped)))
     }
   }
 

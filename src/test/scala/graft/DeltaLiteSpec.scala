@@ -96,6 +96,19 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("no version at or before"))
   }
 
+  test("readAsOf on a zero-stamp log refuses loudly instead of " +
+    "resolving every timestamp to the tip") {
+    val t = newTable()
+    DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.commit(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    // this writer stamps commitInfo timestamp 0 without ICT — any
+    // ts >= 0 would silently resolve to the tip; the guard names the
+    // precise instruments instead
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.readAsOf(spark, t, 12345L))
+    assert(e.getMessage.contains("no wall-clock commit stamps"))
+  }
+
   test("reader refuses protocol versions it cannot honor") {
     val t = newTable()
     DeltaLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))

@@ -50,6 +50,48 @@ class LogLifecycleSpec extends SparkSpec {
       "no checkpoint → nothing can bootstrap → keep every commit")
   }
 
+  test("cleanupLogs with ONLY a tip checkpoint above the floor is a " +
+    "no-op on commits: retained versions below the tip must not lose " +
+    "their replay prefix (round-15 advice repro)") {
+    val t = newTable("graft_logclean_tip")
+    (0L until 5L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v0..v4
+    DeltaLite.checkpoint(spark, t)                                 // cp@4 (tip)
+    // retention window [v2, v4]; the only checkpoint sits ABOVE the
+    // floor → no commit may go, or read(v3) silently drops rows
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 3)
+    assert(!gone.exists(_.endsWith(".json") ), s"no commit may go: $gone")
+    assert(DeltaLite.read(spark, t, Some(3L)).count() == 4L,
+      "v3 must replay its full v0-prefix, not a truncated one")
+    assert(DeltaLite.read(spark, t, Some(2L)).count() == 3L)
+    assert(DeltaLite.read(spark, t).count() == 5L)
+  }
+
+  test("cleanupLogs keeps the floor's bootstrap checkpoint below the " +
+    "tip one, and sub-tip reads discover it from the listing") {
+    val t = newTable("graft_logclean_boot")
+    (0L until 2L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v0, v1
+    DeltaLite.checkpoint(spark, t)                                 // cp@1
+    (2L until 5L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v2..v4
+    DeltaLite.checkpoint(spark, t)                                 // cp@4 (tip)
+    // retention window [v2, v4]; bootstrap for the floor is cp@1 →
+    // only v0's commit is deletable, and cp@1 must SURVIVE even
+    // though a newer checkpoint supersedes it for the tip
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 3)
+    assert(gone.filter(_.endsWith(".json")).toSet ==
+      Set(f"${0L}%020d.json"), s"got $gone")
+    assert(!gone.exists(_.startsWith(f"${1L}%020d.checkpoint")),
+      s"the floor's bootstrap checkpoint must survive: $gone")
+    // _last_checkpoint points at cp@4; v2/v3 bootstrap from cp@1
+    assert(DeltaLite.read(spark, t, Some(2L)).count() == 3L)
+    assert(DeltaLite.read(spark, t, Some(3L)).count() == 4L)
+    assert(DeltaLite.read(spark, t).count() == 5L)
+    intercept[IllegalArgumentException](
+      DeltaLite.read(spark, t, Some(0L)))
+  }
+
   test("cleanupLogs on a v2Checkpoint table: the superseded top-level " +
     "and ITS sidecar go, the newest checkpoint's sidecar survives") {
     val t = newTable("graft_logclean_v2")

@@ -62,8 +62,10 @@ class UniformSpec extends SparkSpec {
       s"the face must list exactly the Delta files:\n$faceFiles\n$deltaFiles")
   }
 
-  test("a DV delete skips the sync (stale face, loudly documented); " +
-    "the next compacting commit catches the face up") {
+  test("DV deletes and the uniform face exclude each other in BOTH " +
+    "directions: deleteVectors refuses on a uniform table (naming the " +
+    "copy-on-write path, which syncs), enabling uniform refuses over " +
+    "live DVs until a purge folds them") {
     val t = newTable("graft_uniform_dv")
     DeltaLite.commit(spark, t,
       (0L until 50L).map(k => (k, s"v$k")).toDF("k", "s"))
@@ -71,15 +73,32 @@ class UniformSpec extends SparkSpec {
       "delta.universalFormat.enabledFormats", "iceberg")
     assert(IcebergLite.read(spark, t).count() == 50L)
 
-    // merge-on-read delete: Delta sees 49, the face stays at the last
-    // expressible state (50)
-    DeltaLite.deleteVectors(spark, t, Seq(7L).toDF("k"), Seq("k"))
-    assert(DeltaLite.read(spark, t).count() == 49L)
+    // a merge-on-read delete would silently diverge the Iceberg face
+    // (its readers would keep seeing the deleted rows) — refused, with
+    // the face-syncing verb named
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.deleteVectors(spark, t, Seq(7L).toDF("k"), Seq("k")))
+    assert(e.getMessage.contains("selectiveDelete"))
+    assert(DeltaLite.read(spark, t).count() == 50L)
     assert(IcebergLite.read(spark, t).count() == 50L)
 
-    // purging the DVs (a commit) re-syncs the face
-    DeltaLite.purgeDvs(spark, t)
+    // the copy-on-write delete works AND syncs the face in one commit
+    DeltaLite.selectiveDelete(spark, t, Seq(7L).toDF("k"), Seq("k"))
     assert(DeltaLite.read(spark, t).count() == 49L)
     assert(IcebergLite.read(spark, t).count() == 49L)
+
+    // the mirror: live DVs block ENABLING uniform; purge unblocks
+    val t2 = newTable("graft_uniform_dv2")
+    DeltaLite.commit(spark, t2,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "s"))
+    DeltaLite.deleteVectors(spark, t2, Seq(3L).toDF("k"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLite.setTableProperty(spark, t2,
+        "delta.universalFormat.enabledFormats", "iceberg"))
+    assert(e2.getMessage.contains("purgeDvs"))
+    DeltaLite.purgeDvs(spark, t2)
+    DeltaLite.setTableProperty(spark, t2,
+      "delta.universalFormat.enabledFormats", "iceberg")
+    assert(IcebergLite.read(spark, t2).count() == 19L)
   }
 }
