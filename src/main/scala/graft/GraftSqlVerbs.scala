@@ -27,6 +27,15 @@ import graft.sources.{DeltaLite, IcebergLite}
   *   RESTORE '<table path>' VERSION AS OF n
   * }}}
   *
+  * Every verb takes EITHER a quoted path OR a dotted `db.table` name —
+  * the reference's own addressing idiom (`OPTIMIZE
+  * {DATABASE_NAME}.{QUERIES_TABLE_NAME}`, tasks/Query History API to
+  * Delta_withmetrics.py:256) — resolved through [[GraftCatalog]]:
+  * explicit `REGISTER TABLE db.t '<path>'` bindings first, then Spark
+  * catalog table locations, then `<database location>/<table>` (so
+  * `CREATE DATABASE IF NOT EXISTS dbadb LOCATION '...'` +
+  * `OPTIMIZE dbadb.query_history` works with no registration at all).
+  *
   * The path's format is DETECTED (`_delta_log/` vs
   * `metadata/version-hint.text`) and each verb dispatches to the same
   * programmatic API the library exposes — the SQL layer adds zero new
@@ -63,47 +72,68 @@ class GraftVerbParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlVerbs {
 
-  // path is a single-quoted string literal; cols a bare identifier list
+  // Target of every verb: a single-quoted path literal (quotes KEPT in
+  // the capture so run()-time resolution can tell the two apart), or a
+  // DOTTED catalog name `db.table` — the reference's own addressing
+  // idiom (`OPTIMIZE {DATABASE_NAME}.{QUERIES_TABLE_NAME}`, tasks/Query
+  // History API to Delta_withmetrics.py:256), resolved via
+  // [[GraftCatalog]]. Dotted-only on purpose: single-part identifiers
+  // stay with Spark's parser, so native statements that share a keyword
+  // (ANALYZE TABLE t / SHOW PARTITIONS t / ALTER TABLE t ...) are never
+  // shadowed for ordinary catalog tables.
+  private val Tgt = """('[^']+'|(?:[A-Za-z_]\w*\.)+[A-Za-z_]\w*)"""
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt + """(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Tgt + """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""").r
   private val ShowPropertiesRe =
-    """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*SHOW\s+TBLPROPERTIES\s+""" + Tgt + """\s*;?\s*""").r
   private val HistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tgt + """\s*;?\s*""").r
   private val DetailRe =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tgt + """\s*;?\s*""").r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Tgt + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val AnalyzeRe =
-    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?'([^']+)'(?:\s+COMPUTE\s+STATISTICS)?\s*;?\s*""".r
+    ("""(?is)\s*ANALYZE\s+(?:TABLE\s+)?""" + Tgt + """(?:\s+COMPUTE\s+STATISTICS)?(?:\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""").r
   private val ShowFilesRe =
-    """(?is)\s*SHOW\s+FILES\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*SHOW\s+FILES\s+(?:IN\s+)?""" + Tgt + """\s*;?\s*""").r
   private val ShowPartitionsRe =
-    """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN\s+)?'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*SHOW\s+PARTITIONS\s+(?:IN\s+)?""" + Tgt + """\s*;?\s*""").r
   private val AddConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DropConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
   private val CreateRefRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AT\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AT\s+(\d+))?\s*;?\s*""").r
   private val DropRefRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""").r
   private val FastForwardRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+FAST[\s-]*FORWARD\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+FAST[\s-]*FORWARD\s+(\w+)\s*;?\s*""").r
   private val ClusterByRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+CLUSTER\s+BY\s+(?:\(\s*([\w\s,]+?)\s*\)|NONE)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+CLUSTER\s+BY\s+(?:\(\s*([\w\s,]+?)\s*\)|NONE)\s*;?\s*""").r
   private val AlterColumnTypeRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""").r
   private val AddPartFieldRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""").r
   private val DropPartFieldRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""").r
   private val OrphanRe =
-    """(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?""" + Tgt + """\s*;?\s*""").r
   private val CleanupRe =
-    """(?is)\s*CLEANUP\s+(LOGS|METADATA)\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    ("""(?is)\s*CLEANUP\s+(LOGS|METADATA)\s+""" + Tgt + """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+  // name↔path registry maintenance — graft-only keywords, no collision
+  private val RegisterRe =
+    ("""(?is)\s*REGISTER\s+TABLE\s+((?:[A-Za-z_]\w*\.)+[A-Za-z_]\w*)\s+(?:AT\s+)?'([^']+)'\s*;?\s*""").r
+  private val UnregisterRe =
+    ("""(?is)\s*UNREGISTER\s+TABLE\s+((?:[A-Za-z_]\w*\.)+[A-Za-z_]\w*)\s*;?\s*""").r
+
+  /** A verb target at run() time: quoted literals are paths verbatim,
+    * dotted bare identifiers resolve through [[GraftCatalog]].
+    */
+  private[graft] def resolveTarget(spark: SparkSession, target: String): String =
+    if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
+    else GraftCatalog.resolve(spark, target)
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -150,6 +180,10 @@ object GraftSqlVerbs {
         Some(GraftCleanupCommand(path,
           Option(retain).map(_.toInt).getOrElse(1),
           kind.toUpperCase))
+      case RegisterRe(name, path) =>
+        Some(GraftRegisterTableCommand(name, Some(path)))
+      case UnregisterRe(name) =>
+        Some(GraftRegisterTableCommand(name, None))
       case _ => None
     }
 
@@ -182,6 +216,7 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val files = targetFiles.getOrElse(if (zorderCols.isEmpty) 1 else 8)
     val (v, op) = formatOf(spark, path) match {
       case DeltaFormat =>
@@ -212,6 +247,7 @@ case class GraftVacuumCommand(path: String, retain: Int,
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val deleted = formatOf(spark, path) match {
       case DeltaFormat =>
         if (hours) DeltaLite.vacuumRetainHours(spark, path, retain.toDouble)
@@ -236,6 +272,7 @@ case class GraftShowPropertiesCommand(path: String)
     AttributeReference("key", StringType, nullable = false)(),
     AttributeReference("value", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val props: Map[String, String] = formatOf(spark, path) match {
       case DeltaFormat   => DeltaLite.snapshot(spark, path).configuration
       case IcebergFormat => IcebergLite.tableProperties(spark, path)
@@ -254,6 +291,7 @@ case class GraftDescribeHistoryCommand(path: String)
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val rows = formatOf(spark, path) match {
       case DeltaFormat =>
         DeltaLite.history(spark, path).select("version", "operation").collect()
@@ -277,6 +315,7 @@ case class GraftDescribeDetailCommand(path: String)
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case DeltaFormat =>
         val s = DeltaLite.snapshot(spark, path)
@@ -309,6 +348,7 @@ case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("n_nulls", LongType, nullable = false)(),
     AttributeReference("approx_ndv", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     import org.apache.spark.sql.functions._
     val df = formatOf(spark, path) match {
       case DeltaFormat   => DeltaLite.read(spark, path)
@@ -340,6 +380,7 @@ case class GraftRestoreCommand(path: String, version: Long)
     AttributeReference("restored_to", LongType, nullable = false)(),
     AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val newV: Long = formatOf(spark, path) match {
       case DeltaFormat   => DeltaLite.restore(spark, path, version)
       case IcebergFormat => IcebergLite.rollbackTo(spark, path, version).toLong
@@ -362,6 +403,7 @@ case class GraftShowFilesCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("size_bytes", LongType, nullable = true)(),
     AttributeReference("partition", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     val df = formatOf(spark, path) match {
       case DeltaFormat   => DeltaLite.files(spark, path)
       case IcebergFormat =>
@@ -384,6 +426,7 @@ case class GraftShowPartitionsCommand(path: String)
     AttributeReference("record_count", LongType, nullable = true)(),
     AttributeReference("size_bytes", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     import org.apache.spark.sql.functions._
     val filesDf = formatOf(spark, path) match {
       case DeltaFormat   => DeltaLite.files(spark, path)
@@ -413,6 +456,7 @@ case class GraftConstraintCommand(path: String, name: String,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case DeltaFormat =>
       case IcebergFormat =>
@@ -442,6 +486,7 @@ case class GraftClusterByCommand(path: String, cols: Seq[String])
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case DeltaFormat =>
       case IcebergFormat =>
@@ -468,6 +513,7 @@ case class GraftWidenColumnCommand(path: String, column: String,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case DeltaFormat =>
       case IcebergFormat =>
@@ -493,6 +539,7 @@ case class GraftPartitionFieldCommand(path: String, decl: String,
     AttributeReference("spec_id", LongType, nullable = false)(),
     AttributeReference("spec", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case IcebergFormat =>
       case DeltaFormat =>
@@ -530,6 +577,7 @@ case class GraftRefCommand(path: String, kind: String, name: String,
     AttributeReference("metadata_version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case IcebergFormat =>
       case DeltaFormat =>
@@ -558,6 +606,7 @@ case class GraftFastForwardCommand(path: String, branch: String)
     AttributeReference("metadata_version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case IcebergFormat =>
       case DeltaFormat => sys.error(s"$path: FAST FORWARD is an Iceberg " +
@@ -578,6 +627,7 @@ case class GraftRemoveOrphansCommand(path: String)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("removed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     formatOf(spark, path) match {
       case IcebergFormat =>
       case DeltaFormat => sys.error(s"$path: use VACUUM on Delta tables " +
@@ -599,6 +649,7 @@ case class GraftCleanupCommand(path: String, retain: Int,
   override val output: Seq[Attribute] = Seq(
     AttributeReference("removed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
     // the keyword is the user's intent — CLEANUP METADATA on a Delta
     // table must refuse, not silently delete log commits instead
     val removed = (formatOf(spark, path), kind) match {
@@ -614,5 +665,28 @@ case class GraftCleanupCommand(path: String, retain: Int,
           "an Iceberg table (use CLEANUP METADATA)")
     }
     removed.map(Row(_))
+  }
+}
+
+/** `REGISTER TABLE <db.table> [AT] '<path>'` / `UNREGISTER TABLE
+  * <db.table>` — the explicit layer of [[GraftCatalog]]'s name↔path
+  * registry (the catalog-database-location convention needs neither).
+  * Metadata-only; the path itself is not touched or validated here —
+  * the next verb's format detection owns that, so a registration can
+  * precede the table's first commit.
+  */
+case class GraftRegisterTableCommand(name: String, path: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = path match {
+    case Some(p) =>
+      GraftCatalog.registerTable(spark, name, p)
+      Seq(Row(name, s"REGISTER TABLE AT $p"))
+    case None =>
+      val had = GraftCatalog.unregisterTable(spark, name)
+      require(had, s"$name: not registered (nothing to unregister)")
+      Seq(Row(name, "UNREGISTER TABLE"))
   }
 }

@@ -357,6 +357,70 @@ class ExtensionsSpec extends SparkSpec {
       s"ALTER TABLE '$td' ADD PARTITION FIELD bucket(2, k)"))
   }
 
+  test("catalog-named tables: every verb accepts db.table — explicit " +
+    "REGISTER TABLE bindings, then CREATE DATABASE ... LOCATION " +
+    "convention (the reference's own flow), path forms unchanged") {
+    import extSpark.implicits._
+    import graft.sources.{DeltaLite, IcebergLite}
+    val base = java.nio.file.Files.createTempDirectory("graft_catverbs")
+      .toString
+
+    // mechanism 1: explicit registration binds any path to db.table
+    val t = s"$base/elsewhere/history"
+    DeltaLite.commit(extSpark, t,
+      (0L until 30L).map(k => (k, s"p$k")).toDF("k", "s").repartition(3))
+    extSpark.sql(s"REGISTER TABLE dbadb.query_history AT '$t'")
+    val h = extSpark.sql("DESCRIBE HISTORY dbadb.query_history").collect()
+    assert(h.length == 1 && h.head.getString(1) == "WRITE")
+    // the reference's literal maintenance line, name-addressed
+    val o = extSpark.sql("OPTIMIZE dbadb.query_history").collect().head
+    assert(o.getLong(0) == 1L && o.getString(1) == "OPTIMIZE")
+    assert(DeltaLite.snapshot(extSpark, t).files.size == 1,
+      "name-addressed OPTIMIZE must hit the registered path")
+    val stats = extSpark.sql(
+      "ANALYZE TABLE dbadb.query_history COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(stats("k") == "29")
+    val props = extSpark.sql("SHOW TBLPROPERTIES dbadb.query_history")
+    assert(props.columns.toSeq == Seq("key", "value"))
+    // name and path forms are the SAME table
+    assert(extSpark.sql(s"DESCRIBE DETAIL '$t'").collect().head.getLong(2) ==
+      extSpark.sql("DESCRIBE DETAIL dbadb.query_history").collect()
+        .head.getLong(2))
+
+    // mechanism 2: CREATE DATABASE ... LOCATION roots db.table under
+    // the database location with ZERO registration — the reference's
+    // CREATE DATABASE IF NOT EXISTS + OPTIMIZE db.t flow verbatim
+    val dbLoc = s"$base/dbloc"
+    extSpark.sql(s"CREATE DATABASE IF NOT EXISTS dbaconv LOCATION '$dbLoc'")
+    val ti = s"$dbLoc/events_iceberg"
+    IcebergLite.commit(extSpark, ti,
+      (0L until 40L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(4))
+    val oi = extSpark.sql(
+      "OPTIMIZE dbaconv.events_iceberg ZORDER BY (k) FILES 2").collect().head
+    assert(oi.getString(1).startsWith("OPTIMIZE ZORDER"))
+    assert(IcebergLite.snapshot(extSpark, ti).detail.size == 2)
+    extSpark.sql("ALTER TABLE dbaconv.events_iceberg CREATE TAG v1 AT 0")
+    assert(IcebergLite.tableRefs(extSpark, ti)("v1") == (0L, "tag"))
+    assert(extSpark.sql("SHOW FILES IN dbaconv.events_iceberg").count() == 2L)
+
+    // UNREGISTER drops the explicit binding; resolution then fails loudly
+    extSpark.sql("UNREGISTER TABLE dbadb.query_history")
+    val e = intercept[RuntimeException](
+      extSpark.sql("DESCRIBE HISTORY dbadb.query_history").collect())
+    assert(e.getMessage.contains("unresolvable"))
+
+    // single-part identifiers are NOT intercepted: native Spark
+    // statements on plain names still reach Spark's own parser
+    assert(GraftSqlVerbs.parseVerb("SHOW TBLPROPERTIES plainview").isEmpty)
+    assert(GraftSqlVerbs.parseVerb("ANALYZE TABLE plain COMPUTE STATISTICS")
+      .isEmpty)
+    assert(GraftSqlVerbs.parseVerb(
+      "ALTER TABLE plain ALTER COLUMN k TYPE long").isEmpty)
+    // ...while their dotted twins are
+    assert(GraftSqlVerbs.parseVerb("SHOW TBLPROPERTIES db.t").nonEmpty)
+  }
+
   test("ALTER COLUMN TYPE verb widens through SQL; Iceberg refuses") {
     import extSpark.implicits._
     import graft.sources.{DeltaLite, IcebergLite}
