@@ -1531,8 +1531,10 @@ object LakehouseOps {
     * must come back from the log-declared expression. Output: per-year
     * counts + identity-sum fingerprints — fully sensitive to the rid
     * assignment. Scale note: identity assignment itself is distributed
-    * (per-partition offsets, no sort); the single-partition sort here
-    * exists only to make the row↔rid mapping oracle-reproducible.
+    * (per-partition offsets, no sort) AND the fixture is too —
+    * range-ascending partitions make the kernel's partition-order
+    * assignment equal the oracle's global row_number without a
+    * one-task sort.
     */
   def dbaConstraints(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLite
@@ -1540,10 +1542,18 @@ object LakehouseOps {
       .toString + "/orders_feat"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderdate", "o_totalprice")
+    // Arrival-order determinism WITHOUT a one-task sort: range partitions
+    // ascend with the key and rows sort within each, so the identity
+    // kernel's partition-order assignment equals the oracle's global
+    // row_number — at any partition count. localCheckpoint pins the
+    // partitioning across the kernel's count and write jobs (range
+    // sampling alone is not two-pass stable).
     val s1 = ord.filter(col("o_orderkey") % 4 =!= 0)
-      .orderBy("o_orderkey").coalesce(1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").localCheckpoint()
     val s2 = ord.filter(col("o_orderkey") % 4 === 0)
-      .orderBy("o_orderkey").coalesce(1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").localCheckpoint()
     DeltaLite.commitWithFeatures(s, t, s1,
       generated = Map("yr" -> "cast(year(o_orderdate) as bigint)"),
       identity = Map("rid" -> DeltaLite.IdentitySpec()),
@@ -1633,10 +1643,15 @@ object LakehouseOps {
     val t = java.nio.file.Files.createTempDirectory("graft_rowtrack")
       .toString + "/orders_rt"
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    // same distributed deterministic-order construction as
+    // dbaConstraints: range-ascending partitions + within-partition sort
+    // make the file-order backfill equal the oracle's row_number
     val s1 = ord.filter(col("o_orderkey") % 4 =!= 0)
-      .orderBy("o_orderkey").coalesce(1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").localCheckpoint()
     val s2 = ord.filter(col("o_orderkey") % 4 === 0)
-      .orderBy("o_orderkey").coalesce(1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").localCheckpoint()
     DeltaLite.commit(s, t, s1)
     DeltaLite.enableRowTracking(s, t) // backfill: ids 0..|s1|-1
     DeltaLite.commit(s, t, s2)        // fresh range past the watermark

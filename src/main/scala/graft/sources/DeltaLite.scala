@@ -1621,7 +1621,13 @@ object DeltaLite {
           Seq((st.getPath, rel))
         else Nil
       }
-    val named = leaves(staging, "").zipWithIndex.map { case ((p, relDir), i) =>
+    // listStatus order is filesystem-dependent; sorting by (dir, name)
+    // pins file order = Spark partition order (part-00000 < part-00001),
+    // which row tracking's per-file id assignment depends on — ids must
+    // ascend with partition index, not with inode order
+    val named = leaves(staging, "").sortBy { case (p, relDir) =>
+      (relDir, p.getName)
+    }.zipWithIndex.map { case ((p, relDir), i) =>
       val name = f"$namePrefix-$i%05d.parquet"
       val rel = if (relDir.isEmpty) name else s"$relDir/$name"
       val target = new Path(root, rel)
