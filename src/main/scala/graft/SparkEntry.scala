@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LakehouseOps, RangeJoin, Relational, TpchTail}
+import graft.operators.{LakehouseOps, RangeJoin, Relational, StarSchema, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TpchTail.queries ++ RangeJoin.queries ++
-      LakehouseOps.queries ++
+      StarSchema.queries ++ LakehouseOps.queries ++
       graft.dedup.Dedup.queries ++ graft.ann.Ann.queries ++
       graft.functions.TextFuncs.queries ++ graft.functions.Bpe.queries ++
       graft.functions.UnigramLm.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
     * then records a weaker rows-only check; ScalaTest covers those). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TpchTail.oracles ++ RangeJoin.oracles ++
-      LakehouseOps.oracles ++
+      StarSchema.oracles ++ LakehouseOps.oracles ++
       graft.dedup.Dedup.oracles ++ graft.ann.Ann.oracles ++
       graft.functions.TextFuncs.oracles ++ graft.functions.Bpe.oracles ++
       graft.functions.UnigramLm.oracles ++

@@ -63,6 +63,23 @@ class PlanSpec extends SparkSpec {
     assert(semi.contains("PushedFilters: [IsNotNull(o_orderdate)"))
   }
 
+  test("star-schema queries: both dimensions broadcast below the fact " +
+    "(the canonical star-join plan — no fact-sized shuffle before the " +
+    "aggregate)") {
+    val p = executedPlan("ds_q3_brand_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"date_dim and item must broadcast (got $broadcasts):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val g = executedPlan("ds_grouping")
+    assert("BroadcastHashJoin".r.findAllIn(g).size >= 2,
+      "the rollup's star join must broadcast its dims too")
+    // partial re-aggregation: Expand never appears above the fact —
+    // the rollup shape is reconstructed from the tiny aggregated base
+    assert(!g.contains("Expand"),
+      "dsGrouping must re-aggregate, not Expand the fact")
+  }
+
   test("q19: the hand-derived part-side disjunction projection reaches the scan") {
     // Catalyst can't push the mixed-side OR-of-ANDs itself; the operator
     // derives the part-only implication by hand — it must show up in the
