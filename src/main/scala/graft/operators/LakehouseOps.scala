@@ -1282,6 +1282,43 @@ object LakehouseOps {
   // formats, one recomputation)
   val dbaIcebergDvOracle: String = dbaDeltaDvOracle
 
+  // ---------------------------------------------------------------- B37
+  /** Iceberg FORMAT-VERSION 3 end to end — deletion vectors in Puffin
+    * files (the v3 spec's replacement for positional delete files,
+    * where current-generation writers are headed; same shape as the
+    * Delta DV work, one shared bitmap kernel): orders land as v2, a
+    * v3 DV delete masks every 7≡3 key (metadata moves to
+    * format-version 3, bitmaps land as `deletion-vector-v1` blobs in
+    * ONE Puffin file, one manifest entry per referenced data file),
+    * and BOTH legs — time travel to the pre-delete snapshot and the
+    * post-delete read through the DV masks — roll up against DuckDB
+    * recomputing from raw orders. Shares B21/B22's oracle (three
+    * delete shapes, one recomputation).
+    */
+  def dbaIcebergV3(s: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_iceberg_v3")
+      .toString + "/orders_v3"
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergLite.commit(s, t,
+      ord.repartitionByRange(4, col("o_orderkey")))
+    val preId = graft.sources.IcebergLite.snapshot(s, t).snapshotId
+    graft.sources.IcebergLite.deleteRowsV3(s, t,
+      ord.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+      Seq("o_orderkey"))
+    def roll(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("version", lit(v))
+    roll(graft.sources.IcebergLite.read(s, t, Some(preId)), 0L)
+      .unionByName(roll(graft.sources.IcebergLite.read(s, t), 1L))
+      .select("version", "o_orderstatus", "n", "total")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val dbaIcebergV3Oracle: String = dbaDeltaDvOracle
+
   // ---------------------------------------------------------------- B23
   /** Zero-copy format conversion BOTH ways (the `CONVERT TO` / UniForm
     * verb, graft.sources.FormatConvert): orders lands in a DeltaLite
@@ -1887,6 +1924,7 @@ object LakehouseOps {
     "dba_iceberg_skipping" -> (dbaIcebergSkipping _),
     "dba_delta_dv"        -> (dbaDeltaDv _),
     "dba_iceberg_dv"      -> (dbaIcebergDv _),
+    "dba_iceberg_v3"      -> (dbaIcebergV3 _),
     "dba_convert_roundtrip" -> (dbaConvertRoundtrip _),
     "dba_iceberg_transforms" -> (dbaIcebergTransforms _),
     "dba_iceberg_eqdel"   -> (dbaIcebergEqDelete _),
@@ -1925,6 +1963,7 @@ object LakehouseOps {
     "dba_merge_clauses"  -> dbaMergeClausesOracle,
     "dba_delta_dv"      -> dbaDeltaDvOracle,
     "dba_iceberg_dv"    -> dbaIcebergDvOracle,
+    "dba_iceberg_v3"    -> dbaIcebergV3Oracle,
     "dba_convert_roundtrip" -> dbaConvertRoundtripOracle,
     "dba_iceberg_transforms" -> dbaIcebergTransformsOracle,
     "dba_iceberg_eqdel" -> dbaIcebergEqDeleteOracle,

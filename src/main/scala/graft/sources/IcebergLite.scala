@@ -171,6 +171,32 @@ object IcebergLite {
       |  ]}}
       |]}""".stripMargin)
 
+  /** v3 delete-manifest entry: the v2 delete shape plus the
+    * deletion-vector placement triple (spec v3 "Deletion vectors"):
+    * `referenced_data_file` (143), `content_offset` (144),
+    * `content_size_in_bytes` (145) — a content=1 entry carrying them
+    * points at a `deletion-vector-v1` blob inside a Puffin file instead
+    * of a positional-delete parquet.
+    */
+  private val DeleteManifestEntrySchemaV3: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2d3","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102d3","fields":[]}},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+      |    {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |    {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |    {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+      |  ]}}
+      |]}""".stripMargin)
+
   /** Field access tolerant of writer-schema variance (GenericRecord.get
     * THROWS on a name the writer schema lacks — v1 files have no
     * `content` field, v2 files do).
@@ -336,8 +362,12 @@ object IcebergLite {
     require(vs.contains(v), s"$table: metadata version $v not in $vs")
     val node = readMetadata(fs(spark, metaDir(table)), metaFile(table, v))
     val fv = node.get("format-version").asInt()
-    require(fv <= 2, s"$table: iceberg format-version $fv unsupported " +
-      "(row lineage / v3) — refusing")
+    // v3 accepted for READ: its delete shape (deletion vectors in
+    // Puffin files, referenced per data file) resolves in
+    // readWithDeletes; row-lineage columns are not surfaced. Anything
+    // newer refuses loudly.
+    require(fv <= 3, s"$table: iceberg format-version $fv unsupported — " +
+      "refusing")
     node
   }
 
@@ -358,8 +388,16 @@ object IcebergLite {
     * deletes to dataSeq < seq (the spec's strict ordering, which lets a
     * row re-inserted AFTER the delete survive it).
     */
+  /** v3 deletion vectors extend the position-delete entry with the
+    * referenced data file and the blob's placement inside the Puffin
+    * file ([[refDataFile]]/[[contentOffset]]/[[contentSize]] — spec
+    * field-ids 143/144/145); all None on v2-and-below entries.
+    */
   final case class DeleteFileInfo(path: String, content: Int, seq: Long,
-                                  equalityIds: Seq[Int])
+                                  equalityIds: Seq[Int],
+                                  refDataFile: Option[String] = None,
+                                  contentOffset: Option[Long] = None,
+                                  contentSize: Option[Long] = None)
 
   /** Resolved snapshot state: data files + delete files + the
     * Spark-typed schema.
@@ -506,8 +544,17 @@ object IcebergLite {
           }
           require(content == 1 || eqIds.nonEmpty,
             s"$table: equality delete file without equality_ids — refusing")
+          // v3 DV entries: referenced data file + blob placement
+          val refFile = opt(df, "referenced_data_file").map(_.toString)
+          val cOff = opt(df, "content_offset")
+            .collect { case l: java.lang.Long => l.longValue() }
+          val cSize = opt(df, "content_size_in_bytes")
+            .collect { case l: java.lang.Long => l.longValue() }
+          require(cOff.isEmpty || (refFile.nonEmpty && cSize.nonEmpty),
+            s"$table: deletion-vector entry missing referenced_data_file/" +
+              "content_size_in_bytes — refusing")
           deleteFiles += DeleteFileInfo(df.get("file_path").toString,
-            content, entrySeq, eqIds)
+            content, entrySeq, eqIds, refFile, cOff, cSize)
           None
         } else {
           val part = Option(df.get("partition"))
@@ -554,7 +601,10 @@ object IcebergLite {
         } yield sq -> sid
       }.toMap
     Snapshot(targetId, schema, files,
-      deleteFiles.result().distinctBy(_.path)
+      // several DV entries legitimately share ONE Puffin file_path —
+      // identity for dedup is (path, referenced file, blob offset)
+      deleteFiles.result().distinctBy(d =>
+        (d.path, d.refDataFile, d.contentOffset))
         .filterNot(d => deleted.contains(d.path)),
       wantSid, schemaHistory, seqToSid)
   }
@@ -648,13 +698,36 @@ object IcebergLite {
         else raw.select(s.schema.fieldNames.toIndexedSeq.map(n =>
           col(s"`${renames.getOrElse(n, n)}`").as(n)) :+
           col("__if") :+ col("__ip"): _*)
-      val pos = s.deletes.filter(d => d.content == 1 && d.seq >= seq)
+      val pos = s.deletes.filter(d => d.content == 1 && d.seq >= seq &&
+        d.contentOffset.isEmpty)
       if (pos.nonEmpty) {
         val posDf = spark.read
           .parquet(pos.map(d => resolvePath(table, d.path)): _*)
           .select(canonCol(tableAbs, col("file_path")).as("__if"),
             col("pos").as("__ip"))
         df = df.join(posDf, Seq("__if", "__ip"), "left_anti")
+      }
+      // v3 deletion vectors: one bitmap per referenced data file, read
+      // driver-side from the Puffin blob (kilobytes each), broadcast,
+      // and applied as a codegen'd row-index probe — the same masking
+      // kernel Delta DVs use, no join at all
+      val dvs = s.deletes.filter(d => d.content == 1 && d.seq >= seq &&
+        d.contentOffset.isDefined)
+      if (dvs.nonEmpty) {
+        val fsys = fs(spark, new Path(table))
+        val bitmaps: Map[String, Array[Byte]] = dvs
+          .groupBy(d => canonPath(tableAbs, resolvePath(table,
+            d.refDataFile.get)))
+          .map { case (ref, ds) =>
+            ref -> ds.map(d => DeletionVectors.Bitmap64.deserialize(
+              Puffin.dvBitmap(Puffin.readBlob(fsys,
+                new Path(resolvePath(table, d.path)),
+                d.contentOffset.get, d.contentSize.get))))
+              .reduce(_.or(_)).serialize()
+          }
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        df = df.filter(!DeletionVectors.dvDeleted(bc, col("__if"),
+          col("__ip")))
       }
       val eqGroups = s.deletes.filter(d => d.content == 2 && d.seq > seq)
         .groupBy(_.equalityIds)
@@ -2298,6 +2371,154 @@ object IcebergLite {
     try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
     DeleteStats(snapId, 1, nRows)
+  }
+
+  /** v3 MERGE-ON-READ DELETE — DELETION VECTORS (the format-version-3
+    * delete shape, mirroring [[graft.sources.DeltaLite.deleteVectors]]
+    * on the other format): matching rows' indices land as one roaring
+    * bitmap per referenced data file, all bitmaps in ONE Puffin file
+    * (`deletion-vector-v1` blobs), one manifest entry per DV carrying
+    * the spec's placement triple (referenced_data_file/content_offset/
+    * content_size_in_bytes), and the table's metadata moves to
+    * format-version 3. A file that already carries a DV gets old ∪ new
+    * (the spec's writers-must-merge rule — the reader's OR across
+    * superseded blobs is then idempotent). Scale shape identical to the
+    * Delta twin: one distributed victim scan with the key set
+    * broadcast, bitmaps built driver-side bounded by `maxDeleteRows`,
+    * kilobytes of blob written — data files never rewritten.
+    */
+  def deleteRowsV3(spark: SparkSession, table: String, keys: DataFrame,
+                   keyCols: Seq[String],
+                   maxDeleteRows: Int = 16 << 20): DeleteStats = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val meta = metadata(spark, table)
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    require(prevSnaps.nonEmpty, s"$table: no snapshots")
+    val snapId = prevSnaps.map(_.get("snapshot-id").asLong()).max + 1
+    val metaV = versions(spark, table).last + 1
+    val snap = snapshot(spark, table)
+    if (snap.detail.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+
+    val keySel = keys.select(keyCols.map(k => keys(s"`$k`")).toIndexedSeq: _*)
+      .distinct()
+    val scan = readWithDeletes(spark, table, snap, snap.detail,
+      keepMeta = true)
+    val victims = scan.join(broadcast(keySel), keyCols, "left_semi")
+      .select("__if", "__ip").limit(maxDeleteRows + 1).collect()
+    require(victims.length <= maxDeleteRows,
+      s"$table: delete batch exceeds $maxDeleteRows rows — rewrite " +
+        "files (selectiveMerge / compaction) for bulk erasure")
+    if (victims.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+    val tableAbs = canonTableRoot(spark, table)
+    val nameToPath = snap.detail.map(fi =>
+      canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path).toMap
+    // per-file victim indices; merge in any EXISTING DV on the same file
+    val byFile: Seq[(String, Seq[Long])] = victims
+      .map(r => nameToPath(r.getString(0)) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
+    val existingDv: Map[String, DeletionVectors.Bitmap64] = snap.deletes
+      .filter(d => d.content == 1 && d.contentOffset.isDefined)
+      .flatMap(d => nameToPath.get(canonPath(tableAbs,
+        resolvePath(table, d.refDataFile.get))).map(_ ->
+        DeletionVectors.Bitmap64.deserialize(Puffin.dvBitmap(
+          Puffin.readBlob(f, new Path(resolvePath(table, d.path)),
+            d.contentOffset.get, d.contentSize.get)))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_.or(_))).toMap
+    val bitmaps: Seq[(String, DeletionVectors.Bitmap64)] =
+      byFile.map { case (p, poss) =>
+        val fresh = DeletionVectors.Bitmap64(poss)
+        p -> existingDv.get(p).map(_.or(fresh)).getOrElse(fresh)
+      }
+
+    // 1. ONE Puffin file, one deletion-vector-v1 blob per data file
+    val puffinRel = f"data/dv-$snapId%05d.puffin"
+    f.mkdirs(dataDir(table))
+    val blobRefs = Puffin.write(f, new Path(root, puffinRel),
+      bitmaps.map { case (p, bm) =>
+        (Puffin.dvBlob(bm.serialize()),
+          Map("referenced-data-file" -> p,
+            "cardinality" -> bm.cardinality.toString))
+      })
+    val puffinLen = f.getFileStatus(new Path(root, puffinRel)).getLen
+
+    // 2. the DELETE manifest: one entry per DV, v3 placement triple
+    val dfSchema = DeleteManifestEntrySchemaV3.getField("data_file").schema()
+    val entries = bitmaps.zip(blobRefs).map { case ((p, bm), ref) =>
+      record(DeleteManifestEntrySchemaV3)(
+        "status" -> 1, "snapshot_id" -> snapId, "sequence_number" -> snapId,
+        "data_file" -> record(dfSchema)(
+          "content" -> 1,
+          "file_path" -> puffinRel, "file_format" -> "PUFFIN",
+          "partition" -> record(dfSchema.getField("partition").schema())(),
+          "record_count" -> bm.cardinality,
+          "file_size_in_bytes" -> puffinLen,
+          "equality_ids" -> null,
+          "referenced_data_file" -> p,
+          "content_offset" -> ref.offset,
+          "content_size_in_bytes" -> ref.length))
+    }
+    val manifestRel = f"metadata/m-$snapId%05d-dv.avro"
+    val manifestLen = writeAvro(f, new Path(root, manifestRel),
+      DeleteManifestEntrySchemaV3, entries,
+      Map("format-version" -> "3", "content" -> "deletes"))
+
+    // 3. new manifest list: carried priors + the DV manifest
+    val curList = prevSnaps.find(_.get("snapshot-id").asLong() ==
+      meta.get("current-snapshot-id").asLong())
+      .map(_.get("manifest-list").asText())
+      .getOrElse(sys.error(s"$table: current snapshot has no manifest list"))
+    val carried = readAvro(f, new Path(resolvePath(table, curList))).map(r =>
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
+    val listRel = f"metadata/snap-$snapId%05d.avro"
+    val listRows = (carried :+ (manifestRel, manifestLen, 1, snapId)).map {
+      case (p, len, content, seq) => record(ManifestListSchemaV2)(
+        "manifest_path" -> p, "manifest_length" -> len,
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "added_snapshot_id" -> snapId)
+    }
+    writeAvro(f, new Path(root, listRel), ManifestListSchemaV2, listRows,
+      Map("format-version" -> "3"))
+
+    // 4. new metadata: format-version 3 (the DV entries are only legal
+    //    there), delete snapshot appended, schema untouched
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("format-version", 3)
+    newMeta.put("last-sequence-number", snapId)
+    newMeta.put("current-snapshot-id", snapId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", snapId)
+    snapNode.put("parent-snapshot-id", snap.snapshotId)
+    snapNode.put("timestamp-ms", 0L)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "delete")
+    summary.put("added-dvs", bitmaps.size.toString)
+    snapNode.set[ObjectNode]("summary", summary)
+    snapNode.put("manifest-list", listRel)
+    Option(meta.get("current-schema-id"))
+      .foreach(id => snapNode.put("schema-id", id.asInt()))
+    newMeta.withArray[ArrayNode]("snapshots").add(snapNode)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", 0L)
+    logEntry.put("snapshot-id", snapId)
+    newMeta.withArray[ArrayNode]("snapshot-log").add(logEntry)
+    val tmp = new Path(metaDir(table), s".v$metaV.metadata.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(newMeta))
+    finally out.close()
+    require(f.rename(tmp, metaFile(table, metaV)),
+      s"metadata rename failed: v$metaV")
+    val hint = f.create(hintFile(table), true)
+    try hint.write(metaV.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    DeleteStats(snapId, bitmaps.size, victims.length.toLong)
   }
 
   /** What [[purgeDeletes]] did. */

@@ -232,4 +232,82 @@ class IcebergDeleteSpec extends SparkSpec {
           "not the 5 matched data rows")
     } finally stream.close()
   }
+
+  test("v3 deletion vectors: deleteRowsV3 masks rows through Puffin DV " +
+    "blobs, metadata moves to format-version 3, data files untouched, " +
+    "time travel still sees the rows") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 60L).map(k => (k, s"r$k")).toDF("k", "s").repartition(2))
+    val before = IcebergLite.snapshot(spark, t)
+    val preId = before.snapshotId
+
+    val st = IcebergLite.deleteRowsV3(spark, t,
+      Seq(5L, 17L, 40L, 41L).toDF("k"), Seq("k"))
+    assert(st.rowsDeleted == 4L)
+    val after = IcebergLite.snapshot(spark, t)
+    assert(after.files.toSet == before.files.toSet,
+      "DV delete must not touch data files")
+    val dvEntries = after.deletes.filter(_.contentOffset.isDefined)
+    assert(dvEntries.nonEmpty &&
+      dvEntries.forall(d => d.content == 1 && d.refDataFile.nonEmpty &&
+        d.contentSize.exists(_ > 0)),
+      s"DV entries must carry the placement triple: ${after.deletes}")
+    assert(IcebergLite.metadata(spark, t).get("format-version").asInt() == 3)
+
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 60L).toSet -- Set(5L, 17L, 40L, 41L))
+    assert(IcebergLite.read(spark, t, Some(preId)).count() == 60L,
+      "time travel before the DV still sees the rows")
+  }
+
+  test("v3 DV on an already-DV'd file merges old and new (writers-must-" +
+    "merge), and the Puffin footer inventories every blob") {
+    import graft.sources.Puffin
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 40L).map(k => (k, s"r$k")).toDF("k", "s").coalesce(1))
+    IcebergLite.deleteRowsV3(spark, t, Seq(3L).toDF("k"), Seq("k"))
+    IcebergLite.deleteRowsV3(spark, t, Seq(9L, 11L).toDF("k"), Seq("k"))
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- Set(3L, 9L, 11L))
+
+    // footer inventory: the second Puffin file's blob carries the MERGED
+    // cardinality (1 old + 2 new) and names the referenced data file
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val puffins = new java.io.File(t, "data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).sortBy(_.getName)
+    assert(puffins.length == 2)
+    val refs = Puffin.footer(f,
+      new org.apache.hadoop.fs.Path(puffins.last.toString))
+    assert(refs.size == 1 && refs.head.blobType == "deletion-vector-v1")
+    assert(refs.head.properties("cardinality") == "3",
+      s"merged DV must carry old ∪ new: ${refs.head.properties}")
+    assert(refs.head.properties("referenced-data-file").nonEmpty)
+  }
+
+  test("v3 DV blob framing is CRC-guarded (a corrupted blob fails " +
+    "loudly, never masks the wrong rows) and format-version 4 refuses") {
+    import graft.sources.Puffin
+    val bm = graft.sources.DeletionVectors.Bitmap64(Seq(1L, 5L, 9L))
+    val blob = Puffin.dvBlob(bm.serialize())
+    val back = graft.sources.DeletionVectors.Bitmap64.deserialize(
+      Puffin.dvBitmap(blob))
+    assert(Seq(1L, 5L, 9L).forall(back.contains) && !back.contains(2L))
+    val corrupted = blob.clone(); corrupted(8) = (corrupted(8) ^ 0x7).toByte
+    intercept[IllegalArgumentException](Puffin.dvBitmap(corrupted))
+
+    val t = newTable()
+    IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    // forge format-version 4: the reader must refuse loudly
+    val metaPath = java.nio.file.Paths.get(t, "metadata", "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaPath))
+    java.nio.file.Files.write(metaPath, txt.replace(
+      "\"format-version\" : 2", "\"format-version\" : 4").getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "metadata", ".v1.metadata.json.crc"))
+    val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
+    assert(e.getMessage.contains("format-version 4"))
+  }
 }
