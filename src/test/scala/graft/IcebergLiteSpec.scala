@@ -395,21 +395,26 @@ class IcebergLiteSpec extends SparkSpec {
     assert(ms.filesRewritten >= 1)
   }
 
-  test("refusal path: format-version 3 (row lineage) fails loudly") {
+  test("format-version 3 metadata READS (r15 — DV support lives in " +
+    "IcebergDeleteSpec); the refusal boundary moved to v4") {
     val t = newTable()
     IcebergLite.commit(spark, t, Seq((1L, "a")).toDF("k", "s"))
-    // corrupt a copy of the metadata into v3 and publish it as the next
-    // version — the reader must refuse rather than guess (commits write
-    // v2 since r12; delete manifests are a READ path now, see
-    // IcebergDeleteSpec)
     val metaPath = java.nio.file.Paths.get(t, "metadata")
     val v1 = new String(java.nio.file.Files.readAllBytes(
       metaPath.resolve("v1.metadata.json")))
     java.nio.file.Files.write(metaPath.resolve("v2.metadata.json"),
       v1.replace("\"format-version\" : 2", "\"format-version\" : 3").getBytes)
     java.nio.file.Files.write(metaPath.resolve("version-hint.text"), "2".getBytes)
+    assert(IcebergLite.read(spark, t).count() == 1L,
+      "v3 metadata must read (deletion vectors are a handled shape now)")
+    // the refusal boundary: v4 fails loudly rather than guessing
+    java.nio.file.Files.write(metaPath.resolve("v3.metadata.json"),
+      v1.replace("\"format-version\" : 2", "\"format-version\" : 4").getBytes)
+    java.nio.file.Files.write(metaPath.resolve("version-hint.text"), "3".getBytes)
+    java.nio.file.Files.deleteIfExists(
+      metaPath.resolve(".version-hint.text.crc"))
     val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
-    assert(e.getMessage.contains("format-version 3"))
+    assert(e.getMessage.contains("format-version 4"))
   }
 
   test("data manifests are v2-encoded: explicit per-entry sequence " +
