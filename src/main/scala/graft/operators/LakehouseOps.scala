@@ -746,6 +746,50 @@ object LakehouseOps {
   val dbaCsvImportOracle: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  // ---------------------------------------------------------------- B38
+  /** ORC as a STORAGE format (r14 missing #3 — the reference's datagen
+    * notebook supports `fileFormat = orc` with tuned ORC confs,
+    * TPC-datagen-notebook.scala:131-136): orders round-trip through ORC
+    * twice — a hive-partitioned write read back under a partition
+    * filter (leg 0: partition pruning must hold on the ORC scan exactly
+    * as on parquet) and a plain write read back whole (leg 1: schema +
+    * value fidelity). Both legs roll up against DuckDB recomputing from
+    * the raw parquet orders, so the ORC writer→reader round trip is
+    * hash-checked end to end. Spark's native vectorized ORC source does
+    * the work — predicate pushdown and column pruning ride the same
+    * DataSource v2 machinery as parquet.
+    */
+  def dbaOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ord.write.mode("overwrite").partitionBy("o_orderstatus")
+      .orc(s"$base/orders_part")
+    ord.write.mode("overwrite").orc(s"$base/orders_flat")
+    def roll(df: DataFrame, leg: Long): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("leg", lit(leg))
+    val pruned = s.read.orc(s"$base/orders_part")
+      .filter(col("o_orderstatus") === "F")
+    roll(pruned, 0L)
+      .unionByName(roll(s.read.orc(s"$base/orders_flat"), 1L))
+      .select("leg", "o_orderstatus", "n", "total")
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  val dbaOrcRoundtripOracle: String =
+    """SELECT leg, o_orderstatus, n, total FROM (
+      |  SELECT 0 AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1 AS leg, o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 2) t
+      |ORDER BY leg, o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** Transactional-table round trip through the native Delta-protocol
     * log (graft.sources.DeltaLite — the reference lands every one of its
@@ -1910,6 +1954,7 @@ object LakehouseOps {
     "dba_compaction_plan" -> (dbaCompactionPlan _),
     "dba_pricing_cost"    -> (dbaPricingCost _),
     "dba_csv_import"      -> (dbaCsvImport _),
+    "dba_orc_roundtrip"   -> (dbaOrcRoundtrip _),
     "dba_json_ingest"     -> (dbaJsonIngest _),
     "dba_delta_read"      -> (dbaDeltaRead _),
     "dba_iceberg_read"    -> (dbaIcebergRead _),
@@ -1956,6 +2001,7 @@ object LakehouseOps {
     "dba_zorder_key"    -> dbaZorderKeyOracle,
     "dba_pricing_cost"  -> dbaPricingCostOracle,
     "dba_csv_import"    -> dbaCsvImportOracle,
+    "dba_orc_roundtrip" -> dbaOrcRoundtripOracle,
     "dba_json_ingest"   -> dbaJsonIngestOracle,
     "dba_delta_read"    -> dbaDeltaReadOracle,
     "dba_iceberg_read"  -> dbaIcebergReadOracle,
