@@ -314,16 +314,21 @@ object Bench {
       else {
         val iso = isolate.flatMap(n => names.find(_._1 == n)).map {
           case (n, fn) =>
-            val ts = (1 to isoRuns).map { _ =>
+            // a thrown sample is NOT a timing — a fast abort would
+            // masquerade as "does not reproduce isolated" and bury a
+            // real regression; all-failed records -1 (artifact-visible)
+            val ts = (1 to isoRuns).flatMap { _ =>
               spark.catalog.clearCache(); sweepScratch(); System.gc()
               val t0 = System.nanoTime()
-              try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              catch { case e: Throwable =>
+              try {
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case e: Throwable =>
                 System.err.println(s"[bench] isolated $n failed: ${e.getMessage}")
+                None
               }
-              (System.nanoTime() - t0) / 1e9
             }
-            n -> ts.min
+            n -> (if (ts.isEmpty) -1.0 else ts.min)
         }
         s""","queries_isolated":${toJson(iso)},"isolated_runs":$isoRuns"""
       }

@@ -108,6 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference's own idiom (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
     // DESCRIBE DETAIL / RESTORE driven as SQL strings); every other
     // statement delegates to Spark's parser untouched. See GraftSqlVerbs.
-    ext.injectParser((_, delegate) => new GraftVerbParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new GraftVerbParser(delegate, Some(session)))
   }
 }

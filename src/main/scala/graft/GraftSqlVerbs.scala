@@ -45,12 +45,16 @@ import graft.sources.{DeltaLite, IcebergLite}
   * the same distributed rewrites the APIs run; the returned rows are
   * bounded (history length / file names / one detail row), never data.
   */
-class GraftVerbParser(delegate: ParserInterface) extends ParserInterface {
+class GraftVerbParser(delegate: ParserInterface,
+                      session: Option[SparkSession] = None)
+    extends ParserInterface {
 
   import GraftSqlVerbs._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlVerbs.parseVerb(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlVerbs.parseVerb(sqlText)
+      .filter(p => GraftSqlVerbs.shouldIntercept(session, p))
+      .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -134,6 +138,38 @@ object GraftSqlVerbs {
   private[graft] def resolveTarget(spark: SparkSession, target: String): String =
     if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
     else GraftCatalog.resolve(spark, target)
+
+  /** Four verb shapes are ALSO native Spark grammar on dotted names
+    * (ANALYZE TABLE / SHOW TBLPROPERTIES / SHOW PARTITIONS / ALTER
+    * COLUMN TYPE). Those intercept a dotted name ONLY when it actually
+    * resolves to a graft-format table root — an ordinary catalog
+    * table's statement falls through to Spark's parser untouched, so
+    * installing the extension never changes native behavior. Decided
+    * at parse time (the injected session is in hand): one resolve plus
+    * two fs existence probes, only for these four shapes on bare
+    * names. Graft-only keywords (OPTIMIZE, VACUUM, DESCRIBE HISTORY,
+    * CLEANUP, ...) intercept unconditionally — Spark has no grammar
+    * for them, so nothing can be shadowed.
+    */
+  private[graft] def shouldIntercept(session: Option[SparkSession],
+                                     plan: LogicalPlan): Boolean = {
+    val collidingTarget: Option[String] = plan match {
+      case GraftAnalyzeCommand(t)            => Some(t)
+      case GraftShowPropertiesCommand(t)     => Some(t)
+      case GraftShowPartitionsCommand(t)     => Some(t)
+      case GraftWidenColumnCommand(t, _, _)  => Some(t)
+      case _                                 => None
+    }
+    collidingTarget match {
+      case Some(t) if !t.startsWith("'") =>
+        session.forall { s =>
+          try {
+            formatOf(s, GraftCatalog.resolve(s, t)); true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
+      case _ => true
+    }
+  }
 
   private[graft] def parseVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {

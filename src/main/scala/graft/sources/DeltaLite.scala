@@ -149,10 +149,15 @@ object DeltaLite {
     val hinted: Option[Long] =
       if (!f.exists(lastCp)) None
       else Some(readActions(f, lastCp).head.get("version").asLong())
-    val discovered = completeCheckpointVersions(
-      f.listStatus(logDir(table)).toSeq.map(_.getPath.getName))
-    val cpVersion: Option[Long] =
-      (hinted.toSeq ++ discovered).filter(_ <= target).sorted.lastOption
+    // a hint ≤ target is the NEWEST checkpoint, so nothing discovered
+    // can beat it — the common tip read pays no extra listing; the
+    // listing scan only runs for sub-pointer time travel (rare)
+    val cpVersion: Option[Long] = hinted.filter(_ <= target) match {
+      case hit @ Some(_) => hit
+      case None => completeCheckpointVersions(
+        f.listStatus(logDir(table)).toSeq.map(_.getPath.getName))
+        .filter(_ <= target).sorted.lastOption
+    }
     var schemaJson: Option[String] = None
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
@@ -1080,12 +1085,13 @@ object DeltaLite {
     // a zero-stamp log resolves EVERY ts >= 0 to the tip — refuse like
     // the other time-keyed entry points (vacuumRetainHours, streams)
     // instead of silently answering; version pinning is the precise
-    // instrument on such tables
-    require(hasWallClockStamps(spark, table),
+    // instrument on such tables. Guard derived from the SAME stamp
+    // pass — versionStamps reads every commit JSON, once is enough.
+    val stamped = versionStamps(spark, table)
+    require(stamped.exists(_._2 > 0),
       s"$table: log carries no wall-clock commit stamps — TIMESTAMP AS " +
         "OF cannot resolve; pin VERSION AS OF instead (or enable " +
         s"$IctProperty)")
-    val stamped = versionStamps(spark, table)
     stamped.filter(_._2 <= tsMillis).lastOption.getOrElse(
       sys.error(s"$table: no version at or before timestamp $tsMillis " +
         s"(earliest commit is at ${stamped.head._2})"))._1
@@ -3520,9 +3526,14 @@ object DeltaLite {
     // v0 commit prefix is intact.
     val keepCps: Set[Long] = Set(newestCp) ++ bootCp
     val cpDeletable = bootCp.isDefined || vs.headOption.contains(0L)
+    // never above newestCp: files there are an IN-FLIGHT writer's
+    // incomplete multi-part/v2 checkpoint (completeness excluded them
+    // from cpVersions) — deleting a part under a concurrent writer
+    // corrupts the checkpoint it is about to publish
     val deadCps =
       if (!cpDeletable) Nil
-      else logNames.filter(n => cpVersionOf(n).exists(v => !keepCps.contains(v)))
+      else logNames.filter(n => cpVersionOf(n).exists(v =>
+        v <= newestCp && !keepCps.contains(v)))
     // sidecars: keep those referenced by any SURVIVING v2 checkpoint
     def sidecarRefs(names: Seq[String]): Set[String] = names.flatMap {
       case n @ CpRe(_, uuid) if uuid != null =>

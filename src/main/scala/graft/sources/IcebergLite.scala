@@ -2545,7 +2545,11 @@ object IcebergLite {
       return PurgeStats(snap.snapshotId, 0, snap.detail.size)
     val eqMaxSeq = snap.deletes.filter(_.content == 2).map(_.seq)
       .maxOption.getOrElse(Long.MinValue)
-    val posFiles = snap.deletes.filter(_.content == 1)
+    // v3 DV entries are NOT parquet (their path is the shared Puffin
+    // file) — their governed files come from referenced_data_file, the
+    // positional parquet read must exclude them
+    val posFiles = snap.deletes.filter(d => d.content == 1 &&
+      d.contentOffset.isEmpty)
     // full canonical paths a position delete references: metadata-scale
     // collect (delete files are CDC-sized by deleteRows' own bound)
     val tableAbs = canonTableRoot(spark, table)
@@ -2555,9 +2559,14 @@ object IcebergLite {
         .parquet(posFiles.map(d => resolvePath(table, d.path)): _*)
         .select(canonCol(tableAbs, col("file_path")).as("p"))
         .distinct().collect().map(_.getString(0)).toSet
+    val dvPaths: Set[String] = snap.deletes
+      .filter(d => d.content == 1 && d.contentOffset.isDefined)
+      .flatMap(_.refDataFile)
+      .map(p => canonPath(tableAbs, resolvePath(table, p))).toSet
     val (touched, untouched) = snap.detail.partition { fi =>
-      fi.seq < eqMaxSeq ||
-        posPaths.contains(canonPath(tableAbs, resolvePath(table, fi.path)))
+      val canon = canonPath(tableAbs, resolvePath(table, fi.path))
+      fi.seq < eqMaxSeq || posPaths.contains(canon) ||
+        dvPaths.contains(canon)
     }
     if (touched.isEmpty)
       return PurgeStats(snap.snapshotId, 0, untouched.size)

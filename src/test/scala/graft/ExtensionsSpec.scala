@@ -421,6 +421,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlVerbs.parseVerb("SHOW TBLPROPERTIES db.t").nonEmpty)
   }
 
+  test("colliding verb shapes on an ORDINARY dotted catalog table fall " +
+    "through to Spark's parser — installing the extension never " +
+    "shadows native statements") {
+    extSpark.sql("CREATE DATABASE IF NOT EXISTS plaindb")
+    extSpark.sql("CREATE TABLE IF NOT EXISTS plaindb.plain (k INT) " +
+      "USING parquet")
+    extSpark.sql("INSERT OVERWRITE plaindb.plain VALUES (1), (2), (3)")
+    // native ANALYZE returns no rows and no columns; graft's returns a
+    // per-column stats frame — the empty schema proves Spark handled it
+    assert(extSpark.sql(
+      "ANALYZE TABLE plaindb.plain COMPUTE STATISTICS").columns.isEmpty,
+      "ANALYZE on a plain catalog table must stay native")
+    // native SHOW TBLPROPERTIES works (graft's would error: the table
+    // location is neither a DeltaLite nor an IcebergLite root)
+    extSpark.sql("SHOW TBLPROPERTIES plaindb.plain").collect()
+    assert(extSpark.sql("SELECT COUNT(*) FROM plaindb.plain")
+      .head().getLong(0) == 3L)
+    // graft-only keywords still intercept on unresolvable names (loud
+    // resolve error, not a Spark parse error)
+    val e = intercept[RuntimeException](
+      extSpark.sql("DESCRIBE HISTORY nosuchdb.nosuch").collect())
+    assert(e.getMessage.contains("unresolvable"))
+  }
+
   test("ALTER COLUMN TYPE verb widens through SQL; Iceberg refuses") {
     import extSpark.implicits._
     import graft.sources.{DeltaLite, IcebergLite}

@@ -287,6 +287,20 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(refs.head.properties("referenced-data-file").nonEmpty)
   }
 
+  test("purgeDeletes folds v3 deletion vectors: only the DV-referenced " +
+    "file rewrites, the Puffin path is never read as parquet, reads are " +
+    "delete-free after") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 30L).map(k => (k, s"r$k")).toDF("k", "s").repartition(2))
+    IcebergLite.deleteRowsV3(spark, t, Seq(4L, 8L).toDF("k"), Seq("k"))
+    val st = IcebergLite.purgeDeletes(spark, t)
+    assert(st.filesRewritten >= 1 && st.filesRewritten <= 2,
+      s"only DV-referenced files rewrite: $st")
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 30L).toSet -- Set(4L, 8L))
+  }
+
   test("v3 DV blob framing is CRC-guarded (a corrupted blob fails " +
     "loudly, never masks the wrong rows) and format-version 4 refuses") {
     import graft.sources.Puffin

@@ -92,6 +92,26 @@ class LogLifecycleSpec extends SparkSpec {
       DeltaLite.read(spark, t, Some(0L)))
   }
 
+  test("cleanupLogs never touches files ABOVE the newest complete " +
+    "checkpoint: an in-flight writer's partial multi-part checkpoint " +
+    "survives the sweep") {
+    val t = newTable("graft_logclean_inflight")
+    (0L until 3L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v0..v2
+    DeltaLite.checkpoint(spark, t)                                 // cp@2
+    DeltaLite.commit(spark, t, Seq((3L, "r3")).toDF("k", "s"))     // v3
+    // a concurrent writer has landed part 1 of 2 at v3 — incomplete,
+    // so it is not a bootstrap candidate, and it must NOT be deleted
+    val partial = f"${3L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", partial), Array[Byte](1))
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 1)
+    assert(!gone.contains(partial),
+      s"the in-flight checkpoint part must survive: $gone")
+    assert(new java.io.File(s"$t/_delta_log", partial).exists())
+    assert(DeltaLite.read(spark, t).count() == 4L)
+  }
+
   test("cleanupLogs on a v2Checkpoint table: the superseded top-level " +
     "and ITS sidecar go, the newest checkpoint's sidecar survives") {
     val t = newTable("graft_logclean_v2")
