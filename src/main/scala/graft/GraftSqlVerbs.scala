@@ -139,9 +139,10 @@ object GraftSqlVerbs {
     if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
     else GraftCatalog.resolve(spark, target)
 
-  /** Four verb shapes are ALSO native Spark grammar on dotted names
+  /** Six verb shapes are ALSO native Spark grammar on dotted names
     * (ANALYZE TABLE / SHOW TBLPROPERTIES / SHOW PARTITIONS / ALTER
-    * COLUMN TYPE). Those intercept a dotted name ONLY when it actually
+    * COLUMN TYPE / ADD-DROP CONSTRAINT / CLUSTER BY — the last two are
+    * native DDL as of Spark 4). Those intercept a dotted name ONLY when it actually
     * resolves to a graft-format table root — an ordinary catalog
     * table's statement falls through to Spark's parser untouched, so
     * installing the extension never changes native behavior. Decided
@@ -158,6 +159,10 @@ object GraftSqlVerbs {
       case GraftShowPropertiesCommand(t)     => Some(t)
       case GraftShowPartitionsCommand(t)     => Some(t)
       case GraftWidenColumnCommand(t, _, _)  => Some(t)
+      // Spark 4.1's own grammar covers these two as well (ADD/DROP
+      // CONSTRAINT and ALTER TABLE ... CLUSTER BY are native DDL now)
+      case GraftConstraintCommand(t, _, _)   => Some(t)
+      case GraftClusterByCommand(t, _)       => Some(t)
       case _                                 => None
     }
     collidingTarget match {

@@ -149,15 +149,22 @@ object DeltaLite {
     val hinted: Option[Long] =
       if (!f.exists(lastCp)) None
       else Some(readActions(f, lastCp).head.get("version").asLong())
-    // a hint ≤ target is the NEWEST checkpoint, so nothing discovered
-    // can beat it — the common tip read pays no extra listing; the
-    // listing scan only runs for sub-pointer time travel (rare)
-    val cpVersion: Option[Long] = hinted.filter(_ <= target) match {
-      case hit @ Some(_) => hit
-      case None => completeCheckpointVersions(
-        f.listStatus(logDir(table)).toSeq.map(_.getPath.getName))
-        .filter(_ <= target).sorted.lastOption
-    }
+    // ONE listing serves both checkpoint DISCOVERY and the file lookup
+    // below (same listing count as before this round — the load path
+    // always listed). Discovery must run even when the pointer hits:
+    // _last_checkpoint is best-effort-stale by protocol (a crash
+    // between checkpoint write and pointer update, or a cleanup that
+    // reaped the pointed-at files, leaves it behind) — the newest
+    // COMPLETE checkpoint ≤ target from the listing wins; the bare
+    // hint is kept as a last candidate only so a truly-corrupt table
+    // (pointer dangling, no checkpoint anywhere, truncated prefix)
+    // still fails LOUDLY at the file lookup instead of silently
+    // replaying a truncated v0.
+    val logList: Seq[Path] = f.listStatus(logDir(table)).toSeq.map(_.getPath)
+    val cpVersion: Option[Long] =
+      completeCheckpointVersions(logList.map(_.getName))
+        .filter(_ <= target).lastOption
+        .orElse(hinted.filter(_ <= target))
     var schemaJson: Option[String] = None
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
@@ -319,8 +326,7 @@ object DeltaLite {
       // `.json`, readerFeature v2Checkpoint) whose FILE actions may live
       // in `sidecar`-referenced parquet under _delta_log/_sidecars/
       val prefix = f"$cv%020d.checkpoint"
-      val cpPaths = f.listStatus(logDir(table)).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(prefix))
+      val cpPaths = logList.filter(_.getName.startsWith(prefix))
       val parquets = cpPaths.filter(_.getName.endsWith(".parquet"))
       val jsonTops = cpPaths.filter(_.getName.endsWith(".json"))
       def resolveSidecar(p: String): String =
@@ -3556,11 +3562,16 @@ object DeltaLite {
     // retained bootstrap may be v2-shaped too, not just the newest)
     val keepSidecars = sidecarRefs(
       logNames.filter(n => cpVersionOf(n).isDefined && !deadCps.contains(n)))
+    // deletable sidecars: ONLY those a known-superseded (dead) checkpoint
+    // references — never "everything unreferenced": an in-flight
+    // checkpointV2 writes its sidecar BEFORE the top-level that will
+    // reference it, so an unreferenced sidecar may be a concurrent
+    // writer's about-to-publish state, not debris
     val sidecarDir = new Path(logDir(table), "_sidecars")
     val deadSidecars: Seq[String] =
       if (!f.exists(sidecarDir)) Nil
-      else f.listStatus(sidecarDir).toSeq.map(_.getPath.getName)
-        .filter(n => n.endsWith(".parquet") && !keepSidecars.contains(n))
+      else (sidecarRefs(deadCps) -- keepSidecars).toSeq.sorted
+        .filter(n => f.exists(new Path(sidecarDir, n)))
         .map(n => s"_sidecars/$n")
     val victims = deadJson ++ deadCps ++ deadSidecars
     victims.foreach(n => f.delete(new Path(logDir(table), n), false))

@@ -424,9 +424,12 @@ class ExtensionsSpec extends SparkSpec {
   test("colliding verb shapes on an ORDINARY dotted catalog table fall " +
     "through to Spark's parser — installing the extension never " +
     "shadows native statements") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_plain")
+      .toString + "/plain"
     extSpark.sql("CREATE DATABASE IF NOT EXISTS plaindb")
-    extSpark.sql("CREATE TABLE IF NOT EXISTS plaindb.plain (k INT) " +
-      "USING parquet")
+    extSpark.sql("DROP TABLE IF EXISTS plaindb.plain")
+    extSpark.sql(s"CREATE TABLE plaindb.plain (k INT) USING parquet " +
+      s"LOCATION '$loc'")
     extSpark.sql("INSERT OVERWRITE plaindb.plain VALUES (1), (2), (3)")
     // native ANALYZE returns no rows and no columns; graft's returns a
     // per-column stats frame — the empty schema proves Spark handled it

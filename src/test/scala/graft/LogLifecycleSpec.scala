@@ -112,6 +112,48 @@ class LogLifecycleSpec extends SparkSpec {
     assert(DeltaLite.read(spark, t).count() == 4L)
   }
 
+  test("a STALE _last_checkpoint self-heals: reads bootstrap from the " +
+    "newest complete checkpoint in the listing even after cleanup " +
+    "reaped the pointed-at files") {
+    val t = newTable("graft_logclean_stale")
+    (0L until 2L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v0, v1
+    DeltaLite.checkpoint(spark, t)                                 // cp@1
+    val ptr = java.nio.file.Paths.get(t, "_delta_log", "_last_checkpoint")
+    val stale = java.nio.file.Files.readAllBytes(ptr)
+    (2L until 5L).foreach(v =>
+      DeltaLite.commit(spark, t, Seq((v, s"r$v")).toDF("k", "s"))) // v2..v4
+    DeltaLite.checkpoint(spark, t)                                 // cp@4
+    // crash-between-write-and-pointer-update shape: the pointer still
+    // names cp@1 while cp@4 is the newest complete checkpoint
+    java.nio.file.Files.write(ptr, stale)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_delta_log", "._last_checkpoint.crc"))
+    // cleanup reaps cp@1's files (bootCp = newestCp = 4) — the stale
+    // pointer now dangles
+    DeltaLite.cleanupLogs(spark, t, retainVersions = 1)
+    assert(DeltaLite.read(spark, t).count() == 5L,
+      "discovery must bootstrap from cp@4, not crash on the dangling hint")
+  }
+
+  test("cleanupLogs never deletes an UNREFERENCED sidecar (it may be a " +
+    "concurrent checkpointV2's about-to-publish state, written before " +
+    "the top-level that references it)") {
+    val t = newTable("graft_logclean_sidecar")
+    DeltaLite.commit(spark, t,
+      (0L until 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+    DeltaLite.checkpointV2(spark, t)
+    // in-flight writer: sidecar landed, top-level not yet published
+    val inflight = java.nio.file.Paths.get(t, "_delta_log", "_sidecars",
+      "inflight-uuid-0001.parquet")
+    java.nio.file.Files.write(inflight, Array[Byte](1))
+    val gone = DeltaLite.cleanupLogs(spark, t, retainVersions = 1)
+    assert(!gone.exists(_.contains("inflight-uuid")),
+      s"unreferenced sidecar must survive the sweep: $gone")
+    assert(java.nio.file.Files.exists(inflight))
+    assert(DeltaLite.read(spark, t).count() == 10L)
+  }
+
   test("cleanupLogs on a v2Checkpoint table: the superseded top-level " +
     "and ITS sidecar go, the newest checkpoint's sidecar survives") {
     val t = newTable("graft_logclean_v2")
