@@ -3049,13 +3049,24 @@ object IcebergLite {
     val from = snapshot(spark, table, Some(fromSnapshotId))
     val to = snapshot(spark, table, Some(toId))
     // per-file visibility identity: the same path with a new applicable
-    // delete file (or a different sequence era) must read on BOTH sides
+    // delete file (or a different sequence era) must read on BOTH sides.
+    // v3 DVs are scoped to their referenced_data_file — without that
+    // scoping one DV delete would change EVERY file's identity and the
+    // diff would re-read the whole table both sides (rows cancel, cost
+    // doesn't); identity carries the blob offset so two DVs sharing a
+    // Puffin path stay distinct
+    val tableAbs = canonTableRoot(spark, table)
     def identOf(s: Snapshot): Map[String, (Long, String)] =
       s.detail.map { fi =>
+        val fiCanon = canonPath(tableAbs, resolvePath(table, fi.path))
         val dels = s.deletes.filter(d =>
-          (d.content == 1 && d.seq >= fi.seq) ||
+          (d.content == 1 && d.contentOffset.isEmpty && d.seq >= fi.seq) ||
+            (d.content == 1 && d.contentOffset.isDefined &&
+              d.seq >= fi.seq && d.refDataFile.exists(r =>
+                canonPath(tableAbs, resolvePath(table, r)) == fiCanon)) ||
             (d.content == 2 && d.seq > fi.seq))
-          .map(_.path).sorted.mkString(",")
+          .map(d => d.path + d.contentOffset.fold("")("@" + _))
+          .sorted.mkString(",")
         fi.path -> (fi.seq, dels)
       }.toMap
     val fromIdent = identOf(from)

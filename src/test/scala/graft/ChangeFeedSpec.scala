@@ -53,4 +53,29 @@ class ChangeFeedSpec extends SparkSpec {
       (2L, Option.empty[String], "update_postimage")),
       s"null rows for k=1,3 must cancel; only k=2 changed: $ch")
   }
+
+  test("iceberg changes() across a v3 DV snapshot: exactly the masked " +
+    "rows classify as deletes, and the DV's identity is scoped to its " +
+    "referenced file (an untouched file never re-reads)") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("graft_cfeed_v3")
+      .toString + "/t"
+    // two files: keys 0..19 (file A), 20..39 (file B)
+    IcebergLite.commit(spark, t,
+      (0L until 40L).map(k => (k, s"r$k")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))
+    val preId = IcebergLite.snapshot(spark, t).snapshotId
+    // DV delete hits keys in ONE file only
+    IcebergLite.deleteRowsV3(spark, t, Seq(3L, 7L).toDF("k"), Seq("k"))
+    val ch = IcebergLite.changes(spark, t, preId, None, Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch == Set((3L, "delete"), (7L, "delete")),
+      s"exactly the DV-masked rows must classify as deletes: $ch")
+    // a second DV delete into the OTHER file diffs only that file's rows
+    val midId = IcebergLite.snapshot(spark, t).snapshotId
+    IcebergLite.deleteRowsV3(spark, t, Seq(25L).toDF("k"), Seq("k"))
+    val ch2 = IcebergLite.changes(spark, t, midId, None, Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch2 == Set((25L, "delete")), s"got $ch2")
+  }
 }
