@@ -285,6 +285,14 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(refs.head.properties("cardinality") == "3",
       s"merged DV must carry old ∪ new: ${refs.head.properties}")
     assert(refs.head.properties("referenced-data-file").nonEmpty)
+
+    // GC safety: live Puffin files are REFERENCED (delete manifests
+    // carry their path), so the orphan sweep must never reap them
+    val orphans = IcebergLite.removeOrphanFiles(spark, t)
+    assert(!orphans.exists(_.endsWith(".puffin")),
+      s"live DV Puffin files are not orphans: $orphans")
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- Set(3L, 9L, 11L))
   }
 
   test("purgeDeletes folds v3 deletion vectors: only the DV-referenced " +
