@@ -198,6 +198,24 @@ class TableStreamsSpec extends SparkSpec {
       s"the cap must bound each micro-batch at 2 snapshots: $sizes")
   }
 
+  test("iceberg CDF stream delivers v3 deletion-vector deletes as " +
+    "_change_type=delete events (the puffin-DV snapshot flows through " +
+    "changes() like any other delete)") {
+    val base = newDir("graft_istream_v3")
+    val t = s"$base/t"
+    IcebergLite.commit(spark, t,
+      (0L until 20L).map(k => (k, s"r$k")).toDF("k", "s")
+        .repartitionByRange(2, col("k")))
+    val seed = IcebergLite.snapshot(spark, t).snapshotId
+    IcebergLite.deleteRowsV3(spark, t, Seq(4L, 15L).toDF("k"), Seq("k"))
+    val got = drain(EventStreams.readIcebergStream(spark, t, cdf = true,
+      keys = Seq("k"), startingSnapshot = Some(seed)),
+      s"$base/cp", Seq("k", "_change_type"))
+    assert(got.map(r => (r.head, r(1))).toSet ==
+      Set((4L, "delete"), (15L, "delete")),
+      s"exactly the DV-masked rows must stream as deletes: $got")
+  }
+
   test("cross-format replication: a Delta table's CDF stream lands in " +
     "an Iceberg table — merges, deletes, and live commits all mirror") {
     val base = newDir("graft_replicate")
