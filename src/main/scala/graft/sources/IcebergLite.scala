@@ -39,9 +39,12 @@ import org.apache.spark.sql.types._
   * read via [[readWithDeletes]] (sequence-number applicability: ≤ for
   * positional, strict < for equality) and written via [[deleteRows]]
   * (merge-on-read DELETE: one delete file + DELETE manifest, no data
-  * rewrite). Out of scope (documented, not silently wrong):
-  * format-version 3 (row lineage) — REFUSED loudly rather than
-  * mis-read.
+  * rewrite); format-version 3 READS (r15 — deletion vectors as
+  * `deletion-vector-v1` blobs in Puffin files, resolved through the
+  * shared DV probe; written via [[deleteRowsV3]]). Out of scope
+  * (documented, not silently wrong): format-version 4+ — REFUSED
+  * loudly rather than mis-read; v3 row-lineage columns are not
+  * surfaced.
   *
   * Scale shape: metadata resolution is driver-side and bounded by the
   * manifest count — exactly how the reference implementation plans scans
@@ -3032,6 +3035,53 @@ object IcebergLite {
     * writers use RANDOM snapshot ids, so the ordinal, not the id, is
     * what ordering-sensitive consumers (replication) must sort on.
     */
+  /** The files whose VISIBILITY differs between two snapshots — the
+    * planning half of [[changes]], factored out so its economics are
+    * testable (the symmetric diff cancels rows either way; what this
+    * decides is how much gets READ). Identity = (data sequence number,
+    * the delete files applicable to the file). v3 DVs are scoped to
+    * their referenced_data_file — without the scoping one DV delete
+    * would change EVERY file's identity and the diff would re-read the
+    * whole table on both sides; the DV tag carries the blob offset so
+    * two DVs sharing a Puffin path stay distinct. Canonicalization is
+    * precomputed per DELETE entry (O(files + deletes) driver work, not
+    * O(files × deletes) regex passes — a streaming CDF micro-batch
+    * plans this on every trigger).
+    */
+  private[graft] def changedSplit(spark: SparkSession, table: String,
+                                  from: Snapshot, to: Snapshot)
+      : (Seq[FileInfo], Seq[FileInfo]) = {
+    val tableAbs = canonTableRoot(spark, table)
+    def identOf(s: Snapshot): Map[String, (Long, String)] = {
+      val dvByRef: Map[String, Seq[(Long, String)]] = s.deletes
+        .filter(d => d.content == 1 && d.contentOffset.isDefined)
+        .groupBy(d => canonPath(tableAbs,
+          resolvePath(table, d.refDataFile.get)))
+        .view.mapValues(_.map(d =>
+          (d.seq, d.path + "@" + d.contentOffset.get)).toSeq).toMap
+      val plainDeletes = s.deletes.filter(d =>
+        d.content == 2 || (d.content == 1 && d.contentOffset.isEmpty))
+      s.detail.map { fi =>
+        val plain = plainDeletes.collect {
+          case d if (d.content == 1 && d.seq >= fi.seq) ||
+            (d.content == 2 && d.seq > fi.seq) => d.path
+        }
+        val dv =
+          if (dvByRef.isEmpty) Nil
+          else dvByRef.getOrElse(
+            canonPath(tableAbs, resolvePath(table, fi.path)), Nil)
+            .collect { case (seq, tag) if seq >= fi.seq => tag }
+        fi.path -> (fi.seq, (plain ++ dv).sorted.mkString(","))
+      }.toMap
+    }
+    val fromIdent = identOf(from)
+    val toIdent = identOf(to)
+    (to.detail.filter(fi =>
+      !fromIdent.get(fi.path).contains(toIdent(fi.path))),
+      from.detail.filter(fi =>
+        !toIdent.get(fi.path).contains(fromIdent(fi.path))))
+  }
+
   def changes(spark: SparkSession, table: String, fromSnapshotId: Long,
               toSnapshotId: Option[Long], keys: Seq[String],
               withVersion: Boolean = false): DataFrame = {
@@ -3048,33 +3098,7 @@ object IcebergLite {
     require(fromIdx <= toIdx, "from must precede to in table history")
     val from = snapshot(spark, table, Some(fromSnapshotId))
     val to = snapshot(spark, table, Some(toId))
-    // per-file visibility identity: the same path with a new applicable
-    // delete file (or a different sequence era) must read on BOTH sides.
-    // v3 DVs are scoped to their referenced_data_file — without that
-    // scoping one DV delete would change EVERY file's identity and the
-    // diff would re-read the whole table both sides (rows cancel, cost
-    // doesn't); identity carries the blob offset so two DVs sharing a
-    // Puffin path stay distinct
-    val tableAbs = canonTableRoot(spark, table)
-    def identOf(s: Snapshot): Map[String, (Long, String)] =
-      s.detail.map { fi =>
-        val fiCanon = canonPath(tableAbs, resolvePath(table, fi.path))
-        val dels = s.deletes.filter(d =>
-          (d.content == 1 && d.contentOffset.isEmpty && d.seq >= fi.seq) ||
-            (d.content == 1 && d.contentOffset.isDefined &&
-              d.seq >= fi.seq && d.refDataFile.exists(r =>
-                canonPath(tableAbs, resolvePath(table, r)) == fiCanon)) ||
-            (d.content == 2 && d.seq > fi.seq))
-          .map(d => d.path + d.contentOffset.fold("")("@" + _))
-          .sorted.mkString(",")
-        fi.path -> (fi.seq, dels)
-      }.toMap
-    val fromIdent = identOf(from)
-    val toIdent = identOf(to)
-    val changedNew = to.detail.filter(fi =>
-      !fromIdent.get(fi.path).contains(toIdent(fi.path)))
-    val changedOld = from.detail.filter(fi =>
-      !toIdent.get(fi.path).contains(fromIdent(fi.path)))
+    val (changedNew, changedOld) = changedSplit(spark, table, from, to)
     // additive-evolution alignment: project each side to the TO schema,
     // null-filling columns the old snapshot doesn't carry
     val schema = to.schema

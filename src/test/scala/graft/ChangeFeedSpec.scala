@@ -77,5 +77,14 @@ class ChangeFeedSpec extends SparkSpec {
     val ch2 = IcebergLite.changes(spark, t, midId, None, Seq("k"))
       .select("k", "_change_type").as[(Long, String)].collect().toSet
     assert(ch2 == Set((25L, "delete")), s"got $ch2")
+    // the ECONOMICS pin (what the DV scoping buys): only the referenced
+    // file's visibility changed, so exactly ONE file plans for re-read
+    // on each side — unscoped identity would list both files here
+    val (nw, old) = IcebergLite.changedSplit(spark, t,
+      IcebergLite.snapshot(spark, t, Some(midId)),
+      IcebergLite.snapshot(spark, t))
+    assert(nw.size == 1 && old.size == 1,
+      s"only the DV-referenced file may re-read: new=${nw.map(_.path)} " +
+        s"old=${old.map(_.path)}")
   }
 }
