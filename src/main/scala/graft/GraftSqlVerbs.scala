@@ -170,7 +170,14 @@ object GraftSqlVerbs {
         session.forall { s =>
           try {
             formatOf(s, GraftCatalog.resolve(s, t)); true
-          } catch { case scala.util.control.NonFatal(_) => false }
+          } catch {
+            // "does not resolve / is not a graft table" (the sys.error
+            // raised by resolve/formatOf) falls through to Spark's
+            // parser; an unexpected I/O error must PROPAGATE — a
+            // transient filesystem fault silently rerouting an intended
+            // graft statement to native semantics is wrong-answer class
+            case _: RuntimeException => false
+          }
         }
       case _ => true
     }

@@ -690,6 +690,43 @@ object IcebergLite {
           .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
       }
     val tableAbs = canonTableRoot(spark, table)
+    // v3 deletion vectors, hoisted ABOVE the per-sequence-group loop:
+    // each Puffin blob is read + deserialized exactly ONCE for the whole
+    // snapshot and ONE broadcast carries every bitmap — a deep history
+    // (many sequence groups) must not pay G× the blob I/O or hold G
+    // near-identical broadcasts. Applicability (dvSeq >= dataSeq) folds
+    // in per referenced data file, which has exactly one sequence
+    // number, so the per-group filter below stays a pure probe.
+    val dvEntries = s.deletes.filter(d => d.content == 1 &&
+      d.contentOffset.isDefined)
+    val dvBc: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]] =
+      if (dvEntries.isEmpty) None
+      else {
+        val fsys = fs(spark, new Path(table))
+        val blobOnce: Map[(String, Long), DeletionVectors.Bitmap64] =
+          dvEntries.groupBy(d => (d.path, d.contentOffset.get)).map {
+            case ((p, off), ds) =>
+              (p, off) -> DeletionVectors.Bitmap64.deserialize(
+                Puffin.dvBitmap(Puffin.readBlob(fsys,
+                  new Path(resolvePath(table, p)), off,
+                  ds.head.contentSize.get)))
+          }
+        val fileSeq: Map[String, Long] = subset.map(fi =>
+          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.seq).toMap
+        val merged: Map[String, Array[Byte]] = dvEntries
+          .groupBy(d => canonPath(tableAbs,
+            resolvePath(table, d.refDataFile.get)))
+          .flatMap { case (ref, ds) =>
+            val applicable = fileSeq.get(ref).toSeq
+              .flatMap(sq => ds.filter(_.seq >= sq))
+            if (applicable.isEmpty) None
+            else Some(ref -> applicable
+              .map(d => blobOnce((d.path, d.contentOffset.get)))
+              .reduce(_.or(_)).serialize())
+          }
+        if (merged.isEmpty) None
+        else Some(spark.sparkContext.broadcast(merged))
+      }
     val groups = subset.groupBy(_.seq).toSeq.sortBy(_._1)
     val parts = groups.map { case (seq, files) =>
       val (readSchema, renames) = writeSchemaFor(seq)
@@ -710,28 +747,14 @@ object IcebergLite {
             col("pos").as("__ip"))
         df = df.join(posDf, Seq("__if", "__ip"), "left_anti")
       }
-      // v3 deletion vectors: one bitmap per referenced data file, read
-      // driver-side from the Puffin blob (kilobytes each), broadcast,
-      // and applied as a codegen'd row-index probe — the same masking
-      // kernel Delta DVs use, no join at all
-      val dvs = s.deletes.filter(d => d.content == 1 && d.seq >= seq &&
-        d.contentOffset.isDefined)
-      if (dvs.nonEmpty) {
-        val fsys = fs(spark, new Path(table))
-        val bitmaps: Map[String, Array[Byte]] = dvs
-          .groupBy(d => canonPath(tableAbs, resolvePath(table,
-            d.refDataFile.get)))
-          .map { case (ref, ds) =>
-            ref -> ds.map(d => DeletionVectors.Bitmap64.deserialize(
-              Puffin.dvBitmap(Puffin.readBlob(fsys,
-                new Path(resolvePath(table, d.path)),
-                d.contentOffset.get, d.contentSize.get))))
-              .reduce(_.or(_)).serialize()
-          }
-        val bc = spark.sparkContext.broadcast(bitmaps)
-        df = df.filter(!DeletionVectors.dvDeleted(bc, col("__if"),
+      // v3 deletion vectors: the shared snapshot-wide broadcast built
+      // above, applied as a codegen'd row-index probe — the same
+      // masking kernel Delta DVs use, no join at all. Rows probe by
+      // their own file path, so the shared map is group-safe; skip the
+      // filter entirely when no DV governs this group's sequence.
+      if (dvBc.isDefined && dvEntries.exists(_.seq >= seq))
+        df = df.filter(!DeletionVectors.dvDeleted(dvBc.get, col("__if"),
           col("__ip")))
-      }
       val eqGroups = s.deletes.filter(d => d.content == 2 && d.seq > seq)
         .groupBy(_.equalityIds)
       eqGroups.foreach { case (ids, dels) =>
@@ -1699,8 +1722,14 @@ object IcebergLite {
     // 4. new metadata version (immutable), then the version-hint publish
     val meta = mapper.createObjectNode()
     // v2 metadata (sequence numbers are the delete-applicability
-    // ordering); v1 tables written by older rounds still read fine
-    meta.put("format-version", 2)
+    // ordering); v1 tables written by older rounds still read fine.
+    // The declared version only RATCHETS UP: a table deleteRowsV3 moved
+    // to format-version 3 (live DVs in Puffin files) must not be
+    // re-stamped 2 by a later append — a spec-conforming v2 reader
+    // would skip the carried DV entries and resurrect deleted rows.
+    val prevFv = prevMeta.flatMap(m => Option(m.get("format-version")))
+      .map(_.asInt()).getOrElse(2)
+    meta.put("format-version", math.max(prevFv, 2))
     meta.put("last-sequence-number", snapId)
     meta.put("table-uuid", f"graft-iceberg-$metaV%08d")
     meta.put("location", table)
@@ -2139,7 +2168,11 @@ object IcebergLite {
       Map("format-version" -> "2"))
     val (schemaNode, lastColId) = sparkToIceberg(schema)
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 2)
+    // same ratchet as commitAttempt: a synced face whose carried
+    // snapshots hold DV manifests keeps declaring format-version 3
+    meta.put("format-version", math.max(prevMeta
+      .flatMap(m => Option(m.get("format-version"))).map(_.asInt())
+      .getOrElse(2), 2))
     meta.put("last-sequence-number", snapId)
     meta.put("table-uuid",
       prevMeta.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
@@ -2250,6 +2283,16 @@ object IcebergLite {
     val metaV = versions(spark, table).last + 1
     val snap = snapshot(spark, table)
     if (snap.detail.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
+    // v2-style delete FILES are spec-illegal once the table is
+    // format-version 3 / carries deletion vectors (v3 requires position
+    // deletes as DVs) — refuse loudly instead of writing a mixed
+    // snapshot a conforming reader would misread
+    val declaredFv = Option(meta.get("format-version")).map(_.asInt())
+      .getOrElse(2)
+    require(declaredFv < 3 &&
+        !snap.deletes.exists(_.contentOffset.isDefined),
+      s"$table: v2 delete files are illegal on a format-version-3 table " +
+        "carrying deletion vectors — use deleteRowsV3")
 
     val keySel = keys.select(keyCols.map(k => keys(s"`$k`")).toIndexedSeq: _*)
       .distinct()

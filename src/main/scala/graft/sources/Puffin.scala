@@ -143,6 +143,14 @@ object Puffin {
     */
   def readBlob(f: FileSystem, path: Path, offset: Long,
                size: Long): Array[Byte] = {
+    // a corrupt manifest's placement triple must refuse loudly (the
+    // same contract as dvBitmap's framing checks) — not surface as a
+    // NegativeArraySizeException or an OOM-sized allocation
+    val fileLen = f.getFileStatus(path).getLen
+    require(size >= 0 && size <= Int.MaxValue && offset >= 0 &&
+        offset + size <= fileLen,
+      s"$path: blob range [offset=$offset, size=$size) exceeds file " +
+        s"length $fileLen — corrupt manifest placement entry")
     val in = f.open(path)
     try {
       val bytes = new Array[Byte](size.toInt)

@@ -61,6 +61,24 @@ object TableStreams {
 
   private[streaming] def offsetValue(o: Option[V1Offset]): Option[Long] =
     o.map(offsetValue)
+
+  /** Whether this query already committed offsets — i.e. createSource is
+    * running on a checkpointed RESTART, not a first start. The V1 API
+    * never hands the source its committed offset at construction, but
+    * the source's `metadataPath` is `<checkpoint>/sources/<id>`, and the
+    * engine's own offset log lives at `<checkpoint>/offsets/` — a
+    * non-empty entry there means at least one batch was planned.
+    */
+  private[streaming] def hasCommittedOffsets(spark: SparkSession,
+                                             metadataPath: String): Boolean =
+    try {
+      val src = new org.apache.hadoop.fs.Path(metadataPath)
+      val offsets = new org.apache.hadoop.fs.Path(
+        src.getParent.getParent, "offsets")
+      val f = offsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(offsets) && f.listStatus(offsets)
+        .exists(st => !st.getPath.getName.startsWith("."))
+    } catch { case scala.util.control.NonFatal(_) => false }
 }
 
 /** `spark.readStream.format(classOf[DeltaLiteStreamProvider].getName)`
@@ -272,10 +290,15 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
           TableStreams.parseTs(s))
       })
     // an anchor outside the PUBLISHED lineage (a branch/staged snapshot
-    // id, an expired one, a typo) must fail HERE as option validation —
-    // silently disabling the wait/cap logic surfaces later as an
-    // unresolvable-range error from changes()/incrementalRead
-    startingSnapshot.foreach { s =>
+    // id, a typo) must fail HERE as option validation — silently
+    // disabling the wait/cap logic surfaces later as an
+    // unresolvable-range error from changes()/incrementalRead. But ONLY
+    // on FIRST start: a checkpointed RESTART has committed offsets that
+    // long since superseded the anchor, and a long-running stream whose
+    // anchor's snapshot-log entry was trimmed by foreign maintenance
+    // must not hard-fail on restart over an option it no longer uses.
+    startingSnapshot.filter(_ => !TableStreams.hasCommittedOffsets(
+        spark, metadataPath)).foreach { s =>
       val published = Option(IcebergLite.metadata(spark, table)
         .get("snapshot-log"))
         .map(_.elements().asScala.toSeq.map(_.get("snapshot-id").asLong()))
@@ -283,7 +306,7 @@ class IcebergLiteStreamProvider extends StreamSourceProvider with DataSourceRegi
       require(published.contains(s),
         s"graft-iceberg-stream: startingSnapshot $s is not in the " +
           s"published snapshot-log of $table (branch/staged snapshots " +
-          "and expired ones cannot anchor the stream); published ids: " +
+          "cannot anchor the stream); published ids: " +
           published.mkString(", "))
     }
     new IcebergLiteTailSource(spark, table, cdf, keys,

@@ -332,4 +332,61 @@ class IcebergDeleteSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](IcebergLite.read(spark, t))
     assert(e.getMessage.contains("format-version 4"))
   }
+
+  test("format-version ratchets: an append after deleteRowsV3 keeps the " +
+    "table declared v3 (a v2 re-stamp would let conforming readers skip " +
+    "the carried DVs and resurrect deleted rows)") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 30L).map(k => (k, s"r$k")).toDF("k", "s").coalesce(1))
+    IcebergLite.deleteRowsV3(spark, t, Seq(7L, 9L).toDF("k"), Seq("k"))
+    assert(IcebergLite.metadata(spark, t).get("format-version").asInt() == 3)
+    // append on top of the DV snapshot: the carried DV manifests ride
+    // into the new snapshot, so the declared version must stay 3
+    IcebergLite.commit(spark, t,
+      (100L until 105L).map(k => (k, s"r$k")).toDF("k", "s"))
+    assert(IcebergLite.metadata(spark, t).get("format-version").asInt() == 3,
+      "commit() must not downgrade a v3 table to v2")
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      ((0L until 30L).toSet -- Set(7L, 9L)) ++ (100L until 105L).toSet,
+      "DV masks must survive the append")
+  }
+
+  test("v2-style deleteRows refuses on a v3 table carrying deletion " +
+    "vectors (position-delete parquet is spec-illegal there)") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 20L).map(k => (k, s"r$k")).toDF("k", "s").coalesce(1))
+    IcebergLite.deleteRowsV3(spark, t, Seq(3L).toDF("k"), Seq("k"))
+    val e = intercept[RuntimeException] {
+      IcebergLite.deleteRows(spark, t, Seq(5L).toDF("k"), Seq("k"))
+    }
+    assert(e.getMessage.contains("deleteRowsV3"),
+      s"refusal must direct to the v3 path: ${e.getMessage}")
+    // the refusal left the table untouched and readable
+    assert(IcebergLite.read(spark, t).count() == 19L)
+  }
+
+  test("Puffin.readBlob refuses a placement triple outside the file " +
+    "(corrupt manifest → loud refusal, not NegativeArraySize/OOM)") {
+    import graft.sources.Puffin
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_puffin_range")
+    val p = new org.apache.hadoop.fs.Path(dir.toString, "x.puffin")
+    val refs = Puffin.write(f, p, Seq((Puffin.dvBlob(
+      graft.sources.DeletionVectors.Bitmap64(Seq(1L)).serialize()),
+      Map.empty[String, String])))
+    val fileLen = f.getFileStatus(p).getLen
+    // sane read works
+    assert(Puffin.readBlob(f, p, refs.head.offset, refs.head.length)
+      .length == refs.head.length.toInt)
+    // size past EOF, negative size, and Int-overflow size all refuse
+    for ((off, sz) <- Seq((refs.head.offset, fileLen + 1),
+        (0L, -1L), (0L, Int.MaxValue.toLong + 1), (fileLen, 8L))) {
+      val e = intercept[IllegalArgumentException](
+        Puffin.readBlob(f, p, off, sz))
+      assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
+    }
+  }
 }

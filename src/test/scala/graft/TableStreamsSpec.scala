@@ -198,6 +198,57 @@ class TableStreamsSpec extends SparkSpec {
       s"the cap must bound each micro-batch at 2 snapshots: $sizes")
   }
 
+  test("iceberg startingSnapshot validates on FIRST start only: a bogus " +
+    "anchor refuses fresh, but a checkpointed restart does not re-run " +
+    "the anchor check (committed offsets supersede the option)") {
+    val base = newDir("graft_istream_anchor")
+    val t = s"$base/t"
+    IcebergLite.commit(spark, t, Seq((0L, "seed")).toDF("k", "s")) // snap 0
+    IcebergLite.commit(spark, t, Seq((1L, "r1")).toDF("k", "s"))   // snap 1
+
+    // fresh start, unpublished anchor: option validation refuses loudly
+    val e = intercept[StreamingQueryException] {
+      drain(EventStreams.readIcebergStream(spark, t,
+        startingSnapshot = Some(999L)), s"$base/cp_bad", Seq("k"))
+    }
+    def messages(th: Throwable): Seq[String] =
+      if (th == null) Nil
+      else Option(th.getMessage).toSeq ++ messages(th.getCause)
+    assert(messages(e).exists(_.contains("published snapshot-log")),
+      s"fresh-start anchor validation must refuse: ${messages(e)}")
+
+    // legit run through a checkpoint, then RESTART after the anchor's
+    // snapshot-log entry disappeared (trimmed by foreign maintenance):
+    // committed offsets exist, so the anchor must not hard-fail the query
+    val cp = s"$base/cp_ok"
+    val got1 = drain(EventStreams.readIcebergStream(spark, t,
+      startingSnapshot = Some(0L)), cp, Seq("k"))
+    assert(got1.map(_.head).toSet == Set(1L))
+    IcebergLite.commit(spark, t, Seq((2L, "r2")).toDF("k", "s"))   // snap 2
+    // trim snapshot 0 from the log of the NEWEST metadata version
+    val newest = java.nio.file.Paths.get(t, "metadata", "v3.metadata.json")
+    assert(java.nio.file.Files.exists(newest), "fixture drift: metaV")
+    val txt = new String(java.nio.file.Files.readAllBytes(newest))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(txt).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val log = node.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshot-log")
+    val trimmed = node.putArray("snapshot-log-tmp")
+    log.elements().asScala.filter(_.get("snapshot-id").asLong() != 0L)
+      .foreach(trimmed.add)
+    node.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "snapshot-log", trimmed.deepCopy())
+    node.remove("snapshot-log-tmp")
+    java.nio.file.Files.write(newest, node.toPrettyString.getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "metadata", ".v3.metadata.json.crc"))
+
+    val got2 = drain(EventStreams.readIcebergStream(spark, t,
+      startingSnapshot = Some(0L)), cp, Seq("k"))
+    assert(got2.map(_.head).toSet == Set(2L),
+      s"restart must deliver only the new snapshot, got $got2")
+  }
+
   test("iceberg CDF stream delivers v3 deletion-vector deletes as " +
     "_change_type=delete events (the puffin-DV snapshot flows through " +
     "changes() like any other delete)") {
