@@ -283,10 +283,15 @@ object Bench {
         mins.find(_._1 == n).collect {
           case (_, bv) if sv > 0 => n -> (bv / sv) }
       }
-      // N× the data: ≤N× wall is at-worst-linear; 20% headroom for host
-      // noise on sub-second queries before calling it superlinear
+      // The documented bar (BASELINE.md): on a DECADE rung (10× data)
+      // a per-query min ratio > 3× is super-linear growth on this
+      // suite — the suite-wide decade ratio holds ≈1.7×, so 3× is far
+      // past data-proportional here and the flags double as the
+      // watchlist. Non-decade dir pairs fall back to 1.2×r (there, 3×
+      // could exceed honest linearity plus noise headroom).
       val flagJson = sizeRatio.fold("null") { r =>
-        ratiosMin.filter(_._2 > 1.2 * r).map(_._1)
+        val bar = if (r >= 10.0) math.max(3.0, 0.3 * r) else 1.2 * r
+        ratiosMin.filter(_._2 > bar).map(_._1)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       val rTotal = if (sTotal > 0) total / sTotal else 0.0
@@ -304,8 +309,12 @@ object Bench {
     // adjudication number: a real regression reproduces isolated, a
     // page-cache/host-noise artifact does not, and the judge can read
     // it from the artifact instead of re-benching.
+    // default canaries: dba_iceberg_dv (the r14 neighbor-interference
+    // case) plus the two r15 unverified-uptick queries — their isolated
+    // minima adjudicate noise-vs-regression mechanically in the artifact
     val isolate = (regNames ++ sys.env.getOrElse("SPARK_GRAFT_ISOLATE",
-      "dba_iceberg_dv").split(",").map(_.trim).filter(_.nonEmpty))
+      "dba_iceberg_dv,dedup_embedding_cc_exact,dba_delta_v2ckpt")
+      .split(",").map(_.trim).filter(_.nonEmpty))
       .distinct.filter(n => measured.exists(_._1 == n))
     val isoRuns = sys.env.get("SPARK_GRAFT_ISO_RUNS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
