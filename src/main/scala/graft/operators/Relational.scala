@@ -188,6 +188,30 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- A6b
+  /** Keep-latest-per-key as a `max_by` STRUCT AGGREGATE — the scale-safe
+    * twin of [[qDedupLatest]] (same rows, same oracle). The window
+    * idiom shuffles EVERY event and sorts each key's full history to
+    * keep one row; `max_by(payload, (ts, id))` is an ordinary hash
+    * aggregate with map-side partial combine, so the shuffle carries at
+    * most one candidate row per (key × input partition) — at 100 TB the
+    * difference is the whole event history's sort vs a per-key
+    * single-struct merge. A6 stays registered as the reference-fidelity
+    * witness (the literal qualify-rn=1 idiom from tasks/Query History
+    * API to Delta_withmetrics.py:231); this is the form a production
+    * pipeline should run.
+    */
+  def qDedupLatestAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"),
+          expr("ts_ns div 1000000").as("ts_ms")),
+        struct(col("ts_ns"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_id"),
+        col("latest.event_type"), col("latest.value"), col("latest.ts_ms"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- A7
   /** ROLLUP computed as re-aggregation of partials: the finest level is one
     * shuffle over the data; coarser levels re-aggregate the (tiny) level-2
@@ -996,6 +1020,7 @@ object Relational {
     "q6_revenue_delta"     -> (q6RevenueDelta _),
     "q_topk_per_group"     -> (qTopkPerGroup _),
     "q_dedup_latest"       -> (qDedupLatest _),
+    "q_dedup_latest_agg"   -> (qDedupLatestAgg _),
     "q_rollup"             -> (qRollup _),
     "q_cube"               -> (qCube _),
     "q_semi_join"          -> (qSemiJoin _),
@@ -1029,6 +1054,7 @@ object Relational {
     "q6_revenue_delta"     -> q6Oracle,
     "q_topk_per_group"     -> qTopkOracle,
     "q_dedup_latest"       -> qDedupLatestOracle,
+    "q_dedup_latest_agg"   -> qDedupLatestOracle,
     "q_rollup"             -> qRollupOracle,
     "q_cube"               -> qCubeOracle,
     "q_semi_join"          -> qSemiOracle,

@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     // the rollup shape is reconstructed from the tiny aggregated base
     assert(!g.contains("Expand"),
       "dsGrouping must re-aggregate, not Expand the fact")
+    // channel union: the channel is a COLUMN of the one derived fact,
+    // so the plan must hold exactly ONE fact subtree (one lineitem
+    // scan) and no Union of channel-filtered legs — a second leg is a
+    // full extra fact scan at any scale
+    // AQE's toString repeats every scan in its "== Initial Plan =="
+    // echo — count within the final plan only
+    val cu = executedPlan("ds_channel_union").split("== Initial Plan ==")(0)
+    val factScans = "lineitem\\.parquet".r.findAllIn(cu).size
+    assert(factScans == 1,
+      s"ds_channel_union must scan the fact once (got $factScans):\n$cu")
+    assert(!cu.contains("Union"),
+      "ds_channel_union must aggregate by channel, not union legs")
   }
 
   test("q19: the hand-derived part-side disjunction projection reaches the scan") {
