@@ -621,15 +621,34 @@ object LakehouseOps {
     * recomputes the same per-file inventory from the same parquet.
     */
   def dynamicOracles(spark: SparkSession, sfDir: String,
-                     wanted: String => Boolean): Map[String, String] =
-    if (!wanted("dba_describe_detail")) Map.empty
-    else Map("dba_describe_detail" ->
-      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
-         |  COUNT(*) AS n_rows,
-         |  MIN(l_orderkey) AS min_orderkey,
-         |  MAX(l_orderkey) AS max_orderkey
-         |FROM read_parquet('$sfDir/lineitem.parquet', filename=true)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+                     wanted: String => Boolean): Map[String, String] = {
+    val detail =
+      if (!wanted("dba_describe_detail")) Map.empty[String, String]
+      else Map("dba_describe_detail" ->
+        s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
+           |  COUNT(*) AS n_rows,
+           |  MIN(l_orderkey) AS min_orderkey,
+           |  MAX(l_orderkey) AS max_orderkey
+           |FROM read_parquet('$sfDir/lineitem.parquet', filename=true)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    // B8's oracle is also data-dependent (file SIZES, not content):
+    // DuckDB's read_blob stats the same files independently, and the
+    // window cumsum ÷ target recomputes the exact bin assignment the
+    // distributed two-level prefix sum produces — the long-standing
+    // rows-only check becomes a full hash gate on the binning math.
+    val compaction =
+      if (!wanted("dba_compaction_plan")) Map.empty[String, String]
+      else Map("dba_compaction_plan" ->
+        s"""SELECT file, bytes,
+           |  CAST(FLOOR((SUM(bytes) OVER (ORDER BY file
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+           |    / ${CompactionTargetBytes}.0) AS BIGINT) AS bin
+           |FROM (SELECT regexp_extract(filename, '[^/]+$$') AS file,
+           |        size AS bytes
+           |      FROM read_blob('$sfDir/*.parquet'))
+           |ORDER BY file""".stripMargin)
+    detail ++ compaction
+  }
 
   // ---------------------------------------------------------------- B7
   def dbaZorderKey(s: SparkSession, dir: String): DataFrame =
@@ -687,9 +706,15 @@ object LakehouseOps {
       .drop("__part", "__local", "__off")
   }
 
+  /** B8's registered target: 256 KiB, small enough that the sf0.01
+    * inventory spans several bins — the DuckDB oracle then checks real
+    * bin BOUNDARIES, not a degenerate all-bin-0 plan.
+    */
+  private[graft] val CompactionTargetBytes: Long = 256L * 1024
+
   def dbaCompactionPlan(s: SparkSession, dir: String): DataFrame = {
     val files = graft.maintenance.TableMaintenance.listFiles(s, dir)
-    compactionPlan(files, 4L * 1024 * 1024)
+    compactionPlan(files, CompactionTargetBytes)
       .select("file", "bytes", "bin")
       .orderBy("file")
   }

@@ -33,18 +33,22 @@ class ContractSpec extends AnyFunSuite {
       s"oracles without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
 
-  test("the no-oracle tail stays the declared file-layout/sketch duo") {
+  test("the no-oracle tail stays the declared HLL-sketch solo") {
     // the ANN literal-model trio + semantic dedup are oracled DYNAMICALLY
     // (Verify merges dynamicOracleSql at dump time — trained centroids
-    // become SQL literals), and r13 moved dba_describe_detail onto the
-    // same channel (the sf path inlined into read_parquet(filename=true)),
-    // so they are excluded from the static-map diff
+    // become SQL literals); r13 moved dba_describe_detail onto the same
+    // channel (the sf path inlined into read_parquet(filename=true)) and
+    // r16 moved dba_compaction_plan there too (read_blob stats the same
+    // files, the window cumsum recomputes the bin assignment) — so they
+    // are excluded from the static-map diff
     val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall",
       "dedup_semantic", "dedup_semantic_cc", "dedup_semantic_dense",
-      "dba_describe_detail")
+      "dba_describe_detail", "dba_compaction_plan")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
-    val declared = Set("dba_compaction_plan", "dba_table_stats_approx")
+    // dba_table_stats_approx stays spec-held: HLL sketch estimates can't
+    // hash-match a DuckDB exact count by construction
+    val declared = Set("dba_table_stats_approx")
     assert(noOracle == declared,
       s"rows-only set drifted: ${noOracle.toSeq.sorted.mkString(", ")} " +
         s"(a new query landed without an oracle, or a declared one gained it " +
