@@ -263,40 +263,152 @@ object Dedup {
     hammingCandidates(simhashTable(docs), maxBucket)
   }
 
+  /** Corpus size past which the Manku banding widens from 4 single
+    * 16-bit blocks to C(5,2)=10 block-PAIR keys (~2²⁶-value keyspace).
+    * Single 16-bit blocks put n docs in 2¹⁶ buckets — expected occupancy
+    * grows ∝ n, candidate pairs ∝ n²/2¹⁶, super-linear past ~10⁵ docs
+    * (the r15 BENCH_SCALE3 4.2× decade flag). Pair keys push random
+    * collisions to n²/2²⁶ per combo (flat into the tens of millions of
+    * docs) at 10 key rows/doc instead of 4 — linear shuffle bought once,
+    * quadratic join retired. This is [[lshBitsFor]]'s count-sized-width
+    * trick applied to hamming blocks. BOTH schemes find every pair
+    * within hamming ≤ 3 exactly (pigeonhole: ≤3 flipped bits hit ≤3
+    * blocks, so ≥1-of-4 whole blocks / ≥2-of-5 blocks — hence some pair
+    * — agree); candidates at larger hamming differ, so the best-neighbor
+    * answer for docs with NO true near-dup is scheme-dependent and the
+    * oracles CASE on the same count to pick the same scheme.
+    */
+  private[graft] val HammingWideThreshold: Long =
+    // env override is a TEST hook: forcing 0 at a small SF runs the wide
+    // scheme through the full Verify → DuckDB oracle compare (both
+    // engines read the same value when the SQL is generated in-process)
+    sys.env.get("SPARK_GRAFT_HAMMING_WIDE").flatMap(_.toLongOption)
+      .getOrElse(100000L)
+
+  /** Wide-scheme block layout: 5 blocks of (offset, width) covering the
+    * 64 fingerprint bits (4×13 + 1×12). */
+  private[graft] val WideBlocks: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+
+  /** Wide join keys are block PAIRS: hamming ≤ 3 flips hit ≤ 3 of the 5
+    * blocks, so ≥ 2 agree and some pair agrees fully (pigeonhole). 10
+    * combos × ~26-bit keys: random collisions ∝ n²/2²⁶ per combo — flat
+    * where single 16-bit blocks go quadratic. Index = the join `block`.
+    */
+  private[graft] val WideCombos: Seq[Seq[Int]] =
+    (for (i <- 0 until 5; j <- i + 1 until 5) yield Seq(i, j)).toSeq
+
+  /** Packing width per combo field (≥ the widest block). */
+  private val PackBits = 13
+
+  private def wideBlockVal(simhash: Column, b: Int): Column = {
+    val (off, width) = WideBlocks(b)
+    shiftrightunsigned(simhash, off).bitwiseAND(lit((1L << width) - 1))
+  }
+
+  /** Blocks to the LEFT of / between a combo's members — the positions
+    * the first-agreement dedup must check disagree. */
+  private def comboGaps(bs: Seq[Int]): Seq[Int] =
+    (0 until bs.head) ++
+      bs.sliding(2).collect { case Seq(a, b) => (a + 1) until b }
+        .flatten.toSeq
+
+  /** The (block, bv) join-key entries one fingerprint emits under the
+    * scheme picked for `corpusCount` — combo values pack into one long
+    * (13-bit fields), so the downstream prune/join code is scheme-blind.
+    */
+  private def blockEntries(simhash: Column, wide: Boolean): Column =
+    if (!wide)
+      array((0 until 4).map { b =>
+        struct(lit(b).as("block"),
+          shiftrightunsigned(simhash, b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      }: _*)
+    else
+      array(WideCombos.zipWithIndex.map { case (bs, c) =>
+        struct(lit(c).as("block"),
+          bs.map(wideBlockVal(simhash, _))
+            .reduce((acc, v) => acc * lit(1L << PackBits) + v).as("bv"))
+      }: _*)
+
   /** The Manku-block candidate kernel over ANY (doc_id, simhash) table —
     * shared by text simhash NN and the multimodal perceptual-hash dedup
     * (graft.multimodal.Multimodal.mmImageDedup). See the scaladoc above
-    * for the hot-block guard + checkpoint rationale.
+    * for the hot-block guard + checkpoint rationale. `corpusCount` (the
+    * ids-side row count, cheap — no text/codec work) picks the banding
+    * scheme; 0 (the legacy callers) keeps the narrow one.
     */
-  private[graft] def hammingCandidates(sigs: DataFrame,
-                                       maxBucket: Int): DataFrame = {
-    val wBlock = Window.partitionBy("block", "bv")
-    val blocks = sigs
+  private[graft] def hammingCandidates(sigs: DataFrame, maxBucket: Int,
+                                       corpusCount: Long = 0L,
+                                       wideThreshold: Long = HammingWideThreshold): DataFrame = {
+    val wide = corpusCount > wideThreshold
+    // Checkpoint the SIGNATURES (16 bytes/doc), not the exploded block
+    // table (4–10 rows/doc): the expensive scan-stage fingerprint
+    // computation runs once, block keys re-derive by cheap arithmetic
+    // per consumer. The hot-bucket prune is a (block, bv) count
+    // aggregate whose over-cap keys broadcast into an anti join — the
+    // map-side prune idiom of [[pruneHotBuckets]]; the old count-over-
+    // window shuffled AND sorted the full block table before the join.
+    val sigsCk = sigs.localCheckpoint(false)
+    val blocks = sigsCk
       .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("block"),
-            shiftrightunsigned(col("simhash"), b * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("bv"))
-        }: _*)).as("bk"))
+        explode(blockEntries(col("simhash"), wide)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.block"), col("bk.bv"))
-      .withColumn("__n", count(lit(1)).over(wBlock))
-      .filter(col("__n") <= maxBucket)
-      .select("doc_id", "simhash", "block", "bv")
-      .localCheckpoint(false)
-    blocks.select(col("doc_id"), col("simhash").as("sh_a"),
+    val hotKeys = broadcast(blocks.groupBy("block", "bv")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("block", "bv"))
+    val kept = blocks.join(hotKeys, Seq("block", "bv"), "left_anti")
+    // Emit each candidate pair ONCE — in its lexicographically-first
+    // agreeing block (narrow) / block-triple (wide) — instead of once
+    // per agreement. Near-dup pairs agree on most blocks (hamming 1 ⇒
+    // 3-of-4 blocks / 10-of-20 triples), so without this the replica-
+    // heavy corpus pays 3–10× the candidate volume in downstream
+    // hash-agg probes for identical (doc_id, nn_id, hamming) rows the
+    // min() would absorb anyway. Pure bitwise post-filter on the joined
+    // row — no extra shuffle. One semantic edge vs emit-per-agreement,
+    // mirrored by the oracles ([[hammingNnSqlTail]]): when a pair's
+    // FIRST agreeing block sits in a pruned hot bucket, the pair is now
+    // dropped rather than resurfacing through a later agreeing block —
+    // the same documented recall-under-cap tradeoff class as the hot
+    // prune itself (a non-hot near-dup pair is always found).
+    def nAgree(b: Int): Column =
+      shiftrightunsigned(col("sh_a"), b * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftrightunsigned(col("sh_b"), b * 16).bitwiseAND(lit(0xFFFFL))
+    def wAgree(b: Int): Column =
+      wideBlockVal(col("sh_a"), b) === wideBlockVal(col("sh_b"), b)
+    val firstAgreement: Column =
+      if (!wide)
+        (1 until 4).foldLeft(when(col("block") === 0, lit(true))) {
+          (acc, b) => acc.when(col("block") === b,
+            (0 until b).map(p => !nAgree(p)).reduce(_ && _))
+        }.otherwise(lit(false))
+      else
+        WideCombos.zipWithIndex.foldLeft(lit(false)) {
+          case (acc, (bs, c)) =>
+            val cond = comboGaps(bs).map(b => !wAgree(b))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            when(col("block") === c, cond).otherwise(acc)
+        }
+    kept.select(col("doc_id"), col("simhash").as("sh_a"),
         col("block"), col("bv"))
-      .join(blocks.select(col("doc_id").as("nn_id"),
+      .join(kept.select(col("doc_id").as("nn_id"),
         col("simhash").as("sh_b"), col("block"), col("bv")),
         Seq("block", "bv"))
-      .filter(col("doc_id") =!= col("nn_id"))
+      .filter(col("doc_id") =!= col("nn_id") && firstAgreement)
       .select(col("doc_id"), col("nn_id"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
 
   def simhashNn(docs: DataFrame, maxHamming: Int = 3,
-                maxBucket: Int = SimhashMaxBucket): DataFrame =
+                maxBucket: Int = SimhashMaxBucket,
+                wideThreshold: Long = HammingWideThreshold): DataFrame = {
+    // scheme choice needs the corpus SIZE only — an id-column count, no
+    // text hashing (the signature table materializes once, later)
+    val n = docs.select("doc_id").count()
     hammingNnReport(docs.select("doc_id"),
-      simhashCandidates(docs, maxBucket), maxHamming)
+      hammingCandidates(simhashTable(docs), maxBucket, n, wideThreshold),
+      maxHamming)
+  }
 
   /** Best-neighbor report over a hamming candidate table: per id, the
     * minimum-distance neighbor (ties → lower id) and the ≤maxHamming dup
@@ -769,25 +881,93 @@ object Dedup {
        |  WHERE b.doc_id < a.doc_id
        |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
 
-  /** Manku block self-join + best-neighbor window, mirroring [[simhashNn]]
-    * defaults (4 blocks × 16 bits, maxHamming=3). Arithmetic-shift-then-
-    * mask equals Spark's unsigned-shift-then-mask for every kept bit.
+  /** Shared DuckDB mirror of [[hammingCandidates]] + the best-neighbor
+    * argmin: CTE tail over a `sigCte`(doc_id, simhash) relation, CASEing
+    * on `idsCte`'s row count to pick the SAME banding scheme the Spark
+    * side picks (narrow 4×16 blocks vs wide 6-block triples) — the
+    * count-gated WHERE empties whichever branch doesn't apply.
+    * Arithmetic-shift-then-mask equals Spark's unsigned-shift-then-mask
+    * for every kept bit (the mask drops the smeared sign bits). Ends in
+    * `best`(doc_id, nn_id, hamming); the caller writes the final SELECT.
     */
-  val dedupSimhashNnOracle: String =
-    s"""WITH $simhashBlocksSqlCtes,
+  private[graft] def hammingNnSqlTail(idsCte: String, sigCte: String,
+                                      maxBucket: Int,
+                                      wideThreshold: Long = HammingWideThreshold): String = {
+    val combos = WideCombos.zipWithIndex
+      .map { case (Seq(i, j), c) => s"($c, $i, $j)" }.mkString(", ")
+    val wblocks = WideBlocks.zipWithIndex
+      .map { case ((off, w), b) => s"($b, $off, ${(1L << w) - 1})" }
+      .mkString(", ")
+    // first-agreement dedup, the SQL mirror of hammingCandidates'
+    // post-join filter: a pair is kept only in its lexicographically-
+    // first agreeing block / block-triple
+    def nAgreeSql(b: Int): String =
+      s"((a.simhash >> ${16 * b}) & 65535) = ((b.simhash >> ${16 * b}) & 65535)"
+    val narrowFirst = (0 until 4).map { b =>
+      if (b == 0) "(block = 0)"
+      else s"(block = $b AND ${(0 until b)
+        .map(p => s"NOT ${nAgreeSql(p)}").mkString(" AND ")})"
+    }.mkString("(", " OR ", ")")
+    def wAgreeSql(b: Int): String = {
+      val (off, w) = WideBlocks(b)
+      s"((a.simhash >> $off) & ${(1L << w) - 1}) = " +
+        s"((b.simhash >> $off) & ${(1L << w) - 1})"
+    }
+    val wideFirst = WideCombos.zipWithIndex.map { case (bs, c) =>
+      val gaps = comboGaps(bs)
+      if (gaps.isEmpty) s"(block = $c)"
+      else s"(block = $c AND ${gaps
+        .map(b => s"NOT ${wAgreeSql(b)}").mkString(" AND ")})"
+    }.mkString("(", " OR ", ")")
+    s"""hcnt AS (SELECT COUNT(*) AS n FROM $idsCte),
+       |nblocks AS (
+       |  SELECT doc_id, simhash, bk.block,
+       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
+       |  FROM $sigCte CROSS JOIN range(4) bk(block)
+       |  WHERE (SELECT n FROM hcnt) <= $wideThreshold),
+       |wb(wbid, off, mask) AS (VALUES $wblocks),
+       |bvals AS (
+       |  SELECT doc_id, simhash, wbid,
+       |    (simhash >> CAST(off AS INTEGER)) & mask AS v
+       |  FROM $sigCte CROSS JOIN wb
+       |  WHERE (SELECT n FROM hcnt) > $wideThreshold),
+       |combo(c, ci, cj) AS (VALUES $combos),
+       |wideblocks AS (
+       |  SELECT v1.doc_id, v1.simhash, combo.c AS block,
+       |    v1.v * ${1L << PackBits} + v2.v AS bv
+       |  FROM combo
+       |  JOIN bvals v1 ON v1.wbid = combo.ci
+       |  JOIN bvals v2 ON v2.wbid = combo.cj AND v2.doc_id = v1.doc_id),
+       |allblocks AS (
+       |  SELECT * FROM nblocks UNION ALL SELECT * FROM wideblocks),
+       |pruned AS (
+       |  SELECT doc_id, simhash, block, bv FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
+       |    FROM allblocks) t WHERE n <= $maxBucket),
        |cand AS (
        |  SELECT a.doc_id, b.doc_id AS nn_id,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |  FROM pruned a JOIN pruned b USING (block, bv)
-       |  WHERE a.doc_id <> b.doc_id),
+       |  WHERE a.doc_id <> b.doc_id
+       |    AND (CASE WHEN (SELECT n FROM hcnt) <= $wideThreshold
+       |         THEN $narrowFirst ELSE $wideFirst END)),
        |best AS (
        |  SELECT doc_id, nn_id, hamming FROM (
        |    SELECT doc_id, nn_id, hamming,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id
        |        ORDER BY hamming, nn_id) AS rn
-       |    FROM cand) t WHERE rn = 1)
+       |    FROM cand) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Manku block self-join + best-neighbor, mirroring [[simhashNn]]
+    * defaults (count-sized scheme, maxHamming=3, maxBucket=1000).
+    */
+  val dedupSimhashNnOracle: String =
+    s"""WITH $simhashSqlCtes,
+       |dids AS (SELECT doc_id FROM documents),
+       |${hammingNnSqlTail("dids", "sim", SimhashMaxBucket)}
        |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
-       |FROM (SELECT doc_id FROM documents) d LEFT JOIN best b USING (doc_id)
+       |FROM dids d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- C33

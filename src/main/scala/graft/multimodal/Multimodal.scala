@@ -641,11 +641,13 @@ object Multimodal {
   def mmImageDedup(s: SparkSession, dir: String, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
     val sigs = imagePhashes(s, dir)
-    // the ids side reads only doc ids — no second encode/decode pass
+    // the ids side reads only doc ids — no second encode/decode pass;
+    // its count (cheap) sizes the banding scheme, never the codec rung
     val ids = Tables.documents(s, dir).select("doc_id")
       .filter(col("doc_id") % 3 === 0)
     graft.dedup.Dedup.hammingNnReport(ids,
-      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket), maxHamming)
+      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket, ids.count()),
+      maxHamming)
   }
 
   /** DuckDB replays the dHash from the generative pixel formula: 9×8
@@ -677,25 +679,7 @@ object Multimodal {
        |    CAST(COALESCE(SUM(CASE WHEN b.lum2 > b.lum1 THEN pw.w END), 0)
        |      AS BIGINT) AS simhash
        |  FROM bits b JOIN pw USING (j) GROUP BY doc_id),
-       |blocks AS (
-       |  SELECT doc_id, simhash, bk.block,
-       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
-       |  FROM sig CROSS JOIN range(4) bk(block)),
-       |pruned AS (
-       |  SELECT doc_id, simhash, block, bv FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
-       |    FROM blocks) t WHERE n <= 1000),
-       |cand AS (
-       |  SELECT a.doc_id, b.doc_id AS nn_id,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM pruned a JOIN pruned b USING (block, bv)
-       |  WHERE a.doc_id <> b.doc_id),
-       |best AS (
-       |  SELECT doc_id, nn_id, hamming FROM (
-       |    SELECT doc_id, nn_id, hamming,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY hamming, nn_id) AS rn
-       |    FROM cand) t WHERE rn = 1)
+       |${graft.dedup.Dedup.hammingNnSqlTail("d", "sig", 1000)}
        |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
        |FROM d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -733,7 +717,8 @@ object Multimodal {
     val ids = Tables.documents(s, dir).select("doc_id")
       .filter(col("doc_id") % 3 === 1)
     graft.dedup.Dedup.hammingNnReport(ids,
-      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket), maxHamming)
+      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket, ids.count()),
+      maxHamming)
   }
 
   /** DuckDB replays the fingerprint from the generative PCM formula:
@@ -763,25 +748,7 @@ object Multimodal {
        |  JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
        |  JOIN pw ON pw.j = a.f
        |  GROUP BY a.doc_id),
-       |blocks AS (
-       |  SELECT doc_id, simhash, bk.block,
-       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
-       |  FROM sig CROSS JOIN range(4) bk(block)),
-       |pruned AS (
-       |  SELECT doc_id, simhash, block, bv FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
-       |    FROM blocks) t WHERE n <= 1000),
-       |cand AS (
-       |  SELECT a.doc_id, b.doc_id AS nn_id,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM pruned a JOIN pruned b USING (block, bv)
-       |  WHERE a.doc_id <> b.doc_id),
-       |best AS (
-       |  SELECT doc_id, nn_id, hamming FROM (
-       |    SELECT doc_id, nn_id, hamming,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY hamming, nn_id) AS rn
-       |    FROM cand) t WHERE rn = 1)
+       |${graft.dedup.Dedup.hammingNnSqlTail("d", "sig", 1000)}
        |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
        |FROM d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -828,7 +795,8 @@ object Multimodal {
     val ids = Tables.documents(s, dir).select("doc_id")
       .filter(col("doc_id") % 3 === 2)
     graft.dedup.Dedup.hammingNnReport(ids,
-      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket), maxHamming)
+      graft.dedup.Dedup.hammingCandidates(sigs, maxBucket, ids.count()),
+      maxHamming)
   }
 
   /** DuckDB replays the video fingerprint from the generative formula:
@@ -871,25 +839,7 @@ object Multimodal {
        |    CAST(COALESCE(SUM(CASE WHEN 2 * nset > ns THEN pw.w END), 0)
        |      AS BIGINT) AS simhash
        |  FROM vote JOIN pw USING (j) GROUP BY doc_id),
-       |blocks AS (
-       |  SELECT doc_id, simhash, bk.block,
-       |    (simhash >> CAST(16 * bk.block AS INTEGER)) & 65535 AS bv
-       |  FROM sig CROSS JOIN range(4) bk(block)),
-       |pruned AS (
-       |  SELECT doc_id, simhash, block, bv FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
-       |    FROM blocks) t WHERE n <= 1000),
-       |cand AS (
-       |  SELECT a.doc_id, b.doc_id AS nn_id,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM pruned a JOIN pruned b USING (block, bv)
-       |  WHERE a.doc_id <> b.doc_id),
-       |best AS (
-       |  SELECT doc_id, nn_id, hamming FROM (
-       |    SELECT doc_id, nn_id, hamming,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY hamming, nn_id) AS rn
-       |    FROM cand) t WHERE rn = 1)
+       |${graft.dedup.Dedup.hammingNnSqlTail("d", "sig", 1000)}
        |SELECT d.doc_id, b.nn_id, b.hamming, b.hamming <= 3 AS is_dup
        |FROM d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
