@@ -67,6 +67,15 @@ object GraftCatalog {
   def listTables(spark: SparkSession): Seq[(String, String)] =
     registry(spark).toSeq.sortBy(_._1)
 
+  /** Registry-ONLY probe (no catalog fallback) — for verbs that collide
+    * with native Spark grammar on targets that need not be graft-format
+    * tables (MSCK REPAIR on raw hive-layout dirs): only an explicitly
+    * registered name intercepts, so an ordinary catalog table's native
+    * statement is never shadowed.
+    */
+  def registered(spark: SparkSession, name: String): Option[String] =
+    registry(spark).get(normalize(name))
+
   /** Resolve a dotted `db.table` name to its table root path, or a
     * clear error naming every mechanism that was tried.
     */

@@ -124,6 +124,8 @@ object GraftSqlVerbs {
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""").r
   private val OrphanRe =
     ("""(?is)\s*REMOVE\s+ORPHAN\s+FILES\s+(?:FROM\s+)?""" + Tgt + """\s*;?\s*""").r
+  private val MsckRe =
+    ("""(?is)\s*MSCK\s+REPAIR\s+TABLE\s+""" + Tgt + """\s*;?\s*""").r
   private val CleanupRe =
     ("""(?is)\s*CLEANUP\s+(LOGS|METADATA)\s+""" + Tgt + """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   // name↔path registry maintenance — graft-only keywords, no collision
@@ -154,6 +156,17 @@ object GraftSqlVerbs {
     */
   private[graft] def shouldIntercept(session: Option[SparkSession],
                                      plan: LogicalPlan): Boolean = {
+    plan match {
+      // MSCK collides with native grammar AND its target is typically a
+      // RAW hive-layout dir (not a graft-format table), so the formatOf
+      // probe below doesn't apply: only quoted paths and explicitly
+      // graft-REGISTERED names intercept — an ordinary catalog table's
+      // native MSCK is never shadowed
+      case GraftMsckRepairCommand(t) =>
+        return t.startsWith("'") ||
+          session.forall(s => GraftCatalog.registered(s, t).isDefined)
+      case _ => ()
+    }
     val collidingTarget: Option[String] = plan match {
       case GraftAnalyzeCommand(t)            => Some(t)
       case GraftShowPropertiesCommand(t)     => Some(t)
@@ -224,6 +237,7 @@ object GraftSqlVerbs {
       case DropPartFieldRe(path, decl) =>
         Some(GraftPartitionFieldCommand(path, decl.trim, add = false))
       case OrphanRe(path) => Some(GraftRemoveOrphansCommand(path))
+      case MsckRe(path) => Some(GraftMsckRepairCommand(path))
       case CleanupRe(kind, path, retain) =>
         Some(GraftCleanupCommand(path,
           Option(retain).map(_.toInt).getOrElse(1),
@@ -488,6 +502,69 @@ case class GraftShowPartitionsCommand(path: String)
         sum("size_bytes").as("size_bytes"))
       .orderBy("partition")
       .collect().toIndexedSeq
+  }
+}
+
+/** `MSCK REPAIR TABLE <db.table | '<path>'>` — partition discovery for
+  * HIVE-LAYOUT path tables (plain files under `k=v` directories), the
+  * datagen notebook's post-write registration verb
+  * (resources/TPC-datagen-notebook.scala:1777). One recursive
+  * driver-side listing (cost ∝ files, the same class as Spark's own
+  * recoverPartitions), the spec's `%xx` escaping and
+  * `__HIVE_DEFAULT_PARTITION__` null marker decoded through the shared
+  * [[graft.sources.HivePaths]] decoder, one report row per discovered
+  * partition. Reads in this engine list partition dirs dynamically, so
+  * discovery IS the repair — the report is the verb's product (native
+  * MSCK prints the same added-partition inventory). A Delta/Iceberg
+  * root refuses loudly: their partitions come from the log/manifests
+  * (SHOW PARTITIONS serves them), and directory listing would also
+  * count dead files.
+  */
+case class GraftMsckRepairCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.HivePaths
+    val root = GraftSqlVerbs.resolveTarget(spark, this.path)
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p) && f.getFileStatus(p).isDirectory,
+      s"$root: not a directory")
+    if (f.exists(new Path(p, "_delta_log")) ||
+        f.exists(new Path(p, "metadata/version-hint.text")))
+      sys.error(s"$root: MSCK REPAIR is for hive-layout path tables — " +
+        "this is a Delta/Iceberg root whose partitions come from the " +
+        "log/manifests (use SHOW PARTITIONS)")
+    val rootUri = f.makeQualified(p).toUri
+    val it = f.listFiles(p, true)
+    val byPartition =
+      scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      val comps = rel.split("/")
+      // hidden components are metadata (_SUCCESS, .crc), not table data
+      if (comps.forall(c => !c.startsWith("_") && !c.startsWith("."))) {
+        val dirs = comps.dropRight(1)
+        if (dirs.nonEmpty && dirs.forall(_.contains("="))) {
+          val spec = dirs.map { c =>
+            val Array(k, v) = c.split("=", 2)
+            val dec = HivePaths.unescape(v)
+            s"$k=${if (dec == null) HivePaths.NullMarker else dec}"
+          }.mkString("/")
+          val (n, bytes) = byPartition.getOrElse(spec, (0L, 0L))
+          byPartition(spec) = (n + 1, bytes + st.getLen)
+        }
+      }
+    }
+    require(byPartition.nonEmpty,
+      s"$root: no k=v partition directories found — not a hive-layout " +
+        "partitioned table")
+    byPartition.toSeq.map { case (spec, (n, bytes)) =>
+      Row(spec, n, bytes)
+    }
   }
 }
 

@@ -4,7 +4,7 @@ package graft.sources
   * formats, so a fix to `%xx` handling reaches DeltaLite and
   * IcebergLite alike instead of drifting per format.
   */
-private[sources] object HivePaths {
+private[graft] object HivePaths {
 
   /** The spec's null-partition directory value. */
   val NullMarker = "__HIVE_DEFAULT_PARTITION__"

@@ -421,6 +421,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlVerbs.parseVerb("SHOW TBLPROPERTIES db.t").nonEmpty)
   }
 
+  test("MSCK REPAIR TABLE: discovers hive-layout partitions (escaped " +
+    "values and the null marker decoded), path and registered-name " +
+    "addressed; Delta roots refuse; unregistered names fall through " +
+    "to Spark") {
+    import extSpark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_msck").toString
+    val t = s"$base/hive_tbl"
+    // hive layout written EXTERNALLY (partitionBy writer), incl. an
+    // escaped value and a null partition
+    Seq((1L, "a", "x y"), (2L, "b", "x y"), (3L, "c", null),
+        (4L, "d", "plain"))
+      .toDF("k", "s", "p")
+      .write.partitionBy("p").parquet(t)
+
+    val byPath = extSpark.sql(s"MSCK REPAIR TABLE '$t'").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPath.keySet == Set("p=x y", "p=__HIVE_DEFAULT_PARTITION__",
+      "p=plain"), s"got ${byPath.keySet}")
+    assert(byPath("p=x y") >= 1L)
+
+    // name-addressed through the registry
+    extSpark.sql(s"REGISTER TABLE hivedb.tbl AT '$t'")
+    assert(extSpark.sql("MSCK REPAIR TABLE hivedb.tbl").count() == 3L)
+    extSpark.sql("UNREGISTER TABLE hivedb.tbl")
+
+    // an UNREGISTERED dotted name falls through to Spark's native MSCK
+    // (whose error names the missing catalog table, not graft)
+    val e = intercept[Exception](
+      extSpark.sql("MSCK REPAIR TABLE nosuch.tbl").collect())
+    assert(!e.getMessage.contains("unresolvable"),
+      s"native MSCK must handle unregistered names: ${e.getMessage}")
+
+    // a Delta root refuses with the remedy named
+    val td = s"$base/delta_tbl"
+    graft.sources.DeltaLite.commit(extSpark, td,
+      Seq((1L, "a")).toDF("k", "s"))
+    val ed = intercept[RuntimeException](
+      extSpark.sql(s"MSCK REPAIR TABLE '$td'").collect())
+    assert(ed.getMessage.contains("SHOW PARTITIONS"))
+
+    // an unpartitioned plain dir refuses loudly
+    val tp = s"$base/plain_dir"
+    Seq((1L, "a")).toDF("k", "s").write.parquet(tp)
+    val ep = intercept[Exception](
+      extSpark.sql(s"MSCK REPAIR TABLE '$tp'").collect())
+    assert(ep.getMessage.contains("no k=v partition"))
+  }
+
   test("colliding verb shapes on an ORDINARY dotted catalog table fall " +
     "through to Spark's parser — installing the extension never " +
     "shadows native statements") {
