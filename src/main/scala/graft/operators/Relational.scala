@@ -192,11 +192,12 @@ object Relational {
   /** Keep-latest-per-key as a `max_by` STRUCT AGGREGATE — the scale-safe
     * twin of [[qDedupLatest]] (same rows, same oracle). The window
     * idiom shuffles EVERY event and sorts each key's full history to
-    * keep one row; `max_by(payload, (ts, id))` is an ordinary hash
-    * aggregate with map-side partial combine, so the shuffle carries at
-    * most one candidate row per (key × input partition) — at 100 TB the
-    * difference is the whole event history's sort vs a per-key
-    * single-struct merge. A6 stays registered as the reference-fidelity
+    * keep one row; `max_by(payload, (ts, id))` is a partial-combining
+    * aggregate (planned as SortAggregate — struct buffers aren't
+    * hash-aggregable — but the map-side combine is what matters), so
+    * the shuffle carries at most one candidate row per (key × input
+    * partition) — at 100 TB the difference is shuffling the whole
+    * event history vs one candidate per key per task. A6 stays registered as the reference-fidelity
     * witness (the literal qualify-rn=1 idiom from tasks/Query History
     * API to Delta_withmetrics.py:231); this is the form a production
     * pipeline should run.

@@ -92,6 +92,22 @@ class PlanSpec extends SparkSpec {
       "ds_channel_union must aggregate by channel, not union legs")
   }
 
+  test("q_dedup_latest_agg: the keep-latest twin is a partial-combining " +
+    "aggregate — no window; the shuffle carries at most one candidate " +
+    "per key per map task (the scale difference vs the A6 witness)") {
+    val p = executedPlan("q_dedup_latest_agg").split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"),
+      s"A6b must aggregate, not window:\n$p")
+    // struct buffers aren't hash-aggregable, so Spark plans
+    // SortAggregate — the partial+final pair is what matters: the
+    // map-side combine bounds the exchange at one row per (key × task)
+    assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(p).size >= 2,
+      s"A6b needs partial+final aggregates (map-side combine):\n$p")
+    // the A6 witness stays the literal window idiom
+    val w = executedPlan("q_dedup_latest")
+    assert(w.contains("Window"), "A6 is the row_number fidelity witness")
+  }
+
   test("q19: the hand-derived part-side disjunction projection reaches the scan") {
     // Catalyst can't push the mixed-side OR-of-ANDs itself; the operator
     // derives the part-only implication by hand — it must show up in the
