@@ -184,6 +184,44 @@ class DedupSpec extends SparkSpec {
     nn(3L).foreach { case (_, _, dup) => assert(!dup, "doc 3 flagged") }
   }
 
+  test("hamming kernel: first-agreement dedup emits each pair once, and " +
+    "its documented hot-bucket edge holds — a pair whose FIRST agreeing " +
+    "block is hot is dropped, one with a cold first agreement survives") {
+    import spark.implicits._
+    // crafted fingerprints (narrow scheme, blocks = 16-bit quarters):
+    //  A(1) and B(2): agree on block 0 (=7) and block 2 (=9) — hamming
+    //    comes only from blocks 1 and 3
+    //  2000 hot docs share A's block-0 value 7 but nothing else
+    def sig(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    val hot = (100L until 2100L).map(i => (i, sig(7L, i, i + 3, i + 7)))
+    val sigs = (Seq(
+      (1L, sig(7L, 11L, 9L, 21L)),
+      (2L, sig(7L, 12L, 9L, 22L))) ++ hot).toDF("doc_id", "simhash")
+    // cap above the hot-bucket size: the pair is found exactly ONCE
+    // (via block 0, its first agreement), so the best-report is intact
+    val cand = Dedup.hammingCandidates(sigs, maxBucket = 5000)
+      .filter(col("doc_id") === 1L && col("nn_id") === 2L).collect()
+    assert(cand.length == 1,
+      s"pair must be emitted exactly once, got ${cand.length}")
+    // cap below the hot-bucket size: block 0 is pruned, and because
+    // block 0 is ALSO the pair's first agreement, the block-2 join row
+    // is dropped by the first-agreement filter — the documented
+    // recall-under-cap tradeoff (r16 scaladoc, hammingCandidates)
+    val pruned = Dedup.hammingCandidates(sigs, maxBucket = 100)
+      .filter(col("doc_id") === 1L && col("nn_id") === 2L).collect()
+    assert(pruned.isEmpty,
+      "a pair whose first agreeing block is hot is dropped (documented)")
+    // a pair whose FIRST agreement is cold is untouched by the hot prune:
+    // C/D agree on block 1 only, nothing shares their block values
+    val cold = (sigs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ++
+      Seq((50L, sig(1L, 33L, 2L, 3L)), (51L, sig(4L, 33L, 5L, 6L))))
+      .toDF("doc_id", "simhash")
+    val found = Dedup.hammingCandidates(cold, maxBucket = 100)
+      .filter(col("doc_id") === 50L && col("nn_id") === 51L).collect()
+    assert(found.length == 1, "cold-first-agreement pair must survive")
+  }
+
   test("dedup_ngram_jaccard: near-dup pair found with high jaccard") {
     val pairs = Dedup.dedupNgramJaccard(spark, corpusDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
