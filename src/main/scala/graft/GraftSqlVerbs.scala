@@ -537,17 +537,13 @@ case class GraftMsckRepairCommand(path: String) extends LeafRunnableCommand {
       sys.error(s"$root: MSCK REPAIR is for hive-layout path tables — " +
         "this is a Delta/Iceberg root whose partitions come from the " +
         "log/manifests (use SHOW PARTITIONS)")
-    val rootUri = f.makeQualified(p).toUri
-    val it = f.listFiles(p, true)
     val byPartition =
       scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = rootUri.relativize(st.getPath.toUri).getPath
-      val comps = rel.split("/")
-      // hidden components are metadata (_SUCCESS, .crc), not table data
-      if (comps.forall(c => !c.startsWith("_") && !c.startsWith("."))) {
-        val dirs = comps.dropRight(1)
+    // the shared hidden-path-aware listing (same "data file" definition
+    // as DESCRIBE DETAIL's filesystem half)
+    graft.maintenance.TableMaintenance.relDataFiles(spark, root)
+      .foreach { case (rel, len, _) =>
+        val dirs = rel.split("/").dropRight(1)
         if (dirs.nonEmpty && dirs.forall(_.contains("="))) {
           val spec = dirs.map { c =>
             val Array(k, v) = c.split("=", 2)
@@ -555,10 +551,9 @@ case class GraftMsckRepairCommand(path: String) extends LeafRunnableCommand {
             s"$k=${if (dec == null) HivePaths.NullMarker else dec}"
           }.mkString("/")
           val (n, bytes) = byPartition.getOrElse(spec, (0L, 0L))
-          byPartition(spec) = (n + 1, bytes + st.getLen)
+          byPartition(spec) = (n + 1, bytes + len)
         }
       }
-    }
     require(byPartition.nonEmpty,
       s"$root: no k=v partition directories found — not a hive-layout " +
         "partitioned table")

@@ -242,24 +242,15 @@ object Dedup {
     // (classically the all-zeros block from short/templated text) turns
     // one join key into Σ bucket² candidates — the op's skew point at web
     // scale. Buckets larger than `maxBucket` are dropped BEFORE the join
-    // (count-over-window, same idiom as minhash's singleton prune), which
-    // bounds any key's contribution at maxBucket². Recall tradeoff,
-    // deliberate: members of an over-full bucket only lose candidates
-    // that agree on that one block — a true near-dup pair still meets in
-    // any of its other ≤3 agreeing blocks, and a doc whose every block is
-    // hot is template boilerplate, not a near-dup signal.
-    //
-    // The PRUNED block table is computed once — lazily localCheckpoint'd
-    // (20 bytes/doc·block) so both join sides share the materialized
-    // blocks and the signature aggregation AND the bucket-count window
-    // run once, not once per side. Lazy keeps DataFrame CONSTRUCTION
-    // plan-only (eager would run a Spark job just to build the query).
-    // Checkpoint, not persist: a persist()'d relation is pinned by the
-    // CacheManager until someone session-wide unpersists it, which a
-    // library entry point can't do for its caller — checkpoint blocks
-    // are instead reclaimed by the ContextCleaner once the driver GCs
-    // the dropped reference (periodic GC bounds this), so long-lived
-    // sessions don't accumulate pinned caches.
+    // (aggregate + broadcast anti-join since r16), which bounds any
+    // key's contribution at maxBucket². Recall tradeoff, deliberate —
+    // and since r16's first-agreement dedup it is slightly wider: a pair
+    // whose lexicographically-FIRST agreeing block sits in a pruned hot
+    // bucket is dropped even when a later agreeing block is cold (pinned
+    // in DedupSpec). A pair with NO hot agreeing block is always found,
+    // and a doc whose every block is hot is template boilerplate, not a
+    // near-dup signal. See hammingCandidates for the checkpoint story
+    // (the 16-byte/doc signature table is what materializes).
     hammingCandidates(simhashTable(docs), maxBucket)
   }
 
@@ -359,10 +350,10 @@ object Dedup {
       .select("block", "bv"))
     val kept = blocks.join(hotKeys, Seq("block", "bv"), "left_anti")
     // Emit each candidate pair ONCE — in its lexicographically-first
-    // agreeing block (narrow) / block-triple (wide) — instead of once
-    // per agreement. Near-dup pairs agree on most blocks (hamming 1 ⇒
-    // 3-of-4 blocks / 10-of-20 triples), so without this the replica-
-    // heavy corpus pays 3–10× the candidate volume in downstream
+    // agreeing block (narrow) / block-pair combo (wide) — instead of
+    // once per agreement. Near-dup pairs agree on most blocks (hamming
+    // 1 ⇒ 3-of-4 blocks / 6-of-10 pair combos), so without this the
+    // replica-heavy corpus pays 3–6× the candidate volume in downstream
     // hash-agg probes for identical (doc_id, nn_id, hamming) rows the
     // min() would absorb anyway. Pure bitwise post-filter on the joined
     // row — no extra shuffle. One semantic edge vs emit-per-agreement,
@@ -419,8 +410,8 @@ object Dedup {
     * multiply pairs), and an aggregate partial-combines it map-side —
     * each task shrinks its candidates to one row per doc_id before the
     * shuffle, where a window would sort the full pair volume through one
-    * exchange. A pair agreeing on k blocks appears k times with the
-    * identical (hamming, nn_id) key — min() absorbs duplicates for free.
+    * exchange. (Since r16's first-agreement dedup each pair arrives
+    * exactly once, but min() still absorbs any duplicate harmlessly.)
     */
   private[graft] def hammingNnReport(ids: DataFrame, cand: DataFrame,
                                      maxHamming: Int): DataFrame = {
@@ -870,8 +861,27 @@ object Dedup {
        |    SELECT *, COUNT(*) OVER (PARTITION BY block, bv) AS n
        |    FROM blocks) t WHERE n <= $SimhashMaxBucket)""".stripMargin
 
+  /** SQL mirror of the narrow scheme's first-agreement condition, over
+    * join aliases `a`/`b` and the `block` column — shared by every
+    * oracle that joins pruned narrow blocks ([[hammingNnSqlTail]] and
+    * [[simhashNearDupSqlCtes]]), so the r16 pair-dedup semantics can't
+    * drift between the NN report and the curation gate.
+    */
+  private def narrowFirstAgreementSql: String = {
+    def nAgreeSql(b: Int): String =
+      s"((a.simhash >> ${16 * b}) & 65535) = ((b.simhash >> ${16 * b}) & 65535)"
+    (0 until 4).map { b =>
+      if (b == 0) "(block = 0)"
+      else s"(block = $b AND ${(0 until b)
+        .map(p => s"NOT ${nAgreeSql(p)}").mkString(" AND ")})"
+    }.mkString("(", " OR ", ")")
+  }
+
   /** CTE chain ending in nd(doc_id): docs with an earlier near-dup —
-    * SQL mirror of [[simhashNearDupIds]].
+    * SQL mirror of [[simhashNearDupIds]], INCLUDING the r16
+    * first-agreement condition (the Spark kernel emits a pair only in
+    * its first agreeing block, so a pair whose first agreement is hot-
+    * pruned must not resurface here via a later block either).
     */
   private[graft] def simhashNearDupSqlCtes(maxHamming: Int = 3): String =
     s"""$simhashBlocksSqlCtes,
@@ -879,12 +889,13 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id
        |  FROM pruned a JOIN pruned b USING (block, bv)
        |  WHERE b.doc_id < a.doc_id
-       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |    AND $narrowFirstAgreementSql)""".stripMargin
 
   /** Shared DuckDB mirror of [[hammingCandidates]] + the best-neighbor
     * argmin: CTE tail over a `sigCte`(doc_id, simhash) relation, CASEing
     * on `idsCte`'s row count to pick the SAME banding scheme the Spark
-    * side picks (narrow 4×16 blocks vs wide 6-block triples) — the
+    * side picks (narrow 4×16 blocks vs wide 5-block pair combos) — the
     * count-gated WHERE empties whichever branch doesn't apply.
     * Arithmetic-shift-then-mask equals Spark's unsigned-shift-then-mask
     * for every kept bit (the mask drops the smeared sign bits). Ends in
@@ -900,14 +911,8 @@ object Dedup {
       .mkString(", ")
     // first-agreement dedup, the SQL mirror of hammingCandidates'
     // post-join filter: a pair is kept only in its lexicographically-
-    // first agreeing block / block-triple
-    def nAgreeSql(b: Int): String =
-      s"((a.simhash >> ${16 * b}) & 65535) = ((b.simhash >> ${16 * b}) & 65535)"
-    val narrowFirst = (0 until 4).map { b =>
-      if (b == 0) "(block = 0)"
-      else s"(block = $b AND ${(0 until b)
-        .map(p => s"NOT ${nAgreeSql(p)}").mkString(" AND ")})"
-    }.mkString("(", " OR ", ")")
+    // first agreeing block / block-pair combo
+    val narrowFirst = narrowFirstAgreementSql
     def wAgreeSql(b: Int): String = {
       val (off, w) = WideBlocks(b)
       s"((a.simhash >> $off) & ${(1L << w) - 1}) = " +

@@ -24,31 +24,45 @@ object TableMaintenance {
   def listFiles(spark: SparkSession, dir: String): DataFrame =
     listFiles(spark, dir, _ => false)
 
+  /** Recursive DATA-file listing under `dir` as (relative path, bytes,
+    * mtime): the ONE definition of "table data file" — hidden files AND
+    * files inside hidden path components (e.g. the `_graft_history`
+    * log) are metadata, not data; only components BELOW the table root
+    * count, so a table that itself lives in `_staging/` still lists.
+    * Shared by [[listFiles]] and MSCK partition discovery
+    * ([[graft.GraftMsckRepairCommand]]) so hidden-path semantics can't
+    * drift between them. Driver-side Hadoop FS listing — metadata only.
+    */
+  private[graft] def relDataFiles(spark: SparkSession,
+                                  dir: String): Seq[(String, Long, Long)] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(path).toUri
+    val it = fs.listFiles(path, true)
+    Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .flatMap { st =>
+        val rel = root.relativize(st.getPath.toUri).getPath
+        val comps = rel.split("/")
+        if (comps.forall(c => !c.startsWith("_") && !c.startsWith(".")))
+          Some((rel, st.getLen, st.getModificationTime))
+        else None
+      }
+      .toSeq
+  }
+
   /** As above, additionally pruning files whose top-level path component
     * (relative to `dir`) matches `dropTopLevel` — e.g. `v=` snapshot dirs
     * when sizing a bare-root rewrite.
     */
   def listFiles(spark: SparkSession, dir: String,
                 dropTopLevel: String => Boolean): DataFrame = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(path).toUri
-    val it = fs.listFiles(path, true)
-    val rows = Iterator.continually(it)
-      .takeWhile(_.hasNext)
-      .map(_.next())
-      .filter { st =>
-        // hidden files AND files inside hidden subdirectories (e.g. the
-        // _graft_history log) are metadata, not table data. Only path
-        // components BELOW the table root count — a table that itself
-        // lives in "_staging/" must still list its files.
-        val rel = root.relativize(st.getPath.toUri).getPath
-        val comps = rel.split("/")
-        comps.forall(c => !c.startsWith("_") && !c.startsWith(".")) &&
-          !dropTopLevel(comps.head)
+    val rows = relDataFiles(spark, dir)
+      .filter { case (rel, _, _) => !dropTopLevel(rel.split("/").head) }
+      .map { case (rel, len, mtime) =>
+        (rel.substring(rel.lastIndexOf('/') + 1), len, mtime)
       }
-      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
-      .toSeq
     import spark.implicits._
     rows.toDF("file", "bytes", "mtime_ms")
   }

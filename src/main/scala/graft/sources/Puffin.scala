@@ -147,8 +147,10 @@ object Puffin {
     // same contract as dvBitmap's framing checks) — not surface as a
     // NegativeArraySizeException or an OOM-sized allocation
     val fileLen = f.getFileStatus(path).getLen
-    require(size >= 0 && size <= Int.MaxValue && offset >= 0 &&
-        offset + size <= fileLen,
+    // overflow-proof bound: `offset + size` wraps negative for a huge
+    // corrupt offset — compare against `fileLen - size` instead
+    require(size >= 0 && size <= Int.MaxValue && size <= fileLen &&
+        offset >= 0 && offset <= fileLen - size,
       s"$path: blob range [offset=$offset, size=$size) exceeds file " +
         s"length $fileLen — corrupt manifest placement entry")
     val in = f.open(path)

@@ -150,11 +150,11 @@ class DedupSpec extends SparkSpec {
     assert(nn(9001L).exists { case (id, dup) => id == 9000L && dup })
   }
 
-  test("dedup_simhash_nn: the wide 6-block-triple scheme (count-sized " +
+  test("dedup_simhash_nn: the wide 5-block pair-combo scheme (count-sized " +
     "banding past 100k docs) finds the same hamming<=3 near dups the " +
     "narrow scheme guarantees") {
     // same corpus as the narrow test; wideThreshold=0 forces the wide
-    // scheme so its pigeonhole guarantee (≤3 flips ⇒ some block TRIPLE
+    // scheme so its pigeonhole guarantee (≤3 flips ⇒ some block PAIR
     // agrees) is exercised at test scale
     val dir = Files.createTempDirectory("graft_simnn_wide").toString
     val base = (1 to 800).map(i => s"word$i").mkString(" ")
@@ -174,12 +174,12 @@ class DedupSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2), r.getBoolean(3)))))
       .toMap
     assert(nn.size == 4)
-    assert(nn(0L).contains((1L, 0, true)))   // identical pair: 20 combos agree
+    assert(nn(0L).contains((1L, 0, true)))   // identical pair: all combos agree
     assert(nn(1L).contains((0L, 0, true)))
     nn(2L) match {
       case Some((id, ham, dup)) =>
         assert(Set(0L, 1L)(id) && dup, s"near dup got ($id, $ham, $dup)")
-      case None => fail("near dup found no triple-sharing candidate")
+      case None => fail("near dup found no combo-sharing candidate")
     }
     nn(3L).foreach { case (_, _, dup) => assert(!dup, "doc 3 flagged") }
   }

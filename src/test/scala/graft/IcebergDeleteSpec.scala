@@ -381,9 +381,11 @@ class IcebergDeleteSpec extends SparkSpec {
     // sane read works
     assert(Puffin.readBlob(f, p, refs.head.offset, refs.head.length)
       .length == refs.head.length.toInt)
-    // size past EOF, negative size, and Int-overflow size all refuse
+    // size past EOF, negative size, Int-overflow size, offset at EOF,
+    // and a Long-overflowing offset+size all refuse
     for ((off, sz) <- Seq((refs.head.offset, fileLen + 1),
-        (0L, -1L), (0L, Int.MaxValue.toLong + 1), (fileLen, 8L))) {
+        (0L, -1L), (0L, Int.MaxValue.toLong + 1), (fileLen, 8L),
+        (Long.MaxValue - 10, 100L))) {
       val e = intercept[IllegalArgumentException](
         Puffin.readBlob(f, p, off, sz))
       assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
