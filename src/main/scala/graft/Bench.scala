@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   * points plus the big/small wall ratio. At N× the data (N derived from the
   * two dirs' sf names, 10× for the default pair), an overhead-bound query
   * sits near 1×, a data-proportional one near N×; anything well past N×
-  * is superlinear and lands in "scale_flags". This turns the 100 TB
+  * is superlinear and lands in "scale_flags" — and is then re-measured
+  * ALONE at both points ("scale_ratio_isolated"/"scale_flags_isolated"),
+  * so the artifact itself says whether a flag reproduces without suite
+  * neighbors or was in-suite interference. This turns the 100 TB
   * "overhead-bound at test SF" claim from one-time prose into a per-round
   * measured regression check. The small pass runs FIRST so codegen/JIT
   * warmup is paid there, keeping the headline (big-SF) numbers and the
@@ -289,17 +292,48 @@ object Bench {
       // past data-proportional here and the flags double as the
       // watchlist. Non-decade dir pairs fall back to 1.2×r (there, 3×
       // could exceed honest linearity plus noise headroom).
-      val flagJson = sizeRatio.fold("null") { r =>
-        val bar = if (r >= 10.0) math.max(3.0, 0.3 * r) else 1.2 * r
-        ratiosMin.filter(_._2 > bar).map(_._1)
-          .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val bar = sizeRatio.map { r =>
+        if (r >= 10.0) math.max(3.0, 0.3 * r) else 1.2 * r }
+      val flagged = bar.fold(Seq.empty[String]) { b =>
+        ratiosMin.filter(_._2 > b).map(_._1) }
+      val flagJson = if (sizeRatio.isEmpty) "null"
+        else flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // ADJUDICATE the flags the same way regressions are adjudicated:
+      // re-run each flagged query ALONE at BOTH rungs (caches cleared,
+      // scratch swept, JVM settled) and record the isolated min ratio plus
+      // the flags that REPRODUCE isolated. The in-suite flag list above is
+      // untouched — this adds the noise-vs-real verdict to the artifact
+      // (stream_windowed_agg flagged 3.49× in-suite in r16 but measures
+      // 1.5× isolated: big-rung neighbor interference, the same class
+      // queries_isolated already adjudicates for the regression gate).
+      val isoFlagRuns = sys.env.get("SPARK_GRAFT_ISO_RUNS")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
+      def isoMin(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 dir: String): Option[Double] = {
+        val ts = (1 to isoFlagRuns).flatMap { _ =>
+          spark.catalog.clearCache(); sweepScratch(); System.gc()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        if (ts.isEmpty) None else Some(ts.min)
       }
+      val isoRatios = flagged.flatMap(n => names.find(_._1 == n)).flatMap {
+        case (n, fn) =>
+          for (sv <- isoMin(fn, d); bv <- isoMin(fn, sfDir); if sv > 0)
+            yield n -> (bv / sv)
+      }
+      val isoFlagJson = if (sizeRatio.isEmpty) "null"
+        else isoRatios.filter(r => bar.exists(r._2 > _)).map(_._1)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
       val rTotal = if (sTotal > 0) total / sTotal else 0.0
       // a query failing ONLY at the small SF would otherwise vanish from
       // queries_small/scale_ratio with stderr-only evidence
       val sErrJson = sFailures.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_ratio_min":${toJson(ratiosMin)},"scale_flags":$flagJson,"errors_small":$sErrJson"""
+      s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_ratio_min":${toJson(ratiosMin)},"scale_flags":$flagJson,"scale_ratio_isolated":${toJson(isoRatios)},"scale_flags_isolated":$isoFlagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
     val (regJson, regNames) = regressionsJson(sfDir, med)
     // ISOLATED re-measure: after the whole suite, re-run the flagged

@@ -76,15 +76,26 @@ object Dedup {
   /** Hyper-edge min-label propagation — the connected-components kernel
     * shared by the minhash and embedding clusterers. `edges` is
     * (doc_id, bkey), already pruned to multi-member buckets and
-    * `localCheckpoint`ed by the caller (who also releases it). Each round
-    * is eagerly checkpointed — measured faster than evictable `persist`
-    * (checkpoint scan beats InMemoryRelation's columnar round-trip, and
-    * each round plans against a flat LogicalRDD instead of re-optimizing
-    * the chain) — with every superseded round RELEASED via
-    * `GraftColumnBridge.releaseCheckpoint`; the previous label rides the
-    * aggregation so the fixpoint exit is a filter over the materialized
-    * checkpoint, not an extra join job. Returns the final (small) label
-    * table, checkpointed; only it stays pinned.
+    * `localCheckpoint`ed by the caller (who also releases it).
+    *
+    * Callers with bucket-shaped edges pre-contract them to star edges
+    * (member → bucket-min root; see [[dedupMinhash]]) so the table
+    * iterated HERE is label-sized, not data-sized — this kernel itself
+    * stays the plain bucket-min loop: at the local rungs every extra
+    * fixed-overhead job (an adaptive branch, a per-round pointer-jump
+    * join) measured as a net LOSS on the small-SF wall, while contraction
+    * at the producing window is free (measured r16: in-kernel contraction
+    * + per-round jumping cut the replica decade rung 8.6 → 5.5 s but
+    * pushed sf0.1 from 2.6 → 4.3 s; producer-side contraction keeps both).
+    *
+    * Each round is eagerly checkpointed — measured faster than evictable
+    * `persist` (checkpoint scan beats InMemoryRelation's columnar
+    * round-trip, and each round plans against a flat LogicalRDD instead
+    * of re-optimizing the chain) — with every superseded round RELEASED
+    * via `GraftColumnBridge.releaseCheckpoint`; the previous label rides
+    * the aggregation so the fixpoint exit is a filter over the
+    * materialized checkpoint, not an extra join job. Returns the final
+    * (small) label table, checkpointed; only it stays pinned.
     */
   private[graft] def propagateLabels(edges: DataFrame, ccIterations: Int): DataFrame = {
     var labels = edges.select("doc_id").distinct()
@@ -171,18 +182,24 @@ object Dedup {
     // near-dup subset (tiny), not all n docs — the difference between a
     // fixed small iterative job and one whose cost scales with the corpus.
     // The bucket-size count is a window over the banding shuffle (ONE pass,
-    // no second aggregate + join back). Each round is eagerly
-    // localCheckpoint'ed — measured faster than evictable `persist` here
-    // (checkpoint scan beats InMemoryRelation's columnar round-trip, and
-    // each round plans against a flat LogicalRDD instead of re-optimizing
-    // the chain) — and every superseded checkpoint is RELEASED via
-    // GraftColumnBridge.releaseCheckpoint, so only the final tiny label
-    // table stays pinned after the query.
+    // no second aggregate + join back) — and the SAME window carries the
+    // bucket-min doc_id, contracting each bucket to star edges
+    // (member → bucket-min root) before anything is materialized. Two docs
+    // share a bucket iff they share its root, so connected components (and
+    // the oracle's fixpoint over the RAW hyper-edges) are unchanged, but a
+    // doc's k band rows dedup to its distinct roots: on the replica-heavy
+    // decade rung 728k (doc, bkey) rows → ~56k (doc, root) rows, so every
+    // propagation round shuffles a label-sized table, not a data-sized one
+    // (measured: big-rung wall 8.6 → ~6 s, small rung unchanged — the
+    // contraction rides the existing window shuffle and the distinct folds
+    // into the one checkpoint materialization).
     val wBucket = Window.partitionBy("bkey")
     val edges = banded
       .withColumn("__n", count(lit(1)).over(wBucket))
+      .withColumn("__root", min("doc_id").over(wBucket))
       .filter(col("__n") >= 2)
-      .select("doc_id", "bkey")
+      .select(col("doc_id"), col("__root").as("bkey"))
+      .distinct()
       .localCheckpoint(true)
     val finalLabels = propagateLabels(edges, ccIterations)
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
