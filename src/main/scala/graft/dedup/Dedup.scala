@@ -1241,13 +1241,19 @@ object Dedup {
     *
     * Shape: one fingerprint pass (portable-md5 winnowing, scan-stage
     * native expression, `localCheckpoint`ed once — the relation feeds
-    * both the df aggregate and the tagging join), df = map-side-combined
-    * count per fingerprint, then a 1:n equi-join streams each posting
-    * past its df (a boilerplate fingerprint shared by millions of docs is
-    * a hot JOIN key, which AQE's skew splitting handles — unlike a window
-    * partition). Shuffle ∝ fingerprints (~tokens/w), never pairs: this is
-    * what makes span-level dedup signals tractable at 100 TB, where the
-    * exact suffix-array formulation is not.
+    * both per-doc totals and the uniqueness aggregate), then NO tagging
+    * join at all: the expression emits per-doc DISTINCT fingerprints, so
+    * df = how many docs carry the fp, and a df = 1 fingerprint has a
+    * UNIQUE owning doc — `shared_fps(doc) = n_fingerprints(doc) − #{fp :
+    * df(fp) = 1 ∧ owner = doc}`, both map-side-combined aggregates
+    * (the owner of a df=1 fp IS its min(doc_id)). The former 1:n
+    * postings⋈df join re-shuffled the posting table a second time and
+    * concentrated boilerplate fingerprints on hot join keys; now nothing
+    * downstream of the one posting shuffle is bigger than the fingerprint
+    * vocabulary, and no operator co-locates a hot fp's postings. Shuffle
+    * ∝ fingerprints (~tokens/w), never pairs: this is what makes
+    * span-level dedup signals tractable at 100 TB, where the exact
+    * suffix-array formulation is not.
     */
   def crossDocSpans(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val fps = docs
@@ -1255,11 +1261,15 @@ object Dedup {
         explode(graft.functions.Sketch.winnow_fingerprints(col("text"), k, w))
           .as("fp"))
       .localCheckpoint(false)
-    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-    fps.join(dfreq, "fp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fingerprints"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_fps"))
+    val nFps = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+    val unique = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("__uniq"))
+    nFps.join(unique, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fingerprints"),
+        (col("n_fingerprints") - coalesce(col("__uniq"), lit(0L)))
+          .as("shared_fps"))
       .withColumn("share_ratio",
         col("shared_fps").cast("double") / col("n_fingerprints"))
       .orderBy("doc_id")
