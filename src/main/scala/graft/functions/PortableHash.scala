@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.ByteBuffer
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
@@ -26,11 +25,29 @@ object PortableHash {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  private def digest(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
+  // Reused per-thread digest output: these hashes run once per SHINGLE in
+  // scan-stage loops (millions per task), where a fresh 16-byte array +
+  // ByteBuffer per call is pure GC churn. digest(buf, 0, 16) writes in
+  // place and resets the digest; callers read the buffer before the next
+  // digest call on the same thread.
+  private val bufLocal: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  private def digestInto(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
     val md = mdLocal.get()
     md.reset()
     md.update(bytes, from, until - from)
-    md.digest()
+    val out = bufLocal.get()
+    md.digest(out, 0, 16)
+    out
+  }
+
+  /** Big-endian signed long from 8 digest bytes at `o`. */
+  private def longAt(d: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(o + i) & 0xFFL); i += 1 }
+    v
   }
 
   /** First 8 md5-digest bytes of `bytes[from, until)`, big-endian, as a
@@ -38,7 +55,7 @@ object PortableHash {
     * DuckDB's md5 hex string.
     */
   def md5Long(bytes: Array[Byte], from: Int, until: Int): Long =
-    ByteBuffer.wrap(digest(bytes, from, until)).getLong(0)
+    longAt(digestInto(bytes, from, until), 0)
 
   /** Kirsch–Mitzenmacher double-hashing family over the two 64-bit halves
     * (a, b) of md5(s): perm_i = a + i·b (mod 2^64). Wrapping long
@@ -48,9 +65,9 @@ object PortableHash {
     */
   def md5Perms(s: UTF8String, k: Int): Array[Long] = {
     val bytes = s.getBytes
-    val d = ByteBuffer.wrap(digest(bytes, 0, bytes.length))
-    val a = d.getLong(0)
-    val b = d.getLong(8)
+    val d = digestInto(bytes, 0, bytes.length)
+    val a = longAt(d, 0)
+    val b = longAt(d, 8)
     val out = new Array[Long](k)
     var i = 0
     while (i < k) { out(i) = a + i * b; i += 1 }
@@ -77,12 +94,13 @@ object PortableHash {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val md = mdLocal.get()
+    val buf = bufLocal.get()
     def fold(from: Int, until: Int): Unit = {
       md.reset()
       md.update(bytes, from, until - from)
-      val d = ByteBuffer.wrap(md.digest())
-      val a = d.getLong(0)
-      val b = d.getLong(8)
+      md.digest(buf, 0, 16)
+      val a = longAt(buf, 0)
+      val b = longAt(buf, 8)
       var j = 0
       while (j < k) {
         val v = a + j * b
