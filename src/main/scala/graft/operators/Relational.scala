@@ -260,9 +260,11 @@ object Relational {
     * class: a low-split decade layout (1 file × 2 row groups) otherwise
     * runs it near-single-threaded. At real scale (many files) the
     * fan-out is the identity. Measured at sf1-equiv: 2.19 → 1.35 s,
-    * decade min-ratio 4.5× → 3.1×. (qGroupingSets measured NO win from
-    * the same opt-in — its ×3 Expand is lighter and the fan-out shuffle
-    * offsets the gain — so it stays on the raw scan.)
+    * decade min-ratio 4.5× → 3.1×. Cube deliberately STAYS on Spark's
+    * native Expand (the grouping family keeps one native-operator
+    * witness next to the re-aggregated rollup/grouping-sets forms; a
+    * re-aggregation here would drop the fan-out and the Expand the same
+    * way [[qGroupingSets]]'s did).
     */
   def qCube(s: SparkSession, dir: String): DataFrame = {
     Tables.fanOutFor(s, Tables.orders(s, dir))
@@ -350,21 +352,36 @@ object Relational {
 
   // ---------------------------------------------------------------- A20
   /** Explicit GROUPING SETS — the third member of the grouping family next
-    * to rollup/cube: two independent one-dimension summaries in ONE pass
-    * over the fact (Spark expands the grouping sets map-side; a naive
-    * union-of-groupBys would scan twice).
+    * to rollup/cube, computed like [[qRollup]]/StarSchema.dsGrouping: ONE
+    * plain (status, priority) cross-aggregate over the fact, then both
+    * one-dimension summaries re-aggregate the ~15-row result. The native
+    * groupingSets form Expands every fact row once per set BEFORE the
+    * partial aggregate — per-row work that runs at the scan's parallelism
+    * (a low-split decade layout caps that at a couple of tasks: measured
+    * min-ratio 3.98 ISOLATED, the one reproduced non-witness flag of the
+    * r16 final cycle; re-aggregation retires it the same way it did for
+    * ds_grouping). Decimal sums re-aggregate exactly (sum of partial
+    * sums); the double cast happens once at the end.
     */
-  // qCube's fan-out was MEASURED here too: no win (lighter ×3 Expand,
-  // the added shuffle offsets it) — raw scan kept, negative result noted
-  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupingSets(
-        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
-        col("o_orderstatus"), col("o_orderpriority"))
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("__p"))
+    val byStatus = base.groupBy("o_orderstatus")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("__p").cast(DecimalType(38, 2)).as("__p"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    val byPriority = base.groupBy("o_orderpriority")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("__p").cast(DecimalType(38, 2)).as("__p"))
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+    byStatus.unionByName(byPriority)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), asDouble(col("__p")).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
+  }
 
   val qGroupingSetsOracle: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -194,11 +194,18 @@ class PlanSpec extends SparkSpec {
         "expected exactly l_shipdate")
   }
 
-  test("grouping sets expand in one scan; projection ops prune the scan") {
-    val gs = plan("q_grouping_sets")
-    assert(gs.contains("Expand"), "grouping sets should expand map-side")
-    assert(gs.split("FileScan").length == 2,
-      "grouping sets must read the fact exactly once")
+  test("grouping sets re-aggregate in one scan; projection ops prune the scan") {
+    // the re-aggregation pattern (qRollup/dsGrouping): the fact is read
+    // once into a plain cross-aggregate and Expand never touches it —
+    // the Expand form's per-row multiplication ran at scan parallelism
+    // and reproduced a ~4x decade min-ratio isolated (r16 final cycle)
+    val gs = executedPlan("q_grouping_sets").split("== Initial Plan ==")(0)
+    assert(!gs.contains("Expand"),
+      "grouping sets must re-aggregate, not Expand the fact")
+    // both union legs re-aggregate the SAME base cross-aggregate — at
+    // runtime AQE collapses the second leg onto the first's exchange
+    assert("orders\\.parquet".r.findAllIn(gs).size == 1,
+      "grouping sets must read the fact exactly once (exchange reuse)")
     // pii scrub is a pure projection: the scan reads only the two columns
     val pii = plan("text_pii_scrub")
     val read = pii.linesIterator.find(_.contains("ReadSchema")).get
