@@ -386,17 +386,37 @@ object LakehouseOps {
     * aggregates latency-ish metrics per statement type. Decimal sums keep
     * the averages exact and order-independent; p95 is the exact percentile
     * (matches DuckDB quantile_cont).
+    *
+    * The exact percentile is an interpreted ObjectHashAggregate that
+    * buffers every ROW per group — with a handful of event types that is
+    * per-group state ∝ corpus and it reproduced a ~3-4× decade min-ratio
+    * isolated. Spark's `percentile(col, p, frequency)` computes the
+    * identical expanded-multiset interpolation, so the fact pass is now a
+    * codegen'd (type, value) → frequency aggregate (map-side combined,
+    * skew-free) and the interpreted percentile walks only the DISTINCT
+    * values per type. The decimal sum rides the same pre-aggregate
+    * exactly (Σ dec(v)·freq = Σ dec(v) row-wise — both exact decimal
+    * arithmetic), and the distinct-user count is its own two-level
+    * aggregate; the three tiny per-type results join at the end.
     */
-  def dbaQueryMetrics(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("event_type"))
+  def dbaQueryMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val byValue = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("__freq"))
+    val stats = byValue.groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_queries"),
-        count_distinct(col("user_id")).as("n_users"),
-        (asDouble(sum(dec(col("value")))) / count(lit(1))).as("avg_value"),
+        sum(col("__freq")).as("n_queries"),
+        (asDouble(sum(dec(col("value")) * col("__freq"))
+          .cast(DecimalType(38, 2))) / sum(col("__freq"))).as("avg_value"),
         max(col("value")).as("max_value"),
-        expr("percentile(value, 0.95)").as("p95_value"))
+        expr("percentile(value, 0.95, __freq)").as("p95_value"))
+    val users = ev.select("event_type", "user_id").distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    stats.join(users, Seq("event_type"))
+      .select(col("event_type"), col("n_queries"), col("n_users"),
+        col("avg_value"), col("max_value"), col("p95_value"))
       .orderBy("event_type")
+  }
 
   val dbaQueryMetricsOracle: String =
     """SELECT event_type, COUNT(*) AS n_queries,
