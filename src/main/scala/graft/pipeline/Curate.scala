@@ -379,17 +379,52 @@ object Curate {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- C49
+  /** Domain-frequency cap — the curation step that stops any one domain
+    * from dominating the corpus (the CommonCrawl-pipeline idiom: a few
+    * hosts contribute millions of near-identical pages; capping
+    * per-domain volume is cheaper and safer than trusting near-dup to
+    * catch them all). Keeps the top `cap` documents per source, longest
+    * text first (the zero-cost quality proxy; any scoring column slots
+    * into the same window). `rnk ≤ cap` compiles to a partial
+    * WindowGroupLimit: every map task emits at most `cap` rows per source
+    * BEFORE the exchange, so the shuffle carries ≤ sources × cap × tasks
+    * rows — at 100 TB the capped output crosses the wire, never the
+    * corpus (plan-pinned alongside the other rank filters).
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= cap)
+  }
+
+  def docDomainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    domainCap(Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        cap)
+      .select("source", "rnk", "doc_id", "n_chars")
+      .orderBy("source", "rnk")
+
+  val docDomainCapOracle: String =
+    """SELECT source, rnk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rnk
+      |  FROM documents) t
+      |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_report"   -> ((s: SparkSession, d: String) => corpusQualityReport(s, d)),
     "pipeline_curate"         -> (pipelineCurate _),
     "pipeline_curate_neardup" -> (pipelineCurateNearDup _),
     "contam_check"            -> ((s: SparkSession, d: String) => contamCheck(s, d)),
-    "quality_budget"          -> ((s: SparkSession, d: String) => qualityBudgetQuery(s, d)))
+    "quality_budget"          -> ((s: SparkSession, d: String) => qualityBudgetQuery(s, d)),
+    "doc_domain_cap"          -> ((s: SparkSession, d: String) => docDomainCap(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_quality_report"   -> corpusQualityReportOracle,
     "pipeline_curate"         -> pipelineCurateOracle,
     "pipeline_curate_neardup" -> pipelineCurateNearDupOracle,
     "contam_check"            -> contamCheckOracle,
-    "quality_budget"          -> qualityBudgetOracle)
+    "quality_budget"          -> qualityBudgetOracle,
+    "doc_domain_cap"          -> docDomainCapOracle)
 }

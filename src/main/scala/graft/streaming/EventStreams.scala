@@ -184,6 +184,80 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_users_approx"))
 
+  // --------------------------------------------------------------- D8
+  /** First arrival per (user, event type) — the dedup every at-least-once
+    * event ingest runs before anything downstream counts. Batch form is
+    * ONE struct-min aggregate (fields compare in order, ts_ns then the
+    * unique event_id, so the min IS the earliest row): map-side combined,
+    * the shuffle carries ≤ keys × tasks rows, never the event volume —
+    * the keep-latest A6b pattern flipped to keep-first, with the dup
+    * count riding the same aggregate for free.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts_ns"), col("event_id"), col("value"))).as("__f"),
+        count(lit(1)).as("n_dups"))
+      .select(col("user_id"), col("event_type"),
+        expr("__f.ts_ns div 1000000").as("first_ms"),
+        col("__f.event_id").as("first_event_id"),
+        col("__f.value").as("first_value"),
+        col("n_dups"))
+      .orderBy("user_id", "event_type")
+
+  val streamDedupOracle: String =
+    """SELECT user_id, event_type, ns // 1000000 AS first_ms,
+      |  event_id AS first_event_id, value AS first_value, n_dups
+      |FROM (SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id, value,
+      |        COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_dups,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // Streaming form: [[streamingDedup]] keyed on (user_id, event_type) —
+  // keyed first-arrival with watermark-evicted state; replays inside the
+  // horizon drop, and the horizon IS the dedup guarantee window (the
+  // standard at-least-once→exactly-once contract).
+
+  // --------------------------------------------------------------- D9
+  /** Stream-static enrichment — the event feed joined to the customer
+    * dimension (user_id = c_custkey) and rolled up to revenue per nation
+    * and event type. Both dimension sides BROADCAST (hinted and
+    * plan-pinned): the fact never shuffles for the joins; only the final
+    * ≤ nations × types aggregate crosses the wire, so at 100 TB the event
+    * scan is the whole cost. The streaming twin is the stream-static
+    * join: the static side re-reads per micro-batch (picking up dimension
+    * updates), and no join state accumulates.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Tables.events(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("nation", "event_type")
+  }
+
+  val streamEnrichOracle: String =
+    """SELECT n_name AS nation, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming twin: stateless stream-static broadcast join — append mode,
+    * zero state-store usage; the dimension is read fresh each micro-batch.
+    */
+  def streamingEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_nationkey"),
+        col("event_type"), col("value"))
+
   // ------------------------------------------------- streaming sessionize
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(start_ms: Long, end_ms: Long, n: Long, sum: Double)
@@ -350,16 +424,20 @@ object EventStreams {
       }.toDF()
   }
 
-  /** Streaming exact dedup: watermark-bounded dedup on the id ALONE — a
-    * replayed event re-stamped with a different ts still drops (plain
-    * `dropDuplicates(id, ts)` would let it through). State holds only ids
-    * younger than the watermark, so memory is bounded by (arrival rate ×
-    * watermark), not stream length.
+  /** Streaming exact dedup: watermark-bounded dedup on the key columns
+    * ALONE — a replayed event re-stamped with a different ts still drops
+    * (plain `dropDuplicates(key, ts)` would let it through). The default
+    * key is the event id (replay suppression); D8's first-touch form keys
+    * on (user_id, event_type). State holds only keys younger than the
+    * watermark, so memory is bounded by (arrival rate × watermark), not
+    * stream length.
     */
-  def streamingDedup(events: DataFrame, idCol: String = "event_id"): DataFrame =
+  def streamingDedup(events: DataFrame, idCol: String = "event_id",
+                     moreCols: Seq[String] = Nil,
+                     lateness: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark(idCol)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol +: moreCols)
 
   // ------------------------------------------------- streaming upsert sink
   /** The reference's streaming ingest pattern (Query History API feed →
@@ -714,11 +792,15 @@ object EventStreams {
     "stream_windowed_agg"   -> ((s: SparkSession, d: String) => streamWindowedAgg(s, d)),
     "stream_sessionize"     -> ((s: SparkSession, d: String) => streamSessionize(s, d)),
     "stream_interval_join"  -> ((s: SparkSession, d: String) => streamIntervalJoin(s, d)),
-    "stream_distinct_users" -> ((s: SparkSession, d: String) => streamDistinctUsers(s, d)))
+    "stream_distinct_users" -> ((s: SparkSession, d: String) => streamDistinctUsers(s, d)),
+    "stream_dedup"          -> ((s: SparkSession, d: String) => streamDedup(s, d)),
+    "stream_enrich"         -> ((s: SparkSession, d: String) => streamEnrich(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_agg"   -> streamWindowedAggOracle,
     "stream_sessionize"     -> streamSessionizeOracle,
     "stream_interval_join"  -> streamIntervalJoinOracle,
-    "stream_distinct_users" -> streamDistinctUsersOracle)
+    "stream_distinct_users" -> streamDistinctUsersOracle,
+    "stream_dedup"          -> streamDedupOracle,
+    "stream_enrich"         -> streamEnrichOracle)
 }

@@ -236,11 +236,28 @@ class PlanSpec extends SparkSpec {
     // ∝ keys × tasks instead of ∝ rows. Pin it so a formulation change
     // (e.g. rank via join, or a non-rank filter) can't silently drop it.
     Seq("q_dedup_latest", "q_topk_per_group",
-        "corpus_stratified", "corpus_stratified_gated").foreach { n =>
+        "corpus_stratified", "corpus_stratified_gated",
+        "doc_domain_cap").foreach { n =>
       val p = plan(n)
       assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
         s"$n lost the partial window group limit")
     }
+  }
+
+  test("stream_enrich broadcasts both dims; stream_dedup combines map-side") {
+    // D9: the fact must never shuffle for a dimension join — both dims
+    // ride broadcasts and the only exchange is the final tiny aggregate
+    // AQE's toString prints the final AND initial plans — count per section
+    val e = executedPlan("stream_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(e).size >= 2,
+      "stream_enrich must broadcast customer AND nation")
+    assert(!e.contains("SortMergeJoin"),
+      "stream_enrich shuffled the fact for a dim join")
+    // D8: keep-first as a struct-min aggregate only pays off if the map
+    // side combines — shuffle ∝ keys × tasks, not events
+    val d = plan("stream_dedup")
+    assert(d.toLowerCase.contains("partial_min"),
+      "stream_dedup lost the map-side partial aggregate")
   }
 
   test("embedding-cluster hot-bucket cap prunes via broadcast, never a window") {

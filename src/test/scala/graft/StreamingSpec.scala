@@ -329,6 +329,56 @@ class StreamingSpec extends SparkSpec {
         } finally q.stop()
       }
     }
+
+    test(s"[$label] streaming dedup keeps the first arrival per key; " +
+      "in-horizon replays drop") {
+      withConf(ProviderConf -> cls) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[DupEv]
+        val q = EventStreams.streamingDedup(mem.toDF(), "user_id",
+            Seq("event_type"), lateness = "10 minutes")
+          .writeStream.format("memory").queryName(s"dedup_$label")
+          .outputMode("append").start()
+        try {
+          val base = 1_000_000_000_000L
+          mem.addData(DupEv(new Timestamp(base), 1L, "click", 1.0))
+          q.processAllAvailable()
+          // same key replayed in a LATER batch inside the horizon (drops)
+          // + a fresh key in that batch (emits)
+          mem.addData(
+            DupEv(new Timestamp(base + 60_000), 1L, "click", 9.0),
+            DupEv(new Timestamp(base + 60_000), 2L, "view", 5.0))
+          q.processAllAvailable()
+          val got = spark.table(s"dedup_$label").as[DupEv].collect()
+            .map(e => (e.user_id, e.event_type, e.value)).toSet
+          assert(got == Set((1L, "click", 1.0), (2L, "view", 5.0)))
+        } finally q.stop()
+      }
+    }
+  }
+
+  test("streaming enrich: stream-static broadcast join is stateless append") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EnrichEv]
+    val dim = Seq((1L, 10), (2L, 20)).toDF("c_custkey", "c_nationkey")
+    val q = EventStreams.streamingEnrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_static")
+      .outputMode("append").start()
+    try {
+      mem.addData(EnrichEv(100L, 1L, "click", 1.5),
+        EnrichEv(101L, 2L, "view", 2.5))
+      q.processAllAvailable()
+      // a later micro-batch joins the SAME static side again — no state
+      mem.addData(EnrichEv(102L, 1L, "purchase", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_static")
+        .as[(Long, Long, Int, String, Double)].collect().toSet
+      assert(got == Set((100L, 1L, 10, "click", 1.5),
+        (101L, 2L, 20, "view", 2.5), (102L, 1L, 10, "purchase", 9.0)))
+      // stateless: the running query reports zero state rows
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty)
+    } finally q.stop()
   }
 
   test("streaming upsert: foreachBatch merge keeps latest row per key") {
@@ -401,3 +451,11 @@ class StreamingSpec extends SparkSpec {
     }
   }
 }
+
+// Top-level so Spark can derive encoders without an outer-scope instance
+// (inner case classes of a running suite trip the OuterScopes check in
+// the dropDuplicatesWithinWatermark path).
+case class DupEv(ts: java.sql.Timestamp, user_id: Long, event_type: String,
+                 value: Double)
+case class EnrichEv(event_id: Long, user_id: Long, event_type: String,
+                    value: Double)
