@@ -689,13 +689,30 @@ object Dedup {
   // --------------------------------------------------------------- C5
   /** Embedding-cosine near-dup: block vectors by a random-hyperplane LSH
     * bucket, take each vector's best cosine neighbor within its bucket,
-    * flag pairs above threshold. Bucket bits trade recall vs cost:
-    * candidates ∝ n²/2^bits; at 100 TB raise bits so buckets stay
-    * ~10³–10⁴ rows (and multi-probe for recall). Vectors here are unit
-    * norm, so cosine = dot.
+    * flag pairs above threshold. Candidates ∝ n²/2^bits, so the bucket
+    * width is COUNT-SIZED ([[lshBitsFor]] — the C33 idiom: smallest b
+    * with n ≤ TargetBucket·2^b): buckets hold ~TargetBucket vectors at
+    * ANY corpus size and candidate volume stays ∝ n·TargetBucket, linear
+    * in the data. A fixed width was the measured decade killer here
+    * (16 buckets × 10× rows = 100× pairs, 3.4× isolated decade min); the
+    * oracle rides the dynamic channel so DuckDB blocks at the same
+    * count-derived width. Vectors are unit norm, so cosine = dot.
     */
   def dedupEmbedding(s: SparkSession, dir: String,
-                     bits: Int = 4, threshold: Double = 0.95): DataFrame = {
+                     threshold: Double = 0.95): DataFrame =
+    dedupEmbeddingAt(s, dir, embeddingLshBits(s, dir), threshold)
+
+  /** The count-derived hyperplane width — ONE definition for the query
+    * and the dynamic oracle (both sides must block identically).
+    */
+  private[graft] def embeddingLshBits(s: SparkSession, dir: String): Int =
+    lshBitsFor(Tables.embeddings(s, dir).select("vec_id").count())
+
+  /** Fixed-width form of [[dedupEmbedding]] (specs pin the width
+    * explicitly; the public entry count-sizes it).
+    */
+  private[graft] def dedupEmbeddingAt(s: SparkSession, dir: String,
+                     bits: Int, threshold: Double = 0.95): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", graft.ann.Ann.hyperplaneBucket(col("embedding"), bits))
     val a = e.select(col("vec_id"), col("embedding"), col("bucket"))
@@ -760,8 +777,8 @@ object Dedup {
     * (Vec.cosineLshBucketSql), so DuckDB blocks identically and the
     * best-neighbor choice matches exactly.
     */
-  val dedupEmbeddingOracle: String = {
-    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", 4)
+  private[dedup] def dedupEmbeddingOracleFor(bits: Int): String = {
+    val bucket = graft.functions.Vec.cosineLshBucketSql("embedding", bits)
     """WITH b AS (SELECT vec_id, embedding, BUCKET_EXPR AS bucket FROM embeddings),
       |s AS (
       |  SELECT a.vec_id, bb.vec_id AS nn_id,
@@ -1512,7 +1529,7 @@ object Dedup {
   def dynamicOracles(s: SparkSession, dir: String,
                      wanted: String => Boolean = _ => true): Map[String, String] = {
     val names = Seq("dedup_semantic", "dedup_semantic_cc",
-      "dedup_semantic_dense").filter(wanted)
+      "dedup_semantic_dense", "dedup_embedding").filter(wanted)
     if (names.isEmpty) Map.empty
     else {
       // one shared training run (deterministic — both see one model,
@@ -1527,6 +1544,9 @@ object Dedup {
           n -> dedupSemanticCcOracleFor(centroids)
         case n @ "dedup_semantic_dense" =>
           n -> dedupSemanticOracleFor(dense)
+        case n @ "dedup_embedding" =>
+          // same count → same width as the query side (embeddingLshBits)
+          n -> dedupEmbeddingOracleFor(embeddingLshBits(s, dir))
       }.toMap
     }
   }
@@ -1559,7 +1579,7 @@ object Dedup {
     "dedup_bloom"         -> Bloom.dedupBloomOracle,
     "dedup_minhash"       -> dedupMinhashOracle,
     "dedup_incremental"   -> dedupIncrementalOracle,
-    "dedup_embedding"     -> dedupEmbeddingOracle,
+    // dedup_embedding is oracled DYNAMICALLY (count-sized width inlined)
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_containment"   -> dedupContainmentOracle,
     "dedup_simhash"       -> dedupSimhashOracle,

@@ -41,9 +41,11 @@ class ContractSpec extends AnyFunSuite {
     // r16 moved dba_compaction_plan there too (read_blob stats the same
     // files, the window cumsum recomputes the bin assignment) — so they
     // are excluded from the static-map diff
+    // r16 also moved dedup_embedding here: its LSH width is count-sized
+    // (embeddingLshBits), so the oracle inlines the width at dump time
     val dynamic = Set("ann_ivf", "ann_ivf_pq", "ann_recall",
       "dedup_semantic", "dedup_semantic_cc", "dedup_semantic_dense",
-      "dba_describe_detail", "dba_compaction_plan")
+      "dba_describe_detail", "dba_compaction_plan", "dedup_embedding")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
     // dba_table_stats_approx stays spec-held: HLL sketch estimates can't
