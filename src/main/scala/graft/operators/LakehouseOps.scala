@@ -358,19 +358,32 @@ object LakehouseOps {
     * struct, then aggregate the extracted metric.
     */
   def dbaJsonIngest(s: SparkSession, dir: String): DataFrame = {
-    // from_json is the heaviest per-row stage on events — a 1-row-group
-    // decade file would parse single-threaded without the opt-in fan-out
-    // (3.2 → 2.0 s at sf1-equiv; the cheap events aggregations stay on
-    // the raw scan, where the shuffle costs more than it buys)
-    val parsed = Tables.fanOutFor(s, Tables.events(s, dir))
-      .withColumn("payload",
-        from_json(col("props"), StructType.fromDDL("k INT")))
-    flattenStructs(parsed.select(col("event_type"), col("value"), col("payload")))
+    // from_json is the heaviest per-row stage on events AND it breaks
+    // whole-stage codegen (JsonToStructs is eval-only), so parsing every
+    // ROW was the measured decade killer (4.1× isolated min ratio). The
+    // parse is deterministic per string, so aggregate FIRST on the raw
+    // (event_type, props) pair — a codegen'd map-side-combined hash agg;
+    // the shuffle carries ≤ distinct pairs × tasks — and parse only the
+    // DISTINCT payloads: parse cost ∝ payload cardinality, never rows.
+    // Worst case (every payload unique) this degrades to exactly the old
+    // per-row parse after a combine that cost one hash probe per row; on
+    // real telemetry (bounded payload shapes) the interpreted stage is
+    // constant-sized. Decimal partial sums re-sum exactly — Σ dec(v)
+    // grouped then re-summed ≡ Σ dec(v) row-wise.
+    val byPayload = Tables.events(s, dir)
+      .groupBy("event_type", "props")
+      .agg(count(lit(1)).as("__freq"),
+        sum(dec(col("value"))).as("__sum_value"))
+    val parsed = byPayload.withColumn("payload",
+      from_json(col("props"), StructType.fromDDL("k INT")))
+    flattenStructs(parsed.select(col("event_type"), col("payload"),
+        col("__freq"), col("__sum_value")))
       .groupBy("event_type")
       .agg(
-        count(col("payload_k")).as("n_payloads"),
-        sum(col("payload_k")).as("sum_k"),
-        asDouble(sum(dec(col("value")))).as("sum_value"))
+        sum(when(col("payload_k").isNotNull, col("__freq"))
+          .otherwise(0L)).as("n_payloads"),
+        sum(col("payload_k").cast("long") * col("__freq")).as("sum_k"),
+        asDouble(sum(col("__sum_value"))).as("sum_value"))
       .orderBy("event_type")
   }
 
