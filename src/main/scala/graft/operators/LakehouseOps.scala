@@ -443,6 +443,13 @@ object LakehouseOps {
   /** Upsert the last-two-years order feed into the pre-1997 snapshot:
     * matched keys take the (repriced) source row, unmatched source keys
     * insert, untouched target rows survive.
+    *
+    * No final global sort: a MERGE result is a TABLE, not a report — and
+    * the output here is DATA-sized, so a presentation `orderBy` costs a
+    * range-sampling pass that re-executes the join plus a full-result
+    * exchange+sort (measured ~2/3 of the decade wall). The driver's
+    * compare is row-order-independent; a caller wanting order sorts the
+    * written table.
     */
   def dbaMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -451,13 +458,14 @@ object LakehouseOps {
     val source = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
     mergeUpsert(target, source, Seq("o_orderkey"))
-      .orderBy("o_orderkey")
   }
 
   /** B2b — the same merge with `skewSafe = true`: source dedup as a
     * `max_by` aggregation (map-side combine bounds a hot key) instead of
     * a window. Checked against the IDENTICAL oracle as dba_merge_upsert —
-    * the two formulations must be indistinguishable by result.
+    * the two formulations must be indistinguishable by result. Same
+    * no-global-sort contract as B2 (the sort reproduced a 4.3× isolated
+    * decade min here — the range sample re-ran the whole merge).
     */
   def dbaMergeUpsertSkew(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -466,7 +474,6 @@ object LakehouseOps {
     val source = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
     mergeUpsert(target, source, Seq("o_orderkey"), skewSafe = true)
-      .orderBy("o_orderkey")
   }
 
   val dbaMergeUpsertOracle: String =

@@ -244,8 +244,12 @@ class SkewSpec extends SparkSpec {
   }
 
   test("merge: dba_merge_skew matches dba_merge_upsert on the real tables") {
+    // neither variant globally sorts (a MERGE result is a table), so
+    // compare on the unique key — row for row after a local sort
     val a = LakehouseOps.dbaMergeUpsert(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0))
     val b = LakehouseOps.dbaMergeUpsertSkew(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0))
     assert(a.nonEmpty && a == b)
   }
 

@@ -12,6 +12,15 @@ per-replica suffix so the dedup family sees 10 NEAR-duplicates per
 original (web-scale dup structure) instead of collapsing to exact dups.
 Schemas are preserved byte-exact via pyarrow (events.ts stays
 TIMESTAMP(NANOS)).
+
+Row groups: one per replica (row_group_size = the source table's row
+count), so N x data carries N x scan splits of the SAME per-task work as
+the source file — the weak-scaling shape a real cluster sees (10x data =
+10x files), and the shape Spark can actually parallelize (a row group is
+the atomic split unit). pyarrow's default 1M-row groups previously left
+the decade orders file at 2 splits and events at 1: every scan-bound
+query then paid ~5x per-task scan growth per decade, a fixture artifact
+that read as super-linearity in scale_flags.
 """
 import sys, os
 import pyarrow as pa
@@ -65,8 +74,9 @@ def main():
                                      suffixed.cast(rep.schema.field(i).type))
             out.append(rep)
         big = pa.concat_tables(out)
-        pq.write_table(big, f"{dst}/{t}.parquet")
-        print(t, big.num_rows, "rows")
+        pq.write_table(big, f"{dst}/{t}.parquet",
+                       row_group_size=max(tab.num_rows, 1))
+        print(t, big.num_rows, "rows", factor, "row groups")
 
 
 if __name__ == "__main__":
