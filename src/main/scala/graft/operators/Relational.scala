@@ -514,13 +514,23 @@ object Relational {
     * 2.87 s → 1.14 s, decade min-ratio 6.1× → 2.9×.
     */
   def qJsonFlatten(s: SparkSession, dir: String): DataFrame = {
-    Tables.fanOutFor(s, Tables.events(s, dir))
+    // get_json_object is eval-only (breaks whole-stage codegen) — the
+    // same per-row-parse decade killer as B11, retired the same way: a
+    // codegen'd map-side-combined pre-aggregate on the raw (type, payload)
+    // pair, then the interpreted extraction runs once per DISTINCT
+    // payload. Exact for any data (the parse is deterministic per string;
+    // counts/sums decompose over groups); worst case all-unique payloads
+    // = the old cost plus one hash probe per row.
+    Tables.events(s, dir)
+      .groupBy("event_type", "props")
+      .agg(count(lit(1)).as("__freq"))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(
-        count(col("k")).as("n_k"),
+        sum(when(col("k").isNotNull, col("__freq")).otherwise(0L)).as("n_k"),
         max(col("k")).as("max_k"),
-        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        (sum(col("k").cast("long") * col("__freq")).cast("double") /
+          sum(when(col("k").isNotNull, col("__freq")).otherwise(0L))).as("avg_k"))
       .orderBy("event_type")
   }
 
