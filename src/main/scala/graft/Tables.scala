@@ -69,8 +69,22 @@ object Tables {
     val need = math.min(4, target)
     val files = df.inputFiles
     if (files.length >= need) df
-    else if (rowGroupCount(s, files, need) >= need) df
-    else df.repartition(target)
+    else {
+      // Effective scan parallelism is min(byte-range splits, row groups):
+      // row groups beyond the split count share a task (Spark assigns
+      // each row group to the split holding its midpoint), and splits
+      // beyond the row-group count are empty. A SMALL multi-row-group
+      // file is the trap this guards: 10 row groups in 6 MB pass a
+      // row-group-only check, but `openCostInBytes` floors the split
+      // size at 4 MB, so the scan really runs ~2-way — the r16
+      // weak-scaling sf1-equiv regeneration flipped exactly this and
+      // silently serialized every heavy-text query that relied on the
+      // fan-out (text_pii_scrub 1.1 → 4.7 s with zero code change).
+      // getNumPartitions is plan-time metadata — no job runs.
+      val splits = df.rdd.getNumPartitions
+      if (math.min(splits, rowGroupCount(s, files, need)) >= need) df
+      else df.repartition(target)
+    }
   }
 
   /** Total row groups across `files`, short-circuiting once `enough` is

@@ -61,6 +61,38 @@ class TablesEncodingSpec extends SparkSpec {
     assert(results("ntz") === results("long"), "TIMESTAMP_NTZ encoding drifted from long/nanos")
   }
 
+  test("fanOut repartitions a SMALL multi-row-group single file — splits, " +
+    "not row groups, bound the scan") {
+    // The r16 trap: 10 row groups inside a few-MB file pass a
+    // row-group-only check, but openCostInBytes floors Spark's split
+    // size at 4 MB, so the scan really runs ~1-way and every heavy
+    // per-row stage above it serializes. fanOut must see the true
+    // effective parallelism (min of byte-range splits and row groups)
+    // and still fan out.
+    val dir = Files.createTempDirectory("graft_fanout").toString
+    spark.range(20000)
+      .select(col("id").as("doc_id"),
+        concat(lit("word "), col("id")).as("text"),
+        lit("en").as("lang"), lit("s0").as("source"),
+        lit(7L).as("n_chars"))
+      .coalesce(1)
+      .write.option("parquet.block.size", 16 * 1024)
+      .parquet(dir + "/documents.parquet")
+    // sanity: the trap shape really holds — ONE file, many row groups
+    val files = Tables.load(spark, dir, "documents").inputFiles
+    assert(files.length == 1, s"expected one part file, got ${files.length}")
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head),
+        spark.sparkContext.hadoopConfiguration))
+    val groups = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(groups >= 4, s"fixture must be multi-row-group, got $groups")
+    // the loader must deliver real parallelism anyway
+    val parts = Tables.documents(spark, dir).rdd.getNumPartitions
+    assert(parts >= math.min(4, spark.sparkContext.defaultParallelism),
+      s"fanOut left a $groups-row-group small file at $parts partitions")
+  }
+
   test("real testdata events loads with invariant schema and sane range") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts_ns").dataType === LongType)
