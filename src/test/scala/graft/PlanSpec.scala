@@ -244,6 +244,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("JSON queries parse distinct payloads above a combine; merges never " +
+    "globally sort") {
+    // B11/A15: the eval-only parse must ride ABOVE a map-side-combined
+    // (event_type, props) aggregate — its exchange keys on the pair — and
+    // the old fan-out round-robin must stay gone (the pre-aggregate IS
+    // the parallelism now)
+    Seq("dba_json_ingest", "q_json_flatten").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("hashpartitioning(event_type") &&
+        p.contains("props"),
+        s"$n lost the distinct-payload pre-aggregate")
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"$n regrew the fan-out shuffle the pre-aggregate replaced")
+    }
+    // B2/B2b: a MERGE result is a table — a data-sized global sort costs
+    // a range-sampling pass that re-executes the whole merge
+    Seq("dba_merge_upsert", "dba_merge_skew").foreach { n =>
+      val p = plan(n).toLowerCase
+      assert(!p.contains("rangepartitioning"),
+        s"$n regrew the data-sized presentation sort")
+    }
+  }
+
   test("stream_enrich broadcasts both dims; stream_dedup combines map-side") {
     // D9: the fact must never shuffle for a dimension join — both dims
     // ride broadcasts and the only exchange is the final tiny aggregate
