@@ -320,7 +320,14 @@ object Bench {
         }
         if (ts.isEmpty) None else Some(ts.min)
       }
-      val isoRatios = flagged.flatMap(n => names.find(_._1 == n)).flatMap {
+      // adjudicate the BAND under the bar too (≥80% of it): r16 left six
+      // 2.4–3.0× queries with in-suite numbers only — under the flag bar
+      // so never re-run isolated, above the suite headline so unproven.
+      // Every band member gets an isolated decade ratio in the artifact;
+      // scale_flags_isolated still counts only true over-bar repro.
+      val watch = bar.fold(Seq.empty[String]) { b =>
+        ratiosMin.filter(_._2 > 0.8 * b).map(_._1) }
+      val isoRatios = watch.flatMap(n => names.find(_._1 == n)).flatMap {
         case (n, fn) =>
           for (sv <- isoMin(fn, d); bv <- isoMin(fn, sfDir); if sv > 0)
             yield n -> (bv / sv)

@@ -104,6 +104,19 @@ object GraftSqlVerbs {
     ("""(?is)\s*SHOW\s+FILES\s+(?:IN\s+)?""" + Tgt + """\s*;?\s*""").r
   private val ShowPartitionsRe =
     ("""(?is)\s*SHOW\s+PARTITIONS\s+(?:IN\s+)?""" + Tgt + """\s*;?\s*""").r
+  // SHOW TABLES twin: no LIKE-pattern form (that stays native), optional
+  // IN/FROM db. Intercepts only when the session has graft registrations
+  // (see shouldIntercept) and always REPRODUCES the native listing plus
+  // the registry rows, so behavior is a strict superset of native.
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([A-Za-z_]\w*))?\s*;?\s*""".r
+  // DESCRIBE EXTENDED <table> <col> twin — the per-column-stats form the
+  // reference's maintenance sweep reads (TPC-datagen-notebook.scala:2131).
+  // The column group is REQUIRED: the table-level DESCRIBE EXTENDED form
+  // stays native. Dotted names intercept via registry-only probe.
+  private val DescribeColumnRe =
+    ("""(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?EXTENDED\s+""" + Tgt +
+      """\s+([A-Za-z_]\w*)\s*;?\s*""").r
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DropConstraintRe =
@@ -165,6 +178,19 @@ object GraftSqlVerbs {
       case GraftMsckRepairCommand(t) =>
         return t.startsWith("'") ||
           session.forall(s => GraftCatalog.registered(s, t).isDefined)
+      // SHOW TABLES is native grammar: intercept ONLY when this session
+      // has graft registrations to add, and the command reproduces the
+      // native listing verbatim before appending them — a session that
+      // never registered a graft table sees native SHOW TABLES untouched
+      case GraftShowTablesCommand(_) =>
+        return session.forall(s => GraftCatalog.listTables(s).nonEmpty)
+      // DESCRIBE EXTENDED <t> <col> is native grammar and its dotted
+      // target is usually an ordinary catalog table — registry-only
+      // probe, same contract as MSCK: only quoted paths and explicitly
+      // graft-REGISTERED names intercept
+      case GraftDescribeColumnCommand(t, _) =>
+        return t.startsWith("'") ||
+          session.forall(s => GraftCatalog.registered(s, t).isDefined)
       case _ => ()
     }
     val collidingTarget: Option[String] = plan match {
@@ -214,6 +240,9 @@ object GraftSqlVerbs {
       case AnalyzeRe(path) => Some(GraftAnalyzeCommand(path))
       case ShowFilesRe(path) => Some(GraftShowFilesCommand(path))
       case ShowPartitionsRe(path) => Some(GraftShowPartitionsCommand(path))
+      case ShowTablesRe(db) => Some(GraftShowTablesCommand(Option(db)))
+      case DescribeColumnRe(path, column) =>
+        Some(GraftDescribeColumnCommand(path, column))
       case AddConstraintRe(path, name, expr) =>
         Some(GraftConstraintCommand(path, name, Some(expr.trim)))
       case DropConstraintRe(path, name) =>
@@ -502,6 +531,95 @@ case class GraftShowPartitionsCommand(path: String)
         sum("size_bytes").as("size_bytes"))
       .orderBy("partition")
       .collect().toIndexedSeq
+  }
+}
+
+/** `SHOW TABLES [IN|FROM db]` — the native listing PLUS this session's
+  * [[GraftCatalog]] registrations (the reference's maintenance sweeps
+  * script `show tables` to feed their optimize/analyze loops,
+  * TPC-datagen-notebook.scala:336; graft path-registered tables live in
+  * the session registry, not Spark's catalog, so native SHOW TABLES
+  * alone cannot drive a sweep over them). Native schema, native rows
+  * first (reproduced via the public catalog API — no parser recursion),
+  * then registered names not already listed: with `IN db` only that
+  * db's registrations append; without it, ALL registrations append
+  * (the registry IS the graft namespace — a bare `show tables` sweep
+  * should see every table the session can address).
+  */
+case class GraftShowTablesCommand(db: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("tableName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val native: Seq[Row] = db match {
+      case Some(d) =>
+        if (spark.sessionState.catalog.databaseExists(d))
+          spark.catalog.listTables(d).collect().toSeq.map(t =>
+            Row(Option(t.namespace).map(_.mkString(".")).getOrElse(""),
+              t.name, t.isTemporary))
+        else Seq.empty
+      case None =>
+        spark.catalog.listTables().collect().toSeq.map(t =>
+          Row(Option(t.namespace).map(_.mkString(".")).getOrElse(""),
+            t.name, t.isTemporary))
+    }
+    val seen = native.map(r => (r.getString(0), r.getString(1))).toSet
+    val wanted = db.map(_.toLowerCase)
+    val graft = GraftCatalog.listTables(spark).flatMap { case (n, _) =>
+      val i = n.lastIndexOf('.')
+      val (dbPart, tbl) = (n.substring(0, i), n.substring(i + 1))
+      if (wanted.forall(_ == dbPart) && !seen((dbPart, tbl)))
+        Some(Row(dbPart, tbl, false))
+      else None
+    }
+    native ++ graft
+  }
+}
+
+/** `DESCRIBE [TABLE] EXTENDED <'<path>' | db.table> <col>` — the
+  * per-column statistics form of DESCRIBE (the reference's sweep reads
+  * `describe extended <table> <col>` for min/max/null/ndv per column,
+  * TPC-datagen-notebook.scala:2131), served for graft tables from the
+  * same stats surface ANALYZE (B5) computes: one single-column
+  * min/max/count/approx-ndv aggregate over the table read — native
+  * (info_name, info_value) row shape, so scripts parsing native output
+  * parse this too. Only quoted paths and registered names intercept;
+  * a catalog table's native DESCRIBE EXTENDED is never shadowed.
+  */
+case class GraftDescribeColumnCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+  import GraftSqlVerbs._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("info_name", StringType, nullable = false)(),
+    AttributeReference("info_value", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlVerbs.resolveTarget(spark, this.path)
+    import org.apache.spark.sql.functions._
+    val df = formatOf(spark, path) match {
+      case DeltaFormat   => DeltaLite.read(spark, path)
+      case IcebergFormat => IcebergLite.read(spark, path)
+    }
+    val field = df.schema.fields.find(_.name.equalsIgnoreCase(this.column))
+      .getOrElse(sys.error(
+        s"${this.path}: no column '${this.column}' — table has " +
+          df.schema.fieldNames.mkString(", ")))
+    val c = col(s"`${field.name}`")
+    val r = df.agg(count(lit(1)).as("__n"),
+        min(c).cast(StringType).as("__min"),
+        max(c).cast(StringType).as("__max"),
+        count(c).as("__cnt"),
+        approx_count_distinct(c).as("__ndv"))
+      .collect().head
+    Seq(
+      Row("col_name", field.name),
+      Row("data_type", field.dataType.simpleString),
+      Row("comment", null),
+      Row("min", r.getAs[String]("__min")),
+      Row("max", r.getAs[String]("__max")),
+      Row("num_nulls", (r.getAs[Long]("__n") - r.getAs[Long]("__cnt")).toString),
+      Row("distinct_count", r.getAs[Long]("__ndv").toString))
   }
 }
 

@@ -82,9 +82,35 @@ object Tables {
       // fan-out (text_pii_scrub 1.1 → 4.7 s with zero code change).
       // getNumPartitions is plan-time metadata — no job runs.
       val splits = df.rdd.getNumPartitions
-      if (math.min(splits, rowGroupCount(s, files, need)) >= need) df
+      val effective = math.min(splits, rowGroupCount(s, files, need))
+      if (effective >= need) df
+      // within one of the target: the exchange would buy ONE extra way
+      // at the cost of a full-table round trip — never worth it
+      else if (effective >= need - 1) df
+      // already-parallel LARGE scan (e.g. one ~300 MB file: ≥2 byte-range
+      // splits under maxPartitionBytes): a round-robin here is the exact
+      // data-proportional exchange this gate exists to avoid; only
+      // genuinely serialized (1-way) or small inputs fall through to the
+      // shuffle, whose cost is then bounded by the small input
+      else if (effective >= 2 && totalBytes(s, files) >= LargeInputBytes) df
       else df.repartition(target)
     }
+  }
+
+  /** Above this size an under-split input keeps its native splits rather
+    * than round-robin-shuffling: the exchange moves the whole table, and
+    * a ≥2-way scan of this size amortizes per-task overheads already.
+    */
+  private val LargeInputBytes: Long = 256L * 1024 * 1024
+
+  private def totalBytes(s: SparkSession, files: Array[String]): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    files.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
   }
 
   /** Total row groups across `files`, short-circuiting once `enough` is
@@ -130,8 +156,9 @@ object Tables {
     // cheap aggregations where the round-2 finding holds (shuffle
     // round-trip > parallelism gain — re-measured r12: a blanket
     // fan-out cost +0.2–0.35 s on each of five cheap events queries at
-    // sf0.1). The one heavy per-row stage (dba_json_ingest's from_json)
-    // opts in via [[fanOutFor]].
+    // sf0.1). Heavy per-row stages pre-aggregate instead
+    // (dba_json_ingest parses one payload per DISTINCT value since r16);
+    // the remaining [[fanOutFor]] opt-in is qCube's Expand over orders.
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -828,7 +828,6 @@ object Ann {
     e.select(col("vec_id"), col("q_min"), col("q_max"),
         when(col("__scale") === 0, lit(0.0)).otherwise(err)
           .as("max_abs_err"))
-      .orderBy("vec_id")
   }
 
   val embQuantizeOracle: String =

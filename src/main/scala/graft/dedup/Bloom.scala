@@ -184,7 +184,6 @@ object Bloom {
       .select(col("doc_id"),
         containsBroadcast(words, col("text"), mBits).as("maybe_seen"),
         col("__seen").isNotNull.as("seen_exact"))
-      .orderBy("doc_id")
   }
 
   val dedupBloomOracle: String = {

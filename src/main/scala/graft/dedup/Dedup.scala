@@ -40,7 +40,6 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("doc_id", "content_hash", "n_chars")
-      .orderBy("doc_id")
   }
 
   val dedupExactOracle: String =
@@ -210,7 +209,6 @@ object Dedup {
       .join(finalLabels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------- C3
@@ -233,7 +231,6 @@ object Dedup {
     simhashTable(Tables.documents(s, dir))
       .select(col("doc_id"), col("simhash"),
         shiftrightunsigned(col("simhash"), 48).as("bucket"))
-      .orderBy("doc_id")
 
   // --------------------------------------------------------------- C3b
   /** SimHash hamming nearest neighbor, Manku/Jain/Das Sarma (WWW'07)
@@ -439,7 +436,6 @@ object Dedup {
     ids.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nn_id"), col("hamming"),
         (col("hamming") <= maxHamming).as("is_dup"))
-      .orderBy("doc_id")
   }
 
   /** doc_ids with at least one EARLIER (lower-id) document within
@@ -507,7 +503,6 @@ object Dedup {
         coalesce(col("dup_near"), lit(false)).as("dup_near"),
         (col("dup_exact") || coalesce(col("dup_near"), lit(false)))
           .as("is_dup"))
-      .orderBy("doc_id")
   }
 
   /** Query entry: the doc_id % 10 == 7 slice plays the incoming shard,
@@ -598,7 +593,6 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   // --------------------------------------------------------------- C42
@@ -647,7 +641,6 @@ object Dedup {
         when(col("__a_small"), col("doc_a")).otherwise(col("doc_b")).as("doc_contained"),
         when(col("__a_small"), col("doc_b")).otherwise(col("doc_a")).as("doc_container"),
         col("containment"))
-      .orderBy("doc_contained", "doc_container")
   }
 
   /** C4's oracle skeleton with the containment math and size-orientation
@@ -698,15 +691,36 @@ object Dedup {
     * oracle rides the dynamic channel so DuckDB blocks at the same
     * count-derived width. Vectors are unit norm, so cosine = dot.
     */
-  def dedupEmbedding(s: SparkSession, dir: String,
-                     threshold: Double = 0.95): DataFrame =
-    dedupEmbeddingAt(s, dir, embeddingLshBits(s, dir), threshold)
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingAt(s, dir, embeddingLshBits(s, dir), EmbDupThreshold)
+
+  /** The near-dup cosine bar the C5 query AND its oracle share (the
+    * oracle interpolates it — query and oracle cannot desync). A
+    * non-default threshold goes through [[dedupEmbeddingAt]], whose
+    * `bits` parameter is explicit — the public entry takes NO numeric
+    * parameters, so a legacy positional `dedupEmbedding(s, dir, bits)`
+    * call fails to compile instead of silently becoming a threshold.
+    */
+  val EmbDupThreshold: Double = 0.95
 
   /** The count-derived hyperplane width — ONE definition for the query
-    * and the dynamic oracle (both sides must block identically).
+    * and the dynamic oracle (both sides must block identically). The
+    * count scan is memoized per (session, dir): the query side and the
+    * dynamic-oracle dump both need it in one run, and the second probe
+    * must not re-scan the table.
     */
-  private[graft] def embeddingLshBits(s: SparkSession, dir: String): Int =
-    lshBitsFor(Tables.embeddings(s, dir).select("vec_id").count())
+  private[graft] def embeddingLshBits(s: SparkSession, dir: String): Int = {
+    val key = dir
+    val m = lshBitsCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Int]())
+    m.computeIfAbsent(key,
+      _ => lshBitsFor(Tables.embeddings(s, dir).select("vec_id").count()))
+  }
+
+  private val lshBitsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, Int]]())
 
   /** Fixed-width form of [[dedupEmbedding]] (specs pin the width
     * explicitly; the public entry count-sizes it).
@@ -734,7 +748,6 @@ object Dedup {
       .select(col("vec_id"), col("m.nn_id").as("nn_id"),
         (-col("m.neg")).as("cosine"))
       .withColumn("is_dup", col("cosine") >= threshold)
-      .orderBy("vec_id")
   }
 
   /** Oracle over shingle STRINGS where the engine uses shingle hashes: the
@@ -784,11 +797,12 @@ object Dedup {
       |  SELECT a.vec_id, bb.vec_id AS nn_id,
       |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS cosine
       |  FROM b a JOIN b bb USING (bucket) WHERE a.vec_id <> bb.vec_id)
-      |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup FROM (
+      |SELECT vec_id, nn_id, cosine, cosine >= THRESH AS is_dup FROM (
       |  SELECT vec_id, nn_id, cosine,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
       |  FROM s) t WHERE rn = 1 ORDER BY vec_id""".stripMargin
       .replace("BUCKET_EXPR", bucket)
+      .replace("THRESH", EmbDupThreshold.toString)
   }
 
   /** Full-pipeline minhash oracle. Signatures: md5-KM permutations in
@@ -1112,7 +1126,6 @@ object Dedup {
       .select(col("vec_id"), col("rep"))
       .join(repClusters.withColumnRenamed("vec_id", "rep"), "rep")
       .select("vec_id", "cluster_id")
-      .orderBy("vec_id")
 
   /** Embedding near-dup CLUSTERS — the missing half of C5: pairwise
     * flags tell you two vectors are near-dups, but keep-one-per-group
@@ -1289,7 +1302,6 @@ object Dedup {
           .as("shared_fps"))
       .withColumn("share_ratio",
         col("shared_fps").cast("double") / col("n_fingerprints"))
-      .orderBy("doc_id")
   }
 
   /** Replays the C11 winnowing SQL (distinct minima per doc — the Scala
@@ -1379,7 +1391,6 @@ object Dedup {
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("nn_id"), col("nn_cos"),
         coalesce(col("nn_cos") >= threshold, lit(false)).as("is_semdup"))
-      .orderBy("vec_id")
   }
 
   private[graft] val SemThreshold = 0.93
@@ -1458,7 +1469,6 @@ object Dedup {
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("label"), col("vec_id")).as("cluster"))
-      .orderBy("vec_id")
   }
 
   def dedupSemanticCcQuery(s: SparkSession, dir: String): DataFrame =

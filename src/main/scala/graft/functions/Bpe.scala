@@ -279,7 +279,6 @@ object Bpe {
         bpe_token_count(col("text")).as("n_tokens_bpe"))
       .withColumn("tokens_per_word",
         col("n_tokens_bpe").cast("double") / col("n_tokens"))
-      .orderBy("doc_id")
 
   val textTokensBpeOracle: String =
     s"""WITH ${bpeDocCte(DefaultMerges)}
@@ -301,7 +300,6 @@ object Bpe {
         tokens = bpe_token_count(col("text")),
         streamCol = col("source"), orderCol = col("doc_id"))
       .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
-      .orderBy("doc_id")
 
   val seqPackBpeOracle: String =
     s"""WITH ${bpeDocCte(DefaultMerges)},
@@ -326,7 +324,6 @@ object Bpe {
         tokens = bpe_token_count(col("text")),
         budget = budget, group = col("source"))
       .select("doc_id", "source", "n_tokens", "quality", "cum_tokens", "kept")
-      .orderBy("doc_id")
   }
 
   val qualityBudgetBpeOracle: String = {

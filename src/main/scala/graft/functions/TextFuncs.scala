@@ -130,7 +130,6 @@ object TextFuncs {
         (nUpper.cast("double") / nChars).as("upper_ratio"),
         (nStop.cast("double") / nWords).as("stopword_ratio"),
         (nChars.cast("double") / nWords).as("avg_word_len"))
-      .orderBy("doc_id")
   }
 
   val textQualityOracle: String = {
@@ -158,7 +157,6 @@ object TextFuncs {
         size(toks(col("text"))).as("n_ws_tokens"),
         Text.bpeEstCount(col("text")).as("n_bpe_est"),
         length(col("text")).as("n_chars"))
-      .orderBy("doc_id")
 
   val textTokensOracle: String =
     """SELECT doc_id,
@@ -195,7 +193,6 @@ object TextFuncs {
       .withColumn("pred_lang", langPred(col("__sc")))
       .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("best_score")) ++
         stopwordProfiles.map { case (l, _) => col(s"score_$l") }: _*)
-      .orderBy("doc_id")
   }
 
   /** Generated from `stopwordProfiles` via the shared SQL generators so
@@ -232,7 +229,6 @@ object TextFuncs {
         size(col("fingerprints")).as("n_fingerprints"),
         aggregate(col("fingerprints"), lit(0L), (a, x) => a.bitwiseXOR(x))
           .as("fp_checksum"))
-      .orderBy("doc_id")
   }
 
   /** Oracle for the winnowing fingerprint — possible because
@@ -299,7 +295,6 @@ object TextFuncs {
     piiScrub(augmented, "text")
       .select(col("doc_id"), col("text").as("scrubbed"),
         col("n_email"), col("n_phone"), col("n_ip"))
-      .orderBy("doc_id")
   }
 
   val textPiiScrubOracle: String = {
@@ -346,7 +341,6 @@ object TextFuncs {
           (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("rep_ratio"),
         coalesce(col("max_gram_count"), lit(0L)).as("max_gram_count"))
-      .orderBy("doc_id")
   }
 
   val textRepetitionOracle: String =
@@ -431,7 +425,6 @@ object TextFuncs {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
-      .orderBy("doc_id", "rnk")
   }
 
   val textTfidfOracle: String =
@@ -460,10 +453,15 @@ object TextFuncs {
     * a doc with one hot gram repeated at the start and end scores low
     * there but its spans are what a filter actually wants to bound.
     * Shape: posexplode grams → per-(doc, gram) count+positions (ONE
-    * aggregation, positions ride as a list so no second pass) → explode
-    * the ≥2 survivors' covered token indexes → per-doc distinct count.
-    * Shuffles carry (doc_id, gram, positions) ∝ corpus tokens, never
-    * text, and the first aggregation map-side combines.
+    * aggregation, positions ride as a list so no second pass) → per-doc
+    * MERGED-INTERVAL length sum over the ≥2 survivors' positions. Every
+    * dup position p covers the equal-length interval [p, p+n), so the
+    * union's size is Σ min(n, pᵢ − pᵢ₋₁) over the sorted positions
+    * (first term n) — one sorted-list aggregate plus scalar array
+    * arithmetic, replacing the old explode-every-covered-index →
+    * countDistinct plan whose shuffle carried n× the dup positions and
+    * paid a two-phase distinct. Shuffles carry (doc_id, gram, positions)
+    * ∝ corpus tokens, never text; both aggregations map-side combine.
     */
   def dupSpan(docs: DataFrame, n: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id"),
@@ -472,17 +470,27 @@ object TextFuncs {
       .agg(count(lit(1)).as("c"), collect_list(col("pos")).as("ps"))
       .filter(col("c") >= 2)
       .select(col("doc_id"), explode(col("ps")).as("pos"))
+    // positions are unique per doc (one n-gram per index), so after the
+    // sort each gap < n is exactly the overlap with the previous interval
     val cov = dupPos
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("ti")).as("dup_tokens"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(
+            col("__ps"),
+            // previous position, with a −n sentinel in front so the
+            // first interval contributes its full length n
+            slice(concat(array(lit(-n)), col("__ps")), lit(1),
+              size(col("__ps"))),
+            (cur, prev) => least(lit(n), cur - prev)),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("dup_tokens"))
     docs.select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("dup_tokens").cast("double") / col("n_tokens"), lit(0.0))
           .as("dup_ratio"))
-      .orderBy("doc_id")
   }
 
   /** C26 query: trigram spans over the documents table. */
@@ -606,7 +614,6 @@ object TextFuncs {
       .withColumn("novelty",
         when(col("n_grams") === 0, lit(1.0))
           .otherwise(lit(1.0) - col("seen_grams").cast("double") / col("n_grams")))
-      .orderBy("doc_id")
   }
 
   /** C34 query: trigram novelty over the documents table. */

@@ -85,7 +85,6 @@ object UnigramLm {
       .withColumn("lm_score",
         col("__lp").cast("double") / (col("n_tokens").cast("double") * 1e6))
       .select("doc_id", "n_tokens", "lm_score")
-      .orderBy("doc_id")
 
   /** CCNet's head/middle/tail split (Wenzek et al. §4.3): per LANGUAGE,
     * rank documents by LM score and cut the corpus into thirds — head =
@@ -130,7 +129,6 @@ object UnigramLm {
         when(col("lm_score") <= col("t33"), lit("tail"))
           .when(col("lm_score") <= col("t67"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
-      .orderBy("doc_id")
   }
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"

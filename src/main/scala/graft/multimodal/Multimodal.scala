@@ -596,10 +596,8 @@ object Multimodal {
     * evaluates the generative formulas the payloads were rendered from,
     * so the hashes only match if encode → decode is bit-faithful.
     */
-  def mmBinaryPipeline(s: SparkSession, dir: String): DataFrame = {
+  def mmBinaryPipeline(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mmFeed(s, dir)).toDF()
-      .orderBy("doc_id")
-  }
 
   val mmBinaryPipelineOracle: String =
     """WITH m AS (
@@ -892,7 +890,6 @@ object Multimodal {
         }
       }))
       .toDF("doc_id", "frame", "width", "height", "sum_r", "sum_g", "sum_b")
-      .orderBy("doc_id", "frame")
   }
 
   val mmVideoFramesOracle: String =

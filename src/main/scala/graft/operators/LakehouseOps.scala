@@ -508,7 +508,6 @@ object LakehouseOps {
     changes
       .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
       .withColumn("is_current", col("valid_to_ms").isNull)
-      .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
   /** B3b — the same SCD2 collapse with the hot-key hazard removed from
@@ -554,7 +553,6 @@ object LakehouseOps {
     changes
       .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
       .withColumn("is_current", col("valid_to_ms").isNull)
-      .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
   val dbaScd2HistoryOracle: String =
@@ -576,7 +574,7 @@ object LakehouseOps {
     val dest = StructType.fromDDL(
       "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, " +
         "c_acctbal DOUBLE, loyalty_tier STRING, signup_ts TIMESTAMP")
-    alignToSchema(Tables.customer(s, dir), dest).orderBy("c_custkey")
+    alignToSchema(Tables.customer(s, dir), dest)
   }
 
   val dbaSchemaAlignOracle: String =
@@ -695,7 +693,6 @@ object LakehouseOps {
     Tables.part(s, dir)
       .select(col("p_partkey"), col("p_size"),
         ZOrder.zvalue(Seq(col("p_partkey"), col("p_size")), 16).as("zkey"))
-      .orderBy("p_partkey")
 
   val dbaZorderKeyOracle: String =
     s"""SELECT p_partkey, p_size,
@@ -778,7 +775,6 @@ object LakehouseOps {
       .agg(
         asDouble(sum(dec(col("value")) * col("rate"))).as("total_cost"),
         count(lit(1)).as("n_billed"))
-      .orderBy("user_id")
   }
 
   val dbaPricingCostOracle: String =
@@ -957,7 +953,7 @@ object LakehouseOps {
     val updates = ord.filter(col("o_orderkey") <= cutoff)
       .withColumn("o_totalprice", asDouble(dec(col("o_totalprice")) * dec(lit(1.1))))
     graft.sources.DeltaLite.selectiveMerge(s, t, updates, Seq("o_orderkey"))
-    graft.sources.DeltaLite.read(s, t).orderBy("o_orderkey")
+    graft.sources.DeltaLite.read(s, t)
   }
 
   val dbaMergeSelectiveOracle: String =
@@ -1016,7 +1012,6 @@ object LakehouseOps {
       Seq("o_orderkey"), clauses = clauses)
     graft.sources.DeltaLite.read(s, t)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
   }
 
   val dbaMergeClausesOracle: String =
@@ -1112,7 +1107,6 @@ object LakehouseOps {
       Seq("o_orderkey"))
     graft.sources.DeltaLite.changes(s, t, 0L, 2L, Seq("o_orderkey"))
       .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("_change_type", "o_orderkey")
   }
 
   val dbaDeltaChangesOracle: String =
@@ -1204,7 +1198,6 @@ object LakehouseOps {
       Seq("o_orderkey"))
     graft.sources.IcebergLite.changes(s, t, 0L, None, Seq("o_orderkey"))
       .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("_change_type", "o_orderkey")
   }
 
   // deliberately shared with B17 (two formats, one recomputation)

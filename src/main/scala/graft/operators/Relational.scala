@@ -178,7 +178,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
         expr("ts_ns div 1000000").as("ts_ms"))
-      .orderBy("user_id")
   }
 
   val qDedupLatestOracle: String =
@@ -211,7 +210,6 @@ object Relational {
         struct(col("ts_ns"), col("event_id"))).as("latest"))
       .select(col("user_id"), col("latest.event_id"),
         col("latest.event_type"), col("latest.value"), col("latest.ts_ms"))
-      .orderBy("user_id")
 
   // ---------------------------------------------------------------- A7
   /** ROLLUP computed as re-aggregation of partials: the finest level is one
@@ -399,7 +397,6 @@ object Relational {
     Tables.customer(s, dir)
       .join(recentOrders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
 
   val qSemiOracle: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -411,7 +408,6 @@ object Relational {
     Tables.customer(s, dir)
       .join(recentOrders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
 
   val qAntiOracle: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -428,7 +424,6 @@ object Relational {
       .pivot("event_type", eventTypes)
       .count()
       .na.fill(0L, eventTypes)
-      .orderBy("user_id")
   }
 
   val qPivotOracle: String =
@@ -450,7 +445,6 @@ object Relational {
       .withColumn("prev_price", lag("o_totalprice", 1).over(w))
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
         "running_total", "prev_price")
-      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   val qWindowRunningOracle: String =
@@ -575,7 +569,6 @@ object Relational {
       .withColumn("o_orderdate", last("odate_in", ignoreNulls = true).over(w))
       .filter(col("side") === 1 && col("o_orderkey").isNotNull)
       .select(col("event_id"), col("k").as("user_id"), col("o_orderkey"), col("o_orderdate"))
-      .orderBy("event_id")
   }
 
   // ---------------------------------------------------------------- A16b
@@ -598,7 +591,6 @@ object Relational {
       .filter(col("side") === 1 && col("okey_in").isNotNull)
       .select(col("event_id"), col("k").as("user_id"),
         col("okey_in").as("o_orderkey"), col("odate_in").as("o_orderdate"))
-      .orderBy("event_id")
 
   val qAsofOracle: String =
     """WITH r AS (
@@ -624,7 +616,6 @@ object Relational {
           count(lit(1)).over(w))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
-      .orderBy("o_orderkey")
   }
 
   val qAboveAvgOracle: String =
@@ -656,7 +647,6 @@ object Relational {
         when(col("in95") && col("in96"), "both")
           .when(col("in95"), "only_1995")
           .otherwise("only_1996").as("tag"))
-      .orderBy("o_custkey", "tag")
   }
 
   val qSetOpsOracle: String =

@@ -10,10 +10,13 @@ import graft.functions.TextFuncs
 /** The end-to-end curation job a training-data pipeline actually runs:
   * exact-dedup, length gate, language gate, quality gate — composed into
   * ONE pass with a reason code per document. Everything is a projection
-  * except the dedup window (one hash shuffle on the content hash) and the
-  * presentation-only output sort (a range exchange a caller that doesn't
-  * need global order would drop), so the pipeline's data cost is one
-  * corpus shuffle; everything else is scan-stage.
+  * except the dedup window (one hash shuffle on the content hash), so the
+  * pipeline's data cost is one corpus shuffle; everything else is
+  * scan-stage. The output is a TABLE (doc-sized), not a report, so there
+  * is deliberately no tail sort — a global orderBy on a corpus-sized
+  * result costs a range-sampling pass that re-executes the plan plus a
+  * full exchange+sort (measured at ~2/3 of wall on the merge operator);
+  * a caller wanting order sorts the written table.
   *
   * Gate precedence (first failure wins): dup > short > lang_mismatch >
   * low_quality > kept. Thresholds are parameters; the defaults split the
@@ -81,7 +84,6 @@ object Curate {
           .otherwise(statelessReason(minWords, minStopwordRatio)))
       .withColumn("kept", col("reason") === "kept")
       .select(outCols.map(col): _*)
-      .orderBy("doc_id")
   }
 
   /** `extraCols`: input columns to carry through to the output unchanged
@@ -195,7 +197,6 @@ object Curate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         overlap.as("overlap"),
         (overlap >= threshold).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Query entry: self-contained on the documents table — the "benchmark"
@@ -298,7 +299,6 @@ object Curate {
       quality = col("__c").getItem(1).cast("double") / nWords,
       tokens = nWords, budget = budget, group = col("source"))
       .select("doc_id", "source", "n_tokens", "quality", "cum_tokens", "kept")
-      .orderBy("doc_id")
   }
 
   val qualityBudgetOracle: String = {
@@ -398,19 +398,26 @@ object Curate {
     docs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= cap)
   }
 
-  def docDomainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame =
+  /** The per-source cap the C49 query AND its oracle share — the oracle
+    * interpolates this value, so query and oracle cannot desync when it
+    * changes (same idiom as [[Mix.PackCapacity]]).
+    */
+  val DomainCap: Int = 10
+
+  def docDomainCap(s: SparkSession, dir: String,
+                   cap: Int = DomainCap): DataFrame =
     domainCap(Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
         cap)
       .select("source", "rnk", "doc_id", "n_chars")
       .orderBy("source", "rnk")
 
   val docDomainCapOracle: String =
-    """SELECT source, rnk, doc_id, n_chars FROM (
-      |  SELECT source, doc_id, n_chars,
-      |    ROW_NUMBER() OVER (PARTITION BY source
-      |                       ORDER BY n_chars DESC, doc_id) AS rnk
-      |  FROM documents) t
-      |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin
+    s"""SELECT source, rnk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= $DomainCap ORDER BY source, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_report"   -> ((s: SparkSession, d: String) => corpusQualityReport(s, d)),

@@ -75,7 +75,6 @@ object Mix {
   def corpusMixQuery(s: SparkSession, dir: String): DataFrame =
     corpusMix(Tables.documents(s, dir), demoRates)
       .select("doc_id", "source", "u", "rate")
-      .orderBy("doc_id")
 
   val corpusMixOracle: String = {
     val u = uniformSql("doc_id", "mix")
@@ -153,7 +152,6 @@ object Mix {
       tokens = size(split(col("text"), " ")),
       streamCol = col("source"), orderCol = col("doc_id"))
       .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
-      .orderBy("doc_id")
 
   val seqPackOracle: String =
     s"""WITH toks AS (
@@ -196,7 +194,6 @@ object Mix {
       streamCol = col("source"), orderCol = col("doc_id"),
       idCol = col("doc_id"), nShards = 8)
       .select("doc_id", "source", "shard", "n_tokens", "seq_id", "offset_in_seq")
-      .orderBy("doc_id")
 
   val seqPackShardedOracle: String = {
     val u = uniformSql("doc_id", "shard")
@@ -266,7 +263,6 @@ object Mix {
   def corpusStratifiedQuery(s: SparkSession, dir: String): DataFrame =
     corpusStratified(Tables.documents(s, dir), col("source"), 10, col("doc_id"))
       .select("doc_id", "source", "rn")
-      .orderBy("doc_id")
 
   /** C27b query: the same draw through the hot-stratum pre-gate (margin
     * 0.5 — some strata gate, undersupplied ones fall back). Same oracle
@@ -276,7 +272,6 @@ object Mix {
     corpusStratified(Tables.documents(s, dir), col("source"), 10, col("doc_id"),
         preGateMargin = Some(0.5))
       .select("doc_id", "source", "rn")
-      .orderBy("doc_id")
 
   val corpusStratifiedOracle: String = {
     val u = uniformSql("doc_id", "strat")
@@ -321,7 +316,6 @@ object Mix {
   def corpusShuffleQuery(s: SparkSession, dir: String): DataFrame =
     corpusShuffle(Tables.documents(s, dir), col("doc_id"))
       .select("doc_id", "source", "shard", "pos")
-      .orderBy("doc_id")
 
   val corpusShuffleOracle: String = {
     val uShard = uniformSql("doc_id", "shuffle:shard")
@@ -384,7 +378,6 @@ object Mix {
     docChunk(Tables.documents(s, dir), col("text"), ChunkTokens, ChunkStride)
       .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_tokens",
         "chunk_text")
-      .orderBy("doc_id", "chunk_id")
 
   val docChunkOracle: String =
     s"""SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
@@ -423,7 +416,6 @@ object Mix {
     seqPack(mixed, capacity, tokens = col("n_words"),
         streamCol = col("source"), orderCol = col("doc_id"))
       .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
-      .orderBy("doc_id")
   }
 
   val corpusBuildOracle: String = {
@@ -460,7 +452,6 @@ object Mix {
         streamCol = col("source"),
         orderCol = struct(uniformOf(col("doc_id"), "order"), col("doc_id")))
       .select("doc_id", "source", "n_tokens", "seq_id", "offset_in_seq")
-      .orderBy("doc_id")
   }
 
   val corpusBuildShuffledOracle: String = {
@@ -511,7 +502,6 @@ object Mix {
   def corpusSplitQuery(s: SparkSession, dir: String): DataFrame =
     corpusSplit(Tables.documents(s, dir))
       .select("doc_id", "source", "split")
-      .orderBy("doc_id")
 
   val corpusSplitOracle: String = {
     val u = uniformSql("text", "split")

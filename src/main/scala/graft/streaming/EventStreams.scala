@@ -71,7 +71,6 @@ object EventStreams {
         expr("max(ts_ns) div 1000000").as("end_ms"),
         count(lit(1)).as("n_events"),
         asDouble(sum(dec(col("value")))).as("sum_value"))
-      .orderBy("user_id", "session_id")
   }
 
   val streamSessionizeOracle: String =
@@ -122,7 +121,6 @@ object EventStreams {
         col("click_ns") <= col("purchase_ns"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         expr("(purchase_ns - click_ns) div 1000000").as("gap_ms"))
-      .orderBy("purchase_id", "click_id")
   }
 
   val streamIntervalJoinOracle: String =
@@ -203,7 +201,6 @@ object EventStreams {
         col("__f.event_id").as("first_event_id"),
         col("__f.value").as("first_value"),
         col("n_dups"))
-      .orderBy("user_id", "event_type")
 
   val streamDedupOracle: String =
     """SELECT user_id, event_type, ns // 1000000 AS first_ms,

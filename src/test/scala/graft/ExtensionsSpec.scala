@@ -518,4 +518,98 @@ class ExtensionsSpec extends SparkSpec {
     intercept[RuntimeException](extSpark.sql(
       s"ALTER TABLE '$ti' ALTER COLUMN k TYPE long"))
   }
+
+  test("SHOW TABLES twin: native rows reproduced, registry rows appended; " +
+    "no registrations = no interception (native untouched)") {
+    import extSpark.implicits._
+    import graft.sources.DeltaLite
+    // start from a clean registry regardless of suite ordering
+    GraftCatalog.listTables(extSpark).foreach { case (n, _) =>
+      GraftCatalog.unregisterTable(extSpark, n) }
+
+    extSpark.sql("CREATE OR REPLACE TEMP VIEW show_tables_probe AS SELECT 1 AS x")
+    // empty registry → shouldIntercept is false → Spark's own SHOW TABLES
+    assert(GraftSqlVerbs.parseVerb("SHOW TABLES").nonEmpty)
+    assert(!GraftSqlVerbs.shouldIntercept(Some(extSpark),
+      GraftShowTablesCommand(None)))
+    val nativeOnly = extSpark.sql("SHOW TABLES").collect()
+    assert(nativeOnly.exists(_.getString(1) == "show_tables_probe"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_showtables")
+      .toString
+    val t1 = s"$base/t1"
+    DeltaLite.commit(extSpark, t1, Seq((1L, "a")).toDF("k", "s"))
+    extSpark.sql(s"REGISTER TABLE dbadb.reg_one AT '$t1'")
+    extSpark.sql(s"REGISTER TABLE otherdb.reg_two AT '$t1'")
+
+    // intercepted now: native listing (the temp view) PLUS both registrations
+    val all = extSpark.sql("SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all.exists(_._2 == "show_tables_probe"),
+      "native rows must survive interception")
+    assert(all(("dbadb", "reg_one")) && all(("otherdb", "reg_two")))
+
+    // IN db filters registry rows to that db
+    val inDb = extSpark.sql("SHOW TABLES IN dbadb").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inDb(("dbadb", "reg_one")) && !inDb.exists(_._2 == "reg_two"))
+
+    // LIKE-pattern form stays native (not matched by the twin at all)
+    assert(GraftSqlVerbs.parseVerb("SHOW TABLES LIKE 'x*'").isEmpty)
+    assert(GraftSqlVerbs.parseVerb("SHOW TABLES IN db LIKE 'x*'").isEmpty)
+
+    extSpark.sql("UNREGISTER TABLE dbadb.reg_one")
+    extSpark.sql("UNREGISTER TABLE otherdb.reg_two")
+  }
+
+  test("DESCRIBE EXTENDED <t> <col> twin: B5 stats surface for graft " +
+    "tables, path- and registered-name-addressed; catalog tables and " +
+    "single-part names never shadowed") {
+    import extSpark.implicits._
+    import graft.sources.DeltaLite
+    val base = java.nio.file.Files.createTempDirectory("graft_desccol")
+      .toString
+    val t = s"$base/d"
+    DeltaLite.commit(extSpark, t,
+      ((0L until 20L).map(k => (k, s"v$k")) :+ (99L, null.asInstanceOf[String]))
+        .toDF("k", "s"))
+
+    val byPath = extSpark.sql(s"DESCRIBE EXTENDED '$t' k").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byPath("col_name") == "k")
+    assert(byPath("data_type") == "bigint")
+    assert(byPath("min") == "0" && byPath("max") == "99")
+    assert(byPath("num_nulls") == "0")
+    assert(byPath("distinct_count").toLong >= 20L)
+
+    val sStats = extSpark.sql(s"DESCRIBE EXTENDED '$t' s").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sStats("num_nulls") == "1")
+
+    // registered-name addressing serves the same surface
+    extSpark.sql(s"REGISTER TABLE dbadb.desc_probe AT '$t'")
+    val byName = extSpark.sql("DESCRIBE EXTENDED dbadb.desc_probe k")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName == byPath)
+    extSpark.sql("UNREGISTER TABLE dbadb.desc_probe")
+
+    // a bogus column errors loudly, naming the real ones
+    extSpark.sql(s"REGISTER TABLE dbadb.desc_probe AT '$t'")
+    val ec = intercept[RuntimeException](
+      extSpark.sql("DESCRIBE EXTENDED dbadb.desc_probe nope").collect())
+    assert(ec.getMessage.contains("no column 'nope'"))
+    extSpark.sql("UNREGISTER TABLE dbadb.desc_probe")
+
+    // an UNregistered dotted name falls through to native DESCRIBE
+    // (whose error names the missing table, not graft resolution)
+    val en = intercept[Exception](
+      extSpark.sql("DESCRIBE EXTENDED nosuch.tbl k").collect())
+    assert(!en.getMessage.contains("unresolvable"),
+      s"native DESCRIBE must handle unregistered names: ${en.getMessage}")
+
+    // single-part names and the table-level form never match the twin
+    assert(GraftSqlVerbs.parseVerb("DESCRIBE EXTENDED plain k").isEmpty)
+    assert(GraftSqlVerbs.parseVerb("DESCRIBE EXTENDED db.t").isEmpty)
+    assert(GraftSqlVerbs.parseVerb("DESCRIBE EXTENDED db.t k").nonEmpty)
+  }
 }

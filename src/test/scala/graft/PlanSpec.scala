@@ -304,4 +304,47 @@ class PlanSpec extends SparkSpec {
       assert(executedPlan(n).contains("*("), s"$n fell out of codegen")
     }
   }
+
+  test("data-sized outputs carry NO global sort (the B2 lesson, pinned): " +
+    "a presentation orderBy on a table-shaped result costs a " +
+    "range-sampling pass that re-executes the plan plus a full " +
+    "exchange+sort — the r17 sweep removed ~40 of them; this keeps them " +
+    "out") {
+    // every registered query whose output is data-proportional (per-doc /
+    // per-vec / per-user / per-order rows — a TABLE, not a report).
+    // Window sorts print as `Sort [...], false, 0` and are fine; a global
+    // sort prints `Sort [...], true, 0` behind an Exchange rangepartitioning.
+    val dataSized = Seq(
+      "q_dedup_latest", "q_dedup_latest_agg", "q_semi_join", "q_anti_join",
+      "q_pivot", "q_window_running", "q_asof_join", "q_asof_skew",
+      "q_above_avg", "q_setops",
+      "dba_merge_upsert", "dba_merge_skew", "dba_scd2_history",
+      "dba_scd2_skew", "dba_schema_align", "dba_zorder_key",
+      "dba_pricing_cost", "dba_merge_selective", "dba_merge_clauses",
+      "dba_delta_changes", "dba_iceberg_changes_rows",
+      "stream_sessionize", "stream_interval_join", "stream_dedup",
+      "corpus_split", "corpus_mix", "seq_pack", "seq_pack_sharded",
+      "corpus_build", "corpus_build_shuffled", "corpus_stratified",
+      "corpus_stratified_gated", "corpus_shuffle", "doc_chunk",
+      "pipeline_curate", "pipeline_curate_neardup", "contam_check",
+      "quality_budget",
+      "dedup_exact", "dedup_simhash", "dedup_simhash_nn",
+      "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding",
+      "dedup_bloom",
+      "text_quality", "text_tokens", "text_langid", "text_fingerprint",
+      "text_pii_scrub", "text_repetition", "text_tfidf", "text_dup_span",
+      "text_ngram_novelty", "text_lm_score", "corpus_ccnet_buckets",
+      "text_tokens_bpe", "seq_pack_bpe", "quality_budget_bpe",
+      "emb_quantize", "mm_binary_pipeline", "mm_video_frames")
+    dataSized.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n not registered")
+      val p = plan(n)
+      val globalSorts = p.linesIterator
+        .filter(l => l.contains("Sort [") && l.contains("], true, 0"))
+        .toSeq
+      assert(globalSorts.isEmpty,
+        s"$n (data-sized output) carries a global sort:\n" +
+          globalSorts.mkString("\n"))
+    }
+  }
 }

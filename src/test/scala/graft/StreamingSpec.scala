@@ -450,6 +450,59 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
     }
   }
+
+  test("batch interval join: the 2-bucket probe emits every boundary pair " +
+    "exactly once (no pair passes both buckets)") {
+    // PROPERTY, exhaustively over the boundary window: a click in
+    // (p − gap, p] has home bucket c div gap ∈ {p div gap − 1, p div gap}
+    // — the two DISTINCT buckets the purchase probes — so the equi-join
+    // matches each in-window pair on exactly ONE bucket and no distinct
+    // is needed. Sweep purchases across a bucket boundary and clicks
+    // across the full window to hit every alignment class.
+    val gap = EventStreams.sessionGapNs
+    for (pOff <- Seq(0L, 1L, gap / 2, gap - 1);
+         cDelta <- Seq(0L, 1L, gap / 2, gap - 1, gap, gap + 1)) {
+      val p = 5L * gap + pOff
+      val c = p - cDelta
+      val inWindow = c > p - gap && c <= p
+      val pBuckets = Seq(p / gap, p / gap - 1)
+      val matchBuckets = pBuckets.filter(_ == c / gap)
+      assert(pBuckets.distinct.size == 2, "probe buckets must be distinct")
+      if (inWindow)
+        assert(matchBuckets.size == 1,
+          s"pOff=$pOff cDelta=$cDelta: in-window pair must match exactly " +
+            s"one probe bucket, matched ${matchBuckets.size}")
+      else
+        assert(c > p || matchBuckets.isEmpty || c <= p - gap,
+          s"pOff=$pOff cDelta=$cDelta: out-of-window click may share a " +
+            "bucket but must then fail the containment filter")
+    }
+
+    // end to end on a boundary-crafted feed: no duplicate pairs, and the
+    // result equals the naive user-join + window filter
+    import spark.implicits._
+    val gapMs = gap / 1000000L
+    val ev = (0L until 400L).map { i =>
+      val user = i % 7
+      val tp = if (i % 2 == 0) "click" else "purchase"
+      // cluster timestamps tightly around bucket boundaries
+      val ns = (i / 14) * gap + (i % 14 - 7) * (gap / 10) + 3L * gap
+      (i, user, tp, new java.sql.Timestamp(ns / 1000000L), ns, i * 0.5)
+    }.toDF("event_id", "user_id", "event_type", "ts", "ts_ns", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivj").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = EventStreams.streamIntervalJoin(spark, tmp)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect()
+    assert(out.length == out.distinct.length,
+      "duplicate (purchase, click) pairs emitted")
+    val naive = ev.as("p").filter($"p.event_type" === "purchase")
+      .join(ev.as("c").filter($"c.event_type" === "click"),
+        $"p.user_id" === $"c.user_id" &&
+          $"c.ts_ns" > $"p.ts_ns" - gap && $"c.ts_ns" <= $"p.ts_ns")
+      .select($"p.event_id", $"c.event_id").as[(Long, Long)].collect()
+    assert(out.sorted.toSeq == naive.sorted.toSeq,
+      "bucketed join must equal the naive interval join")
+  }
 }
 
 // Top-level so Spark can derive encoders without an outer-scope instance
