@@ -282,13 +282,24 @@ object Dedup {
     * — agree); candidates at larger hamming differ, so the best-neighbor
     * answer for docs with NO true near-dup is scheme-dependent and the
     * oracles CASE on the same count to pick the same scheme.
+    *
+    * The value is MEASURED, not guessed (graft.harness.SimhashSweep, r17:
+    * near-dup-replica corpora of 5k/20k/50k/100k/200k docs, min of 2
+    * runs, narrow vs wide):
+    *   5k  0.98 vs 0.84 s · 20k 1.29 vs 0.93 · 50k 2.68 vs 1.38
+    *   100k 3.48 vs 2.80 · 200k 8.73 vs 3.95
+    * — wide wins from ~5k docs up and the gap is the narrow scheme's
+    * n²/2¹⁶ collision growth, so the r16 value of 100k left a 2× decade
+    * penalty on the table. 4000 keeps the cheaper-constant narrow path
+    * for genuinely tiny corpora (and the sf0.01 oracle gate exercising
+    * it) while everything bench-sized runs wide.
     */
   private[graft] val HammingWideThreshold: Long =
     // env override is a TEST hook: forcing 0 at a small SF runs the wide
     // scheme through the full Verify → DuckDB oracle compare (both
     // engines read the same value when the SQL is generated in-process)
     sys.env.get("SPARK_GRAFT_HAMMING_WIDE").flatMap(_.toLongOption)
-      .getOrElse(100000L)
+      .getOrElse(4000L)
 
   /** Wide-scheme block layout: 5 blocks of (offset, width) covering the
     * 64 fingerprint bits (4×13 + 1×12). */
