@@ -316,14 +316,22 @@ object TpchTail {
     * zero-order customers included. `customer` needs `c_custkey`; `orders`
     * needs `o_orderkey`, `o_custkey` (pre-filter it for any predicate —
     * equivalent to the ON-clause form since predicates touch only orders).
+    *
+    * Orders aggregate BEFORE the join (r17): the old left-join-then-count
+    * shuffled every orders row on custkey just to count it on the other
+    * side; counting first is map-side combined, so the join's orders leg
+    * carries one row per customer with orders — at 100 TB the exchange
+    * drops from the order volume to the customer cardinality. Zero-order
+    * customers arrive as the left join's nulls → coalesce 0, exactly the
+    * count(o_orderkey)=0 the join form produced.
     */
   def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame = {
-    val perCust = customer.select("c_custkey")
-      .join(orders.select("o_orderkey", "o_custkey"),
-        col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("c_count"))
-    perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
   }
 
