@@ -1455,8 +1455,43 @@ object Dedup {
                             threshold: Double = SemThreshold,
                             ccIterations: Int = CcIterations,
                             maxCell: Int = MaxCellSize): DataFrame = {
-    val assigned = graft.ann.Ann.withCells(emb, centroids) // see semanticDedup
-    val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
+    // EXACT-COLLAPSE first (the C33 lesson, applied r17): byte-identical
+    // vectors collapse to one min-id rep before assignment, pairing, and
+    // propagation, so a duplicate-heavy corpus (the web-scale shape)
+    // assigns reps x cells instead of n x cells and propagates rep-graph
+    // edges instead of clique-expanded member edges. Result-identical to
+    // the uncollapsed form the ORACLE replays: copies share a cell
+    // (deterministic assignment), the hot-cell prune counts MEMBERS (sum
+    // of group sizes — the same cells prune), cross-group pairs exist
+    // iff the rep pair passes the same cosine, intra-group pairs are
+    // intra-cluster edges the rep-attachment replaces, and converged
+    // min-label propagation is formulation-independent (the same
+    // convergence-within-cap contract the oracle unroll already pins).
+    // Collapse key = xxhash64(embedding), NOT the raw array: grouping or
+    // joining on array<float> falls out of hash plans into sort-based
+    // ones with interpreted array comparisons; the 8-byte key keeps both
+    // hash-shaped (collision risk ~n^2/2^64, the accepted shingle-hash
+    // class).
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      xxhash64(col("embedding")).as("__k"))
+    // rep table feeds three consumers (assignment, pairing, member
+    // re-attachment) — persist so the collapse shuffle runs once
+    val reps = keyed.groupBy("__k")
+      .agg(min("vec_id").as("vec_id"), first("embedding").as("embedding"),
+        count(lit(1)).as("__cnt"))
+      .persist()
+    val assignedReps = graft.ann.Ann
+      .withCells(reps.select("vec_id", "embedding"), centroids)
+      .join(reps.select(col("vec_id"), col("__k"), col("__cnt")),
+        Seq("vec_id"))
+      .localCheckpoint(false) // 3 consumers (hot count, pairing, attach)
+    // prune on MEMBER counts: identical prune set to the uncollapsed
+    // oracle (HAVING COUNT(*) <= maxCell over the full assignment)
+    val hot = broadcast(assignedReps.groupBy("cell")
+      .agg(sum("__cnt").as("__n")).filter(col("__n") > maxCell)
+      .select(col("cell"), lit(true).as("__hot")))
+    val eligible = assignedReps.join(hot, Seq("cell"), "left")
+      .filter(col("__hot").isNull)
     val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
     val pairs = eligible.join(lower, Seq("cell"))
@@ -1474,12 +1509,22 @@ object Dedup {
       .union(pairs.select(col("nn_id").as("doc_id"), pkey.as("bkey")))
       .localCheckpoint(true)
     val labels = propagateLabels(edges, ccIterations)
-      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("doc_id", "__rep")
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edges)
-    assigned.select("vec_id", "cell")
-      .join(labels, Seq("vec_id"), "left")
+    // members re-attach by the collapse key (copies share their rep's
+    // cell and cluster; the member side carries 16 bytes/row, no
+    // vectors); pruned-cell members stay singleton clusters of
+    // themselves, exactly as the uncollapsed pairing excluded them
+    val repInfo = assignedReps
+      .join(hot, Seq("cell"), "left")
+      .select(col("__k"), col("vec_id").as("__rep"), col("cell"),
+        coalesce(col("__hot"), lit(false)).as("__hot"))
+    keyed.select("vec_id", "__k")
+      .join(repInfo, Seq("__k"))
+      .join(labels, Seq("__rep"), "left")
       .select(col("vec_id"), col("cell"),
-        coalesce(col("label"), col("vec_id")).as("cluster"))
+        when(col("__hot"), col("vec_id"))
+          .otherwise(coalesce(col("label"), col("__rep"))).as("cluster"))
   }
 
   def dedupSemanticCcQuery(s: SparkSession, dir: String): DataFrame =
