@@ -2302,22 +2302,34 @@ object IcebergLite {
     // currently-matched data rows)
     val (deleteRowsDf, nRows, eqIds, delFileRows): (DataFrame, Long, Seq[Int], Long) =
       if (!equality) {
+        // victims stay DISTRIBUTED (r17): the old path collected every
+        // (file, pos) pair to the driver, sorted there, and re-shipped —
+        // driver wall and GC ∝ deleted rows, the superlinear piece of
+        // the decade lifecycle queries. Now the semi join's output maps
+        // file names through a broadcast (metadata-sized) relation and
+        // lands sorted in the single delete-file partition on an
+        // executor; the one eager checkpoint is victim-sized and runs
+        // the scan+join exactly once for the count + the write.
         val scan = readWithDeletes(spark, table, snap, snap.detail,
           keepMeta = true)
+        val tableAbs = canonTableRoot(spark, table)
+        import spark.implicits._
+        val nameToPath = snap.detail.map(fi =>
+          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path)
+          .toDF("__if", "file_path")
         val victims = scan.join(broadcast(keySel), keyCols, "left_semi")
-          .select("__if", "__ip").limit(maxDeleteRows + 1).collect()
-        require(victims.length <= maxDeleteRows,
+          .join(broadcast(nameToPath), Seq("__if"))
+          .select(col("file_path"), col("__ip").as("pos"))
+          .localCheckpoint(true)
+        val nVictims = victims.count()
+        require(nVictims <= maxDeleteRows,
           s"$table: delete batch exceeds $maxDeleteRows rows — rewrite " +
             "files (selectiveMerge / compaction) for bulk erasure")
-        if (victims.isEmpty) return DeleteStats(snap.snapshotId, 0, 0L)
-        val tableAbs = canonTableRoot(spark, table)
-        val nameToPath = snap.detail.map(fi =>
-          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path).toMap
-        import spark.implicits._
-        val rows = victims.map(r =>
-          (nameToPath(r.getString(0)), r.getLong(1))).toSeq.sorted
-        (rows.toDF("file_path", "pos"), victims.length.toLong, Seq.empty,
-          victims.length.toLong)
+        if (nVictims == 0) return DeleteStats(snap.snapshotId, 0, 0L)
+        // the position-delete spec requires (file_path, pos) order; sort
+        // inside the one output partition, executor-side
+        (victims.repartition(1).sortWithinPartitions("file_path", "pos"),
+          nVictims, Seq.empty, nVictims)
       } else {
         val ids = keyCols.map(k => topField(meta, table, k)._2)
         val matched = readWithDeletes(spark, table, snap, snap.detail)
