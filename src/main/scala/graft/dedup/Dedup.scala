@@ -1126,14 +1126,30 @@ object Dedup {
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
   }
 
-  /** Re-attach every member of `emb` to its representative's cluster via
-    * the exact-group join (AQE-splittable 1:n; no collect_list — a
+  /** (vec_id, embedding, __k = xxhash64(embedding)) — the shared collapse
+    * key projection of the C33 kernel. */
+  private def withCollapseKey(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      xxhash64(col("embedding")).as("__k"))
+
+  /** One min-id rep per collapse key, persisted (multiple consumers).
+    * `first(embedding)` is exact: every row of a key group carries the
+    * identical array (modulo the accepted 64-bit collision class). */
+  private def collapseReps(keyed: DataFrame): DataFrame =
+    keyed.groupBy("__k")
+      .agg(min("vec_id").as("vec_id"), first("embedding").as("embedding"))
+      .persist()
+
+  /** Re-attach every member of `keyed` to its representative's cluster
+    * via the 8-byte collapse key (AQE-splittable 1:n, hash join both
+    * sides, no vectors on the member side; no collect_list — a
     * billion-copy vector costs a map-side-combined `min` and a streamed
     * join, never an array).
     */
-  private def attachMembers(emb: DataFrame, reps: DataFrame,
+  private def attachMembers(keyed: DataFrame, reps: DataFrame,
                             repClusters: DataFrame): DataFrame =
-    emb.join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
+    keyed.select(col("vec_id"), col("__k"))
+      .join(reps.select(col("__k"), col("vec_id").as("rep")), "__k")
       .select(col("vec_id"), col("rep"))
       .join(repClusters.withColumnRenamed("vec_id", "rep"), "rep")
       .select("vec_id", "cluster_id")
@@ -1176,15 +1192,21 @@ object Dedup {
     // the rep table feeds THREE consumers (the sizing count, candidate
     // pairing, member re-attachment) — persist it so the collapse shuffle
     // runs once, not per consumer. Operator-owned persist, reclaimed by
-    // the session's clearCache like the shared posting lists.
-    val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
-      .persist()
+    // the session's clearCache like the shared posting lists. Collapse
+    // key = xxhash64(embedding), not the raw array (r17): grouping or
+    // joining on array<float> falls out of hash plans into sort-based
+    // ones with interpreted array comparisons — the 8-byte key keeps the
+    // collapse and the member re-attachment hash-shaped (collision risk
+    // ~n²/2⁶⁴, the accepted shingle-hash class; the oracle groups by
+    // value, which agrees absent a collision).
+    val keyed = withCollapseKey(emb)
+    val reps = collapseReps(keyed)
     // one aggregate job over the collapsed reps (tiny next to the pairing
     // it sizes) — the IVF pattern: a bounded driver-side scalar, not data
     val bits = lshBitsFor(reps.count(), targetBucket, minBits, maxBits)
     val repClusters =
       clusterReps(reps, bits, threshold, ccIterations, Some(maxBucket))
-    attachMembers(emb, reps, repClusters)
+    attachMembers(keyed, reps, repClusters)
   }
 
   /** C33b — the fixed-width, uncapped variant (collapse + 4-bit LSH, no
@@ -1195,10 +1217,10 @@ object Dedup {
   def dedupEmbeddingClustersExact(emb: DataFrame,
                                   bits: Int = 4, threshold: Double = 0.95,
                                   ccIterations: Int = CcIterations): DataFrame = {
-    val reps = emb.groupBy("embedding").agg(min("vec_id").as("vec_id"))
-      .persist() // shared by pairing + re-attachment (see above)
+    val keyed = withCollapseKey(emb)
+    val reps = collapseReps(keyed) // shared by pairing + re-attachment
     val repClusters = clusterReps(reps, bits, threshold, ccIterations, None)
-    attachMembers(emb, reps, repClusters)
+    attachMembers(keyed, reps, repClusters)
   }
 
   /** Shared oracle tail: pair candidates from a bucketed rep CTE `bc`,
