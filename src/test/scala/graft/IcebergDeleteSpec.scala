@@ -47,6 +47,28 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergLite.read(spark, t).count() == 56L)
   }
 
+  test("positional delete FILE rows land sorted by (file_path, pos) — " +
+    "the v2 spec's required order, now produced executor-side (r17: no " +
+    "driver-side victim collect)") {
+    val t = newTable()
+    IcebergLite.commit(spark, t,
+      (0L until 200L).map(k => (k, s"r$k")).toDF("k", "s").repartition(4))
+    IcebergLite.deleteRows(spark, t,
+      (0L until 200L by 3).toDF("k"), Seq("k"))
+    val snap = IcebergLite.snapshot(spark, t)
+    val delPath = snap.deletes.head.path
+    val rows = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(t), delPath).toString)
+      .select("file_path", "pos").as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sortBy(r => (r._1, r._2)),
+      "delete-file rows must be spec-sorted by (file_path, pos)")
+    // and the file spans more than one referenced data file, so the sort
+    // is actually exercised across file_path boundaries
+    assert(rows.map(_._1).distinct.size > 1)
+  }
+
   test("positional deleteRows refuses past maxDeleteRows, table untouched") {
     val t = newTable()
     IcebergLite.commit(spark, t, (0L until 50L).toDF("k"))
