@@ -117,7 +117,8 @@ object Bench {
     * output, not an exit code: the round judge reads it from the artifact.
     */
   private def regressionsJson(sfDir: String,
-                              med: Seq[(String, Double)]): (String, Seq[String]) = {
+                              med: Seq[(String, Double)])
+      : (String, Seq[String], Map[String, Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def sfBase(p: String): String =
       java.nio.file.Paths.get(p).getFileName.toString
@@ -157,7 +158,7 @@ object Bench {
             .collectFirst { case (p, sfB, qs) if sfBase(sfB) == sfBase(sfDir) => (p, qs) }
       }
     chosen match {
-      case None => (""","baseline":null,"regressions":null""", Nil)
+      case None => (""","baseline":null,"regressions":null""", Nil, Map.empty)
       case Some((path, base)) =>
         val regs = med.flatMap { case (n, v) =>
           base.get(n).collect { case b if b > 0 && v > 1.5 * b => n -> v / b }
@@ -165,7 +166,7 @@ object Bench {
         val regJson = regs.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         (s""","baseline":"${path.getFileName}","regressions":$regJson""",
-          regs.map(_._1))
+          regs.map(_._1), base)
     }
   }
 
@@ -268,6 +269,12 @@ object Bench {
     val total = med.map(_._2).sum
     // scaling block: per-query medians at the small SF, per-query wall
     // ratio big/small, total ratio, and the superlinear flags
+    // regression gate FIRST: regressed queries join the decade isolated
+    // watch band below, so a round-over-round uptick gets an isolated
+    // decade ratio in the same artifact that reports it (r17 shipped three
+    // unadjudicated decade `regressions`; the judge had to cross-read
+    // queries_isolated against the baseline by hand)
+    val (regJson, regNames, regBase) = regressionsJson(sfDir, med)
     val scaleJson = (for ((d, (sSamples, sFailures)) <- smallDir.zip(small)) yield {
       val sMed = measured.flatMap { case (n, _) =>
         sSamples.get(n).map(xs => n -> median(xs)) }
@@ -325,8 +332,17 @@ object Bench {
       // so never re-run isolated, above the suite headline so unproven.
       // Every band member gets an isolated decade ratio in the artifact;
       // scale_flags_isolated still counts only true over-bar repro.
-      val watch = bar.fold(Seq.empty[String]) { b =>
-        ratiosMin.filter(_._2 > 0.8 * b).map(_._1) }
+      // ... plus (a) any round-over-round regression names — a real decade
+      // regression must reproduce isolated, in-suite noise must not — and
+      // (b) the env-pinned decade canaries: the two per-row kernels whose
+      // in-suite minima ride the 2.3×+ band round after round get a
+      // standing isolated number instead of ad-hoc re-benching
+      val pinned = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATE",
+          "mm_video_frames,text_pii_scrub")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val watch = (bar.fold(Seq.empty[String]) { b =>
+        ratiosMin.filter(_._2 > 0.8 * b).map(_._1) } ++ regNames ++ pinned)
+        .distinct.filter(n => measured.exists(_._1 == n))
       val isoRatios = watch.flatMap(n => names.find(_._1 == n)).flatMap {
         case (n, fn) =>
           for (sv <- isoMin(fn, d); bv <- isoMin(fn, sfDir); if sv > 0)
@@ -342,7 +358,6 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       s""","sf_small":"$d","total_small":$sTotal,"size_ratio":${sizeRatio.fold("null")(_.toString)},"scale_ratio_total":$rTotal,"queries_small":${toJson(sMed)},"scale_ratio":${toJson(ratios)},"scale_ratio_min":${toJson(ratiosMin)},"scale_flags":$flagJson,"scale_ratio_isolated":${toJson(isoRatios)},"scale_flags_isolated":$isoFlagJson,"errors_small":$sErrJson"""
     }).getOrElse("")
-    val (regJson, regNames) = regressionsJson(sfDir, med)
     // ISOLATED re-measure: after the whole suite, re-run the flagged
     // regressors (plus any env-pinned canaries) ALONE — caches cleared,
     // scratch swept, JVM settled before each sample — and record the
@@ -380,10 +395,36 @@ object Bench {
             }
             n -> (if (ts.isEmpty) -1.0 else ts.min)
         }
-        s""","queries_isolated":${toJson(iso)},"isolated_runs":$isoRuns"""
+        // machine-readable adjudication of the regression gate: isolated
+        // min ÷ baseline median per regressed query. < 1.5 (the gate's own
+        // bar) means the in-suite uptick does not reproduce alone — host
+        // noise; ≥ 1.5 means a real regression. -1 = all isolated runs
+        // failed (inherits queries_isolated's failure sentinel).
+        val regIso = iso.collect { case (n, v) if regNames.contains(n) =>
+          n -> regBase.get(n).filter(_ > 0)
+            .fold(-1.0)(b => if (v < 0) -1.0 else v / b)
+        }
+        val regIsoJson =
+          if (regNames.isEmpty) "" else s""","regressions_isolated":${toJson(regIso)}"""
+        s""","queries_isolated":${toJson(iso)},"isolated_runs":$isoRuns$regIsoJson"""
       }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order_seed":$orderSeed,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$regJson$isoJson$scaleJson}"""
     println(line)
+    // The driver's BENCH_r<N> artifact keeps only a 2000-char stdout TAIL
+    // and tries to parse it — the full line above is ~26 KB, so the
+    // driver recorded "parsed": null for three rounds running. Emit a
+    // compact summary as the LAST line (headline numbers + a pointer to
+    // the full artifact, no per-query maps) so the tail always ends with
+    // one parseable JSON line.
+    val nReg = regJson match {
+      case r if r.contains("\"regressions\":{") =>
+        "\"[a-zA-Z0-9_]+\":".r.findAllIn(
+          r.substring(r.indexOf("\"regressions\":"))).length - 1
+      case _ => 0
+    }
+    val scaleTotal = "\"scale_ratio_total\":([0-9.Ee+-]+)".r
+      .findFirstMatchIn(scaleJson).map(_.group(1)).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${med.size},"n_errors":${failures.size},"n_regressions":$nReg,"scale_ratio_total":$scaleTotal,"queries":"see_full_artifact","full_artifact":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")}"}""")
     // Also persist the line to a file: the driver captures only a stdout
     // tail, which truncated the JSON three rounds running. Env-overridable;
     // failures to write are reported but never fail the bench, and the
