@@ -614,34 +614,56 @@ object Dedup {
     * ≈ 0.01 but containment 1.0). The standard subset/boilerplate
     * detector in training-data curation (quotes, mirrored sections,
     * template wrappers). Candidates ride the identical rare-shingle
-    * prefix filter (df ≤ maxDf), so shuffle stays ∝ Σ df² — the
-    * documented recall trade: a subset doc sharing ONLY ubiquitous
+    * prefix filter (df ≤ maxDf), so candidate pairs stay ∝ Σ min(df,
+    * maxDf)² ≤ maxDf² × #shingles — count-sized, never all-pairs — at
+    * the documented recall trade: a subset doc sharing ONLY ubiquitous
     * shingles with its container is missed, exactly as in C4. Output
     * orients each pair as (contained ⊆ container) by size, id-ascending
     * on ties, so consumers can drop `doc_contained` directly.
+    *
+    * Plan shape (the r17 2.56×-per-10×-isolated diagnosis — the wall was
+    * never candidate COUNT, it was posting-list exchanges):
+    *  - the df prefix filter is an AGGREGATE + join-back, not a
+    *    `count().over(partitionBy(h))` window — the window shuffles and
+    *    sorts the entire data-sized posting list by shingle (a hot
+    *    shingle's full posting serializes into one task), where the
+    *    aggregate map-side-combines to one count per distinct shingle per
+    *    task and the surviving df∈[2,maxDf] set is small enough for AQE
+    *    to broadcast, with the join-back bounding every collect_list
+    *    group at maxDf rows;
+    *  - intersections ride PER-DOC SHINGLE ARRAYS (`shingle_hashes` is
+    *    per-doc distinct, so `array_intersect` sizes are exactly the
+    *    posting-join counts): the count-sized pair list joins the
+    *    one-row-per-doc array table twice — AQE broadcasts the pair
+    *    side, so the old plan's two data-sized posting exchanges (the
+    *    measured decade wall) disappear; worst case both joins degrade
+    *    to ONE doc-keyed shuffle each of the array table, still ≤ the
+    *    old posting shuffles with a per-doc (not per-shingle) row count.
     */
   def dedupContainment(s: SparkSession, dir: String,
                        maxDf: Int = 5, minContainment: Double = 0.3): DataFrame = {
-    val posting = shingleHashes(Tables.documents(s, dir)).localCheckpoint(false)
-    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val wH = Window.partitionBy("h")
-    val pairs = posting
-      .withColumn("__df", count(lit(1)).over(wH))
+    val docSets = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.Sketch.shingle_hashes(col("text"), 3).as("hs"))
+      .localCheckpoint(false)
+    val posting = docSets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = posting.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
+      .select("h")
+    val pairs = posting
+      .join(rare, "h")
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val inter = pairs
-      .join(posting.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    pairs
+      .join(docSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("sz_a", size(col("hs_a")))
+      .withColumn("sz_b", size(col("hs_b")))
       .withColumn("containment",
         col("n_inter").cast("double") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= minContainment)
