@@ -559,6 +559,15 @@ case class GraftShowTablesCommand(db: Option[String])
           spark.catalog.listTables(d).collect().toSeq.map(t =>
             Row(Option(t.namespace).map(_.mkString(".")).getOrElse(""),
               t.name, t.isTemporary))
+        else if (!GraftCatalog.listTables(spark).exists { case (n, _) =>
+            n.lastIndexOf('.') > 0 &&
+              n.substring(0, n.lastIndexOf('.')) == d.toLowerCase })
+          // strict-superset contract: a db that exists in NEITHER the
+          // native catalog NOR the graft registry must surface native's
+          // NoSuchDatabaseException, not an empty result — interception
+          // may widen what SHOW TABLES can see, never silence its errors
+          spark.sessionState.catalog.listTables(d).map(t =>
+            Row(t.database.getOrElse(""), t.table, false))
         else Seq.empty
       case None =>
         spark.catalog.listTables().collect().toSeq.map(t =>

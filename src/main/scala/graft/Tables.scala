@@ -85,8 +85,11 @@ object Tables {
       val effective = math.min(splits, rowGroupCount(s, files, need))
       if (effective >= need) df
       // within one of the target: the exchange would buy ONE extra way
-      // at the cost of a full-table round trip — never worth it
-      else if (effective >= need - 1) df
+      // at the cost of a full-table round trip — never worth it. The
+      // `effective >= 2` guard keeps a genuinely 1-way scan falling
+      // through to the repartition even when defaultParallelism == 2
+      // (there need == 2 and 1 >= need - 1 would otherwise hold).
+      else if (effective >= 2 && effective >= need - 1) df
       // already-parallel LARGE scan (e.g. one ~300 MB file: ≥2 byte-range
       // splits under maxPartitionBytes): a round-robin here is the exact
       // data-proportional exchange this gate exists to avoid; only

@@ -1558,17 +1558,28 @@ object Dedup {
     // members re-attach by the collapse key (copies share their rep's
     // cell and cluster; the member side carries 16 bytes/row, no
     // vectors); pruned-cell members stay singleton clusters of
-    // themselves, exactly as the uncollapsed pairing excluded them
+    // themselves, exactly as the uncollapsed pairing excluded them.
+    // __selfok removes the unit-norm ASSUMPTION the r17 collapse carried:
+    // in the uncollapsed form a copy pairs with its rep iff dot(v,v) >=
+    // threshold — automatic at unit norm, false for a short vector. A
+    // copy still rides the rep's component when it exists (byte-identical
+    // vectors share every external edge), so only the no-edge case
+    // branches: copies merge with an edge-less rep iff the self-pair
+    // passes, else they stay singletons, exactly as the oracle pairs them.
     val repInfo = assignedReps
       .join(hot, Seq("cell"), "left")
       .select(col("__k"), col("vec_id").as("__rep"), col("cell"),
-        coalesce(col("__hot"), lit(false)).as("__hot"))
+        coalesce(col("__hot"), lit(false)).as("__hot"),
+        (graft.ann.Ann.dot(col("embedding"), col("embedding")) >= threshold)
+          .as("__selfok"))
     keyed.select("vec_id", "__k")
       .join(repInfo, Seq("__k"))
       .join(labels, Seq("__rep"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("__hot"), col("vec_id"))
-          .otherwise(coalesce(col("label"), col("__rep"))).as("cluster"))
+          .when(col("label").isNotNull, col("label"))
+          .when(col("__selfok"), col("__rep"))
+          .otherwise(col("vec_id")).as("cluster"))
   }
 
   def dedupSemanticCcQuery(s: SparkSession, dir: String): DataFrame =

@@ -2272,7 +2272,7 @@ object IcebergLite {
   def deleteRows(spark: SparkSession, table: String, keys: DataFrame,
                  keyCols: Seq[String], equality: Boolean = false,
                  maxDeleteRows: Int = 16 << 20): DeleteStats = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
     val root = new Path(table)
     val f = fs(spark, root)
     val meta = metadata(spark, table)
@@ -2317,11 +2317,26 @@ object IcebergLite {
         val nameToPath = snap.detail.map(fi =>
           canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path)
           .toDF("__if", "file_path")
+        // LEFT join: an __if canonicalization mismatch must fail loudly
+        // (the old driver-side Map lookup threw NoSuchElementException; an
+        // inner join would silently DROP the victim and leave the row
+        // alive). The limit bounds the eager checkpoint — it is a no-op
+        // below the cap, and an over-limit bulk delete is refused without
+        // first materializing an unbounded victim set (the old
+        // limit(maxDeleteRows+1).collect() economics, kept distributed).
         val victims = scan.join(broadcast(keySel), keyCols, "left_semi")
-          .join(broadcast(nameToPath), Seq("__if"))
+          .join(broadcast(nameToPath), Seq("__if"), "left")
           .select(col("file_path"), col("__ip").as("pos"))
+          .limit(maxDeleteRows + 1)
           .localCheckpoint(true)
-        val nVictims = victims.count()
+        val vStats = victims.agg(
+          count(lit(1)).as("n"),
+          count(when(col("file_path").isNull, lit(1))).as("unmapped")).head()
+        val (nVictims, nUnmapped) = (vStats.getLong(0), vStats.getLong(1))
+        require(nUnmapped == 0L,
+          s"$table: $nUnmapped victim rows matched no manifest data-file " +
+            "path after canonicalization — refusing to write a delete " +
+            "file that would silently miss them")
         require(nVictims <= maxDeleteRows,
           s"$table: delete batch exceeds $maxDeleteRows rows — rewrite " +
             "files (selectiveMerge / compaction) for bulk erasure")

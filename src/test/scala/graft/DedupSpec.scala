@@ -532,6 +532,32 @@ class DedupSpec extends SparkSpec {
     assert(cc(100L) == 100L && cc(101L) == 100L)
   }
 
+  test("dedup_semantic_cc: non-unit-norm copies follow the oracle's pair " +
+    "semantics — no silent unit-norm assumption in the exact-collapse") {
+    val centroids: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+    // cell 1: byte-identical SHORT copies (norm² = 0.49 < threshold 0.93)
+    // with no neighbor — the uncollapsed pairing rejects the copy pair
+    // (dot(v,v) < threshold), so both stay singletons; a unit-norm-assuming
+    // collapse would wrongly merge them into one cluster.
+    // cell 0: short copies (norm² = 0.8836 < 0.93) whose dot with the unit
+    // vector 4 is 0.94 ≥ 0.93 — every copy shares the rep's external edge,
+    // so all three ride one component even though the copy self-pair fails.
+    val emb = Seq(
+      (0L, Array(0f, 0.7f, 0f, 0f)),
+      (1L, Array(0f, 0.7f, 0f, 0f)),
+      (2L, Array(0.94f, 0f, 0f, 0f)),
+      (3L, Array(0.94f, 0f, 0f, 0f)),
+      (4L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cc = Dedup.semanticDedupClusters(emb, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cc(0L) == 0L && cc(1L) == 1L,
+      "edge-less short copies must stay singletons (self-pair fails)")
+    assert(cc(2L) == 2L && cc(3L) == 2L && cc(4L) == 2L,
+      "copies with a passing external edge ride the rep's component")
+  }
+
   test("dedup_semantic: sized cells hold a recall floor vs brute force at " +
     "the replica decade") {
     // the AnnSpec decade shape: 5 near-replicas per vector (σ=0.03 jitter,

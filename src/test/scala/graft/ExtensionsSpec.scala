@@ -558,6 +558,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlVerbs.parseVerb("SHOW TABLES LIKE 'x*'").isEmpty)
     assert(GraftSqlVerbs.parseVerb("SHOW TABLES IN db LIKE 'x*'").isEmpty)
 
+    // strict-superset contract: a db in NEITHER the native catalog NOR
+    // the registry surfaces native's NoSuchDatabaseException even while
+    // the twin intercepts (an empty result would silence a native error)
+    val ex = intercept[Exception](
+      extSpark.sql("SHOW TABLES IN graft_no_such_db").collect())
+    assert(ex.getMessage.toLowerCase.contains("graft_no_such_db"),
+      s"expected the native unknown-database error, got: ${ex.getMessage}")
+
     extSpark.sql("UNREGISTER TABLE dbadb.reg_one")
     extSpark.sql("UNREGISTER TABLE otherdb.reg_two")
   }
