@@ -614,42 +614,143 @@ object LakehouseOps {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  /** The 100 TB variant of [[tableStats]]: HyperLogLog NDV and sketched
-    * quantiles — still one pass, but constant memory per column regardless
-    * of cardinality (exact count_distinct needs a shuffle per distinct
-    * value set; HLL is a fixed 2^p-byte sketch merged map-side).
+  /** The 100 TB variant of [[tableStats]]: HyperLogLog NDV and the exact
+    * interpolated median, both off one value-frequency pre-aggregate —
+    * one melt pass over the data, map-side combined, shuffle ∝ distinct
+    * values, register state 4096 rows per column.
     *
-    * Quantile accuracy is 1000 (error ≤ 0.1 % of rank), NOT Spark's
-    * 10000 default: these aggregates run interpreted
-    * (ObjectHashAggregate), per-row update cost grows with the summary
-    * size, and measured at the 6M-row decade the default cost 1.5×
-    * the whole query (5.6 s → 3.7 s) for precision an ANALYZE-stats
-    * consumer never uses. LakehouseSpec bounds the p50 drift against the
-    * exact median.
+    * The HLL is graft's own PORTABLE estimator, not Spark's HLL++ (whose
+    * internal hashing no other engine can replay — it kept this the one
+    * no-oracle query through r17). Spec: register = first 3 hex chars of
+    * md5(CAST(v AS STRING)) (m = 4096); rho = leading-zero bits of the
+    * next 13 hex chars + 1, clamped at 50; the harmonic sum is carried as
+    * INTEGER terms 2^(50−rho) (a float sum's rounding depends on merge
+    * order — integers are order-independent, and 4096·2^50 < 2^63);
+    * linear-counting branch below 2.5·m. Every step is SQL both engines
+    * evaluate identically ([[hllRhoSql]]/[[hllEstRawSql]]/[[hllNdvSql]]
+    * are spliced verbatim into the Spark plan AND the DuckDB oracle), so
+    * the estimate hash-matches by construction. Portability caveat: the
+    * hash input is the value's string form, identical across engines for
+    * doubles within plain-decimal range (zero or |v| ∈ [1e-3, 1e7) —
+    * Spark switches to E-notation outside it, DuckDB does not); the
+    * audited lineitem columns sit inside, verified value-set-exact at
+    * sf0.01/sf0.1.
+    *
+    * p50 is `percentile(v, 0.5, freq)` over the same distinct-value
+    * table — the B1 expanded-multiset pattern (exact, codegen'd
+    * pre-aggregate + an interpreted walk over distinct values only;
+    * DuckDB quantile_cont parity proven there). It replaces r17's
+    * percentile_approx sketch, whose summary no other engine replays.
     */
-  def tableStatsApprox(df: DataFrame, cols: Seq[String],
-                       rsd: Double = 0.02): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__ndv_$c"),
-        percentile_approx(col(c), lit(0.5), lit(1000)).cast("double")
-          .as(s"__p50_$c"))
-    }
-    val stacked = cols
-      .map(c => s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c, __p50_$c")
-      .mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stacked) AS " +
-        "(column_name, min_val, max_val, n_nulls, approx_ndv, approx_p50)"))
+  def tableStatsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melt = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val freq = df
+      .select(expr(s"stack(${cols.size}, $melt) AS (column_name, v)"))
+      .groupBy("column_name", "v")
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false) // two consumers: stats agg + HLL registers
+    val stats = freq.groupBy("column_name").agg(
+      min("v").as("min_val"),
+      max("v").as("max_val"),
+      sum(when(col("v").isNull, col("freq")).otherwise(lit(0L)))
+        .as("n_nulls"),
+      expr("CAST(percentile(v, 0.5, freq) AS DOUBLE)").as("p50_val"))
+    val ndv = freq.filter(col("v").isNotNull)
+      .withColumn("h", md5(col("v").cast("string").cast("binary")))
+      .withColumn("bkt", expr("substring(h, 1, 3)"))
+      .withColumn("tail", expr("substring(h, 4, 13)"))
+      .withColumn("z",
+        expr("CAST(length(regexp_extract(tail, '^0*', 0)) AS INT)"))
+      .withColumn("d", expr("substring(tail, z + 1, 1)"))
+      .withColumn("rho", expr(hllRhoSql))
+      .groupBy("column_name", "bkt").agg(max("rho").as("rmax"))
+      .groupBy("column_name").agg(
+        count(lit(1)).as("nbkt"),
+        sum(expr("CAST(POW(2.0, 50 - rmax) AS BIGINT)")).as("spresent"))
+      .withColumn("nempty", lit(4096L) - col("nbkt"))
+      .withColumn("stot",
+        col("spresent") + col("nempty") * lit(1125899906842624L))
+      .withColumn("est_raw", expr(hllEstRawSql))
+      .select(col("column_name"), expr(hllNdvSql).as("approx_ndv"))
+    stats.join(ndv, Seq("column_name"), "left")
+      .select(col("column_name"), col("min_val"), col("max_val"),
+        col("n_nulls"), col("approx_ndv"), col("p50_val"))
   }
+
+  /** rho over (z = leading-zero hex chars of `tail`, d = next hex char):
+    * leading-zero BITS + 1, clamped at 50 (see [[tableStatsApprox]]).
+    */
+  private[graft] val hllRhoSql: String =
+    "LEAST((CASE WHEN z = 13 THEN 52 ELSE 4 * z + (CASE WHEN d = '1' " +
+      "THEN 3 WHEN d IN ('2', '3') THEN 2 WHEN d IN ('4', '5', '6', '7') " +
+      "THEN 1 ELSE 0 END) END) + 1, 50)"
+
+  /** Raw HLL estimate α·m²·2^50 / Σ 2^(50−rho) over (stot). */
+  private[graft] val hllEstRawSql: String =
+    "(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * " +
+      "1125899906842624.0 / CAST(stot AS DOUBLE)"
+
+  /** Final NDV: linear counting below 2.5·m, else the raw estimate;
+    * FLOOR(x + 0.5) rather than ROUND (engines disagree on .5 ties).
+    */
+  private[graft] val hllNdvSql: String =
+    "CAST(FLOOR((CASE WHEN est_raw <= 2.5 * 4096.0 AND nempty > 0 THEN " +
+      "4096.0 * LN(4096.0 / nempty) ELSE est_raw END) + 0.5) AS BIGINT)"
 
   def dbaTableStatsApprox(s: SparkSession, dir: String): DataFrame =
     tableStatsApprox(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("column_name")
+
+  /** The SAME estimator in DuckDB: shared SQL snippets spliced into CTEs
+    * over the identical value-frequency table — hash-exact with
+    * [[dbaTableStatsApprox]] by construction.
+    */
+  val dbaTableStatsApproxOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val melted = cols.map(c =>
+      s"  SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH melted AS (
+       |$melted),
+       |freq AS (SELECT column_name, v, COUNT(*) AS freq
+       |         FROM melted GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT column_name, MIN(v) AS min_val, MAX(v) AS max_val,
+       |    CAST(SUM(CASE WHEN v IS NULL THEN freq ELSE 0 END) AS BIGINT)
+       |      AS n_nulls
+       |  FROM freq GROUP BY 1),
+       |p50 AS (SELECT column_name, CAST(quantile_cont(v, 0.5) AS DOUBLE)
+       |          AS p50_val
+       |        FROM melted GROUP BY 1),
+       |hx AS (SELECT column_name, md5(CAST(v AS VARCHAR)) AS h
+       |       FROM freq WHERE v IS NOT NULL),
+       |t1 AS (SELECT column_name, substring(h, 1, 3) AS bkt,
+       |         substring(h, 4, 13) AS tail FROM hx),
+       |t2 AS (SELECT column_name, bkt, tail,
+       |         CAST(length(regexp_extract(tail, '^0*', 0)) AS INT) AS z
+       |       FROM t1),
+       |t3 AS (SELECT column_name, bkt, z, substring(tail, z + 1, 1) AS d
+       |       FROM t2),
+       |t4 AS (SELECT column_name, bkt, $hllRhoSql AS rho FROM t3),
+       |regs AS (SELECT column_name, bkt, MAX(rho) AS rmax
+       |         FROM t4 GROUP BY 1, 2),
+       |agg AS (SELECT column_name, COUNT(*) AS nbkt,
+       |          CAST(SUM(CAST(POW(2.0, 50 - rmax) AS BIGINT)) AS BIGINT)
+       |            AS spresent
+       |        FROM regs GROUP BY 1),
+       |agg2 AS (SELECT column_name, 4096 - nbkt AS nempty,
+       |           spresent + (4096 - nbkt) * 1125899906842624 AS stot
+       |         FROM agg),
+       |agg3 AS (SELECT column_name, nempty, $hllEstRawSql AS est_raw
+       |         FROM agg2),
+       |ndv AS (SELECT column_name, $hllNdvSql AS approx_ndv FROM agg3)
+       |SELECT s.column_name, min_val, max_val, n_nulls, approx_ndv, p50_val
+       |FROM stats s
+       |LEFT JOIN ndv USING (column_name)
+       |LEFT JOIN p50 USING (column_name)
+       |ORDER BY column_name""".stripMargin
+  }
 
   // ---------------------------------------------------------------- B6
   /** DESCRIBE DETAIL equivalent, content half: per-file row counts and key
@@ -2072,6 +2173,7 @@ object LakehouseOps {
     "dba_scd2_skew"     -> dbaScd2HistoryOracle,
     "dba_schema_align"  -> dbaSchemaAlignOracle,
     "dba_table_stats"   -> dbaTableStatsOracle,
+    "dba_table_stats_approx" -> dbaTableStatsApproxOracle,
     "dba_zorder_key"    -> dbaZorderKeyOracle,
     "dba_pricing_cost"  -> dbaPricingCostOracle,
     "dba_csv_import"    -> dbaCsvImportOracle,

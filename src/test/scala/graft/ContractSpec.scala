@@ -48,9 +48,10 @@ class ContractSpec extends AnyFunSuite {
       "dba_describe_detail", "dba_compaction_plan", "dedup_embedding")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
-    // dba_table_stats_approx stays spec-held: HLL sketch estimates can't
-    // hash-match a DuckDB exact count by construction
-    val declared = Set("dba_table_stats_approx")
+    // r18: empty. dba_table_stats_approx — the long-standing solo — now
+    // runs graft's portable HLL (md5 registers, integer harmonic sum),
+    // the same estimator DuckDB replays verbatim, so it hash-matches.
+    val declared = Set.empty[String]
     assert(noOracle == declared,
       s"rows-only set drifted: ${noOracle.toSeq.sorted.mkString(", ")} " +
         s"(a new query landed without an oracle, or a declared one gained it " +

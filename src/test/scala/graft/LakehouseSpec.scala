@@ -124,16 +124,14 @@ class LakehouseSpec extends SparkSpec {
       val ndvErr = math.abs(a.getLong(4).toDouble / e.getLong(4) - 1.0)
       assert(ndvErr < 0.1, s"$c approx ndv off by $ndvErr")
     }
-    // p50 sketch (accuracy 1000 — the documented speed/precision trade)
-    // must track the exact median within rank tolerance: compare against
-    // percentile_cont on the same column
+    // p50 rides the exact expanded-multiset percentile (B1 pattern) since
+    // r18 — it must EQUAL percentile_cont, not merely track it
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exactP50 = li.selectExpr(
       "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p")
       .head().getDouble(0)
     val a50 = approx("l_extendedprice").getDouble(5)
-    assert(math.abs(a50 - exactP50) / exactP50 < 0.01,
-      s"approx p50 $a50 drifted from exact median $exactP50")
+    assert(a50 == exactP50, s"p50 $a50 != exact median $exactP50")
   }
 
   test("saltedJoin/saltedAgg match their unsalted equivalents") {
