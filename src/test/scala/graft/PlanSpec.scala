@@ -47,7 +47,9 @@ class PlanSpec extends SparkSpec {
       "mm_video_dedup",   // same: AVI parse + frame dHash in mapPartitions
       "mm_video_frames",  // same codec rung, per-sampled-frame features
       "text_topk_sketch", // per-partition Misra-Gries pass is imperative
-      "dedup_semantic_cc") // checkpointed label-propagation rounds
+      "dedup_semantic_cc", // checkpointed label-propagation rounds
+      "dba_table_stats_approx") // checkpointed value-frequency table (r18
+                                // portable-HLL kernel, three consumers)
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
