@@ -614,88 +614,102 @@ object LakehouseOps {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  /** The 100 TB variant of [[tableStats]]: HyperLogLog NDV and the exact
-    * interpolated median, both off one value-frequency pre-aggregate —
-    * one melt pass over the data, map-side combined, shuffle ∝ distinct
-    * values, register state 4096 rows per column.
+  /** The 100 TB variant of [[tableStats]]: HyperLogLog NDV and a
+    * histogram-interpolated median, as two BOUNDED-STATE streaming
+    * passes — per-column state is 4096 HLL registers + 4096 histogram
+    * bins at ANY scale, shuffles carry ≤ 4·4096 rows, and NOTHING is
+    * ever materialized per distinct value. (An exact p50 is Ω(distinct)
+    * state by construction; the r18 first cut paid exactly that — a
+    * near-unique price column made the operator scale with distinct
+    * values, isolated > 3× per 10× at the sf0.01→sf0.1 rung. "approx"
+    * is in this operator's name; the sketch belongs in the p50 too.)
     *
-    * The HLL is graft's own PORTABLE estimator, not Spark's HLL++ (whose
-    * internal hashing no other engine can replay — it kept this the one
-    * no-oracle query through r17). Spec: register = first 3 hex chars of
-    * md5(CAST(v AS STRING)) (m = 4096); rho = leading-zero bits of the
-    * next 13 hex chars + 1, clamped at 50; the harmonic sum is carried as
-    * INTEGER terms 2^(50−rho) (a float sum's rounding depends on merge
-    * order — integers are order-independent, and 4096·2^50 < 2^63);
-    * linear-counting branch below 2.5·m. Every step is SQL both engines
-    * evaluate identically ([[hllRhoSql]]/[[hllEstRawSql]]/[[hllNdvSql]]
-    * are spliced verbatim into the Spark plan AND the DuckDB oracle), so
-    * the estimate hash-matches by construction. Portability caveat: the
-    * hash input is the value's string form, identical across engines for
-    * doubles within plain-decimal range (zero or |v| ∈ [1e-3, 1e7) —
-    * Spark switches to E-notation outside it, DuckDB does not); the
-    * audited lineitem columns sit inside, verified value-set-exact at
+    * Both estimators are graft's own PORTABLE specs, not Spark's
+    * HLL++/percentile_approx (whose internal state no other engine can
+    * replay — that kept this the one no-oracle query through r17):
+    *  - NDV: register = first 3 hex chars of md5(CAST(v AS STRING))
+    *    (m = 4096); rho = leading-zero bits of the next 13 hex chars
+    *    + 1, clamped at 50; harmonic sum carried as INTEGER terms
+    *    2^(50−rho) (a float sum's rounding depends on merge order —
+    *    integers are order-independent, and 4096·2^50 < 2^63);
+    *    linear-counting branch below 2.5·m.
+    *  - p50: pass 1 takes exact min/max/count/nulls; pass 2 bins
+    *    non-null values into 4096 equal-width buckets over [min, max]
+    *    and linearly interpolates inside the first bucket whose
+    *    cumulative count reaches n/2 (error ≤ one bin width,
+    *    range/4096 ≈ 0.025 % of range).
+    * Every step is SQL both engines evaluate identically (the
+    * [[hllRhoSql]]/[[hllEstRawSql]]/[[hllNdvSql]]/[[p50BinSql]]/
+    * [[p50PickSql]]/[[p50ValSql]] snippets are spliced verbatim into
+    * the Spark plan AND the DuckDB oracle), so both estimates
+    * hash-match by construction. Portability caveat: the HLL hash input
+    * is the value's string form, identical across engines for doubles
+    * within plain-decimal range (zero or |v| ∈ [1e-3, 1e7) — Spark
+    * switches to E-notation outside it, DuckDB does not); the audited
+    * lineitem columns sit inside, verified value-set-exact at
     * sf0.01/sf0.1.
-    *
-    * p50 is the exact interpolated median computed DECLARATIVELY from
-    * the same distinct-value table: per-column cumulative-frequency
-    * window over sorted distinct values, then the two bracketing values
-    * at rank h = (n−1)/2 interpolate as vlo + (h − ⌊h⌋)·(vhi − vlo) —
-    * Spark `percentile`'s own formula, which B1 proved bit-matches
-    * DuckDB quantile_cont. An aggregate `percentile(v, 0.5, freq)` gives
-    * the same number but runs interpreted and buffers EVERY distinct
-    * value per group (measured 3.0 s vs 1.8 s at sf0.1 on 583k distinct
-    * prices); the window form stays native, sorts only distinct values,
-    * and replaces r17's percentile_approx sketch, whose summary no other
-    * engine replays.
     */
   def tableStatsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     // melt keyed by a small-int column ID, not the column-name string —
-    // the id rides the data-sized shuffle and every hash-agg key compare;
-    // the 4-row name map joins back onto the report-sized tail only
+    // the id rides every hash-agg key compare; the 4-row name map joins
+    // back onto the report-sized tail only
     val melt = cols.zipWithIndex
       .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }.mkString(", ")
-    val freq = df
+    def melted = df
       .select(expr(s"stack(${cols.size}, $melt) AS (cid, v)"))
-      // EAGER checkpoint: three consumers (stats, p50 cumsum, HLL) fan
-      // out as concurrent stages of one job — a lazy checkpoint lets
-      // each race to compute the melt+agg before the cache fills, and
-      // exchange-reuse-without-checkpoint measured worse at the decade
-      .groupBy("cid", "v")
-      .agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
-    // ONE window+aggregate pass serves min/max/n_nulls AND the exact
-    // median: nulls sort last so the non-null cumulative frequency is
-    // correct, and min/max/n_nulls fold into the same groupBy — no
-    // separate stats subtree, one fewer join in the report tail
-    val nn = when(col("v").isNotNull, col("freq")).otherwise(lit(0L))
-    val wCum = Window.partitionBy("cid").orderBy(col("v").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("cid")
-    val stats = freq
-      .withColumn("cum", sum(nn).over(wCum))
-      .withColumn("n", sum(nn).over(wAll))
-      .withColumn("h", (col("n") - 1L).cast("double") * lit(0.5))
-      .groupBy("cid").agg(
-        min("v").as("min_val"),
-        max("v").as("max_val"),
-        sum(when(col("v").isNull, col("freq")).otherwise(lit(0L)))
-          .as("n_nulls"),
-        (min(when(col("cum") >= expr("CAST(FLOOR(h) AS BIGINT) + 1"),
-          col("v"))) +
-          (max(col("h")) - expr("FLOOR(MAX(h))")) *
-          (min(when(col("cum") >= expr("CAST(CEILING(h) AS BIGINT) + 1"),
-            col("v"))) -
-            min(when(col("cum") >= expr("CAST(FLOOR(h) AS BIGINT) + 1"),
-              col("v"))))).as("p50_val"))
-    val ndv = freq.filter(col("v").isNotNull)
-      .withColumn("h", md5(col("v").cast("string").cast("binary")))
-      .withColumn("bkt", expr("substring(h, 1, 3)"))
+    // scan 1 serves BOTH the exact stats and the HLL registers from one
+    // pass: group at (cid, register) grain — null values park in a
+    // sentinel register so their count still lands — then reduce to the
+    // per-column grain. Partial aggs bound every task's state at
+    // 4 × 4097 rows; the per-row kernel is one md5 + a leading-zero
+    // TRIM (the first cut's regexp_extract per row measured ~1 s/24M
+    // rows slower, and hashing only DISTINCT values — the r18 first
+    // formulation — made the whole operator scale with distinct values).
+    val reg1 = melted
+      .withColumn("h",
+        when(col("v").isNotNull, md5(col("v").cast("string").cast("binary"))))
+      .withColumn("bkt", expr("COALESCE(substring(h, 1, 3), '~')"))
       .withColumn("tail", expr("substring(h, 4, 13)"))
       .withColumn("z",
-        expr("CAST(length(regexp_extract(tail, '^0*', 0)) AS INT)"))
-      .withColumn("d", expr("substring(tail, z + 1, 1)"))
+        expr("13 - length(TRIM(LEADING '0' FROM tail))"))
+      .withColumn("d", expr("substring(TRIM(LEADING '0' FROM tail), 1, 1)"))
       .withColumn("rho", expr(hllRhoSql))
-      .groupBy("cid", "bkt").agg(max("rho").as("rmax"))
+      .groupBy("cid", "bkt").agg(
+        max("rho").as("rmax"),
+        min("v").as("bmin"),
+        max("v").as("bmax"),
+        count(col("v")).as("bn"),
+        (count(lit(1)) - count(col("v"))).as("bnulls"))
+      .localCheckpoint(true) // ≤ 4·4097 rows; feeds pass1 AND the registers
+    // 4-row result: it feeds two broadcasts and the report join
+    val pass1 = reg1.groupBy("cid").agg(
+      min("bmin").as("min_val"),
+      max("bmax").as("max_val"),
+      sum("bn").as("n"),
+      sum("bnulls").as("n_nulls"))
+    // pass 2: fixed-grid histogram over [min, max] (bin bounds from the
+    // broadcast pass-1 row), cumulative count over ≤4096 bins per
+    // column, linear interpolation inside the median bin
+    val cum = melted.filter(col("v").isNotNull)
+      .join(broadcast(pass1.select("cid", "min_val", "max_val", "n")), "cid")
+      .withColumn("bin", expr(p50BinSql))
+      .groupBy("cid", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("cid").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumbefore", col("cum") - col("cnt"))
+      .join(broadcast(pass1.select("cid", "min_val", "max_val", "n")), "cid")
+      // ≤ 4·4096 rows; eager-checkpointed so the pick + join-back pair
+      // below can't re-run the data-sized binning scan
+      .localCheckpoint(true)
+    val p50 = cum.filter(expr(p50PickSql))
+      .groupBy("cid").agg(min("bin").as("bin"))
+      .join(cum, Seq("cid", "bin"))
+      .select(col("cid"), expr(p50ValSql).as("p50_val"))
+    // registers = reg1 minus the null-sentinel bucket (its rmax is null:
+    // null v rows carry no hash; a real register can't collide — md5 hex
+    // is [0-9a-f], the sentinel is '~')
+    val ndv = reg1.filter(col("rmax").isNotNull)
       .groupBy("cid").agg(
         count(lit(1)).as("nbkt"),
         sum(expr("CAST(POW(2.0, 50 - rmax) AS BIGINT)")).as("spresent"))
@@ -710,11 +724,31 @@ object LakehouseOps {
       cols.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cid", "column_name")
     }
-    stats.join(ndv, Seq("cid"), "left")
+    pass1.join(ndv, Seq("cid"), "left")
+      .join(p50, Seq("cid"), "left")
       .join(broadcast(names), Seq("cid"))
       .select(col("column_name"), col("min_val"), col("max_val"),
         col("n_nulls"), col("approx_ndv"), col("p50_val"))
   }
+
+  /** Histogram bin of a non-null v over [min_val, max_val], 4096 cells;
+    * a constant column collapses to bin 0, v = max clamps to 4095.
+    */
+  private[graft] val p50BinSql: String =
+    "CASE WHEN max_val = min_val THEN 0 ELSE LEAST(CAST(FLOOR((v - " +
+      "min_val) / (max_val - min_val) * 4096.0) AS BIGINT), 4095) END"
+
+  /** Median-bin predicate: first bin whose cumulative count reaches n/2. */
+  private[graft] val p50PickSql: String =
+    "CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE)"
+
+  /** Linear interpolation inside the median bin (constant column → its
+    * value; fields: bin, cumbefore, cnt, min_val, max_val, n).
+    */
+  private[graft] val p50ValSql: String =
+    "CASE WHEN max_val = min_val THEN min_val ELSE min_val + ((max_val " +
+      "- min_val) / 4096.0) * (CAST(bin AS DOUBLE) + (0.5 * CAST(n AS " +
+      "DOUBLE) - CAST(cumbefore AS DOUBLE)) / CAST(cnt AS DOUBLE)) END"
 
   /** rho over (z = leading-zero hex chars of `tail`, d = next hex char):
     * leading-zero BITS + 1, clamped at 50 (see [[tableStatsApprox]]).
@@ -752,25 +786,37 @@ object LakehouseOps {
       .mkString("\nUNION ALL\n")
     s"""WITH melted AS (
        |$melted),
-       |freq AS (SELECT column_name, v, COUNT(*) AS freq
-       |         FROM melted GROUP BY 1, 2),
-       |stats AS (
+       |pass1 AS (
        |  SELECT column_name, MIN(v) AS min_val, MAX(v) AS max_val,
-       |    CAST(SUM(CASE WHEN v IS NULL THEN freq ELSE 0 END) AS BIGINT)
-       |      AS n_nulls
-       |  FROM freq GROUP BY 1),
-       |p50 AS (SELECT column_name, CAST(quantile_cont(v, 0.5) AS DOUBLE)
-       |          AS p50_val
-       |        FROM melted GROUP BY 1),
-       |hx AS (SELECT column_name, md5(CAST(v AS VARCHAR)) AS h
-       |       FROM freq WHERE v IS NOT NULL),
+       |    COUNT(v) AS n, COUNT(*) - COUNT(v) AS n_nulls
+       |  FROM melted GROUP BY 1),
+       |binned AS (
+       |  SELECT m.column_name, $p50BinSql AS bin
+       |  FROM melted m JOIN pass1 USING (column_name)
+       |  WHERE v IS NOT NULL),
+       |hist AS (SELECT column_name, bin, COUNT(*) AS cnt
+       |         FROM binned GROUP BY 1, 2),
+       |cumt AS (
+       |  SELECT column_name, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY column_name ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |cum2 AS (SELECT c.column_name, bin, cnt, cum, cum - cnt AS cumbefore,
+       |           min_val, max_val, n
+       |         FROM cumt c JOIN pass1 USING (column_name)),
+       |pick AS (SELECT column_name, MIN(bin) AS bin FROM cum2
+       |         WHERE $p50PickSql GROUP BY 1),
+       |p50 AS (SELECT c.column_name, $p50ValSql AS p50_val
+       |        FROM pick JOIN cum2 c USING (column_name, bin)),
+       |hx AS (SELECT DISTINCT column_name, md5(CAST(v AS VARCHAR)) AS h
+       |       FROM melted WHERE v IS NOT NULL),
        |t1 AS (SELECT column_name, substring(h, 1, 3) AS bkt,
        |         substring(h, 4, 13) AS tail FROM hx),
-       |t2 AS (SELECT column_name, bkt, tail,
-       |         CAST(length(regexp_extract(tail, '^0*', 0)) AS INT) AS z
+       |t2 AS (SELECT column_name, bkt,
+       |         13 - length(TRIM(LEADING '0' FROM tail)) AS z,
+       |         substring(TRIM(LEADING '0' FROM tail), 1, 1) AS d
        |       FROM t1),
-       |t3 AS (SELECT column_name, bkt, z, substring(tail, z + 1, 1) AS d
-       |       FROM t2),
+       |t3 AS (SELECT column_name, bkt, z, d FROM t2),
        |t4 AS (SELECT column_name, bkt, $hllRhoSql AS rho FROM t3),
        |regs AS (SELECT column_name, bkt, MAX(rho) AS rmax
        |         FROM t4 GROUP BY 1, 2),
@@ -784,8 +830,9 @@ object LakehouseOps {
        |agg3 AS (SELECT column_name, nempty, $hllEstRawSql AS est_raw
        |         FROM agg2),
        |ndv AS (SELECT column_name, $hllNdvSql AS approx_ndv FROM agg3)
-       |SELECT s.column_name, min_val, max_val, n_nulls, approx_ndv, p50_val
-       |FROM stats s
+       |SELECT p1.column_name, min_val, max_val, n_nulls, approx_ndv,
+       |  p50_val
+       |FROM pass1 p1
        |LEFT JOIN ndv USING (column_name)
        |LEFT JOIN p50 USING (column_name)
        |ORDER BY column_name""".stripMargin

@@ -48,8 +48,8 @@ class PlanSpec extends SparkSpec {
       "mm_video_frames",  // same codec rung, per-sampled-frame features
       "text_topk_sketch", // per-partition Misra-Gries pass is imperative
       "dedup_semantic_cc", // checkpointed label-propagation rounds
-      "dba_table_stats_approx") // checkpointed value-frequency table (r18
-                                // portable-HLL kernel, three consumers)
+      "dba_table_stats_approx") // checkpointed register/histogram tables
+                                // (r18 portable-HLL kernel, ≤4·4097 rows)
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
