@@ -289,7 +289,14 @@ object Relational {
     val o = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    // derived bound the optimizer can't infer across the non-equi join
+    // condition: l_shipdate > o_orderdate + 60d ∧ o_orderdate ≥ 1996-01-01
+    // ⇒ l_shipdate > 1996-03-01. Semantics-free pruning that reaches the
+    // parquet scan (PushedFilters) and keeps ~60 % of lineitem out of the
+    // semi join's shuffle+sort — the query's only data-sized exchange.
     val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >
+        lit("1996-01-01").cast("timestamp") + expr("INTERVAL 60 DAYS"))
     o.join(l,
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
