@@ -138,6 +138,48 @@ class LakehouseSpec extends SparkSpec {
       s"histogram p50 $a50 off exact median $exactP50 by more than a bin")
   }
 
+  test("portable HLL: estimate within ±12% across cardinality decades; " +
+    "histogram p50 within one bin of the exact median (property sweep)") {
+    // the r18 estimator's contract, pinned as a property over synthetic
+    // columns of known NDV spanning the linear-counting branch, the
+    // crossover, and the raw-HLL branch (m = 4096 registers)
+    for (ndv <- Seq(7L, 300L, 4000L, 60000L)) {
+      val df = spark.range(120000)
+        .selectExpr(s"CAST(id % $ndv AS DOUBLE) + 0.25 AS c1",
+          "CAST(NULL AS DOUBLE) AS c2")
+      val got = LakehouseOps.tableStatsApprox(df, Seq("c1", "c2"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val est = got("c1").getLong(4)
+      val err = math.abs(est.toDouble / ndv - 1.0)
+      assert(err < 0.12, s"ndv=$ndv estimated $est (err $err)")
+      assert(got("c1").getLong(3) == 0L)
+      // histogram p50 vs the exact BRACKETING median order statistics:
+      // within one bin of [lower, upper]. (percentile_cont would be the
+      // wrong yardstick on atomic data — it interpolates into the empty
+      // gap between atoms, a region no histogram of the data represents.)
+      val atoms = df.groupBy("c1").count().collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      val n = atoms.map(_._2).sum
+      def atRank(k: Long): Double = {
+        var cum = 0L
+        atoms.find { case (_, c) => cum += c; cum >= k }.get._1
+      }
+      val (lo, hi) = (atRank(n / 2), atRank(n / 2 + 1))
+      val binW = (got("c1").getDouble(2) - got("c1").getDouble(1)) / 4096.0
+      val p50v = got("c1").getDouble(5)
+      assert(p50v >= lo - binW - 1e-9 && p50v <= hi + binW + 1e-9,
+        s"ndv=$ndv p50 $p50v outside [$lo, $hi] ± bin $binW")
+      // the all-null column: exact fields null-safe, estimates null
+      assert(got("c2").getLong(3) == 120000L, "null count exact")
+      assert(got("c2").isNullAt(1) && got("c2").isNullAt(2))
+      assert(got("c2").isNullAt(5), "all-null column has no median")
+    }
+    // constant column: ndv estimate 1, p50 = the value
+    val const = spark.range(1000).selectExpr("CAST(42.5 AS DOUBLE) AS c")
+    val r = LakehouseOps.tableStatsApprox(const, Seq("c")).collect()(0)
+    assert(r.getLong(4) == 1L && r.getDouble(5) == 42.5)
+  }
+
   test("saltedJoin/saltedAgg match their unsalted equivalents") {
     val fact = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_id"), col("user_id"), col("value"))
