@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only a 2000-char stdout TAIL of `sbt "runMain
+// graft.Bench"` and parses its last line as JSON. Two sbt decorations broke
+// that for four rounds (BENCH_r15..r18 all record "parsed": null):
+// (1) forked-process stdout was routed through sbt's logger, prefixing
+//     every line with "[info] " — StdoutOutput passes it through raw;
+// (2) sbt appended "[success] Total time: ..." AFTER the program's final
+//     line — showSuccess/showTiming := false suppress it (exit codes are
+//     unaffected; the driver's rc field still works).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -410,23 +410,8 @@ object Bench {
       }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order_seed":$orderSeed,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir"$regJson$isoJson$scaleJson}"""
     println(line)
-    // The driver's BENCH_r<N> artifact keeps only a 2000-char stdout TAIL
-    // and tries to parse it — the full line above is ~26 KB, so the
-    // driver recorded "parsed": null for three rounds running. Emit a
-    // compact summary as the LAST line (headline numbers + a pointer to
-    // the full artifact, no per-query maps) so the tail always ends with
-    // one parseable JSON line.
-    val nReg = regJson match {
-      case r if r.contains("\"regressions\":{") =>
-        "\"[a-zA-Z0-9_]+\":".r.findAllIn(
-          r.substring(r.indexOf("\"regressions\":"))).length - 1
-      case _ => 0
-    }
-    val scaleTotal = "\"scale_ratio_total\":([0-9.Ee+-]+)".r
-      .findFirstMatchIn(scaleJson).map(_.group(1)).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${med.size},"n_errors":${failures.size},"n_regressions":$nReg,"scale_ratio_total":$scaleTotal,"queries":"see_full_artifact","full_artifact":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")}"}""")
-    // Also persist the line to a file: the driver captures only a stdout
-    // tail, which truncated the JSON three rounds running. Env-overridable;
+    // Persist the full line to a file: the driver captures only a 2000-char
+    // stdout tail, which truncates the ~26 KB line above. Env-overridable;
     // failures to write are reported but never fail the bench, and the
     // absolute path is always logged (the default overwrites bench_out.json
     // in whatever directory the bench happens to run from).
@@ -439,7 +424,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Everything that can still write to stdout/stderr happens BEFORE the
+    // compact summary below, so the driver's tail ends with one parseable
+    // JSON line: Spark's own stop()-time logging is capped at ERROR, the
+    // scratch sweep precedes the print, and build.sbt routes forked stdout
+    // raw (StdoutOutput) with sbt's trailing "[success]" line suppressed.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     deleteRecursively(scratchRoot.toFile) // this run's root only
+    val scaleTotal = "\"scale_ratio_total\":([0-9.Ee+-]+)".r
+      .findFirstMatchIn(scaleJson).map(_.group(1)).getOrElse("null")
+    // compact summary as the LAST stdout line (headline numbers + a pointer
+    // to the full artifact, no per-query maps) — the driver's tail parser
+    // reads this; the regression count rides regNames (the gate's own list)
+    // rather than re-parsing the serialized JSON
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${med.size},"n_errors":${failures.size},"n_regressions":${regNames.size},"scale_ratio_total":$scaleTotal,"queries":"see_full_artifact","full_artifact":"$outPath"}""")
+    System.out.flush()
   }
 }

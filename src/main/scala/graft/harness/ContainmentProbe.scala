@@ -58,12 +58,27 @@ object ContainmentProbe {
         .distinct()
       time("pairs")(pairs.write.format("noop").mode("overwrite").save())
       println(s"[probe]   pairs = ${pairs.count()}")
-      val inter = pairs
+      // two intersection formulations, labeled: the superseded posting
+      // self-join (two data-sized exchanges — the r17 decade wall) and the
+      // shipped per-doc array_intersect over two broadcastable joins of the
+      // count-sized pair list (Dedup.dedupContainment since r18) — so a
+      // future decade diagnosis reads the production plan's stage, with the
+      // old plan's number alongside for the delta
+      val interOld = pairs
         .join(posting.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
         .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
-      time("inter")(inter.write.format("noop").mode("overwrite").save())
+      time("inter.posting(old)")(interOld.write.format("noop").mode("overwrite").save())
+      val docSets = docs.select(col("doc_id"),
+        graft.functions.Sketch.shingle_hashes(col("text"), 3).as("hs"))
+        .localCheckpoint(true)
+      val interNew = pairs
+        .join(docSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("n_inter"))
+      time("inter.array(shipped)")(interNew.write.format("noop").mode("overwrite").save())
       time("full.query")(graft.dedup.Dedup.dedupContainment(spark, dir)
         .write.format("noop").mode("overwrite").save())
     }

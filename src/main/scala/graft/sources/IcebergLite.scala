@@ -2314,9 +2314,21 @@ object IcebergLite {
           keepMeta = true)
         val tableAbs = canonTableRoot(spark, table)
         import spark.implicits._
-        val nameToPath = snap.detail.map(fi =>
-          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path)
-          .toDF("__if", "file_path")
+        // one row per canonical path: duplicate manifest entries for the
+        // same file (same canon key) must not fan the broadcast join out —
+        // each would duplicate its victim rows, inflating nVictims and
+        // emitting duplicate delete entries where the old driver-side Map
+        // collapsed them. Identical (canon, path) pairs collapse silently;
+        // two DIFFERENT manifest paths canonicalizing to one key is a
+        // corrupt-metadata state and fails loudly (matching the unmapped-
+        // victim require below).
+        val n2p = snap.detail.map(fi =>
+          canonPath(tableAbs, resolvePath(table, fi.path)) -> fi.path).distinct
+        require(n2p.map(_._1).distinct.size == n2p.size,
+          s"$table: multiple manifest data-file paths canonicalize to one " +
+            "scan path — refusing to write a delete file against " +
+            "ambiguous file identities")
+        val nameToPath = n2p.toDF("__if", "file_path")
         // LEFT join: an __if canonicalization mismatch must fail loudly
         // (the old driver-side Map lookup threw NoSuchElementException; an
         // inner join would silently DROP the victim and leave the row
