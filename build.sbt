@@ -22,6 +22,8 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// read by sbt's command engine, not by tasks — lint can't see that
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

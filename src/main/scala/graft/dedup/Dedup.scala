@@ -245,28 +245,20 @@ object Dedup {
   /** Hot-block cap shared by [[simhashNn]] and its oracle SQL. */
   private[dedup] val SimhashMaxBucket = 1000
 
-  /** Candidate near-dup pairs (doc_id, nn_id, hamming) from the pruned
-    * Manku block join — shared by [[simhashNn]] (best-per-doc) and
-    * [[simhashNearDupIds]] (exists-an-earlier-dup). A pair agreeing on k
-    * blocks appears k times; consumers dedup as fits their aggregation.
-    */
-  private def simhashCandidates(docs: DataFrame,
-                                maxBucket: Int): DataFrame = {
-    // Hot-block guard: a degenerate block value shared by many docs
-    // (classically the all-zeros block from short/templated text) turns
-    // one join key into Σ bucket² candidates — the op's skew point at web
-    // scale. Buckets larger than `maxBucket` are dropped BEFORE the join
-    // (aggregate + broadcast anti-join since r16), which bounds any
-    // key's contribution at maxBucket². Recall tradeoff, deliberate —
-    // and since r16's first-agreement dedup it is slightly wider: a pair
-    // whose lexicographically-FIRST agreeing block sits in a pruned hot
-    // bucket is dropped even when a later agreeing block is cold (pinned
-    // in DedupSpec). A pair with NO hot agreeing block is always found,
-    // and a doc whose every block is hot is template boilerplate, not a
-    // near-dup signal. See hammingCandidates for the checkpoint story
-    // (the 16-byte/doc signature table is what materializes).
-    hammingCandidates(simhashTable(docs), maxBucket)
-  }
+  // Hot-block guard (applies to every hammingCandidates consumer): a
+  // degenerate block value shared by many docs (classically the all-zeros
+  // block from short/templated text) turns one join key into Σ bucket²
+  // candidates — the op's skew point at web scale. Buckets larger than
+  // `maxBucket` are dropped BEFORE the join (aggregate + broadcast
+  // anti-join since r16), which bounds any key's contribution at
+  // maxBucket². Recall tradeoff, deliberate — and since r16's
+  // first-agreement dedup it is slightly wider: a pair whose
+  // lexicographically-FIRST agreeing block sits in a pruned hot bucket is
+  // dropped even when a later agreeing block is cold (pinned in
+  // DedupSpec). A pair with NO hot agreeing block is always found, and a
+  // doc whose every block is hot is template boilerplate, not a near-dup
+  // signal. See hammingCandidates for the checkpoint story (the
+  // 16-byte/doc signature table is what materializes).
 
   /** Corpus size past which the Manku banding widens from 4 single
     * 16-bit blocks to C(5,2)=10 block-PAIR keys (~2²⁶-value keyspace).
@@ -449,15 +441,61 @@ object Dedup {
         (col("hamming") <= maxHamming).as("is_dup"))
   }
 
+  /** The near-dup GATE's own narrow→wide cutover — deliberately NOT
+    * [[HammingWideThreshold]] (4000): the two hammingCandidates
+    * consumers have opposite downstream shapes, so their crossovers
+    * differ by orders of magnitude, and each is MEASURED
+    * (SimhashSweep, SPARK_GRAFT_SWEEP_OP=nn|gate, min of 3 runs,
+    * near-dup-replica corpora):
+    *
+    *   docs    nn narrow/wide     gate narrow/wide
+    *   5k      0.98 / 0.84        0.63 / 0.55
+    *   20k     1.29 / 0.93        0.66 / 0.71
+    *   50k     2.68 / 1.38        0.93 / 1.07
+    *   100k    3.48 / 2.80        1.18 / 1.41
+    *   200k    8.73 / 3.95        1.49 / 1.87
+    *
+    * simhashNn AGGREGATES every candidate (the best-neighbor groupBy
+    * shuffles the full pair volume, so narrow's n²/2¹⁶ random
+    * collisions dominate early — wide wins from ~5k). The gate filters
+    * to hamming ≤ maxHamming INSIDE the join stage before a
+    * true-dup-sized distinct, so narrow's extra collisions cost one
+    * codegen'd bit_count each and never shuffle — while wide pays 2.5×
+    * the block-key shuffle up front. Narrow stays ahead through the
+    * whole measured band; 250k sits just past it. Wide must still take
+    * over eventually: collision EVALUATIONS grow ∝ n²/2¹⁶ (≈6G pair
+    * evals at 10M docs), and at web scale every 16-bit bucket exceeds
+    * the hot cap and narrow's recall collapses — the same argument as
+    * the NN switch, just with a far larger measured constant gap.
+    */
+  private[graft] val GateWideThreshold: Long =
+    // same TEST hook as HammingWideThreshold: forcing 0 at a small SF
+    // runs the wide gate through the full Verify → DuckDB compare
+    sys.env.get("SPARK_GRAFT_HAMMING_WIDE").flatMap(_.toLongOption)
+      .getOrElse(250000L)
+
   /** doc_ids with at least one EARLIER (lower-id) document within
     * `maxHamming` simhash bits — the keep-first near-dup gate for
     * curation: flagged docs drop, their earlier counterpart survives.
+    *
+    * Banding is count-sized like [[simhashNn]] (r19) but against the
+    * gate's own measured crossover ([[GateWideThreshold]] — see its
+    * sweep table): narrow through the whole measured band, wide past
+    * it, so web-scale corpora keep bounded buckets and recall. Scheme
+    * choice is ≤3-hamming-exact under BOTH bandings (pigeonhole), and
+    * the oracle CTE chain CASEs on the same corpus count and threshold,
+    * so the gate's verdicts stay hash-checked across the switch.
     */
   def simhashNearDupIds(docs: DataFrame, maxHamming: Int = 3,
-                        maxBucket: Int = SimhashMaxBucket): DataFrame =
-    simhashCandidates(docs, maxBucket)
+                        maxBucket: Int = SimhashMaxBucket,
+                        wideThreshold: Long = GateWideThreshold): DataFrame = {
+    // scheme choice needs the corpus SIZE only — an id-column count, no
+    // text hashing (the signature table materializes once, later)
+    val n = docs.select("doc_id").count()
+    hammingCandidates(simhashTable(docs), maxBucket, n, wideThreshold)
       .filter(col("hamming") <= maxHamming && col("nn_id") < col("doc_id"))
       .select("doc_id").distinct()
+  }
 
   def dedupSimhashNn(s: SparkSession, dir: String): DataFrame =
     simhashNn(Tables.documents(s, dir))
@@ -943,10 +981,10 @@ object Dedup {
        |    FROM blocks) t WHERE n <= $SimhashMaxBucket)""".stripMargin
 
   /** SQL mirror of the narrow scheme's first-agreement condition, over
-    * join aliases `a`/`b` and the `block` column — shared by every
-    * oracle that joins pruned narrow blocks ([[hammingNnSqlTail]] and
-    * [[simhashNearDupSqlCtes]]), so the r16 pair-dedup semantics can't
-    * drift between the NN report and the curation gate.
+    * join aliases `a`/`b` and the `block` column — used by the
+    * scheme-CASEd candidate chain ([[hammingCandSqlCtes]]), which both
+    * the NN report and the curation gate build on, so the r16
+    * pair-dedup semantics can't drift between them.
     */
   private def narrowFirstAgreementSql: String = {
     def nAgreeSql(b: Int): String =
@@ -959,32 +997,33 @@ object Dedup {
   }
 
   /** CTE chain ending in nd(doc_id): docs with an earlier near-dup —
-    * SQL mirror of [[simhashNearDupIds]], INCLUDING the r16
-    * first-agreement condition (the Spark kernel emits a pair only in
-    * its first agreeing block, so a pair whose first agreement is hot-
-    * pruned must not resurface here via a later block either).
+    * SQL mirror of [[simhashNearDupIds]], riding the scheme-CASEd
+    * candidate chain ([[hammingCandSqlCtes]]) since r19 so the oracle
+    * picks the same count-sized banding as the Spark gate — including
+    * the r16 first-agreement condition (the Spark kernel emits a pair
+    * only in its first agreeing block, so a pair whose first agreement
+    * is hot-pruned must not resurface here via a later block either).
     */
   private[graft] def simhashNearDupSqlCtes(maxHamming: Int = 3): String =
-    s"""$simhashBlocksSqlCtes,
+    s"""$simhashSqlCtes,
+       |ndids AS (SELECT doc_id FROM documents),
+       |${hammingCandSqlCtes("ndids", "sim", SimhashMaxBucket, GateWideThreshold)},
        |nd AS (
-       |  SELECT DISTINCT a.doc_id
-       |  FROM pruned a JOIN pruned b USING (block, bv)
-       |  WHERE b.doc_id < a.doc_id
-       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
-       |    AND $narrowFirstAgreementSql)""".stripMargin
+       |  SELECT DISTINCT doc_id FROM cand
+       |  WHERE nn_id < doc_id AND hamming <= $maxHamming)""".stripMargin
 
-  /** Shared DuckDB mirror of [[hammingCandidates]] + the best-neighbor
-    * argmin: CTE tail over a `sigCte`(doc_id, simhash) relation, CASEing
-    * on `idsCte`'s row count to pick the SAME banding scheme the Spark
-    * side picks (narrow 4×16 blocks vs wide 5-block pair combos) — the
-    * count-gated WHERE empties whichever branch doesn't apply.
-    * Arithmetic-shift-then-mask equals Spark's unsigned-shift-then-mask
-    * for every kept bit (the mask drops the smeared sign bits). Ends in
-    * `best`(doc_id, nn_id, hamming); the caller writes the final SELECT.
+  /** Shared DuckDB mirror of [[hammingCandidates]]: CTE chain over a
+    * `sigCte`(doc_id, simhash) relation, CASEing on `idsCte`'s row count
+    * to pick the SAME banding scheme the Spark side picks (narrow 4×16
+    * blocks vs wide 5-block pair combos) — the count-gated WHERE empties
+    * whichever branch doesn't apply. Arithmetic-shift-then-mask equals
+    * Spark's unsigned-shift-then-mask for every kept bit (the mask drops
+    * the smeared sign bits). Ends in `cand`(doc_id, nn_id, hamming),
+    * both orientations per pair, first-agreement-deduped.
     */
-  private[graft] def hammingNnSqlTail(idsCte: String, sigCte: String,
-                                      maxBucket: Int,
-                                      wideThreshold: Long = HammingWideThreshold): String = {
+  private[graft] def hammingCandSqlCtes(idsCte: String, sigCte: String,
+                                        maxBucket: Int,
+                                        wideThreshold: Long = HammingWideThreshold): String = {
     val combos = WideCombos.zipWithIndex
       .map { case (Seq(i, j), c) => s"($c, $i, $j)" }.mkString(", ")
     val wblocks = WideBlocks.zipWithIndex
@@ -1036,14 +1075,22 @@ object Dedup {
        |  FROM pruned a JOIN pruned b USING (block, bv)
        |  WHERE a.doc_id <> b.doc_id
        |    AND (CASE WHEN (SELECT n FROM hcnt) <= $wideThreshold
-       |         THEN $narrowFirst ELSE $wideFirst END)),
+       |         THEN $narrowFirst ELSE $wideFirst END))""".stripMargin
+  }
+
+  /** [[hammingCandSqlCtes]] + the best-neighbor argmin — ends in
+    * `best`(doc_id, nn_id, hamming); the caller writes the final SELECT.
+    */
+  private[graft] def hammingNnSqlTail(idsCte: String, sigCte: String,
+                                      maxBucket: Int,
+                                      wideThreshold: Long = HammingWideThreshold): String =
+    s"""${hammingCandSqlCtes(idsCte, sigCte, maxBucket, wideThreshold)},
        |best AS (
        |  SELECT doc_id, nn_id, hamming FROM (
        |    SELECT doc_id, nn_id, hamming,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id
        |        ORDER BY hamming, nn_id) AS rn
        |    FROM cand) t WHERE rn = 1)""".stripMargin
-  }
 
   /** Manku block self-join + best-neighbor, mirroring [[simhashNn]]
     * defaults (count-sized scheme, maxHamming=3, maxBucket=1000).

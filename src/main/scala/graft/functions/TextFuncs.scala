@@ -261,19 +261,37 @@ object TextFuncs {
   // --------------------------------------------------------------- C14
   /** PII scrubbing: redact emails, phone numbers, and IPv4 addresses — the
     * standard pre-release pass over web-crawl training text. Pure per-row
-    * regexp projection (codegen'd, zero shuffles). Patterns are
-    * deliberately RE2-compatible (no backrefs/lookaround) so the same
-    * strings run on Spark (java.util.regex) and DuckDB (RE2) identically.
-    * Replacement order matters: emails first (their local part can contain
-    * digit runs), then phones, then IPs (dots keep them out of the phone
-    * pattern's character class).
+    * projection (codegen'd, zero shuffles), fused since r19 into ONE
+    * native expression ([[graft.functions.PiiScrub]]) whose byte scanners
+    * replace the six regex passes the fold formulation paid per row (the
+    * r18 decade watch item). Patterns are deliberately RE2-compatible (no
+    * backrefs/lookaround) so the same strings run on Spark
+    * (java.util.regex, which the scanners replicate) and DuckDB (RE2)
+    * identically. Replacement order matters: emails first (their local
+    * part can contain digit runs), then phones, then IPs (dots keep them
+    * out of the phone pattern's character class); counts are over the
+    * ORIGINAL text for all three.
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", "\\+?[0-9][0-9-]{7,}[0-9]", "<PHONE>"),
     ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
 
-  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__pii", Text.piiScrub(col(textCol)))
+      .withColumn("n_email", col("__pii.n_email"))
+      .withColumn("n_phone", col("__pii.n_phone"))
+      .withColumn("n_ip", col("__pii.n_ip"))
+      .withColumn(textCol, col("__pii.scrubbed"))
+      .drop("__pii")
+
+  /** The superseded six-scan regex formulation of [[piiScrub]] — kept as
+    * the in-engine referee: PiiScrubSpec property-sweeps the fused
+    * byte-scanner expression against it (same java.util.regex engine the
+    * scanners replicate), so a scanner/pattern divergence fails a spec
+    * before it can reach the DuckDB gate.
+    */
+  private[graft] def piiScrubRegex(df: DataFrame, textCol: String): DataFrame = {
     val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
       d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
     }

@@ -3,10 +3,16 @@ package graft.harness
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measurement harness for the simhash-NN banding cutover
-  * ([[graft.dedup.Dedup.HammingWideThreshold]]): times `simhashNn` under
-  * BOTH banding schemes across a sweep of corpus sizes, so the
-  * narrow→wide switch point is a measured crossover, not a guess.
+/** Measurement harness for the simhash banding cutovers
+  * ([[graft.dedup.Dedup.HammingWideThreshold]] and the near-dup gate's
+  * [[graft.dedup.Dedup.GateWideThreshold]]): times the op under BOTH
+  * banding schemes across a sweep of corpus sizes, so each narrow→wide
+  * switch point is a measured crossover, not a guess.
+  * `SPARK_GRAFT_SWEEP_OP=nn` (default) sweeps `simhashNn`; `gate` sweeps
+  * `simhashNearDupIds` — the two have different crossovers because the
+  * gate filters candidates to hamming ≤ 3 before a distinct (narrow's
+  * extra collisions die in a cheap filter) while the NN report
+  * aggregates the full candidate volume.
   *
   * Corpora are synthetic replicas of the sf0.1 documents table (shifted
   * ids, per-replica near-dup suffix — the same weak-scaling recipe as
@@ -51,15 +57,19 @@ object SimhashSweep {
       replica(f).repartition(math.max(4, f)).write.parquet(dir)
       val docs = spark.read.parquet(dir)
       val n = n0 * f
+      val op = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OP", "nn")
       for ((label, thr) <- Seq("narrow" -> Long.MaxValue, "wide" -> 0L)) {
         val ts = (1 to runs).map { _ =>
           spark.catalog.clearCache(); System.gc()
           val t0 = System.nanoTime()
-          graft.dedup.Dedup.simhashNn(docs, wideThreshold = thr)
-            .write.format("noop").mode("overwrite").save()
+          (op match {
+            case "gate" =>
+              graft.dedup.Dedup.simhashNearDupIds(docs, wideThreshold = thr)
+            case _ => graft.dedup.Dedup.simhashNn(docs, wideThreshold = thr)
+          }).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"SWEEP docs=$n%-8d scheme=$label%-6s min=${ts.min}%.2fs " +
+        println(f"SWEEP op=$op docs=$n%-8d scheme=$label%-6s min=${ts.min}%.2fs " +
           s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
       }
     }
