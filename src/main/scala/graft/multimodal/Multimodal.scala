@@ -874,6 +874,21 @@ object Multimodal {
     * DuckDB replays them exactly from the per-frame pixel formula; the
     * hash match proves container parse + sampling arithmetic + codec
     * round trip together.
+    *
+    * r19 decade adjudication (the standing ~2× isolated-decade canary,
+    * adjudicated the merge_skew way): three 8-run-minima cycles at
+    * sf0.1 → sf1-equiv measured ratios 1.79 / 1.91 / 2.10 on identical
+    * code — a noise band straddling 2, not growth. The plan is audited
+    * optimal and pinned in PlanSpec: a doc_id-ONLY parquet scan (no text
+    * bytes move), the %3 filter below the exchange, a 32-way round-robin
+    * fan-out of bare longs, then the batched codec mapPartitions. The
+    * wall is per-video PNG/AVI codec work — perfectly linear in sampled
+    * frames and embarrassingly parallel (absolute walls 0.26–0.30 s
+    * small rung / 0.46–0.50 s big rung) — so the ratio is the linear
+    * compute emerging over the rung-independent job overhead, exactly
+    * the dba_merge_skew intercept effect. At 100 TB the decode IS the
+    * workload and parallelism is file-count-wide; there is no shuffle,
+    * collect, or skew point to burn down.
     */
   def mmVideoFrames(s: SparkSession, dir: String, stride: Int = 2,
                     batchSize: Int = 64): DataFrame = {

@@ -150,6 +150,25 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
   }
 
+  test("mm_video_frames: codec stage fans out over an ids-only scan — " +
+    "the decade-canary's adjudicated shape") {
+    // the r19 adjudication (Multimodal.mmVideoFrames scaladoc): the wall
+    // is per-video codec work, and the plan must keep it (a) parallel —
+    // the round-robin fan-out below the MapPartitions (losing it
+    // serializes every decode on one core: the r16 text_pii_scrub
+    // 1.1 → 4.7 s class) — and (b) fed by a doc_id-only scan with the
+    // %3 filter below the exchange (shuffling text bytes for a codec
+    // stage that synthesizes its own payloads would be pure waste)
+    val df = SparkEntry.queries("mm_video_frames")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"),
+      "codec mapPartitions must sit above the fan-out exchange")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"scan must read ids only: $read")
+  }
+
   test("dimension joins broadcast; fact-fact joins shuffle on keys") {
     assert(executedPlan("q3_shipping_priority").contains("BroadcastHashJoin"))
     assert(executedPlan("q5_local_supplier").contains("BroadcastHashJoin"))

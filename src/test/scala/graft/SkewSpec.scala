@@ -253,6 +253,38 @@ class SkewSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("merge: the r18 decade adjudication's configuration is pinned — " +
+    "SortAggregate max_by dedup with a map-side partial pass, no window, " +
+    "no checkpoint, and the anti-join side re-scans orders pruned to the " +
+    "merge key") {
+    // latestPerKeyAgg's scaladoc records the measurement band (8-run
+    // isolated minima at sf0.1/sf1-equiv): max_by beats the window
+    // ABSOLUTELY at both rungs, and both measured alternatives — a
+    // checkpointed winner set and a salted two-level window — measured
+    // WORSE at the decade. This asserts that exact plan shape so the
+    // adjudicated configuration can't silently rot into one of the
+    // rejected ones (a checkpoint would drop the keys-only rescan; a
+    // window/salt would reintroduce Window nodes; losing the struct
+    // buffer would drop the partial pass).
+    val df = LakehouseOps.dbaMergeUpsertSkew(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortAggregate"),
+      "max_by dedup must stay a (Sort)Aggregate")
+    assert(plan.toLowerCase.contains("partial_max_by"),
+      "the dedup must partial-combine map-side")
+    assert(!plan.contains("Window"), "no window formulation may reappear")
+    assert(!plan.contains("Checkpoint") && !plan.contains("ExistingRDD"),
+      "the winner set must not be checkpointed (measured worse)")
+    // the anti-join side's rescan prunes to the key + pushed date filter:
+    // Catalyst drops the unreferenced max_by entirely there, so the scan
+    // reads two columns, not the merge's five
+    val keysOnly = plan.linesIterator.exists(l =>
+      l.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:") &&
+        !l.contains("o_custkey"))
+    assert(keysOnly, "anti-join side must re-scan keys-only:\n" + plan)
+  }
+
   // ------------------------------------------------------- scd2 lag-carry
   test("scd2: bucketed lag-carry matches the naive window on a hot " +
     "monitoring feed; the second window rides compressed change points") {
