@@ -878,7 +878,8 @@ object Multimodal {
     * r19 decade adjudication (the standing ~2× isolated-decade canary,
     * adjudicated the merge_skew way): three 8-run-minima cycles at
     * sf0.1 → sf1-equiv measured ratios 1.79 / 1.91 / 2.10 on identical
-    * code — a noise band straddling 2, not growth. The plan is audited
+    * code, and the final-HEAD full-cycle isolated ratio landed 2.25
+    * (r18: 2.19) — an honest 1.8–2.3× band straddling 2, not growth. The plan is audited
     * optimal and pinned in PlanSpec: a doc_id-ONLY parquet scan (no text
     * bytes move), the %3 filter below the exchange, a 32-way round-robin
     * fan-out of bare longs, then the batched codec mapPartitions. The
