@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineLshBucket, Md5MinhashPerms, Md5MinhashSig, Md5Simhash, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineLshBucket, Md5MinhashPerms, Md5MinhashSig, Md5Simhash, PiiScrub, ShingleHashes, TokenProfileCounts, VecDot, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native expressions: register with
   * `.withExtensions(new GraftExtensions)` (or
@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => TokenProfileCounts(text,
           graft.functions.TextFuncs.stopwordProfiles.map(_._2))
         case _ => throw new IllegalArgumentException("graft_lang_scores(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => PiiScrub(text)
+        case _ => throw new IllegalArgumentException("graft_pii_scrub(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_vec_dot"),

@@ -48,6 +48,12 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_word_ngrams('a b c', 2) AS g").first().getSeq[String](0)
     assert(ng == Seq("a b", "b c"))
 
+    val pii = extSpark.sql(
+      "SELECT graft_pii_scrub('mail a@b.co or +1-555-0199-123 at 1.2.3.4') AS p")
+      .select("p.scrubbed", "p.n_email", "p.n_phone", "p.n_ip").first()
+    assert(pii.getString(0) == "mail <EMAIL> or <PHONE> at <IP>")
+    assert((pii.getInt(1), pii.getInt(2), pii.getInt(3)) == ((1, 1, 1)))
+
     // md5-KM perms: k values, perm 0 = first 8 digest bytes as a long
     val perms = extSpark.sql(
       "SELECT graft_minhash_perms('shingle', 4) AS p").first().getSeq[Long](0)
