@@ -184,6 +184,42 @@ class DedupSpec extends SparkSpec {
     nn(3L).foreach { case (_, _, dup) => assert(!dup, "doc 3 flagged") }
   }
 
+  test("near-dup gate: narrow and wide bandings flag the identical id " +
+    "set on a pruning-free corpus — the GateWideThreshold switch can " +
+    "never change verdicts, only cost") {
+    // both schemes find EVERY hamming<=3 pair (pigeonhole) and differ
+    // only where hot-bucket pruning bites, so on a corpus with no hot
+    // buckets the keep-first gate must return byte-identical id sets
+    // under forced-narrow and forced-wide — the unit-level guard behind
+    // the SPARK_GRAFT_HAMMING_WIDE=0 full-oracle check (which is manual
+    // and can rot; this runs every build)
+    val dir = Files.createTempDirectory("graft_gate_parity").toString
+    val base = (1 to 800).map(i => s"word$i").mkString(" ")
+    val near = (1 to 800).map(i => if (i == 400) "CHANGED" else s"word$i").mkString(" ")
+    val distinctDocs = (0 until 20).map { k =>
+      (10L + k, (1 to 60).map(i => s"tok${k}_$i").mkString(" "), "en", "s", 1L)
+    }
+    (Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base, "en", "s", 1L),   // exact copy: hamming 0, must flag
+      (2L, near, "en", "s", 1L))   // near dup of 0/1: flags under both
+      ++ distinctDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def ids(thr: Long): Set[Long] =
+      Dedup.simhashNearDupIds(docs, wideThreshold = thr)
+        .as[Long].collect().toSet
+    val narrow = ids(Long.MaxValue)
+    val wide = ids(0L)
+    assert(narrow == wide, s"schemes disagree: narrow=$narrow wide=$wide")
+    assert(narrow.contains(1L), "exact copy (hamming 0) must flag")
+    assert(narrow.contains(2L), "one-word edit must flag")
+    assert(!narrow.contains(0L), "keep-first: the earliest doc survives")
+    assert(distinctDocs.forall { case (id, _, _, _, _) => !narrow.contains(id) },
+      "unrelated docs must never flag")
+  }
+
   test("hamming kernel: first-agreement dedup emits each pair once, and " +
     "its documented hot-bucket edge holds — a pair whose FIRST agreeing " +
     "block is hot is dropped, one with a cold first agreement survives") {
