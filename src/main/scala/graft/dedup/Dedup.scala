@@ -485,6 +485,15 @@ object Dedup {
     * choice is ≤3-hamming-exact under BOTH bandings (pigeonhole), and
     * the oracle CTE chain CASEs on the same corpus count and threshold,
     * so the gate's verdicts stay hash-checked across the switch.
+    *
+    * NOTE for library callers: scheme dispatch needs the corpus COUNT, so
+    * CONSTRUCTING this DataFrame runs one eager `docs.count()` job (an
+    * id-column scan — no text is read) even if the result is never
+    * executed, and a caller whose `docs` is itself expensive to compute
+    * should cache/checkpoint it first or the count triggers a second full
+    * computation. This is the established [[simhashNn]] idiom: the
+    * alternative (deferring the choice into the plan) would need a
+    * data-dependent physical strategy for no measured win at any rung.
     */
   def simhashNearDupIds(docs: DataFrame, maxHamming: Int = 3,
                         maxBucket: Int = SimhashMaxBucket,

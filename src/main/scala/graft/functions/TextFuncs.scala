@@ -277,13 +277,24 @@ object TextFuncs {
     ("phone", "\\+?[0-9][0-9-]{7,}[0-9]", "<PHONE>"),
     ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
 
-  def piiScrub(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__pii", Text.piiScrub(col(textCol)))
-      .withColumn("n_email", col("__pii.n_email"))
-      .withColumn("n_phone", col("__pii.n_phone"))
-      .withColumn("n_ip", col("__pii.n_ip"))
-      .withColumn(textCol, col("__pii.scrubbed"))
-      .drop("__pii")
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    // ONE PiiScrub evaluation per row without relying on codegen CSE: the
+    // struct lands in its own Project and the consumer Project reads four
+    // of its fields — CollapseProject refuses to merge them (it would
+    // duplicate a non-cheap expression), so even interpreted/fallback
+    // paths run the byte scanners once (the r19 advice item: the
+    // withColumn-chain formulation collapsed to 4–5 calls per row).
+    // TextSpec pins the single-instance property on the optimized plan.
+    val withStruct = df.select(col("*"), Text.piiScrub(col(textCol)).as("__pii"))
+    val keep = df.columns.toSeq.map {
+      case c if c == textCol => col("__pii.scrubbed").as(textCol)
+      case c                 => col(c)
+    }
+    withStruct.select(keep ++ Seq(
+      col("__pii.n_email").as("n_email"),
+      col("__pii.n_phone").as("n_phone"),
+      col("__pii.n_ip").as("n_ip")): _*)
+  }
 
   /** The superseded six-scan regex formulation of [[piiScrub]] — kept as
     * the in-engine referee: PiiScrubSpec property-sweeps the fused

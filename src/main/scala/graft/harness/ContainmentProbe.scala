@@ -63,7 +63,15 @@ object ContainmentProbe {
       // shipped per-doc array_intersect over two broadcastable joins of the
       // count-sized pair list (Dedup.dedupContainment since r18) — so a
       // future decade diagnosis reads the production plan's stage, with the
-      // old plan's number alongside for the delta
+      // old plan's number alongside for the delta.
+      // SEMANTICS CAVEAT (r19 advice): the two stages time different
+      // quantities, not just different plans — posting is NOT distinct per
+      // (doc_id, h), so the self-join's n_inter sums shingle
+      // MULTIPLICITIES (cnt_a*cnt_b per hash) while array_intersect yields
+      // the DISTINCT-value intersection the shipped query uses. The old
+      // number is kept as the faithful timing of the superseded r17 plan
+      // (which had exactly this multiplicity behavior); read the old-vs-
+      // shipped delta as plan cost + semantics, not plan cost alone.
       val interOld = pairs
         .join(posting.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
         .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))

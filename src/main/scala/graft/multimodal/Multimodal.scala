@@ -890,6 +890,18 @@ object Multimodal {
     * the dba_merge_skew intercept effect. At 100 TB the decode IS the
     * workload and parallelism is file-count-wide; there is no shuffle,
     * collect, or skew point to burn down.
+    *
+    * r20 — WATCH RETIRED: one more 8-run-minima isolated decade cycle on
+    * a measured-quiet host (pre-run load1 0.02, hypervisor steal 0.01%
+    * over the window, q1_pricing_summary alongside as the frozen control
+    * at 1.53× / absolute min 1.24 s — inside its own quiet band)
+    * measured **1.91×** (min 0.255 s small rung → 0.486 s big rung),
+    * under the 2× bar, with the two-point decomposition 0.23 s
+    * rung-independent intercept + 0.026 s codec compute per sf0.1-unit
+    * (the data term exactly 10× across the decade). Fourth same-code
+    * cycle inside the 1.8–2.3× band and the first with the host state
+    * machine-recorded; the >2 readings were degraded-window inflation of
+    * the same linear compute. No code change was (or is) warranted.
     */
   def mmVideoFrames(s: SparkSession, dir: String, stride: Int = 2,
                     batchSize: Int = 64): DataFrame = {

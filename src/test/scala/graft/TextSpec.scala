@@ -338,6 +338,25 @@ class TextSpec extends SparkSpec {
     assert(got(9L) == (("xx", "tail")))
   }
 
+  test("piiScrub: exactly ONE PiiScrub instance survives the optimizer") {
+    // the r19 withColumn-chain formulation collapsed to 4–5 PiiScrub calls
+    // per row after CollapseProject (single evaluation relied on codegen
+    // CSE); the two-Project form must keep the barrier — CollapseProject
+    // refuses to duplicate a non-cheap expression — so interpreted and
+    // fallback paths also scan each row's bytes once
+    val df = TextFuncs.textPiiScrub(spark, sf)
+    val instances = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e: graft.functions.PiiScrub => e })
+    }.flatten
+    assert(instances.size == 1,
+      s"expected 1 PiiScrub in the optimized plan, found ${instances.size}:\n" +
+        df.queryExecution.optimizedPlan.treeString)
+    // and the restructured projection still produces the same columns
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "scrubbed", "n_email", "n_phone", "n_ip"))
+  }
+
   test("fingerprint: deterministic, identical docs identical checksums") {
     val fp1 = TextFuncs.textFingerprint(spark, corpusDir).collect()
     val fp2 = TextFuncs.textFingerprint(spark, corpusDir).collect()
