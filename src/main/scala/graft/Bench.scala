@@ -137,11 +137,14 @@ object Bench {
 
   /** The artifact's `host` block plus the degraded-window verdict the gate
     * consumes. `degraded` uses only signals that are NOT our own work:
-    * the PRE-run 1-minute load (the bench hasn't started — anything above
-    * ~1 on this box is external neighbor load; the r19 degraded evenings
-    * sat at 2.4–4.3 while idle) and hypervisor steal over the whole run
+    * the PRE-run 1-minute load and hypervisor steal over the whole run
     * window (mid/post loadavg reflect the bench's own 32 threads, so they
-    * are recorded for the reader but never feed the verdict).
+    * are recorded for the reader but never feed the verdict). The load
+    * bar is 2.0, calibrated between the two measured populations: by the
+    * time main() samples /proc, sbt's OWN startup has load1 at ~1.2 on an
+    * otherwise-idle box (measured on the first r20 cycle — 1.19 pre with
+    * steal 0.02%, a false "degraded"), while the r19 degraded evenings
+    * sat at 2.4–4.3 with zero runnable user processes.
     */
   private[graft] def hostJson(pre: HostSnap, mid: Option[HostSnap],
                               post: HostSnap): (String, Boolean) = {
@@ -151,7 +154,7 @@ object Bench {
         100.0 * (post.stealTicks - pre.stealTicks) /
           (post.totalTicks - pre.totalTicks)
       else -1.0
-    val degraded = pre.load1 > 1.0 || stealPct > 2.0
+    val degraded = pre.load1 > 2.0 || stealPct > 2.0
     val midJson = mid.fold("null")(_.json)
     (s""""host":{"pre":${pre.json},"mid":$midJson,"post":${post.json},"steal_pct":$stealPct,"degraded":$degraded}""",
       degraded)

@@ -62,7 +62,12 @@ class HarnessSpec extends SparkSpec {
     val (json1, deg1) = Bench.hostJson(quiet, None, post)
     assert(!deg1, "high MID/POST load is our own 32 threads, never degraded")
     assert(json1.contains("\"steal_pct\":") && json1.contains("\"pre\":"))
-    // external pre-run load flags degraded (the r19 evening signature)
+    // sbt's own startup leaves pre-run load1 ≈ 1.2 on an idle box (the
+    // first r20 cycle measured exactly this) — must NOT read as degraded
+    val (_, degSbt) = Bench.hostJson(quiet.copy(load1 = 1.19), None, post)
+    assert(!degSbt, "sbt-startup self-load must not flag degraded")
+    // external pre-run load flags degraded (the r19 evening signature:
+    // 2.4-4.3 while idle)
     val (_, deg2) = Bench.hostJson(quiet.copy(load1 = 2.7), None, post)
     assert(deg2)
     // hypervisor steal over the window flags degraded
