@@ -144,7 +144,12 @@ object Bench {
     * time main() samples /proc, sbt's OWN startup has load1 at ~1.2 on an
     * otherwise-idle box (measured on the first r20 cycle — 1.19 pre with
     * steal 0.02%, a false "degraded"), while the r19 degraded evenings
-    * sat at 2.4–4.3 with zero runnable user processes.
+    * sat at 2.4–4.3 with zero runnable user processes. One known
+    * conservative case remains: a cycle launched back-to-back after
+    * another bench inherits the PREVIOUS run's decaying load1 (the r20
+    * SCALE3 cycle read pre 2.35 / steal 0.008% a minute after the LOCAL
+    * cycle ended), so when chaining cycles read steal_pct alongside —
+    * the label errs toward suspicion, never toward trust.
     */
   private[graft] def hostJson(pre: HostSnap, mid: Option[HostSnap],
                               post: HostSnap): (String, Boolean) = {
