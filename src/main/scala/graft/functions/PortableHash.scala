@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-portable hashing for sketches that need an exact DuckDB oracle.
@@ -158,6 +158,40 @@ object PortableHash {
   def md5_simhash(text: Column): Column =
     GraftColumnBridge.column(Md5Simhash(GraftColumnBridge.expression(text)))
 
+  /** Portable-HLL register code of a value's string form: one md5 digest,
+    * then pure bit arithmetic — `(bucket << 6) | rho` with bucket = the
+    * top 12 bits of the digest (md5 hex chars 1-3) and rho = leading-zero
+    * BITS of the next 52 (hex chars 4-16) + 1, clamped at 50.
+    *
+    * Bit-identical to the r18 SQL formulation it replaces
+    * (md5 → hex substring → TRIM-LEADING-zero → CASE over the first
+    * nonzero nibble, see LakehouseOps.hllRhoSql): each leading '0' hex
+    * char is 4 zero bits and the first nonzero char contributes 3/2/1/0
+    * more for '1'/'2'-'3'/'4'-'7'/'8'-'f' — exactly
+    * `numberOfLeadingZeros` of the 52-bit tail. The all-zero tail maps to
+    * 52 + 1 → clamp 50, like the SQL's z = 13 branch. The DuckDB oracle
+    * keeps computing the hex-string form; both sides land in the same
+    * register with the same rho by construction (HllKernelSpec sweeps the
+    * equivalence). Replacing the five-step string pipeline with one
+    * digest + bit ops cut the register pass of dba_table_stats_approx
+    * from ~58 to ~6 CPU-seconds at sf0.1 (r20 measurement).
+    */
+  def hllCode(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = digestInto(bytes, 0, bytes.length)
+    val a = longAt(d, 0)
+    val bkt = ((a >>> 52) & 0xFFFL).toInt
+    val tail = a & ((1L << 52) - 1)
+    val zbits =
+      if (tail == 0L) 52 else java.lang.Long.numberOfLeadingZeros(tail) - 12
+    val rho = math.min(zbits + 1, 50)
+    (bkt << 6) | rho
+  }
+
+  /** Column API: the packed HLL (bucket, rho) register code. */
+  def md5_hll_code(v: Column): Column =
+    GraftColumnBridge.column(Md5HllCode(GraftColumnBridge.expression(v)))
+
   // ------------------------------------------------- DuckDB-side generator
 
   /** DuckDB SQL reconstructing the signed 64-bit value of 16 hex digits of
@@ -224,5 +258,23 @@ case class Md5MinhashPerms(child: Expression, k: Int)
       s"${ev.value} = new ${classOf[GenericArrayData].getName}(" +
         s"graft.functions.PortableHash.md5Perms($c, $k));")
   override protected def withNewChildInternal(newChild: Expression): Md5MinhashPerms =
+    copy(child = newChild)
+}
+
+/** INT `(bucket << 6) | rho` HLL register code of a value's string form —
+  * see [[PortableHash.hllCode]]. Null-safe: a null value carries no
+  * register (callers park null rows in an out-of-range sentinel bucket).
+  */
+case class Md5HllCode(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.check("graft_hll_code", child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    PortableHash.hllCode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableHash.hllCode($c);")
+  override protected def withNewChildInternal(newChild: Expression): Md5HllCode =
     copy(child = newChild)
 }

@@ -638,11 +638,14 @@ object LakehouseOps {
     *    and linearly interpolates inside the first bucket whose
     *    cumulative count reaches n/2 (error ≤ one bin width,
     *    range/4096 ≈ 0.025 % of range).
-    * Every step is SQL both engines evaluate identically (the
-    * [[hllRhoSql]]/[[hllEstRawSql]]/[[hllNdvSql]]/[[p50BinSql]]/
-    * [[p50PickSql]]/[[p50ValSql]] snippets are spliced verbatim into
-    * the Spark plan AND the DuckDB oracle), so both estimates
-    * hash-match by construction. Portability caveat: the HLL hash input
+    * Every step is arithmetic both engines evaluate identically: the
+    * [[hllEstRawSql]]/[[hllNdvSql]]/[[p50BinSql]]/[[p50PickSql]]/
+    * [[p50ValSql]] snippets are spliced verbatim into the Spark plan AND
+    * the DuckDB oracle, and the per-value register step runs as the
+    * native [[graft.functions.Md5HllCode]] expression on the Spark side
+    * (one digest + bit ops) while the oracle keeps the equivalent
+    * [[hllRhoSql]] hex-string chain (HllKernelSpec pins the bit
+    * equivalence) — so both estimates hash-match by construction. Portability caveat: the HLL hash input
     * is the value's string form, identical across engines for doubles
     * within plain-decimal range (zero or |v| ∈ [1e-3, 1e7) — Spark
     * switches to E-notation outside it, DuckDB does not); the audited
@@ -661,19 +664,22 @@ object LakehouseOps {
     // pass: group at (cid, register) grain — null values park in a
     // sentinel register so their count still lands — then reduce to the
     // per-column grain. Partial aggs bound every task's state at
-    // 4 × 4097 rows; the per-row kernel is one md5 + a leading-zero
-    // TRIM (the first cut's regexp_extract per row measured ~1 s/24M
-    // rows slower, and hashing only DISTINCT values — the r18 first
-    // formulation — made the whole operator scale with distinct values).
+    // 4 × 4097 rows. The per-row kernel is the native Md5HllCode
+    // expression: ONE digest + bit arithmetic per value, bit-identical to
+    // the r18 hex-substring/TRIM/CASE SQL chain it replaces (the oracle
+    // still computes that chain; HllKernelSpec sweeps the equivalence) —
+    // the string pipeline measured ~58 CPU-seconds over the sf0.1 melt
+    // (24 µs/value, the single hottest kernel on the bench board), the
+    // fused form ~4 µs/value. The register id is the packed bucket INT
+    // (code >> 6) rather than the 3-hex-char prefix string — a bijection,
+    // so the (cid, register) partition of values and every downstream
+    // count/max is unchanged; nulls park in bucket 4096 (no md5 bucket
+    // reaches it) with a NULL rho, exactly like the old '~' sentinel.
     val reg1 = melted
-      .withColumn("h",
-        when(col("v").isNotNull, md5(col("v").cast("string").cast("binary"))))
-      .withColumn("bkt", expr("COALESCE(substring(h, 1, 3), '~')"))
-      .withColumn("tail", expr("substring(h, 4, 13)"))
-      .withColumn("z",
-        expr("13 - length(TRIM(LEADING '0' FROM tail))"))
-      .withColumn("d", expr("substring(TRIM(LEADING '0' FROM tail), 1, 1)"))
-      .withColumn("rho", expr(hllRhoSql))
+      .withColumn("code",
+        graft.functions.PortableHash.md5_hll_code(col("v").cast("string")))
+      .withColumn("bkt", coalesce(expr("code >> 6"), lit(4096)))
+      .withColumn("rho", expr("code & 63"))
       .groupBy("cid", "bkt").agg(
         max("rho").as("rmax"),
         min("v").as("bmin"),
@@ -707,8 +713,8 @@ object LakehouseOps {
       .join(cum, Seq("cid", "bin"))
       .select(col("cid"), expr(p50ValSql).as("p50_val"))
     // registers = reg1 minus the null-sentinel bucket (its rmax is null:
-    // null v rows carry no hash; a real register can't collide — md5 hex
-    // is [0-9a-f], the sentinel is '~')
+    // null v rows carry no register code; a real register can't collide —
+    // md5 buckets span 0..4095, the sentinel is 4096)
     val ndv = reg1.filter(col("rmax").isNotNull)
       .groupBy("cid").agg(
         count(lit(1)).as("nbkt"),

@@ -81,8 +81,22 @@ object TpchTail {
     val pt = Tables.part(s, dir)
       .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
       .select("p_partkey", "p_name")
-    val cand = derivedPartsupp(s, dir)
-      .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    // Both dimension filters land on the partsupp GROUPING KEYS, so they
+    // commute with the aggregate: semi-filter the fact by the qualifying
+    // part and supplier keys BEFORE the (part, supp) groupBy — the
+    // derivation's exchange then carries the ~1/300 part slice × the
+    // 1/5-region supplier slice instead of every lineitem pair (guide
+    // §2.3, the r20 q17/q20 idiom; only the MIN the query compares is
+    // computed). The name/acctbal decoration re-joins the same broadcast
+    // dims above the aggregate, where the stream is candidate-sized.
+    val cand = Tables.lineitem(s, dir)
+      .join(broadcast(pt.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eur.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       .join(broadcast(pt), col("ps_partkey") === col("p_partkey"))
       .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
     cand
@@ -190,13 +204,20 @@ object TpchTail {
       .select("p_partkey")
     val li = Tables.lineitem(s, dir)
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-    val ps = li // same part slice: grouping by the filtered key is identical
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .agg(min(dec(col("l_extendedprice"))).as("ps_lotcost"))
+    // Per-pair lot cost as a WINDOW over the widget slice, not a
+    // groupBy + self-join: the r20 job probe showed the self-join form
+    // executing the scan + fan-out subtree TWICE (~1 s serialized apiece
+    // at sf0.1) and paying a SortMergeJoin to reunite them. min() OVER
+    // (PARTITION BY pair) attaches the identical group minimum to every
+    // row from ONE pass — lineitem's pair keys are non-null, so the
+    // inner-join-vs-window row sets coincide — and the window's
+    // (part, supp) hash exchange replaces the join's, so the plan drops
+    // one whole scan, one Exchange + HashAggregate pair, and the SMJ
+    // (plans/r20/q9_product_profit_{before,after}.txt).
     val profit = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")) -
       col("ps_lotcost") * dec(col("l_quantity"))
-    li.join(ps, col("l_partkey") === col("ps_partkey") &&
-        col("l_suppkey") === col("ps_suppkey"))
+    li.withColumn("ps_lotcost", min(dec(col("l_extendedprice")))
+        .over(Window.partitionBy(col("l_partkey"), col("l_suppkey"))))
       .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
@@ -245,8 +266,18 @@ object TpchTail {
         .filter(col("n_name").isin(nations: _*)).select("n_nationkey")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val perPart = derivedPartsupp(s, dir)
-      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+    // The supplier filter lands on a partsupp GROUPING KEY, so it commutes
+    // with the aggregate: semi-filter the fact by the two nations'
+    // supplier keys BEFORE the (part, supp) groupBy — the derivation's
+    // exchange carries the ~2/25-nation slice instead of every lineitem
+    // pair (guide §2.3; same pushdown as q2), and only the two aggregates
+    // the value formula needs are computed.
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("ps_availqty"),
+        min(dec(col("l_extendedprice"))).as("ps_lotcost"))
       .groupBy("ps_partkey")
       .agg(sum(col("ps_lotcost") * col("ps_availqty")).as("__v"))
     val total = perPart.agg(sum(col("__v")).as("__total"))
