@@ -21,7 +21,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  =
-    fanOut(s, load(s, d, "lineitem"))
+    fanOut(s, load(s, d, "lineitem"), Seq("l_orderkey"))
 
   /** Fan an under-split scan out to the session's parallelism.
     *
@@ -61,10 +61,12 @@ object Tables {
     * doesn't fan out by default — same decision rule as the table-level
     * wrapping, caller-chosen.
     */
-  private[graft] def fanOutFor(s: SparkSession, df: DataFrame): DataFrame =
-    fanOut(s, df)
+  private[graft] def fanOutFor(s: SparkSession, df: DataFrame,
+                               keys: Seq[String] = Nil): DataFrame =
+    fanOut(s, df, keys)
 
-  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+  private def fanOut(s: SparkSession, df: DataFrame,
+                     keys: Seq[String] = Nil): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     val need = math.min(4, target)
     val files = df.inputFiles
@@ -96,6 +98,20 @@ object Tables {
       // genuinely serialized (1-way) or small inputs fall through to the
       // shuffle, whose cost is then bounded by the small input
       else if (effective >= 2 && totalBytes(s, files) >= LargeInputBytes) df
+      // Deterministic-key hash fan-out beats the keyless round-robin
+      // when the table has a natural key: RoundRobinPartitioning pays a
+      // local sort of its entire input for retry determinism
+      // (spark.sql.execution.sortBeforeRepartition, guide §2.5) while a
+      // hash of real key columns is retry-deterministic for free — the
+      // r20 FanoutProbe measured the lineitem exchange at 0.88 s
+      // round-robin vs 0.60 s keyed (narrow consumer) and 1.43 vs
+      // 0.84 s (wide). Keying lineitem on l_orderkey additionally makes
+      // the fan-out exchange SATISFY downstream ClusteredDistribution
+      // requirements on the same key (guide §2.4): lineitem⋈orders
+      // joins and l_orderkey aggregates reuse this exchange instead of
+      // planning a second fact shuffle. Keys stay uniform (≤7 lines per
+      // order; doc/vec ids unique), so no §2.5 collision skew.
+      else if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
       else df.repartition(target)
     }
   }
@@ -185,8 +201,14 @@ object Tables {
     * the scan has real splits (any production layout), round-robin only for
     * degenerate single-split inputs.
     */
+  // documents stays on the keyless round-robin fan-out deliberately: the
+  // r20 FanoutProbe measured keyed ≈ round-robin here (the text payload,
+  // not the repartition sort, dominates), and the heavy per-row consumers
+  // above this table (codec mapPartitions, text kernels — the decade
+  // canaries) want round-robin's EXACT row balance rather than a hash's
+  // statistical balance: their stage wall is max-per-partition work.
   def documents(s: SparkSession, d: String): DataFrame =
     fanOut(s, load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    fanOut(s, load(s, d, "embeddings"))
+    fanOut(s, load(s, d, "embeddings"), Seq("vec_id"))
 }

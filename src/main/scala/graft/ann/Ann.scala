@@ -548,29 +548,56 @@ object Ann {
     val e = Tables.embeddings(s, dir)
     val model = trainPq(s, dir)
     // The brute-force top-k and each method's scored candidate set feed
-    // TWO downstream aggregates apiece (intersection join + count); a lazy
+    // TWO downstream aggregates apiece (intersection join + count); a
     // localCheckpoint materializes each subtree exactly once instead of
     // trusting exchange reuse to deduplicate the heaviest scans, and the
     // blocks are ContextCleaner-reclaimed (nothing pinned on the caller).
     // Scored sets are projected to (query_id, vec_id, score) first so the
     // checkpoint never stores embedding columns.
-    val bf = annBruteforce(s, dir, nQueries, k).select("query_id", "vec_id")
-      .localCheckpoint(false)
     // hits = |approx top-k ∩ exact top-k| (both sides unique per pair, so
     // the inner-join count IS the intersection size); candidates = scored
     // pair count. Both are 1-row aggregates — broadcast hints keep the
     // stitching joins as BNLJ, never a cartesian.
+    // The four scored subtrees are INDEPENDENT once the model exists, but
+    // as lazy checkpoints they materialized strictly one after another —
+    // the r20 job probe showed their 0.6–1.3 s jobs running back to back
+    // with the cluster draining between them. Guide §2.6: submit
+    // independent jobs from a small thread pool so each job's tail
+    // back-fills the next one's tasks; eager checkpoints from four driver
+    // threads overlap exactly those four materializations (results are
+    // unchanged — each leg's plan is identical, only the submission
+    // schedule moves). Job descriptions are thread-local, so the UI
+    // labels stay per-leg.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val (bf, lshS, ivfS, adcS) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def leg(label: String)(mk: => DataFrame) =
+          scala.concurrent.Future {
+            s.sparkContext.setJobDescription(s"ann_recall: $label")
+            mk.localCheckpoint(true)
+          }
+        val bfF = leg("brute-force top-k") {
+          annBruteforce(s, dir, nQueries, k).select("query_id", "vec_id") }
+        val lshF = leg("lsh scored") {
+          lshScored(s, dir, nQueries, LshBits, LshProbeBits)
+            .select("query_id", "vec_id", "score") }
+        val ivfF = leg("ivf scored") {
+          ivfScored(e, model.centroids, nQueries, IvfProbe)
+            .select("query_id", "vec_id", "score") }
+        val adcF = leg("pq adc") { pqAdc(e, model, nQueries, IvfProbe) }
+        val all = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(Seq(bfF, lshF, ivfF, adcF)),
+          scala.concurrent.duration.Duration.Inf)
+        (all(0), all(1), all(2), all(3))
+      } finally pool.shutdown()
     def one(name: String, topk: DataFrame, scoredCands: DataFrame): DataFrame =
       topk.select("query_id", "vec_id").join(bf, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(
           scoredCands.agg(count(lit(1)).as("candidates"))))
         .select(lit(name).as("method"), col("hits"), col("candidates"))
-    val lshS = lshScored(s, dir, nQueries, LshBits, LshProbeBits)
-      .select("query_id", "vec_id", "score").localCheckpoint(false)
-    val ivfS = ivfScored(e, model.centroids, nQueries, IvfProbe)
-      .select("query_id", "vec_id", "score").localCheckpoint(false)
-    val adcS = pqAdc(e, model, nQueries, IvfProbe).localCheckpoint(false)
     val rows =
       one("ivf", topkPerQuery(ivfS, k), ivfS)
         .unionByName(one("ivf_pq",

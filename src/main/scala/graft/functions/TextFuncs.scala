@@ -434,11 +434,22 @@ object TextFuncs {
     // raw load for the corpus count: no reason to pay fanOut's shuffle for
     // a row count that never leaves the driver
     val nDocs = Tables.load(s, dir, "documents").count()
-    val terms = Tables.documents(s, dir)
+    // ONE tokenize pass feeds everything downstream: tf is lazily
+    // localCheckpoint'ed, so the vocab-estimate action materializes it
+    // and both the df rollup and the scored join re-read the blocks.
+    // The r20 before-plan paid the documents scan + explode THREE times
+    // (tf subtree, df subtree, and the estimate job — guide §2.4); now
+    // the text is tokenized once and only (doc_id, term, tf) rows are
+    // stored. The estimate moves from raw terms onto tf's term column —
+    // HLL is multiplicity-insensitive (same distinct set → identical
+    // registers → identical estimate), so the broadcast-vs-shuffle gate
+    // decision is unchanged by construction.
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val vocabEst = terms
+    val vocabEst = tf
       .agg(approx_count_distinct(col("term"), 0.05)).head().getLong(0)
     val dfSide =
       if (vocabEst <= TfidfBroadcastVocab) broadcast(df) else df

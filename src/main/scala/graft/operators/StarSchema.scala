@@ -134,8 +134,13 @@ object StarSchema {
     * fact rows (and Spark 4.1's ambiguous-self-join false positive on
     * rollup-after-join never fires).
     */
-  def dsGrouping(s: SparkSession, dir: String): DataFrame = {
-    val base = storeSales(s, dir)
+  /** The one fact-sized stage of [[dsGrouping]]: star join + the
+    * (year, category) aggregate — exposed so PlanSpec can pin its
+    * broadcast-dims/no-Expand shape, which the checkpoint in
+    * [[dsGrouping]] otherwise hides inside a LogicalRDD.
+    */
+  private[graft] def dsGroupingBase(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
       .join(broadcast(dateDim(s, dir)),
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
@@ -143,6 +148,21 @@ object StarSchema {
       .agg(count(lit(1)).as("n_sales"),
         sum(dec(col("ss_quantity"))).cast(DecimalType(38, 2)).as("qty"),
         sum(col("ss_ext_sales_price")).cast(DecimalType(38, 4)).as("sales"))
+
+  def dsGrouping(s: SparkSession, dir: String): DataFrame = {
+    // The (year, category) aggregate is referenced by all three rollup
+    // levels; as three plan subtrees Catalyst compiled three SEPARATE
+    // fact-sized star-join passes (the r20 before-plan shows the
+    // lineitem⋈orders derivation + both broadcasts + first aggregate
+    // THREE times — guide §2.4 "remove shuffles outright"). A lazy
+    // localCheckpoint collapses them: the ~(years × 6 categories)-row
+    // aggregate is materialized once by the first action and the union's
+    // other two levels re-read the blocks, so the plan carries ONE fact
+    // pass (plans/r20/ds_grouping_{before,after}.txt; same single-RDD
+    // idiom as annRecall's scored-set checkpoints, ContextCleaner
+    // reclaims the blocks).
+    val base = dsGroupingBase(s, dir)
+      .localCheckpoint(false)
     val l1 = base.groupBy("d_year")
       .agg(sum("n_sales").as("n_sales"),
         sum("qty").cast(DecimalType(38, 2)).as("qty"),

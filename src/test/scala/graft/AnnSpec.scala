@@ -201,14 +201,23 @@ class AnnSpec extends SparkSpec {
       "centroid table must broadcast — shuffling the corpus against it is " +
         "the 100 TB failure mode")
     assert(!plan.contains("SortMergeJoin"))
-    // the argmax must partially aggregate below the exchange, so the one
-    // shuffle carries n collapsed rows, never n×cells candidates (struct
-    // max is not hash-aggregable — it plans as SortAggregate, whose
-    // partial_max marker is what we pin)
-    val exIdx = plan.indexOf("Exchange")
-    val partialIdx = plan.lastIndexOf("partial_max")
-    assert(exIdx >= 0 && partialIdx > exIdx,
-      "partial argmax aggregate missing below the shuffle")
+    // no shuffle may carry the n×cells candidate stream. Two shapes
+    // satisfy that: (a) the r20 keyed fan-out (hashpartitioning on
+    // vec_id) sits BELOW the broadcast join and already satisfies the
+    // argmax groupBy's clustering, so the join output collapses with no
+    // further exchange at all; (b) at production layouts the fan-out is
+    // the identity and the groupBy plans its own exchange ABOVE the join
+    // — then the argmax must partially aggregate below it (struct max is
+    // not hash-aggregable — it plans as SortAggregate, whose partial_max
+    // marker is what we pin), so the shuffle carries n collapsed rows.
+    val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+    val exAbove = plan.lastIndexOf("Exchange hashpartitioning", bnlj)
+    if (exAbove >= 0) {
+      val partialIdx = plan.indexOf("partial_max", exAbove)
+      assert(partialIdx >= 0 && partialIdx < bnlj,
+        "an exchange above the cells join must sit above a map-side " +
+          "partial argmax — otherwise it shuffles n×cells candidates")
+    }
   }
 
   test("withCells: the >64-cell join path agrees with the literal " +
