@@ -1154,8 +1154,16 @@ object LakehouseOps {
   def dbaMergeSelective(s: SparkSession, dir: String): DataFrame = {
     val t = java.nio.file.Files.createTempDirectory("graft_delta_sm")
       .toString + "/orders_delta"
+    // ord feeds the commit (whose repartitionByRange ALSO runs a range-
+    // sampling pass), the max cutoff and the update slice — each was a
+    // separate orders scan + projection. One lazy checkpoint (a few MB of
+    // projected columns) collapses them; rows, within-partition order and
+    // partition structure are preserved, so the sampled range boundaries
+    // and every committed file are byte-identical (guide §2.4 / r20
+    // JobProbe: the lifecycle family's wall is many small repeated jobs).
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      .localCheckpoint(false)
     graft.sources.DeltaLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val cutoff = ord.agg(max("o_orderkey")).head().getLong(0) / 8
@@ -1196,6 +1204,7 @@ object LakehouseOps {
       .toString + "/orders_delta"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
     graft.sources.DeltaLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
@@ -1296,6 +1305,7 @@ object LakehouseOps {
       .toString + "/orders_delta"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
     graft.sources.DeltaLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
@@ -1355,6 +1365,7 @@ object LakehouseOps {
       .toString + "/orders_iceberg"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .localCheckpoint(false) // one scan feeds all four quartile commits
     (0 to 3).foreach { q =>
       graft.sources.IcebergLite.commit(s, t,
         ord.filter(col("o_orderkey") % 4 === q))
@@ -1389,6 +1400,7 @@ object LakehouseOps {
       .toString + "/orders_iceberg"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
     graft.sources.IcebergLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
