@@ -144,22 +144,31 @@ object Bench {
     * time main() samples /proc, sbt's OWN startup has load1 at ~1.2 on an
     * otherwise-idle box (measured on the first r20 cycle — 1.19 pre with
     * steal 0.02%, a false "degraded"), while the r19 degraded evenings
-    * sat at 2.4–4.3 with zero runnable user processes. One known
-    * conservative case remains: a cycle launched back-to-back after
-    * another bench inherits the PREVIOUS run's decaying load1 (the r20
-    * SCALE3 cycle read pre 2.35 / steal 0.008% a minute after the LOCAL
-    * cycle ended), so when chaining cycles read steal_pct alongside —
-    * the label errs toward suspicion, never toward trust.
+    * sat at 2.4–4.3 with zero runnable user processes.
+    *
+    * Chain-awareness (r20 verdict item 6): a cycle launched minutes after
+    * another bench inherits the DEAD run's decaying load1 (the r20 c8
+    * driver run read pre-load1 8.61 with steal ≈1.4% purely from the
+    * just-finished c32 run) — loadavg is an exponential average, so a
+    * corpse decays through it for ~5 minutes while the instantaneous
+    * runnable count (loadavg's 4th field) is already back to ~1-2. The
+    * load arm therefore also requires the runnable count to corroborate:
+    * genuinely contended windows have real runnable tasks (> cpus/4),
+    * a decaying corpse does not. Hypervisor steal — CPU taken by
+    * neighbors OUTSIDE the VM, invisible to runnable — keeps its own
+    * independent arm, which is what flagged the measured r19/r20
+    * degraded evenings (steal 5.7%).
     */
   private[graft] def hostJson(pre: HostSnap, mid: Option[HostSnap],
-                              post: HostSnap): (String, Boolean) = {
+                              post: HostSnap, cpus: Int): (String, Boolean) = {
     val stealPct =
       if (pre.stealTicks >= 0 && post.stealTicks >= pre.stealTicks &&
           post.totalTicks > pre.totalTicks)
         100.0 * (post.stealTicks - pre.stealTicks) /
           (post.totalTicks - pre.totalTicks)
       else -1.0
-    val degraded = pre.load1 > 2.0 || stealPct > 2.0
+    val degraded = stealPct > 2.0 ||
+      (pre.load1 > 2.0 && pre.runnable > cpus / 4)
     val midJson = mid.fold("null")(_.json)
     (s""""host":{"pre":${pre.json},"mid":$midJson,"post":${post.json},"steal_pct":$stealPct,"degraded":$degraded}""",
       degraded)
@@ -178,6 +187,44 @@ object Bench {
     }
     println(line)
     System.out.flush()
+  }
+
+  /** Render to 3 significant digits — compact enough that a trimmed
+    * per-query map fits the driver's tail budget, precise enough for
+    * round-over-round speedup ratios (full-precision medians stay in the
+    * full artifact).
+    */
+  private[graft] def sig3(v: Double): String =
+    if (!java.lang.Double.isFinite(v)) "0"
+    else BigDecimal(v).round(new java.math.MathContext(3))
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** Per-query medians for the COMPACT final line, trimmed to a byte
+    * budget: slowest queries first (they carry the perf signal), as many
+    * entries as fit. Returns (mapJson, elidedCount).
+    *
+    * Why trimmed: the driver captures only a ~2000-char stdout tail and
+    * parses its last line, while 154 full-precision entries are ~27 KB —
+    * r19/r20 both shipped a final line whose `queries` was either
+    * truncated mid-map or elided entirely ("see_full_artifact"), so the
+    * driver's PERF per-query comparison computed nothing (r20 verdict
+    * item 2). The biggest prefix that fits restores per-query medians to
+    * the driver for the queries that matter most; the full map stays in
+    * the full artifact(s) on disk.
+    */
+  private[graft] def trimmedQueriesJson(med: Seq[(String, Double)],
+                                        budget: Int): (String, Int) = {
+    val bySlowest = med.sortBy { case (n, v) => (-v, n) }
+    val sb = new StringBuilder("{")
+    var n = 0
+    var full = false
+    for ((k, v) <- bySlowest if !full) {
+      val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + sig3(v)
+      if (sb.length + entry.length + 1 > budget) full = true
+      else { sb.append(entry); n += 1 }
+    }
+    sb.append("}")
+    (sb.toString, med.size - n)
   }
 
   /** Round-over-round regression gate: compare this run's medians against
@@ -496,20 +543,29 @@ object Bench {
     // machine-readable annotation so the judge never has to take prose on
     // faith (r19 verdict item: "make host state machine-readable")
     val hostPost = hostSnap()
-    val (hostBlock, hostDegraded) = hostJson(hostPre, hostMid, hostPost)
+    val (hostBlock, hostDegraded) =
+      hostJson(hostPre, hostMid, hostPost, cpus.toIntOption.getOrElse(4))
     val hostNote =
       if (hostDegraded && (regNames.nonEmpty || scaleFlagNames.nonEmpty))
         ""","host_note":"degraded_window_flags_suspect""""
       else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order_seed":$orderSeed,"queries":${toJson(med)},"queries_min":${toJson(mins)},"errors":$errJson,"sf":"$sfDir",$hostBlock$hostNote$regJson$isoJson$scaleJson}"""
     println(line)
-    // Persist the full line to a file: the driver captures only a 2000-char
-    // stdout tail, which truncates the ~26 KB line above. Env-overridable;
-    // failures to write are reported but never fail the bench, and the
-    // absolute path is always logged (the default overwrites bench_out.json
-    // in whatever directory the bench happens to run from).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    if (outPath.nonEmpty) try {
+    // Persist the full line to file(s): the driver captures only a
+    // 2000-char stdout tail, which truncates the ~26 KB line above.
+    // Env-overridable; failures to write are reported but never fail the
+    // bench, and the absolute path is always logged. By default BOTH the
+    // legacy name and a per-cpu-run name are written, so a chained driver
+    // cycle (32-core then 8-core) preserves each run's full artifact
+    // instead of the second overwriting the first (r20 verdict: the c8
+    // run's host-block adjudication was unreproducible because
+    // bench_out.json had been clobbered).
+    val outPaths: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some("") => Nil
+      case Some(p)  => Seq(p)
+      case None     => Seq("bench_out.json", s"bench_out_c$cpus.json")
+    }
+    for (outPath <- outPaths) try {
       val p = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.write(p,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -517,6 +573,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    val outPath = outPaths.lastOption.getOrElse("")
     // Everything that can still write to stdout/stderr happens BEFORE the
     // compact summary below, so the driver's tail ends with one parseable
     // JSON line: Spark's own stop()-time logging is capped at ERROR, the
@@ -527,12 +584,23 @@ object Bench {
     // prints as the final stdout line (the r19 fix's one remaining hole).
     val scaleTotal = "\"scale_ratio_total\":([0-9.Ee+-]+)".r
       .findFirstMatchIn(scaleJson).map(_.group(1)).getOrElse("null")
-    // compact summary as the LAST stdout line (headline numbers + a pointer
-    // to the full artifact, no per-query maps) — the driver's tail parser
+    // compact summary as the LAST stdout line — the driver's tail parser
     // reads this; the regression count rides regNames (the gate's own list)
-    // rather than re-parsing the serialized JSON
+    // rather than re-parsing the serialized JSON. `queries` carries the
+    // TRIMMED slowest-first per-query map (see trimmedQueriesJson): the
+    // whole line must stay inside the driver's ~2000-char tail or the
+    // per-query half of the bench contract is unmet (r20 verdict item 2).
+    val tailBudget = sys.env.get("SPARK_GRAFT_TAIL_BUDGET")
+      .flatMap(_.toIntOption).filter(_ > 300).getOrElse(1900)
+    val compactHead =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${med.size},"n_errors":${failures.size},"n_regressions":${regNames.size},"scale_ratio_total":$scaleTotal,"host_degraded":$hostDegraded,"queries":"""
+    def compactTail(elided: Int) =
+      s""","queries_elided":$elided,"full_artifact":"$outPath"}"""
+    val mapBudget =
+      tailBudget - compactHead.length - compactTail(med.size).length
+    val (qMapJson, qElided) = trimmedQueriesJson(med, mapBudget)
     printFinalLine(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${med.size},"n_errors":${failures.size},"n_regressions":${regNames.size},"scale_ratio_total":$scaleTotal,"host_degraded":$hostDegraded,"queries":"see_full_artifact","full_artifact":"$outPath"}""",
+      compactHead + qMapJson + compactTail(qElided),
       () => { spark.sparkContext.setLogLevel("ERROR"); spark.stop() },
       () => deleteRecursively(scratchRoot.toFile)) // this run's root only
   }

@@ -56,6 +56,26 @@ object FanoutProbe {
       d.groupBy(substring(col("doc_id").cast("string"), 1, 2))
         .agg(cs.head, cs.tail.toSeq: _*)
     }
+    // r21: the two consumers the r20 A/B missed. (1) A (doc_id, gram)
+    // aggregation — the dominant TEXT-family shape (textRepetition,
+    // dupSpan, tfidf, contamCheck all group on (doc_id, …)): a
+    // doc_id-keyed fan-out exchange SATISFIES that grouping's
+    // ClusteredDistribution (partition keys ⊆ grouping keys), so the
+    // pair-sized exchange disappears; round-robin cannot be reused.
+    def pairGroupDocs(d: DataFrame) =
+      d.select(col("doc_id"),
+          explode(graft.functions.Sketch.word_ngrams(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"))
+        .agg(sum("n_grams"), sum("n_distinct"))
+    // (2) A heavy PER-ROW kernel whose stage wall is max-per-partition
+    // work (the codec/decade-canary shape): measures what a hash key's
+    // statistical balance costs vs round-robin's exact balance.
+    def heavyRowDocs(d: DataFrame) =
+      d.select(graft.functions.PortableHash
+          .md5_minhash_sig(col("text"), 3, 64).as("sig"))
+        .select(sum(element_at(col("sig"), 1)))
 
     val n = cpus.toInt
     for (w <- 1 to 2) {
@@ -72,6 +92,12 @@ object FanoutProbe {
       t("docs rr      wide") { wideDocs(docs.repartition(n)) }
       t("docs hashkey wide") { wideDocs(docs.repartition(n, col("doc_id"))) }
       t("docs none    wide") { wideDocs(docs) }
+      t("docs rr      pairgroup") { pairGroupDocs(docs.repartition(n)) }
+      t("docs hashkey pairgroup") { pairGroupDocs(docs.repartition(n, col("doc_id"))) }
+      t("docs none    pairgroup") { pairGroupDocs(docs) }
+      t("docs rr      heavyrow") { heavyRowDocs(docs.repartition(n)) }
+      t("docs hashkey heavyrow") { heavyRowDocs(docs.repartition(n, col("doc_id"))) }
+      t("docs none    heavyrow") { heavyRowDocs(docs) }
     }
     spark.stop()
   }
