@@ -201,14 +201,22 @@ object Tables {
     * the scan has real splits (any production layout), round-robin only for
     * degenerate single-split inputs.
     */
-  // documents stays on the keyless round-robin fan-out deliberately: the
-  // r20 FanoutProbe measured keyed ≈ round-robin here (the text payload,
-  // not the repartition sort, dominates), and the heavy per-row consumers
-  // above this table (codec mapPartitions, text kernels — the decade
-  // canaries) want round-robin's EXACT row balance rather than a hash's
-  // statistical balance: their stage wall is max-per-partition work.
+  // documents moved to the deterministic doc_id hash fan-out in r21. The
+  // r20 A/B had measured keyed ≈ round-robin on simple consumers and kept
+  // round-robin for its exact row balance — but it never probed the
+  // consumer shape that DOMINATES the text family: a (doc_id, gram/term)
+  // aggregation, whose ClusteredDistribution is satisfied by
+  // HashPartitioning(doc_id) (partition keys ⊆ grouping keys), so the
+  // keyed fan-out exchange is REUSED and the pair-sized exchange above it
+  // disappears (guide §2.4). The r21 FanoutProbe measured the pair-group
+  // consumer at 0.27 s keyed vs 0.58 s round-robin (2.1×, two passes),
+  // while the heavy per-row kernel shape (the codec/decade canaries whose
+  // stage wall is max-per-partition work) measured a wash — hash balance
+  // over unique doc_ids is statistically exact at any realistic n. Same
+  // scale posture as lineitem/embeddings: identity on any ≥4-split
+  // production layout, key column is one delta-encoded int64 locally.
   def documents(s: SparkSession, d: String): DataFrame =
-    fanOut(s, load(s, d, "documents"))
+    fanOut(s, load(s, d, "documents"), Seq("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame =
     fanOut(s, load(s, d, "embeddings"), Seq("vec_id"))
 }

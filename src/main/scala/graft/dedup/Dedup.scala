@@ -1483,7 +1483,23 @@ object Dedup {
     // generated literal code trips Spark's codegen limits and every
     // consumer of `cell` pays interpreted dots (measured 8 s vs 0.3 s
     // per evaluation at the 256-cell decade).
+    //
+    // The assignment feeds FOUR consumers (hot-cell count, both pair
+    // sides, the final attach); materialize it ONCE (r21). Catalyst
+    // compiles each consumer its own copy of the n×cells argmax subtree,
+    // and since the r20 keyed fan-out there is no ENSURE_REQUIREMENTS
+    // exchange above the argmax left to deduplicate them: the r21
+    // baseline measured the join-path argmax (dedup_semantic_dense)
+    // re-evaluated 3× — 31 executor-CPU-seconds and a 1.6× isolated
+    // regression vs the pre-keying plan whose exchange had acted as the
+    // shared materialization point. The checkpoint stores n×(id + cell +
+    // vector) rows — the same weight class as semanticDedupClusters'
+    // assignedReps checkpoint. §5 tradeoff: localCheckpoint truncates
+    // lineage (blocks on executor memory+disk; an executor loss makes
+    // them unrecoverable and fails the job rather than recomputing) —
+    // accepted here exactly as at Dedup.propagateLabels/assignedReps.
     val assigned = graft.ann.Ann.withCells(emb, centroids)
+      .localCheckpoint(false)
     val eligible = pruneHotBuckets(assigned, maxCell, key = "cell")
     val lower = eligible.select(col("cell"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))

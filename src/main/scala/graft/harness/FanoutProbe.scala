@@ -75,7 +75,7 @@ object FanoutProbe {
     def heavyRowDocs(d: DataFrame) =
       d.select(graft.functions.PortableHash
           .md5_minhash_sig(col("text"), 3, 64).as("sig"))
-        .select(sum(element_at(col("sig"), 1)))
+        .select(sum(element_at(col("sig"), 1).cast("double")))
 
     val n = cpus.toInt
     for (w <- 1 to 2) {

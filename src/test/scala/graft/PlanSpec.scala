@@ -48,6 +48,9 @@ class PlanSpec extends SparkSpec {
       "mm_video_frames",  // same codec rung, per-sampled-frame features
       "text_topk_sketch", // per-partition Misra-Gries pass is imperative
       "dedup_semantic_cc", // checkpointed label-propagation rounds
+      "dedup_semantic",    // r21: checkpointed cell assignment — the
+                           // n×cells argmax runs once, not per consumer
+      "dedup_semantic_dense", // same kernel, broadcast-join argmax path
       "ds_grouping",   // r20: checkpointed (year, category) base — ONE
                        // fact star-join pass instead of three subtrees
       "text_tfidf",    // r20: checkpointed tf — one tokenize pass feeds
@@ -175,16 +178,22 @@ class PlanSpec extends SparkSpec {
     "the decade-canary's adjudicated shape") {
     // the r19 adjudication (Multimodal.mmVideoFrames scaladoc): the wall
     // is per-video codec work, and the plan must keep it (a) parallel —
-    // the round-robin fan-out below the MapPartitions (losing it
-    // serializes every decode on one core: the r16 text_pii_scrub
-    // 1.1 → 4.7 s class) — and (b) fed by a doc_id-only scan with the
-    // %3 filter below the exchange (shuffling text bytes for a codec
-    // stage that synthesizes its own payloads would be pure waste)
+    // the fan-out exchange below the MapPartitions (losing it serializes
+    // every decode on one core: the r16 text_pii_scrub 1.1 → 4.7 s
+    // class; since r21 the exchange hashes on doc_id — the r21
+    // FanoutProbe measured the heavy per-row shape as a wash vs
+    // round-robin's exact balance, and the key makes the same exchange
+    // reusable by the text family's (doc_id, …) aggregations) — and
+    // (b) fed by a doc_id-only scan with the %3 filter below the
+    // exchange (shuffling text bytes for a codec stage that synthesizes
+    // its own payloads would be pure waste)
     val df = SparkEntry.queries("mm_video_frames")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("RoundRobinPartitioning"),
-      "codec mapPartitions must sit above the fan-out exchange")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "codec mapPartitions must sit above the doc_id-keyed fan-out exchange")
+    assert(!p.contains("RoundRobinPartitioning"),
+      "the fan-out must be the keyed exchange, not a round-robin + sort")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(read.contains("doc_id") && !read.contains("text"),
       s"scan must read ids only: $read")
