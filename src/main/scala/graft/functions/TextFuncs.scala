@@ -444,6 +444,12 @@ object TextFuncs {
     // HLL is multiplicity-insensitive (same distinct set → identical
     // registers → identical estimate), so the broadcast-vs-shuffle gate
     // decision is unchanged by construction.
+    // §5 fault-tolerance tradeoff (the Dedup.propagateLabels precedent):
+    // localCheckpoint truncates lineage and stores the (doc, term)-grain
+    // blocks on executor memory+disk — corpus-proportional, so an
+    // executor loss mid-query fails the job instead of recomputing;
+    // accepted because the blocks are far narrower than the text and
+    // strictly cheaper than re-tokenizing the corpus twice.
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -1161,6 +1161,12 @@ object LakehouseOps {
     // partition structure are preserved, so the sampled range boundaries
     // and every committed file are byte-identical (guide §2.4 / r20
     // JobProbe: the lifecycle family's wall is many small repeated jobs).
+    // §5 fault-tolerance tradeoff (here and at the four sibling ord
+    // checkpoints below): localCheckpoint truncates lineage and stores
+    // the projected table on executor memory+disk — an executor loss
+    // mid-operator fails the job instead of recomputing; accepted
+    // because the projection is a narrow slice of orders and the
+    // alternative is 3-6 full re-scans per operator.
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
       .localCheckpoint(false)
@@ -1204,7 +1210,7 @@ object LakehouseOps {
       .toString + "/orders_delta"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices (§5 lineage tradeoff: see dbaMergeSelective)
     graft.sources.DeltaLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
@@ -1305,7 +1311,7 @@ object LakehouseOps {
       .toString + "/orders_delta"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices (§5 lineage tradeoff: see dbaMergeSelective)
     graft.sources.DeltaLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
@@ -1365,7 +1371,7 @@ object LakehouseOps {
       .toString + "/orders_iceberg"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      .localCheckpoint(false) // one scan feeds all four quartile commits
+      .localCheckpoint(false) // one scan feeds all four quartile commits (§5 lineage tradeoff: see dbaMergeSelective)
     (0 to 3).foreach { q =>
       graft.sources.IcebergLite.commit(s, t,
         ord.filter(col("o_orderkey") % 4 === q))
@@ -1400,7 +1406,7 @@ object LakehouseOps {
       .toString + "/orders_iceberg"
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices
+      .localCheckpoint(false) // one scan feeds commit+sampling+max+slices (§5 lineage tradeoff: see dbaMergeSelective)
     graft.sources.IcebergLite.commit(s, t,
       ord.repartitionByRange(8, col("o_orderkey")))
     val mx = ord.agg(max("o_orderkey")).head().getLong(0)
@@ -1434,6 +1440,20 @@ object LakehouseOps {
     * linear sort on o_custkey cannot give (DeltaLiteSpec pins the file
     * economics on both columns; this query hash-checks that the rewrite
     * lost/duplicated nothing and the pruned read stays value-exact).
+    *
+    * Optimization declined (r21, the r20-verdict pinned-boundaries item,
+    * quantified by JobProbe): isolated total 1.43 s, of which the wall
+    * is the two commits (initial write + the OPTIMIZE rewrite with its
+    * Morton interleave + per-column max probes) — distributed,
+    * data-proportional work that IS the modeled operation. The avoidable
+    * pieces are one duplicate orders scan (~0.1 s; only 2 consumers, so
+    * a checkpoint is a wash: materialize+read ≈ scan+scan) and the
+    * rewrite's range-sampling pass (~0.1 s) — but pinning literal range
+    * boundaries changes which rows land in which file, and this
+    * operator's OUTPUT depends on the layout (the skip counts ride the
+    * per-file key ranges), so boundary pinning is a result-hash risk
+    * for ≲0.2 s of upside. Declined; same analysis for
+    * [[dbaLiquidCluster]].
     */
   def dbaZorderSkipping(s: SparkSession, dir: String): DataFrame = {
     val t = java.nio.file.Files.createTempDirectory("graft_delta_zs")
@@ -1469,6 +1489,12 @@ object LakehouseOps {
     * B16/B19 reads through add-stats pruning on the clustered layout.
     * Shares B16's oracle: a wrong answer localizes to the clustering
     * rewrite or the domain plumbing, nothing else.
+    *
+    * Optimization declined (r21): isolated total 1.99 s, wall = the two
+    * commits + the clusterBy metadata commit — the lifecycle semantics
+    * itself; the skip counts depend on the clustered file layout, so
+    * the pinned-boundaries idea is the same result-hash risk quantified
+    * at [[dbaZorderSkipping]] (≲0.2 s upside). Declined.
     */
   def dbaLiquidCluster(s: SparkSession, dir: String): DataFrame = {
     val t = java.nio.file.Files.createTempDirectory("graft_delta_liquid")
